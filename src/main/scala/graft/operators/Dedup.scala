@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+
+/** Deduplication operators for large-scale document corpora — exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard. All are pure DataFrame
+  * programs: shuffles happen on content keys (hash / shingle / band
+  * bucket), never on the full text, so they scale to 100 TB by adding
+  * executors. No collect(), no driver loops.
+  */
+object Dedup {
+
+  /** Exact dedup: keep-first by content hash (md5 of normalized text).
+    * Deterministic winner (lowest id), unlike plain dropDuplicates.
+    */
+  def exactKeepFirst(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(col("content_hash")).orderBy(col(idCol))
+    docs.withColumn("content_hash", md5(lower(trim(col(textCol)))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn", "content_hash")
+  }
+
+  /** (id, shingle) pairs — distinct word n-gram shingles per document.
+    * The exploded shingle relation is the shared substrate for the
+    * Jaccard / MinHash paths.
+    */
+  def shingleTable(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(shingles(col(textCol), n)).as("shingle"))
+      .distinct()
+
+  /** All-pairs n-gram Jaccard similarity >= threshold (a < b).
+    * Joins on shared shingles (inverted-index join) so only co-occurring
+    * pairs are ever materialized — never a full cross join.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, threshold: Double): DataFrame = {
+    val sh = shingleTable(docs, idCol, textCol, n).cache()
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "na"), "a")
+      .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "nb"), "b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** MinHash signature: for each of `numPerm` seeded hash functions, the
+    * min xxhash64 over the document's shingles. Returned as
+    * array<bigint> column "sig" alongside the id.
+    */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, numPerm: Int): DataFrame = {
+    val sh = shingleTable(docs, idCol, textCol, n)
+    val mins = (0 until numPerm).map(p =>
+      min(xxhash64(col("shingle"), lit(p))).as(s"h$p"))
+    sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until numPerm).map(p => col(s"h$p")): _*).as("sig"))
+  }
+
+  /** MinHash + LSH banding near-dup candidates, verified by exact
+    * shingle Jaccard. bands * rowsPerBand must equal numPerm. The
+    * band-bucket join is the scale path: each doc lands in `bands`
+    * buckets; only bucket collisions are compared.
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int, numPerm: Int, bands: Int,
+                      threshold: Double): DataFrame = {
+    require(numPerm % bands == 0, "bands must divide numPerm")
+    val rowsPerBand = numPerm / bands
+    val sig = minhashSignatures(docs, idCol, textCol, n, numPerm)
+    val banded = sig.select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+      .select(col("id"), col("pos").as("band"), hash(col("col")).as("bucket"))
+    val candidates = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+    // verify candidates with exact Jaccard (inverted-index join restricted
+    // to the candidate set)
+    val sh = shingleTable(docs, idCol, textCol, n).cache()
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    candidates.join(inter, Seq("a", "b"))
+      .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "na"), "a")
+      .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "nb"), "b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash over whitespace tokens: sum +1/-1 per bit weighted by
+    * token frequency, sign -> bit. Computed with bit arithmetic over
+    * xxhash64 token hashes — pure built-ins.
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("id"),
+        explode(tokens(col(textCol))).as("token"))
+      .withColumn("h", xxhash64(col("token")))
+    // per (id, bit): count of tokens with that bit set vs total
+    val bits = tok.groupBy(col("id"))
+      .agg(count(lit(1)).as("total"),
+        array((0 until 64).map(b =>
+          sum(shiftright(col("h"), b).bitwiseAND(1)).as(s"b$b")): _*).as("ones"))
+    // bit b of simhash = 1 iff ones[b] * 2 > total (majority of tokens set it)
+    val simhashBits = (0 until 64).map(b =>
+      when(element_at(col("ones"), b + 1) * 2 > col("total"), lit(1L << b))
+        .otherwise(lit(0L)))
+    bits.select(col("id"),
+      simhashBits.reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxDist. For corpus-
+    * scale use, candidates are restricted by 16-bit block collision
+    * (pigeonhole: dist<=3 over 4 blocks guarantees one equal block) —
+    * avoiding the quadratic all-pairs comparison.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int): DataFrame = {
+    val sig = simhash(docs, idCol, textCol).cache()
+    // block index: 4 blocks of 16 bits
+    val blocked = sig.select(col("id"), col("simhash"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("simhash"), b * 16).bitwiseAND(0xffffL)): _*)))
+      .select(col("id"), col("simhash"), col("pos").as("blk"), col("col").as("bval"))
+    blocked.as("x").join(blocked.as("y"),
+        col("x.blk") === col("y.blk") && col("x.bval") === col("y.bval") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+}

@@ -1,0 +1,225 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.GraftFunctions._
+import graft.operators.{TextAnalysis => TA}
+
+/** Declared queries for the LLM-pipeline extension operators (SURVEY.md
+  * §7.4): dedup, similarity search, text analysis, multimodal plumbing.
+  *
+  * The documents/embeddings testdata has no natural duplicates, so dedup
+  * queries synthesize them deterministically inside the query (exact
+  * copies at id+10000, tail-modified copies at id+20000) — the same
+  * construction appears in the DuckDB oracle, so results still hash-match.
+  *
+  * Queries without an oracleSql entry (minhash-LSH, simhash, LSH-ANN,
+  * multimodal) are approximate or non-SQL-expressible; they get the
+  * driver's rows-only check and are verified against their exact
+  * counterparts in the ScalaTest suites instead.
+  */
+object ExtensionQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** documents ∪ exact copies (id+10000 for id<50) ∪ near-dup copies with
+    * a 3-token tail appended (id+20000 for 50<=id<80).
+    */
+  private def docsWithDups(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables(s, d, "documents").select(col("doc_id").as("id"), col("text"))
+    docs
+      .unionByName(docs.filter(col("id") < 50)
+        .select((col("id") + 10000).as("id"), col("text")))
+      .unionByName(docs.filter(col("id") >= 50 && col("id") < 80)
+        .select((col("id") + 20000).as("id"),
+          concat(col("text"), lit(" zz ww qq")).as("text")))
+  }
+
+  private val docsWithDupsSql =
+    """docs AS (
+      |  SELECT doc_id AS id, text FROM documents
+      |  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50
+      |  UNION ALL SELECT doc_id + 20000, text || ' zz ww qq'
+      |    FROM documents WHERE doc_id >= 50 AND doc_id < 80
+      |)""".stripMargin
+
+  /** embeddings ∪ exact copies (id+10000 for id<20). */
+  private def vecsWithDups(s: SparkSession, d: String): DataFrame = {
+    val v = Tables(s, d, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+    v.unionByName(v.filter(col("id") < 20)
+      .select((col("id") + 10000).as("id"), col("embedding")))
+  }
+
+  private val cosSqlExpr =
+    "list_dot_product(%A::DOUBLE[], %B::DOUBLE[]) / " +
+      "sqrt(list_dot_product(%A::DOUBLE[], %A::DOUBLE[]) * list_dot_product(%B::DOUBLE[], %B::DOUBLE[]))"
+  private def cosSql(a: String, b: String): String =
+    cosSqlExpr.replace("%A", a).replace("%B", b)
+
+  val queries: Map[String, Q] = Map(
+    // --- dedup -----------------------------------------------------------
+    "x01_dedup_exact" -> ((s, d) =>
+      Dedup.exactKeepFirst(docsWithDups(s, d), "id", "text")
+        .select(col("id")).orderBy(col("id"))),
+
+    "x02_dedup_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(docsWithDups(s, d), "id", "text", 3, 0.5)
+        .orderBy(col("a"), col("b"))),
+
+    "x03_dedup_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLshPairs(docsWithDups(s, d), "id", "text",
+          n = 3, numPerm = 32, bands = 8, threshold = 0.5)
+        .orderBy(col("a"), col("b"))),
+
+    "x04_dedup_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(docsWithDups(s, d), "id", "text", maxDist = 3)
+        .orderBy(col("a"), col("b"))),
+
+    "x05_embed_cosine_pairs" -> ((s, d) =>
+      Similarity.cosinePairs(vecsWithDups(s, d), "id", "embedding", 0.95)
+        .orderBy(col("a"), col("b"))),
+
+    // --- similarity search ------------------------------------------------
+    "x06_ann_brute_topk" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+      Similarity.bruteForceTopK(
+          e.filter(col("vec_id") < 10), e, "vec_id", "embedding", k = 5)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    "x07_ann_lsh_topk" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+      Similarity.lshTopK(
+          e.filter(col("vec_id") < 10), e, "vec_id", "embedding", k = 5, nbits = 4)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // --- text analysis -----------------------------------------------------
+    "x08_lang_id" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .select(col("doc_id"), col("lang"), TA.languageId(col("text")).as("predicted"))
+        .orderBy(col("doc_id"))),
+
+    "x09_quality_score" -> ((s, d) =>
+      TA.qualityFeatures(Tables(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    "x10_token_count" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .select(col("doc_id"),
+          TA.tokenCount(col("text")).as("ws_tokens"),
+          TA.bpeishTokenCount(col("text")).as("bpeish_tokens"))
+        .orderBy(col("doc_id"))),
+
+    "x11_fingerprint" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .select(col("doc_id"), TA.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))),
+
+    // --- multimodal plumbing (stubbed decode; rows-only check) ------------
+    "x12_multimodal_meta" -> ((s, d) =>
+      Multimodal.decodeMeta(s,
+          Multimodal.attachBlobs(Tables(s, d, "documents"), "doc_id", "text"))
+        .orderBy(col("doc_id")))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "x01_dedup_exact" ->
+      s"""WITH $docsWithDupsSql
+         |SELECT id FROM (
+         |  SELECT id, row_number() OVER (PARTITION BY md5(lower(trim(text))) ORDER BY id) AS rn
+         |  FROM docs
+         |) WHERE rn = 1 ORDER BY id""".stripMargin,
+
+    "x02_dedup_ngram_jaccard" ->
+      s"""WITH $docsWithDupsSql,
+         |tok AS (SELECT id, string_split_regex(lower(trim(text)), '\\s+') AS ts FROM docs),
+         |sh AS (
+         |  SELECT DISTINCT id, array_to_string(ts[i:i+2], ' ') AS shingle
+         |  FROM tok, unnest(generate_series(1, greatest(len(ts) - 2, 1))) AS t(i)
+         |  WHERE array_to_string(ts[i:i+2], ' ') <> ''
+         |),
+         |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+         |inter AS (
+         |  SELECT x.id AS a, y.id AS b, count(*) AS icnt
+         |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.id < y.id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT a, b, jaccard FROM (
+         |  SELECT a, b, CAST(icnt AS DOUBLE) / (sa.sz + sb.sz - icnt) AS jaccard
+         |  FROM inter JOIN sizes sa ON sa.id = a JOIN sizes sb ON sb.id = b
+         |) WHERE jaccard >= 0.5 ORDER BY a, b""".stripMargin,
+
+    "x05_embed_cosine_pairs" ->
+      s"""WITH vecs AS (
+         |  SELECT vec_id AS id, embedding FROM embeddings
+         |  UNION ALL SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 20
+         |)
+         |SELECT a, b, sim FROM (
+         |  SELECT x.id AS a, y.id AS b,
+         |    round(${cosSql("x.embedding", "y.embedding")}, 6) AS sim
+         |  FROM vecs x JOIN vecs y ON x.id < y.id
+         |) WHERE sim >= 0.95 ORDER BY a, b""".stripMargin,
+
+    "x06_ann_brute_topk" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS nid, embedding AS nv FROM embeddings),
+         |s AS (
+         |  SELECT qid, nid, round(${cosSql("qv", "nv")}, 6) AS sim
+         |  FROM q, c WHERE qid <> nid
+         |)
+         |SELECT qid,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rank,
+         |  nid, sim
+         |FROM s QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "x08_lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS ts
+        |  FROM documents
+        |), sc AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_intersect(ts, ['the','a','of','and','is'])) AS DOUBLE) / greatest(len(ts), 1) AS s_en,
+        |    CAST(len(list_intersect(ts, ['der','die','und','das','ist'])) AS DOUBLE) / greatest(len(ts), 1) AS s_de,
+        |    CAST(len(list_intersect(ts, ['el','la','de','que','es'])) AS DOUBLE) / greatest(len(ts), 1) AS s_es,
+        |    CAST(len(list_intersect(ts, ['le','la','et','les','des'])) AS DOUBLE) / greatest(len(ts), 1) AS s_fr
+        |  FROM t
+        |)
+        |SELECT doc_id, lang,
+        |  CASE
+        |    WHEN s_en > 0 AND s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+        |    WHEN s_de > 0 AND s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+        |    WHEN s_es > 0 AND s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+        |    WHEN s_fr > 0 AND s_fr = greatest(s_en, s_de, s_es, s_fr) THEN 'fr'
+        |    ELSE 'und'
+        |  END AS predicted
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "x09_quality_score" ->
+      """SELECT doc_id,
+        |  length(text) AS n_chars,
+        |  len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
+        |  round(CAST(length(text) AS DOUBLE) / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1), 6) AS mean_token_len,
+        |  round(CAST(len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\s+')), ['the','a','of','and','is'])) AS DOUBLE)
+        |        / greatest(len(list_distinct(string_split_regex(lower(trim(text)), '\s+'))), 1), 6) AS stopword_ratio,
+        |  round(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE) / greatest(length(text), 1), 6) AS punct_ratio,
+        |  round(
+        |    least(CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) / 100.0, 1.0) * 0.5 +
+        |    (1.0 - least(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE) / greatest(length(text), 1) * 5.0, 1.0)) * 0.3 +
+        |    least(CAST(len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\s+')), ['the','a','of','and','is'])) AS DOUBLE)
+        |          / greatest(len(list_distinct(string_split_regex(lower(trim(text)), '\s+'))), 1) * 10.0, 1.0) * 0.2, 6) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x10_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS INT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS bpeish_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x11_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(string_split_regex(lower(trim(text)), '\s+'))), ' ')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

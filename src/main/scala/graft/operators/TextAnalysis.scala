@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, document fingerprinting. All pure
+  * column expressions (codegen'd) — a 100 TB corpus runs these in a
+  * single scan-project stage with no shuffle.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language marker lexicons (public stopwords). Deliberately
+    * small: the operator is the n-gram-heuristic *shape*; swap lexicons
+    * for production use.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "es" -> Seq("el", "la", "de", "que", "es"),
+    "fr" -> Seq("le", "la", "et", "les", "des"))
+
+  /** Per-language score = |tokens ∩ markers| / |tokens| (distinct). */
+  def langScore(textCol: Column, lang: String): Column = {
+    val markers = langMarkers.toMap.apply(lang)
+    val ts = array_distinct(tokens(textCol))
+    size(array_intersect(ts, array(markers.map(lit): _*))).cast("double") /
+      greatest(size(ts), lit(1)).cast("double")
+  }
+
+  /** Language-ID: argmax of marker scores, deterministic tie-break by the
+    * declaration order in [[langMarkers]]; "und" (undetermined) when all
+    * scores are zero.
+    */
+  def languageId(textCol: Column): Column = {
+    val scored = langMarkers.map { case (l, _) => (l, langScore(textCol, l)) }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    scored.foldRight(lit("und"): Column) { case ((l, s), acc) =>
+      when(s > 0 && s === best, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Whitespace token count. */
+  def tokenCount(textCol: Column): Column = size(tokens(textCol))
+
+  /** BPE-ish sub-token count: runs of letters, runs of digits, or single
+    * other non-space characters.
+    */
+  def bpeishTokenCount(textCol: Column): Column =
+    regexp_count(lower(textCol), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+
+  /** Quality features + composite score in [0,1]:
+    * length (chars), token count, mean token length, stopword ratio,
+    * non-alphanumeric ratio. Score is a fixed deterministic blend.
+    */
+  def qualityFeatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nTok = tokenCount(t)
+    val nChar = length(t)
+    val stopRatio = langScore(t, "en")
+    val punct = regexp_count(t, lit("[^a-zA-Z0-9\\s]")).cast("double") /
+      greatest(nChar, lit(1)).cast("double")
+    val meanTokLen = nChar.cast("double") / greatest(nTok, lit(1)).cast("double")
+    docs.select(col(idCol),
+      nChar.as("n_chars"),
+      nTok.as("n_tokens"),
+      round(meanTokLen, 6).as("mean_token_len"),
+      round(stopRatio, 6).as("stopword_ratio"),
+      round(punct, 6).as("punct_ratio"),
+      round(
+        least(nTok.cast("double") / 100.0, lit(1.0)) * 0.5 +
+          (lit(1.0) - least(punct * 5.0, lit(1.0))) * 0.3 +
+          least(stopRatio * 10.0, lit(1.0)) * 0.2, 6).as("quality"))
+  }
+
+  /** Content-defined document fingerprint: md5 over the sorted distinct
+    * token set — stable under token reordering and duplication (a
+    * bag-of-words fingerprint for near-dup blocking).
+    */
+  def fingerprint(textCol: Column): Column =
+    md5(array_join(array_sort(array_distinct(tokens(textCol))), " "))
+}
