@@ -33,17 +33,18 @@ object Dedup {
         explode(shingles(col(textCol), n)).as("shingle"))
       .distinct()
 
-  /** All-pairs n-gram Jaccard similarity >= threshold (a < b).
-    * Joins on shared shingles (inverted-index join) so only co-occurring
-    * pairs are ever materialized — never a full cross join.
+  /** Exact intersection/Jaccard verification of candidate (a, b) pairs
+    * against the shingle relation: candidates ⋈ sh_a ⋈ sh_b on shingle,
+    * grouped. Only candidate pairs' shingles are ever joined — the cost
+    * scales with |candidates|, not with the corpus cross product.
     */
-  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int, threshold: Double): DataFrame = {
-    val sh = shingleTable(docs, idCol, textCol, n).cache()
+  private def jaccardVerify(candidates: DataFrame, sh: DataFrame,
+                            threshold: Double): DataFrame = {
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val inter = sh.as("x").join(sh.as("y"),
-        col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
-      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+    val inter = candidates
+      .join(sh.select(col("id").as("a"), col("shingle")), Seq("a"))
+      .join(sh.select(col("id").as("b"), col("shingle")), Seq("b", "shingle"))
+      .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "na"), "a")
@@ -54,13 +55,52 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** All-pairs n-gram Jaccard similarity >= threshold (a < b). EXACT.
+    *
+    * Candidate generation uses PPJoin-style prefix filtering (Xiao et
+    * al., WWW'08): order each document's shingles by ascending global
+    * document frequency; two documents with Jaccard >= t must share at
+    * least one shingle within each other's first |x|-ceil(t*|x|)+1
+    * shingles. Joining only on prefix shingles removes the quadratic
+    * blowup on ubiquitous shingles, and the size filter (t*|y| <= |x|)
+    * prunes incompatible lengths — then exact verification runs on the
+    * surviving candidates only.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, threshold: Double): DataFrame = {
+    val sh = shingleTable(docs, idCol, textCol, n).cache()
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val wRank = Window.partitionBy(col("id")).orderBy(col("df"), col("shingle"))
+    val wSz = Window.partitionBy(col("id"))
+    val ranked = sh.join(dfreq, "shingle")
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("sz", count(lit(1)).over(wSz))
+    // prefix length |x| - ceil(t|x|) + 1
+    val prefix = ranked
+      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col("id"), col("shingle"), col("sz"))
+    val candidates = prefix.as("x").join(prefix.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id") &&
+          // size filter: jaccard >= t forces t*|y| <= |x| <= |y|/t
+          col("x.sz") >= ceil(lit(threshold) * col("y.sz")) &&
+          col("y.sz") >= ceil(lit(threshold) * col("x.sz")))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+    jaccardVerify(candidates, sh, threshold)
+  }
+
   /** MinHash signature: for each of `numPerm` seeded hash functions, the
     * min xxhash64 over the document's shingles. Returned as
     * array<bigint> column "sig" alongside the id.
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int, numPerm: Int): DataFrame = {
-    val sh = shingleTable(docs, idCol, textCol, n)
+                        n: Int, numPerm: Int): DataFrame =
+    minhashSignaturesFromShingles(shingleTable(docs, idCol, textCol, n), numPerm)
+
+  /** Same, over an existing (id, shingle) relation — lets callers share
+    * one cached shingle table between signature and verification paths.
+    */
+  def minhashSignaturesFromShingles(sh: DataFrame, numPerm: Int): DataFrame = {
     val mins = (0 until numPerm).map(p =>
       min(xxhash64(col("shingle"), lit(p))).as(s"h$p"))
     sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
@@ -77,7 +117,8 @@ object Dedup {
                       threshold: Double): DataFrame = {
     require(numPerm % bands == 0, "bands must divide numPerm")
     val rowsPerBand = numPerm / bands
-    val sig = minhashSignatures(docs, idCol, textCol, n, numPerm)
+    val sh = shingleTable(docs, idCol, textCol, n).cache()
+    val sig = minhashSignaturesFromShingles(sh, numPerm)
     val banded = sig.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
@@ -87,21 +128,9 @@ object Dedup {
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
-    // verify candidates with exact Jaccard (inverted-index join restricted
-    // to the candidate set)
-    val sh = shingleTable(docs, idCol, textCol, n).cache()
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val inter = sh.as("x").join(sh.as("y"),
-        col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
-      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
-      .agg(count(lit(1)).as("inter"))
-    candidates.join(inter, Seq("a", "b"))
-      .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "na"), "a")
-      .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "nb"), "b")
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("a"), col("b"), col("jaccard"))
+    // exact-Jaccard verification restricted to the candidate set — never
+    // the full all-pairs intersection; reuses the cached shingle table
+    jaccardVerify(candidates, sh, threshold)
   }
 
   /** 64-bit SimHash over whitespace tokens: sum +1/-1 per bit weighted by

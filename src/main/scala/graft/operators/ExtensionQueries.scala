@@ -50,9 +50,11 @@ object ExtensionQueries {
       .select((col("id") + 10000).as("id"), col("embedding")))
   }
 
+  // sqrt(aa)*sqrt(bb), NOT sqrt(aa*bb): must match the engine's norm
+  // precomputation bit-for-bit or round(...,6) can split at a boundary.
   private val cosSqlExpr =
     "list_dot_product(%A::DOUBLE[], %B::DOUBLE[]) / " +
-      "sqrt(list_dot_product(%A::DOUBLE[], %A::DOUBLE[]) * list_dot_product(%B::DOUBLE[], %B::DOUBLE[]))"
+      "(sqrt(list_dot_product(%A::DOUBLE[], %A::DOUBLE[])) * sqrt(list_dot_product(%B::DOUBLE[], %B::DOUBLE[])))"
   private def cosSql(a: String, b: String): String =
     cosSqlExpr.replace("%A", a).replace("%B", b)
 

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+/** The reference's queue-driven incremental pipeline semantics
+  * (SURVEY §2.9, OP-59..OP-65) on Structured Streaming.
+  *
+  * A "queue" is a directory of JSON-lines files (the durable analog of
+  * an SQS queue); a "stage" is a streaming query over that directory
+  * with Trigger.AvailableNow — the exact semantic match for the
+  * reference's drain-then-stop teardown (CloudWatch idle alarm ->
+  * disable triggers, initialize_aws.py:487-513): process everything
+  * available, then stop.
+  *
+  * - OP-10/14: enqueue = to_json(struct(*)) appended as text; the source
+  *   parses with from_json against the declared schema.
+  * - OP-61/62: malformed or failing messages are diverted to a
+  *   quarantine directory (DLQ analog, maxReceiveCount=1) instead of
+  *   failing the stage; checkpointing gives at-least-once delivery and
+  *   idempotent sinks make it exactly-once-effective.
+  * - OP-63: incremental ingest = anti-join of the new listing against a
+  *   processed-log table (the file-source checkpoint does exactly this
+  *   for files; ChangeDetector does it for CDC rows).
+  */
+object QueuePipeline {
+
+  /** OP-14: queue sink — serialize every row as one JSON message and
+    * append to the queue directory.
+    */
+  def enqueue(df: DataFrame, queueDir: String): Unit =
+    df.select(to_json(struct(df.columns.map(col).toIndexedSeq: _*)).as("value"))
+      .write.mode("append").text(queueDir)
+
+  /** OP-10: batch-mode queue read (used by tests/oracles). */
+  def dequeueAll(spark: SparkSession, queueDir: String, schema: StructType): DataFrame =
+    spark.read.text(queueDir)
+      .select(from_json(col("value"), schema).as("m"))
+      .select(col("m.*"))
+
+  /** One streaming stage: drain queueDir (AvailableNow), parse messages,
+    * split parse failures to quarantineDir, hand the good rows to
+    * `process` per micro-batch. Blocks until drained. Returns the number
+    * of micro-batches executed.
+    *
+    * checkpointDir persists source offsets: a re-run after enqueueing
+    * more messages processes only the new ones (incremental, OP-63).
+    */
+  def runStage(spark: SparkSession, queueDir: String, schema: StructType,
+               checkpointDir: String, quarantineDir: String)
+              (process: DataFrame => Unit): Long = {
+    var batches = 0L
+    val q = spark.readStream
+      .schema(new StructType().add("value", "string"))
+      .text(queueDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batches += 1
+        val parsed = batch
+          .select(col("value"), from_json(col("value"), schema).as("m"))
+          .cache()
+        try {
+          // OP-61/62: unparseable messages -> quarantine, not failure.
+          val bad = parsed.filter(col("m").isNull).select("value")
+          if (!bad.isEmpty) bad.write.mode("append").text(quarantineDir)
+          val good = parsed.filter(col("m").isNotNull).select("m.*")
+          if (!good.isEmpty) process(good)
+        } finally { val _ = parsed.unpersist() }
+      }
+      .start()
+    q.awaitTermination()
+    batches
+  }
+}

@@ -1,0 +1,24 @@
+package graft
+
+/** Every declared query must run at sf0.001 and produce a schema with
+  * stable column names (the driver hashes columns sorted by name — a
+  * rename silently breaks the oracle compare). Value-level equivalence
+  * is the driver's DuckDB gate (replicated in tools/check_oracle.py).
+  */
+class QueriesSmokeSpec extends SparkSpecBase {
+
+  test("every oracleSql key has a queries entry") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracleSql without queries impl: $missing")
+  }
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name runs and yields rows") {
+      val df = fn(spark, sfDir)
+      assert(df.columns.nonEmpty)
+      val n = df.count()
+      // q27_anti legitimately returns 0 rows at some sf; all others > 0
+      if (name != "q27_anti") assert(n > 0, s"$name returned no rows")
+    }
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Multimodal, TextAnalysis => TA}
+
+class TextAnalysisSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("languageId identifies marker-bearing sentences; und for none") {
+    val df = Seq(
+      "the cat is one of a kind and proud",
+      "der hund und die katze das ist gut",
+      "el gato es de la casa que veo",
+      "le chat et les chiens des villes",
+      "xyzzy plugh").toDF("t")
+    val langs = df.select(TA.languageId($"t")).as[String].collect().toSeq
+    assert(langs === Seq("en", "de", "es", "fr", "und"))
+  }
+
+  test("token counts: whitespace vs bpe-ish") {
+    val df = Seq("Hello, world! x2").toDF("t")
+    val r = df.select(TA.tokenCount($"t"), TA.bpeishTokenCount($"t"))
+      .collect()(0)
+    assert(r.getInt(0) === 3)
+    // hello , world ! x 2 -> 6
+    assert(r.getInt(1) === 6)
+  }
+
+  test("fingerprint is stable under token reorder and duplication") {
+    val df = Seq(
+      ("a", "spark makes big data small"),
+      ("b", "small data big makes spark spark"),
+      ("c", "entirely other words")).toDF("id", "t")
+    val fps = df.select($"id", TA.fingerprint($"t")).as[(String, String)]
+      .collect().toMap
+    assert(fps("a") === fps("b"))
+    assert(fps("a") !== fps("c"))
+  }
+
+  test("qualityFeatures computes deterministic bounded score") {
+    val docs = Seq((1L, "the quick brown fox and the lazy dog of doom is here"))
+      .toDF("doc_id", "text")
+    val r = TA.qualityFeatures(docs, "doc_id", "text").collect()(0)
+    val q = r.getAs[Double]("quality")
+    assert(q > 0.0 && q <= 1.0)
+    assert(r.getAs[Int]("n_tokens") === 12)
+  }
+
+  test("multimodal decodeMeta is deterministic and schema-typed") {
+    val docs = Seq((1L, "abc"), (2L, "defgh")).toDF("doc_id", "text")
+    val blobs = Multimodal.attachBlobs(docs, "doc_id", "text")
+    val m1 = Multimodal.decodeMeta(spark, blobs).collect().sortBy(_.getLong(0))
+    val m2 = Multimodal.decodeMeta(spark, blobs).collect().sortBy(_.getLong(0))
+    assert(m1.toSeq === m2.toSeq)
+    assert(m1(0).getAs[Int]("byte_len") === 3)
+    assert(Set("png", "jpeg").contains(m1(0).getAs[String]("format")))
+  }
+
+  test("multimodal sampleFrames explodes stride-sampled frames") {
+    val docs = Seq((1L, "0123456789abcdef")).toDF("doc_id", "text")
+    val blobs = Multimodal.attachBlobs(docs, "doc_id", "text")
+    val frames = Multimodal.sampleFrames(spark, blobs, stride = 2).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.getInt(1) % 2 === 0))
+  }
+}
