@@ -32,9 +32,6 @@ object TableStore {
   private def replace(df: DataFrame, path: String): Unit = {
     val staging = path + ".staging"
     df.write.mode(SaveMode.Overwrite).parquet(staging)
-    val spark = df.sparkSession
-    val target = spark.read.parquet(staging) // force materialization done
-    val _ = target.schema
     val old = new java.io.File(path)
     def delete(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(delete))
@@ -82,7 +79,10 @@ object TableStore {
   def deleteCascade(spark: SparkSession, keys: DataFrame, keyCol: String,
                     parent: (String, String),
                     children: Seq[(String, String)] = Nil): Unit = {
-    val k = keys.select(col(keyCol).as("__k")).distinct()
+    // localCheckpoint cuts lineage: the caller's keys may derive from the
+    // very tables being rewritten — without materialization, the second
+    // table's anti-join would recompute keys against already-swapped files
+    val k = keys.select(col(keyCol).as("__k")).distinct().localCheckpoint(true)
     (parent +: children).foreach { case (path, fk) =>
       read(spark, path).foreach { t =>
         replace(t.join(k, col(fk) === col("__k"), "left_anti"), path)

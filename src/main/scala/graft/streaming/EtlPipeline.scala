@@ -1,0 +1,128 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructType}
+import graft.operators.{Batcher, ChangeDetector, NcaCleaner}
+import graft.sinks.TableStore
+import graft.sources.PdfTableSource
+
+/** The reference pipeline end-to-end (SURVEY §3), Spark-first:
+  *
+  *   stage A (scrape):   candidates --CDC--> release queue + release table
+  *   stage B (orchestr): release queue --page ranges--> batch queue
+  *   stage C (worker):   batch queue --extract+clean--> record/allocation
+  *
+  * Queue hops are durable JSON-lines directories drained with
+  * Trigger.AvailableNow (OP-59/60); failed messages quarantine instead
+  * of failing the stage (OP-61/62); sinks are idempotent TableStore
+  * merges so at-least-once replays stay exactly-once-effective.
+  *
+  * At 100 TB the same program runs unchanged: stage C's unit of
+  * parallelism is (document, page-range) rows; the cleaner's windows are
+  * partitioned by doc, so adding executors scales each stage linearly.
+  */
+final class EtlPipeline(spark: SparkSession, workDir: String,
+                        batchSize: Int = 10) {
+
+  private def p(parts: String*): String = (workDir +: parts).mkString("/")
+  val releaseQueue: String = p("queues", "releases")
+  val batchQueue: String = p("queues", "batches")
+  val quarantine: String = p("queues", "quarantine")
+  val releaseTable: String = p("tables", "release")
+  val recordTable: String = p("tables", "record")
+  val allocationTable: String = p("tables", "allocation")
+
+  private val releaseSchema = new StructType()
+    .add("id", "string").add("title", "string").add("filename", "string")
+    .add("url", "string").add("year", "int").add("page_count", "int")
+    .add("file_meta_created_at", "string").add("file_meta_modified_at", "string")
+
+  private val batchSchema = new StructType()
+    .add("batch_number", "int").add("start_page_num", "int")
+    .add("end_page_num", "int").add("release", releaseSchema)
+
+  /** Stage A (reference handlers/scraper.py): CDC-filter candidates,
+    * delete stale changed rows (cascade), upsert the release table, and
+    * enqueue new/changed releases. Returns the enqueued releases.
+    */
+  def scrape(candidates: DataFrame, storedFiles: DataFrame): DataFrame = {
+    val db = TableStore.read(spark, releaseTable)
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], releaseSchema))
+    // eager localCheckpoint, not cache: scrape mutates the release table
+    // below, and a partially-cached plan would recompute against swapped
+    // files; checkpointing materializes + cuts the lineage to the table
+    val proceed = ChangeDetector.newOrUpdated(candidates, db, storedFiles)
+      .localCheckpoint(true)
+    val changed = proceed.filter(col("change_status") === "changed").select("id")
+    if (!changed.isEmpty)
+      // reference deletes stale rows (cascades to record/allocation) then
+      // re-inserts (releases_scraper.py:119, supabase_schema.sql:29,40)
+      TableStore.deleteCascade(spark, changed, "id",
+        parent = (releaseTable, "id"),
+        children = Seq((recordTable, "release_id")))
+    val toQueue = proceed.drop("change_status")
+    if (!toQueue.isEmpty) {
+      TableStore.upsert(toQueue, releaseTable, "id")
+      QueuePipeline.enqueue(toQueue, releaseQueue)
+    }
+    toQueue
+  }
+
+  /** Stage B (reference handlers/orchestrator.py): drain the release
+    * queue, expand page ranges, enqueue batches (nested-struct message).
+    */
+  def orchestrate(): Long =
+    QueuePipeline.runStage(spark, releaseQueue, releaseSchema,
+        p("checkpoints", "orchestrator"), quarantine) { releases =>
+      val batches = Batcher.pageRanges(releases, batchSize)
+        .select(col("batch_number"), col("start_page_num"), col("end_page_num"),
+          struct(releaseSchema.fieldNames.map(col).toIndexedSeq: _*).as("release"))
+      QueuePipeline.enqueue(batches, batchQueue)
+    }
+
+  /** Stage C (reference handlers/worker.py): drain the batch queue,
+    * extract every batch's page range from its document blob, run ONE
+    * distributed cleaner pass, and load records (upsert) + allocations
+    * (append).
+    *
+    * Fully distributed — no driver loop: batch rows join their blobs
+    * (small side broadcast), extraction runs per-partition on executors,
+    * and the cleaner partitions by a (release, batch) key exactly as the
+    * reference cleans per-batch (worker.py:69-94: each batch's first
+    * extracted row is consumed as that batch's header — real PDFs repeat
+    * the header on every page).
+    */
+  def work(blobDir: String,
+           extractor: PdfTableSource.TableExtractor = PdfTableSource.StubPdfFormat): Long =
+    QueuePipeline.runStage(spark, batchQueue, batchSchema,
+        p("checkpoints", "worker"), quarantine) { batches =>
+      import spark.implicits._
+      val blobs = PdfTableSource.readBlobs(spark, blobDir)
+        .select(element_at(split(col("path"), "/"), -1).as("filename"),
+          col("content"))
+      val tasks = batches.select(
+          col("release.filename").as("filename"),
+          col("release.id").as("release_id"),
+          col("batch_number"), col("start_page_num"), col("end_page_num"))
+        .join(blobs, Seq("filename"))
+        .select(col("release_id"), col("batch_number"),
+          col("start_page_num"), col("end_page_num"), col("content"))
+        .as[(String, Int, Int, Int, Array[Byte])]
+      // doc key = releaseId + U+0001 + batch: per-batch cleaner isolation;
+      // release id is recovered from the key after cleaning.
+      val grid = tasks.mapPartitions(_.flatMap { case (rid, bn, s, e, bytes) =>
+          extractor.extract(s"$rid\u0001$bn", bytes, s, e)
+        }).toDF().select(col("doc"), col("ord"), col("cells"))
+      val cleaned = NcaCleaner.clean(grid,
+        element_at(split(col("doc"), "\u0001"), 1))
+      val records = cleaned.records.drop("doc")
+      if (!records.isEmpty) TableStore.upsert(records, recordTable, "nca_number")
+      val allocations = cleaned.allocations.drop("doc")
+      if (!allocations.isEmpty) TableStore.append(allocations, allocationTable)
+    }
+
+  def records: Option[DataFrame] = TableStore.read(spark, recordTable)
+  def allocations: Option[DataFrame] = TableStore.read(spark, allocationTable)
+}

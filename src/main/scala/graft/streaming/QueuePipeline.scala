@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.StructType
+import scala.jdk.CollectionConverters._
 
 /** The reference's queue-driven incremental pipeline semantics
   * (SURVEY §2.9, OP-59..OP-65) on Structured Streaming.
@@ -52,6 +53,11 @@ object QueuePipeline {
                checkpointDir: String, quarantineDir: String)
               (process: DataFrame => Unit): Long = {
     var batches = 0L
+    // from_json in permissive mode yields an all-null struct (NOT a null
+    // struct) for malformed input — an explicit corrupt-record column is
+    // the only reliable malformed-detection signal.
+    val corruptCol = "__corrupt"
+    val schemaWithCorrupt = schema.add(corruptCol, "string")
     val q = spark.readStream
       .schema(new StructType().add("value", "string"))
       .text(queueDir)
@@ -61,13 +67,16 @@ object QueuePipeline {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batches += 1
         val parsed = batch
-          .select(col("value"), from_json(col("value"), schema).as("m"))
+          .select(col("value"),
+            from_json(col("value"), schemaWithCorrupt,
+              Map("columnNameOfCorruptRecord" -> corruptCol).asJava).as("m"))
           .cache()
         try {
           // OP-61/62: unparseable messages -> quarantine, not failure.
-          val bad = parsed.filter(col("m").isNull).select("value")
+          val isBad = col("m").isNull || col(s"m.$corruptCol").isNotNull
+          val bad = parsed.filter(isBad).select("value")
           if (!bad.isEmpty) bad.write.mode("append").text(quarantineDir)
-          val good = parsed.filter(col("m").isNotNull).select("m.*")
+          val good = parsed.filter(!isBad).select("m.*").drop(corruptCol)
           if (!good.isEmpty) process(good)
         } finally { val _ = parsed.unpersist() }
       }

@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import graft.sinks.TableStore
+import graft.sources.PdfTableSource.StubPdfFormat
+import graft.streaming.EtlPipeline
+
+/** End-to-end pipeline: synthetic "PDF" blobs -> scrape (CDC) ->
+  * release queue -> orchestrate (page ranges) -> batch queue -> work
+  * (extract + clean + load). Asserts the streaming stages drain with
+  * AvailableNow, quarantine catches poison messages, re-runs are
+  * incremental (checkpoint) and idempotent (upsert).
+  */
+class EtlPipelineSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val header = Seq("NCA NUMBER", "NCA TYPE", "RELEASED DATE",
+    "DEPARTMENT", "AGENCY", "OPERATING UNIT", "AMOUNT", "PURPOSE")
+
+  private def page(rows: Seq[String]*): Seq[Seq[String]] = header +: rows
+
+  private def writeBlob(dir: String, name: String, pages: Seq[Seq[Seq[String]]]): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    Files.write(Paths.get(dir, name), StubPdfFormat.encode(pages))
+  }
+
+  private def candidatesDf(workDir: String, pageCount: Int) = Seq(
+    ("id_2024", "NCA 2024", "NCA_2024.pdf", "https://x/NCA_2024.pdf",
+      2024, pageCount, Some("c1"), Some("m1"))
+  ).toDF("id", "title", "filename", "url", "year", "page_count",
+    "file_meta_created_at", "file_meta_modified_at")
+
+  test("three-stage pipeline end-to-end with quarantine and idempotent rerun") {
+    val workDir = Files.createTempDirectory("etl").toString
+    val blobDir = s"$workDir/blobs"
+    // 2 pages (batchSize=1 -> 2 batches), each page re-states the header
+    writeBlob(blobDir, "NCA_2024.pdf", Seq(
+      page(
+        Seq("NCA-1", "Regular", "2024-01-15", "DepEd", "AgA", "OU1", "100.50", "Books"),
+        Seq("", "", "", "", "", "", "", ""),
+        Seq("NCA-1", "", "", "", "AgB", "OU2", "200.00", "")),
+      page(
+        Seq("NCA-2", "Special", "2024-02-01", "DOH", "AgC", "OU3", "300.25", "Meds"))))
+
+    val pipe = new EtlPipeline(spark, workDir, batchSize = 1)
+
+    // stage A: all candidates are new -> queued + release table written
+    val queued = pipe.scrape(candidatesDf(workDir, 2),
+      storedFiles = Seq("NCA_2024.pdf").toDF("filename"))
+    assert(queued.count() === 1)
+    assert(TableStore.read(spark, pipe.releaseTable).get.count() === 1)
+
+    // poison message onto the release queue -> must quarantine, not fail
+    spark.createDataset(Seq("{not json")).toDF("value")
+      .write.mode("append").text(pipe.releaseQueue)
+
+    // stage B: 2 page-range batches from page_count=2, batchSize=1
+    pipe.orchestrate()
+    val batchLines = spark.read.text(pipe.batchQueue).as[String].collect()
+    assert(batchLines.length === 2, s"\nqueue contents:\n${batchLines.mkString("\n")}")
+    val quarantined = spark.read.text(pipe.quarantine).count()
+    assert(quarantined === 1)
+
+    // stage C: extract + clean + load
+    pipe.work(blobDir)
+    val recs = pipe.records.get.orderBy("nca_number")
+      .select("nca_number", "nca_type", "department", "release_id")
+      .as[(String, String, String, String)].collect().toSeq
+    assert(recs === Seq(
+      ("NCA-1", "Regular", "DepEd", "id_2024"),
+      ("NCA-2", "Special", "DOH", "id_2024")))
+    val allocs = pipe.allocations.get.orderBy("nca_number", "agency")
+      .select("nca_number", "agency", "amount")
+      .as[(String, String, Double)].collect().toSeq
+    assert(allocs === Seq(
+      ("NCA-1", "AgA", 100.50), ("NCA-1", "AgB", 200.00),
+      ("NCA-2", "AgC", 300.25)))
+
+    // re-running the streaming stages processes nothing new (checkpoint)
+    pipe.orchestrate()
+    assert(spark.read.text(pipe.batchQueue).count() === 2)
+    pipe.work(blobDir)
+    assert(pipe.records.get.count() === 2)
+    assert(pipe.allocations.get.count() === 3)
+
+    // unchanged candidate -> CDC filters it out, nothing enqueued
+    val again = pipe.scrape(candidatesDf(workDir, 2),
+      storedFiles = Seq("NCA_2024.pdf").toDF("filename"))
+    assert(again.isEmpty)
+  }
+
+  test("changed candidate cascades delete and re-queues") {
+    val workDir = Files.createTempDirectory("etl2").toString
+    val blobDir = s"$workDir/blobs"
+    writeBlob(blobDir, "NCA_2024.pdf", Seq(page(
+      Seq("NCA-9", "Regular", "2024-03-01", "DOTr", "AgZ", "OU9", "42.00", "Rails"))))
+    val pipe = new EtlPipeline(spark, workDir, batchSize = 10)
+    val stored = Seq("NCA_2024.pdf").toDF("filename")
+
+    pipe.scrape(candidatesDf(workDir, 1), stored)
+    pipe.orchestrate(); pipe.work(blobDir)
+    assert(pipe.records.get.count() === 1)
+
+    // same id, different file metadata -> classified changed; old record
+    // rows cascade-deleted, release upserted, re-enqueued
+    val changed = candidatesDf(workDir, 1)
+      .withColumn("file_meta_modified_at", lit("m2"))
+    val q = pipe.scrape(changed, stored)
+    assert(q.count() === 1)
+    assert(pipe.records.get.count() === 0) // cascade wiped; re-work restores
+    pipe.orchestrate(); pipe.work(blobDir)
+    assert(pipe.records.get.count() === 1)
+  }
+}

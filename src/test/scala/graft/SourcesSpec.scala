@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import graft.operators.Batcher
+import graft.sources.{HtmlLinkSource, PdfTableSource}
+import graft.sources.PdfTableSource.StubPdfFormat
+
+class SourcesSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("HtmlLinkSource: anchors + candidate program (OP-01/19/20/21/49-53)") {
+    val html =
+      """<html><body>
+        |<a href="/files/NCA_2024.pdf">NCA <b>2024</b> releases</a>
+        |<a href="/files/NCA_2023.pdf">NCA 2023</a>
+        |<a href="https://other/NCA_UPDATED.pdf">NCA latest</a>
+        |<a href="/files/budget_2024.docx">Budget doc</a>
+        |<a href="/files/NCA_nodigits.pdf">NCA unknown year</a>
+        |<a href="/x.pdf">   </a>
+        |</body></html>""".stripMargin
+    val anchors = HtmlLinkSource.anchors(spark, html)
+    assert(anchors.count() === 6)
+    // bs4-style tag strip + whitespace collapse
+    assert(anchors.filter($"url" === "/files/NCA_2024.pdf")
+      .select("title").as[String].head() === "NCA 2024 releases")
+
+    val cands = HtmlLinkSource.releaseCandidates(
+      anchors, "https://dbm.example", oldestYear = 2024, nowYear = 2026)
+    val rows = cands.select("id", "filename", "url", "year")
+      .as[(String, String, String, Int)].collect().toSeq
+    assert(rows === Seq(
+      ("id_2024", "NCA_2024.pdf", "https://dbm.example/files/NCA_2024.pdf", 2024),
+      ("id_2026", "NCA_UPDATED.pdf", "https://other/NCA_UPDATED.pdf", 2026)))
+  }
+
+  test("PdfTableSource: blobs -> grid with explicit (page, row) order keys") {
+    val dir = Files.createTempDirectory("pdfsrc").toString
+    val pages = Seq(
+      Seq(Seq("H1", "H2"), Seq("a", "b"), Seq("c", null)),
+      Seq(Seq("H1", "H2"), Seq("d", "e")))
+    Files.write(Paths.get(dir, "doc1.pdf"), StubPdfFormat.encode(pages))
+
+    val blobs = PdfTableSource.readBlobs(spark, dir, "*.pdf")
+    assert(blobs.count() === 1)
+
+    val grid = PdfTableSource.extractGrid(blobs, StubPdfFormat)
+    val rows = grid.orderBy("ord")
+      .select("doc", "page", "cells").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getSeq[String](2)))
+    assert(rows.length === 5)
+    assert(rows(0) === (("doc1.pdf", 1, Seq("H1", "H2"))))
+    assert(rows(2)._3 === Seq("c", null)) // null cell round-trips
+    assert(rows(3) === (("doc1.pdf", 2, Seq("H1", "H2"))))
+
+    // page-range restriction (worker batch semantics)
+    val p2 = PdfTableSource.extractGrid(blobs, StubPdfFormat, 2, 2)
+    assert(p2.count() === 2)
+
+    val meta = PdfTableSource.metadata(blobs, StubPdfFormat).collect()(0)
+    assert(meta.getAs[Int]("page_count") === 2)
+    assert(meta.getAs[String]("created_at").startsWith("2024-01-"))
+  }
+
+  test("Batcher.pageRanges matches the reference batching arithmetic (OP-43)") {
+    val releases = Seq(("r1", 95), ("r2", 10), ("r3", 1)).toDF("id", "page_count")
+    val batches = Batcher.pageRanges(releases, 10)
+      .select("id", "batch_number", "start_page_num", "end_page_num")
+      .as[(String, Int, Int, Int)].collect().toSeq.sorted
+    assert(batches.count(_._1 == "r1") === 10)
+    assert(batches.filter(_._1 == "r1").last === (("r1", 10, 91, 95)))
+    assert(batches.filter(_._1 == "r2") === Seq(("r2", 1, 1, 10)))
+    assert(batches.filter(_._1 == "r3") === Seq(("r3", 1, 1, 1)))
+  }
+}
