@@ -86,10 +86,16 @@ object AggWindowQueries {
     }),
 
     // OP-36: group-boundary detection via lag (the spacer-row encoding,
-    // without materializing spacers). Bounded demo: global window over a
-    // LIMITed input; production path partitions by document/page.
+    // without materializing spacers). The window is PARTITIONED by a
+    // coarse bucket of the key — the production cleaner partitions by
+    // document the same way — so there is no global sort anywhere in the
+    // plan and the query scales by adding executors. A boundary at a
+    // partition edge reports 0 on the partition's first row (lag is
+    // null), exactly like the cleaner's per-document first row.
     "q36_boundary" -> ((s, d) => {
-      val w = Window.orderBy(col("l_orderkey"), col("l_linenumber"))
+      val bucket = floor(col("l_orderkey") / 32)
+      val w = Window.partitionBy(bucket)
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
       Tables(s, d, "lineitem")
         .filter(col("l_orderkey") < 200)
         .withColumn("boundary",
@@ -106,11 +112,14 @@ object AggWindowQueries {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // amount stays DECIMAL(18,2) end-to-end (never cast back to double):
+      // the hashed comparison surface is an exact decimal string, immune
+      // to engine float-formatting differences (round-1 q37 lesson).
       Tables(s, d, "events")
         .withColumn("seg", sum(marker).over(w))
         .groupBy(col("user_id"), col("seg"))
         .agg(count(lit(1)).as("cnt"),
-          moneySum("value").as("amount"),
+          sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("amount"),
           min(col("event_id")).as("first_event"))
         .orderBy(col("user_id"), col("seg"))
     }),
@@ -170,13 +179,14 @@ object AggWindowQueries {
         |ORDER BY l_orderkey""".stripMargin,
     "q36_boundary" ->
       """SELECT l_orderkey, l_linenumber,
-        |  CASE WHEN lag(l_orderkey) OVER (ORDER BY l_orderkey, l_linenumber) <> l_orderkey
+        |  CASE WHEN lag(l_orderkey) OVER (PARTITION BY floor(l_orderkey / 32)
+        |                                  ORDER BY l_orderkey, l_linenumber) <> l_orderkey
         |       THEN 1 ELSE 0 END AS boundary
         |FROM lineitem WHERE l_orderkey < 200
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q37_sessionize" ->
       """SELECT user_id, seg, count(*) AS cnt,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS amount,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS amount,
         |  min(event_id) AS first_event
         |FROM (
         |  SELECT *, sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)

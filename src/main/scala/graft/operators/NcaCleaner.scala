@@ -65,10 +65,13 @@ object NcaCleaner {
       .withColumn("hdr_ord", min(col("ord")).over(Window.partitionBy(col("doc"))))
       .filter(col("ord") > col("hdr_ord"))
 
+    // try_element_at, not element_at: real PDFs emit ragged rows (fewer
+    // cells than the header), and ANSI element_at would throw
+    // INVALID_ARRAY_INDEX_IN_ELEMENT_AT on them; a missing cell is null.
     val projected = ValidColumns.foldLeft(withHdr) { (df, c) =>
       val pos = array_position(col("hdr"), lit(c))
       df.withColumn(c,
-        when(pos > 0, element_at(col("cells"), pos.cast("int"))))
+        when(pos > 0, try_element_at(col("cells"), pos.cast("int"))))
     }.select((Seq("doc", "ord") ++ ValidColumns).map(col): _*)
 
     // --- spacer insertion (OP-36, first call) ---------------------------
