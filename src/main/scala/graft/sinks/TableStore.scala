@@ -1,6 +1,7 @@
 package graft.sinks
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import java.io.File
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Keyed-table sink semantics of the reference repository layer
@@ -8,73 +9,171 @@ import org.apache.spark.sql.functions._
   * re-expressed over parquet table directories.
   *
   * There is no Delta in the offline jar set (SURVEY §7.6), so MERGE is
-  * implemented as the classic full-outer rewrite: new rows win on key
-  * collision (the reference's UPSERT ... ON CONFLICT DO UPDATE), written
-  * atomically via a staging directory + rename so a failed job never
-  * corrupts the table. All operations are idempotent: re-running an
-  * upsert of the same batch yields an identical table (the OP-61
-  * at-least-once retry model stays exactly-once-effective).
+  * implemented over a KEY-BUCKETED layout: a table is a directory of
+  * `bNNNN` bucket subdirectories (bucket = pmod(hash(key), N), N recorded
+  * in a `_graft_buckets` marker at creation). An upsert rewrites ONLY the
+  * buckets containing batch keys — an upsert of a 10k-row batch into a
+  * huge table reads and rewrites just the collided buckets; every other
+  * bucket's files are untouched (byte-identical, asserted in
+  * TableStoreSpec). At 1000-executor scale bucket count is sized so a
+  * bucket is a few GB; the merge job for all affected buckets is ONE
+  * Spark job (partitionBy on the bucket id), not a per-bucket loop.
   *
-  * At scale: the anti-join side is the (small) incoming batch — Spark
-  * broadcasts it automatically under the AQE threshold, so an upsert of
-  * a 10k-row batch into a 10B-row table shuffles nothing but the batch.
+  * Writes are crash-safe per bucket: new data lands in a staging dir,
+  * then live→.bak, staging→live, drop .bak — a failure at any step
+  * leaves a recoverable copy (the reference's transactional UPSERT
+  * analog). Renames assume a single filesystem (local/HDFS-style); on
+  * object stores swap via a manifest instead.
+  *
+  * All operations are idempotent: re-running an upsert of the same batch
+  * yields an identical table (the OP-61 at-least-once retry model stays
+  * exactly-once-effective).
   */
 object TableStore {
 
-  def read(spark: SparkSession, path: String): Option[DataFrame] = {
-    val dir = new java.io.File(path)
-    if (dir.exists() && dir.listFiles() != null && dir.listFiles().nonEmpty)
-      Some(spark.read.parquet(path))
+  /** Default bucket count for new tables. Production sizing: total table
+    * bytes / target bucket size (a few GB); must be fixed at creation.
+    */
+  val DefaultBuckets = 16
+
+  private val BucketMarker = "_graft_buckets"
+
+  private def bucketName(b: Int): String = f"b$b%04d"
+
+  private def bucketDirs(path: String): Seq[File] =
+    Option(new File(path).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.matches("b\\d{4}"))
+      .sortBy(_.getName)
+
+  /** Loose files at the table root — the flat layout `append` writes. */
+  private def flatFiles(path: String): Seq[File] =
+    Option(new File(path).listFiles()).toSeq.flatten
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+
+  /** Declared bucket count of an existing bucketed table, if any. Read
+    * from the marker, NOT from the number of bucket dirs present — empty
+    * buckets have no directory, and merging with the wrong modulus would
+    * silently duplicate keys.
+    */
+  private def declaredBuckets(path: String): Option[Int] = {
+    val f = new File(path, BucketMarker)
+    if (f.exists()) Some(new String(java.nio.file.Files.readAllBytes(f.toPath)).trim.toInt)
     else None
   }
 
-  /** Atomic replace of the table at `path` with `df` via staging+swap. */
+  private def bucketExpr(key: String, n: Int): Column = pmod(hash(col(key)), lit(n))
+
+  /** Read a table in either layout (bucket dirs, flat files, or both —
+    * `append` may add flat files to a bucketed table; `upsert` folds them
+    * into buckets on its next run). Flat files are addressed by explicit
+    * file path: a directory listing that mixes loose files with
+    * non-partition subdirectories is ill-defined for Spark's file index.
+    */
+  def read(spark: SparkSession, path: String): Option[DataFrame] = {
+    val parts = bucketDirs(path).map(_.getPath) ++ flatFiles(path).map(_.getPath)
+    if (parts.isEmpty) None else Some(spark.read.parquet(parts: _*))
+  }
+
+  private def deleteRec(f: File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+    val _ = f.delete()
+  }
+
+  /** Crash-safe directory swap: live→.bak, staging→live, drop .bak.
+    * A failure between steps always leaves either live or .bak intact.
+    */
+  private def swapIn(staging: File, live: File): Unit = {
+    val bak = new File(live.getPath + ".bak")
+    if (bak.exists()) deleteRec(bak)
+    if (live.exists()) require(live.renameTo(bak), s"swap: backup failed for $live")
+    require(staging.renameTo(live), s"swap: promote failed for $live")
+    if (bak.exists()) deleteRec(bak)
+  }
+
+  /** Atomic replace of the table/bucket dir at `path` with `df`. */
   private def replace(df: DataFrame, path: String): Unit = {
     val staging = path + ".staging"
     df.write.mode(SaveMode.Overwrite).parquet(staging)
-    val old = new java.io.File(path)
-    def delete(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(delete))
-      val _ = f.delete()
-    }
-    if (old.exists()) delete(old)
-    val ok = new java.io.File(staging).renameTo(old)
-    require(ok, s"atomic swap failed for $path")
+    swapIn(new File(staging), new File(path))
   }
 
-  /** OP-11: chunked bulk upsert — last-writer-wins by `key`.
-    * Incoming duplicates on `key` are resolved deterministically by
-    * keeping the max `ord` (or arbitrary-but-deterministic first by key
-    * order when no ord column): the reference sends chunks sequentially,
-    * so its later chunk wins; we reproduce with an explicit precedence.
+  /** Deterministic batch-internal dedup, keep-LAST: the reference sends
+    * chunks sequentially and its later chunk wins (UPSERT ... ON CONFLICT
+    * DO UPDATE, supabase_repository.py:59-65). With no ingest-order
+    * column on the batch, "last" is resolved by DESCENDING all-column
+    * order — deterministic and permutation-independent.
     */
-  def upsert(batch: DataFrame, path: String, key: String): Unit = {
-    val spark = batch.sparkSession
-    // dedupe the batch itself (deterministic keep-last by all-column order)
-    val cols = batch.columns.map(col)
+  private def dedupeKeepLast(batch: DataFrame, key: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(key)).orderBy(cols.toIndexedSeq: _*)
-    val deduped = batch.withColumn("__rn", row_number().over(w))
+      .partitionBy(col(key))
+      .orderBy(batch.columns.map(c => col(c).desc).toIndexedSeq: _*)
+    batch.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
-    val merged = read(spark, path) match {
-      case Some(existing) =>
-        existing.join(deduped.select(col(key).as("__k")),
-            col(key) === col("__k"), "left_anti")
-          .unionByName(deduped)
-      case None => deduped
-    }
-    replace(merged, path)
   }
 
-  /** OP-12: append-only chunked insert. `chunkRows` maps to output file
-    * granularity (the reference's DB_BULK_SIZE=500 write batching).
+  /** OP-11: bulk upsert — new rows win on key collision. Only buckets
+    * containing batch keys are rewritten; a legacy flat layout (from
+    * `append`) is folded into buckets on the way through.
     */
-  def append(batch: DataFrame, path: String): Unit =
-    batch.write.mode(SaveMode.Append).parquet(path)
+  def upsert(batch: DataFrame, path: String, key: String,
+             numBuckets: Int = DefaultBuckets): Unit = {
+    val spark = batch.sparkSession
+    val n = declaredBuckets(path).getOrElse(numBuckets)
+    val deduped = dedupeKeepLast(batch, key).localCheckpoint(true)
+    val withB = deduped.withColumn("__b", bucketExpr(key, n))
+
+    val flat = flatFiles(path)
+    val affected: Seq[Int] =
+      if (flat.nonEmpty) (0 until n) // folding flat files touches all buckets
+      else withB.select("__b").distinct().collect().map(_.getInt(0)).toSeq.sorted
+
+    // existing rows of the affected buckets (+ any flat files), batch keys removed
+    val existingParts =
+      affected.map(b => new File(path, bucketName(b))).filter(_.exists()).map(_.getPath) ++
+        flat.map(_.getPath)
+    val keep = if (existingParts.isEmpty) withB.limit(0) else
+      spark.read.parquet(existingParts: _*)
+        .join(broadcast(deduped.select(col(key).as("__k"))),
+          col(key) === col("__k"), "left_anti")
+        .withColumn("__b", bucketExpr(key, n))
+
+    // ONE job writes every affected bucket via partitionBy, then each
+    // bucket dir is swapped in individually (crash-safe per bucket).
+    val staging = new File(path + ".staging")
+    if (staging.exists()) deleteRec(staging)
+    keep.unionByName(withB)
+      .write.partitionBy("__b").mode(SaveMode.Overwrite).parquet(staging.getPath)
+    new File(path).mkdirs()
+    affected.foreach { b =>
+      val part = new File(staging, s"__b=$b")
+      if (part.exists()) swapIn(part, new File(path, bucketName(b)))
+      else { // bucket emptied (or never existed): remove stale dir if present
+        val live = new File(path, bucketName(b))
+        if (live.exists()) deleteRec(live)
+      }
+    }
+    deleteRec(staging)
+    flat.foreach(deleteRec) // folded into buckets above
+    java.nio.file.Files.write(new File(path, BucketMarker).toPath,
+      n.toString.getBytes("UTF-8"))
+  }
+
+  /** OP-12 + OP-44: append-only chunked insert. `chunkRows` bounds rows
+    * per output file (the reference's DB_BULK_SIZE=500 write batching,
+    * supabase_repository.py:67-71 + constants.py:56); 0 = no bound.
+    */
+  def append(batch: DataFrame, path: String, chunkRows: Int = 0): Unit = {
+    val w = if (chunkRows > 0)
+      batch.write.option("maxRecordsPerFile", chunkRows.toLong)
+    else batch.write
+    w.mode(SaveMode.Append).parquet(path)
+  }
 
   /** OP-13 + OP-29: delete parent rows by key with explicit cascade to
     * child tables (Spark has no FK cascades — each child is rewritten
-    * with an anti-join on its FK).
+    * with an anti-join on its FK). On bucketed tables only buckets that
+    * actually contain matching rows are rewritten; the rest keep their
+    * files untouched.
     */
   def deleteCascade(spark: SparkSession, keys: DataFrame, keyCol: String,
                     parent: (String, String),
@@ -84,8 +183,31 @@ object TableStore {
     // table's anti-join would recompute keys against already-swapped files
     val k = keys.select(col(keyCol).as("__k")).distinct().localCheckpoint(true)
     (parent +: children).foreach { case (path, fk) =>
-      read(spark, path).foreach { t =>
-        replace(t.join(k, col(fk) === col("__k"), "left_anti"), path)
+      // bucket dirs: per-bucket replace, skipping buckets with no matches
+      bucketDirs(path).foreach { dir =>
+        val t = spark.read.parquet(dir.getPath)
+        val hasHits = !t.join(broadcast(k), col(fk) === col("__k"), "left_semi").isEmpty
+        if (hasHits)
+          replace(t.join(broadcast(k), col(fk) === col("__k"), "left_anti"), dir.getPath)
+      }
+      // flat files (append layout): rewrite the file set in place without
+      // touching any sibling bucket dirs
+      val flat = flatFiles(path)
+      if (flat.nonEmpty) {
+        val t = spark.read.parquet(flat.map(_.getPath): _*)
+        val hasHits = !t.join(broadcast(k), col(fk) === col("__k"), "left_semi").isEmpty
+        if (hasHits) {
+          val staging = new File(path + ".flatstaging")
+          if (staging.exists()) deleteRec(staging)
+          t.join(broadcast(k), col(fk) === col("__k"), "left_anti")
+            .write.parquet(staging.getPath)
+          flat.foreach(deleteRec)
+          Option(staging.listFiles()).toSeq.flatten
+            .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+            .foreach(f => require(f.renameTo(new File(path, f.getName)),
+              s"flat rewrite: move failed for $f"))
+          deleteRec(staging)
+        }
       }
     }
   }

@@ -56,12 +56,23 @@ final class EtlPipeline(spark: SparkSession, workDir: String,
     val proceed = ChangeDetector.newOrUpdated(candidates, db, storedFiles)
       .localCheckpoint(true)
     val changed = proceed.filter(col("change_status") === "changed").select("id")
-    if (!changed.isEmpty)
-      // reference deletes stale rows (cascades to record/allocation) then
-      // re-inserts (releases_scraper.py:119, supabase_schema.sql:29,40)
+    if (!changed.isEmpty) {
+      // reference deletes stale rows then re-inserts (releases_scraper.py:119);
+      // the schema cascade is TWO levels (supabase_schema.sql:29,40):
+      // release -> record (by release_id) -> allocation (by nca_number).
+      // Collect the doomed records' nca_numbers BEFORE deleting them.
+      val deadNcas = TableStore.read(spark, recordTable).map(
+        _.join(broadcast(changed.select(col("id").as("__rid"))),
+            col("release_id") === col("__rid"), "left_semi")
+          .select("nca_number").localCheckpoint(true))
       TableStore.deleteCascade(spark, changed, "id",
         parent = (releaseTable, "id"),
         children = Seq((recordTable, "release_id")))
+      deadNcas.filter(!_.isEmpty).foreach { k =>
+        TableStore.deleteCascade(spark, k, "nca_number",
+          parent = (allocationTable, "nca_number"))
+      }
+    }
     val toQueue = proceed.drop("change_status")
     if (!toQueue.isEmpty) {
       TableStore.upsert(toQueue, releaseTable, "id")
@@ -119,10 +130,20 @@ final class EtlPipeline(spark: SparkSession, workDir: String,
         element_at(split(col("doc"), "\u0001"), 1))
       val records = cleaned.records.drop("doc")
       if (!records.isEmpty) TableStore.upsert(records, recordTable, "nca_number")
-      val allocations = cleaned.allocations.drop("doc")
-      if (!allocations.isEmpty) TableStore.append(allocations, allocationTable)
+      // Allocations keep their (release, batch) provenance key so the
+      // load is idempotent under at-least-once replay: delete-by-key
+      // then append — a redelivered batch replaces its own rows and
+      // never duplicates them (reference plain bulk-insert would).
+      val allocations = cleaned.allocations.withColumnRenamed("doc", "__batch_key")
+      if (!allocations.isEmpty) {
+        val keys = allocations.select("__batch_key").distinct().localCheckpoint(true)
+        TableStore.deleteCascade(spark, keys, "__batch_key",
+          parent = (allocationTable, "__batch_key"))
+        TableStore.append(allocations, allocationTable, chunkRows = 500)
+      }
     }
 
   def records: Option[DataFrame] = TableStore.read(spark, recordTable)
-  def allocations: Option[DataFrame] = TableStore.read(spark, allocationTable)
+  def allocations: Option[DataFrame] =
+    TableStore.read(spark, allocationTable).map(_.drop("__batch_key"))
 }

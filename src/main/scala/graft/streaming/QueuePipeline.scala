@@ -66,18 +66,40 @@ object QueuePipeline {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batches += 1
-        val parsed = batch
+        import spark.implicits._
+        def parse(df: DataFrame): DataFrame = df
           .select(col("value"),
             from_json(col("value"), schemaWithCorrupt,
               Map("columnNameOfCorruptRecord" -> corruptCol).asJava).as("m"))
-          .cache()
+        val parsed = parse(batch).cache()
         try {
           // OP-61/62: unparseable messages -> quarantine, not failure.
           val isBad = col("m").isNull || col(s"m.$corruptCol").isNotNull
           val bad = parsed.filter(isBad).select("value")
           if (!bad.isEmpty) bad.write.mode("append").text(quarantineDir)
-          val good = parsed.filter(!isBad).select("m.*").drop(corruptCol)
-          if (!good.isEmpty) process(good)
+          val goodRaw = parsed.filter(!isBad)
+          val good = goodRaw.select("m.*").drop(corruptCol)
+          if (!good.isEmpty) {
+            try process(good)
+            catch { case _: Throwable =>
+              // OP-62 per-message isolation (reference worker.py:51-113
+              // try/excepts each record): when the whole micro-batch
+              // fails, reprocess its messages one at a time so a single
+              // poison message quarantines instead of killing the stage.
+              // Driver-side loop is the FAILURE path only; messages are
+              // small control records (a release / a page-range batch),
+              // bounded by the micro-batch size.
+              goodRaw.select("value").as[String].collect().foreach { v =>
+                val one = parse(spark.createDataset(Seq(v)).toDF("value"))
+                  .select("m.*").drop(corruptCol)
+                try process(one)
+                catch { case _: Throwable =>
+                  spark.createDataset(Seq(v)).toDF("value")
+                    .write.mode("append").text(quarantineDir)
+                }
+              }
+            }
+          }
         } finally { val _ = parsed.unpersist() }
       }
       .start()

@@ -101,15 +101,37 @@ class EtlPipelineSpec extends SparkSpecBase {
     pipe.scrape(candidatesDf(workDir, 1), stored)
     pipe.orchestrate(); pipe.work(blobDir)
     assert(pipe.records.get.count() === 1)
+    assert(pipe.allocations.get.count() === 1)
 
     // same id, different file metadata -> classified changed; old record
-    // rows cascade-deleted, release upserted, re-enqueued
+    // AND allocation rows cascade-deleted (two-level: release -> record ->
+    // allocation, supabase_schema.sql:29,40), release upserted, re-enqueued
     val changed = candidatesDf(workDir, 1)
       .withColumn("file_meta_modified_at", lit("m2"))
     val q = pipe.scrape(changed, stored)
     assert(q.count() === 1)
     assert(pipe.records.get.count() === 0) // cascade wiped; re-work restores
+    assert(pipe.allocations.forall(_.isEmpty), "stale allocations must not survive")
     pipe.orchestrate(); pipe.work(blobDir)
     assert(pipe.records.get.count() === 1)
+    assert(pipe.allocations.get.count() === 1) // restored, not duplicated
+  }
+
+  test("per-message isolation: one poison well-formed message quarantines, rest process") {
+    import org.apache.spark.sql.types.StructType
+    import graft.streaming.QueuePipeline
+    val workDir = Files.createTempDirectory("etl3").toString
+    val schema = new StructType().add("k", "int").add("v", "string")
+    val q = s"$workDir/q"
+    QueuePipeline.enqueue(Seq((1, "a"), (2, "boom"), (3, "c")).toDF("k", "v"), q)
+    val out = scala.collection.mutable.Set[Int]()
+    QueuePipeline.runStage(spark, q, schema, s"$workDir/cp", s"$workDir/quar") { df =>
+      val rows = df.collect()
+      if (rows.exists(_.getAs[String]("v") == "boom"))
+        throw new RuntimeException("poison message")
+      rows.foreach(r => out += r.getAs[Int]("k"))
+    }
+    assert(out === Set(1, 3), "healthy messages must process")
+    assert(spark.read.text(s"$workDir/quar").count() === 1, "poison must quarantine")
   }
 }

@@ -1,5 +1,6 @@
 package graft
 
+import java.io.File
 import java.nio.file.Files
 import graft.sinks.TableStore
 
@@ -18,11 +19,44 @@ class TableStoreSpec extends SparkSpecBase {
     assert(state === expect)
   }
 
-  test("upsert dedupes duplicate keys inside one batch deterministically") {
+  test("upsert dedupes duplicate keys inside one batch, keep-LAST (later chunk wins)") {
     val dir = Files.createTempDirectory("ts2").toString + "/t"
+    // same key twice in one batch: descending all-column order keeps ("y")
     TableStore.upsert(Seq((1, "x"), (1, "y")).toDF("k", "v"), dir, "k")
-    assert(TableStore.read(spark, dir).get.count() === 1)
+    assert(TableStore.read(spark, dir).get.as[(Int, String)].collect().toSet
+      === Set((1, "y")))
   }
+
+  test("upsert rewrites only buckets containing batch keys (others byte-identical)") {
+    val dir = Files.createTempDirectory("ts4").toString + "/t"
+    // many keys spread over all buckets
+    TableStore.upsert((1 to 500).map(i => (i, s"v$i")).toDF("k", "v"), dir, "k")
+    val before = bucketFileState(dir)
+    assert(before.size > 1, "expected a multi-bucket layout")
+    // single-key upsert touches exactly the buckets of its keys
+    TableStore.upsert(Seq((42, "UPDATED")).toDF("k", "v"), dir, "k")
+    val after = bucketFileState(dir)
+    val changed = after.keySet.filter(b => before.get(b) != after.get(b)) ++
+      before.keySet.diff(after.keySet)
+    assert(changed.size === 1, s"only one bucket may change, got $changed")
+    // content still correct
+    val all = TableStore.read(spark, dir).get.as[(Int, String)].collect().toMap
+    assert(all.size === 500 && all(42) === "UPDATED" && all(41) === "v41")
+  }
+
+  /** bucket dir -> sorted (file name, size, md5) fingerprint. */
+  private def bucketFileState(dir: String): Map[String, Seq[(String, Long, String)]] =
+    new File(dir).listFiles().filter(f => f.isDirectory && f.getName.matches("b\\d{4}"))
+      .map { b =>
+        val files = b.listFiles().filter(_.isFile).sortBy(_.getName).toSeq
+          .map { f =>
+            val bytes = Files.readAllBytes(f.toPath)
+            val md5 = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+              .map("%02x".format(_)).mkString
+            (f.getName, f.length(), md5)
+          }
+        b.getName -> files
+      }.toMap
 
   test("append accumulates; deleteCascade removes parent and child rows") {
     val base = Files.createTempDirectory("ts3").toString
@@ -37,6 +71,39 @@ class TableStoreSpec extends SparkSpecBase {
       === Set(("r2", 2025)))
     assert(TableStore.read(spark, child).get.as[(String, String)].collect().toSet
       === Set(("n3", "r2")))
+  }
+
+  test("deleteCascade on a bucketed table leaves unmatched buckets untouched") {
+    val dir = Files.createTempDirectory("ts5").toString + "/t"
+    TableStore.upsert((1 to 500).map(i => (i, s"v$i")).toDF("k", "v"), dir, "k")
+    val before = bucketFileState(dir)
+    TableStore.deleteCascade(spark, Seq(42).toDF("k"), "k", parent = (dir, "k"))
+    val after = bucketFileState(dir)
+    val changed = after.keySet.filter(b => before.get(b) != after.get(b)) ++
+      before.keySet.diff(after.keySet)
+    assert(changed.size === 1, s"only one bucket may change, got $changed")
+    assert(TableStore.read(spark, dir).get.count() === 499)
+  }
+
+  test("upsert folds a legacy flat append layout into buckets") {
+    val dir = Files.createTempDirectory("ts6").toString + "/t"
+    TableStore.append(Seq((1, "a"), (2, "b")).toDF("k", "v"), dir)
+    TableStore.upsert(Seq((2, "B2"), (3, "c")).toDF("k", "v"), dir, "k")
+    assert(TableStore.read(spark, dir).get.as[(Int, String)].collect().toSet
+      === Set((1, "a"), (2, "B2"), (3, "c")))
+    // flat files are gone — the table is fully bucketed now
+    assert(!new File(dir).listFiles().exists(f =>
+      f.isFile && f.getName.endsWith(".parquet")))
+  }
+
+  test("append chunkRows bounds rows per output file (OP-44, DB_BULK_SIZE analog)") {
+    val dir = Files.createTempDirectory("ts7").toString + "/t"
+    TableStore.append((1 to 1200).toDF("k").coalesce(1), dir, chunkRows = 500)
+    val files = new File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+    val counts = files.map(f => spark.read.parquet(f.getPath).count()).sorted.toSeq
+    assert(counts.forall(_ <= 500), s"file over chunk bound: $counts")
+    assert(counts.sum === 1200)
+    assert(files.length >= 3)
   }
 
   test("requireNonEmpty guards empty bulk writes") {
