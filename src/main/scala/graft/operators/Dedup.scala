@@ -24,31 +24,32 @@ object Dedup {
       .drop("rn", "content_hash")
   }
 
-  /** (id, shingle) pairs — distinct word n-gram shingles per document.
-    * The exploded shingle relation is the shared substrate for the
-    * Jaccard / MinHash paths.
+  /** (id, sz, shingle) triples — distinct word n-gram shingles per
+    * document with the document's shingle-set size carried alongside.
+    * `shingles()` already returns a distinct array, so the per-doc size
+    * is computed BEFORE the explode (one projection) and no post-explode
+    * distinct/window is ever needed. The exploded shingle relation is
+    * the shared substrate for the Jaccard / MinHash paths.
     */
   def shingleTable(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs.select(col(idCol).as("id"),
-        explode(shingles(col(textCol), n)).as("shingle"))
-      .distinct()
+    docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("shs"))
+      .select(col("id"), size(col("shs")).as("sz"), explode(col("shs")).as("shingle"))
 
-  /** Exact intersection/Jaccard verification of candidate (a, b) pairs
-    * against the shingle relation: candidates ⋈ sh_a ⋈ sh_b on shingle,
-    * grouped. Only candidate pairs' shingles are ever joined — the cost
-    * scales with |candidates|, not with the corpus cross product.
+  /** Exact intersection/Jaccard verification of candidate (a, b, na, nb)
+    * pairs against the shingle relation: candidates ⋈ sh_a ⋈ sh_b on
+    * shingle, grouped. Set sizes ride along with the candidates — no
+    * extra aggregation or join for sizes. Only candidate pairs' shingles
+    * are ever joined — the cost scales with |candidates|, not with the
+    * corpus cross product.
     */
   private def jaccardVerify(candidates: DataFrame, sh: DataFrame,
                             threshold: Double): DataFrame = {
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val inter = candidates
       .join(sh.select(col("id").as("a"), col("shingle")), Seq("a"))
       .join(sh.select(col("id").as("b"), col("shingle")), Seq("b", "shingle"))
-      .groupBy(col("a"), col("b"))
+      .groupBy(col("a"), col("b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("inter"))
     inter
-      .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "na"), "a")
-      .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "nb"), "b")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
@@ -57,34 +58,41 @@ object Dedup {
 
   /** All-pairs n-gram Jaccard similarity >= threshold (a < b). EXACT.
     *
-    * Candidate generation uses PPJoin-style prefix filtering (Xiao et
-    * al., WWW'08): order each document's shingles by ascending global
-    * document frequency; two documents with Jaccard >= t must share at
-    * least one shingle within each other's first |x|-ceil(t*|x|)+1
-    * shingles. Joining only on prefix shingles removes the quadratic
-    * blowup on ubiquitous shingles, and the size filter (t*|y| <= |x|)
-    * prunes incompatible lengths — then exact verification runs on the
-    * surviving candidates only.
+    * Candidate generation uses PPJoin prefix + positional filtering
+    * (Xiao et al., WWW'08): order each document's shingles by ascending
+    * global document frequency; two documents with Jaccard >= t must
+    * share at least one shingle within each other's first
+    * |x|-ceil(t*|x|)+1 shingles. Joining only on prefix shingles removes
+    * the quadratic blowup on ubiquitous shingles; the size filter
+    * (t*|y| <= |x| <= |y|/t) prunes incompatible lengths; and the
+    * POSITIONAL filter prunes matches that cannot reach the required
+    * overlap α = ceil(t/(1+t)·(|x|+|y|)) given how much of each prefix
+    * remains after the matching shingle (1 + min(|x|-px, |y|-py) >= α;
+    * sound because the pair's FIRST common shingle gives the loosest
+    * bound). Exact verification runs on the survivors only.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double): DataFrame = {
     val sh = shingleTable(docs, idCol, textCol, n).cache()
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val wRank = Window.partitionBy(col("id")).orderBy(col("df"), col("shingle"))
-    val wSz = Window.partitionBy(col("id"))
     val ranked = sh.join(dfreq, "shingle")
       .withColumn("rn", row_number().over(wRank))
-      .withColumn("sz", count(lit(1)).over(wSz))
     // prefix length |x| - ceil(t|x|) + 1
     val prefix = ranked
       .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select(col("id"), col("shingle"), col("sz"))
+      .select(col("id"), col("shingle"), col("sz"), col("rn"))
+    val alpha = ceil(lit(threshold / (1 + threshold)) *
+      (col("x.sz") + col("y.sz")))
     val candidates = prefix.as("x").join(prefix.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id") &&
           // size filter: jaccard >= t forces t*|y| <= |x| <= |y|/t
           col("x.sz") >= ceil(lit(threshold) * col("y.sz")) &&
-          col("y.sz") >= ceil(lit(threshold) * col("x.sz")))
-      .select(col("x.id").as("a"), col("y.id").as("b"))
+          col("y.sz") >= ceil(lit(threshold) * col("x.sz")) &&
+          // positional filter: remaining shingles must cover α
+          (lit(1) + least(col("x.sz") - col("x.rn"), col("y.sz") - col("y.rn"))) >= alpha)
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        col("x.sz").as("na"), col("y.sz").as("nb"))
       .distinct()
     jaccardVerify(candidates, sh, threshold)
   }
@@ -107,6 +115,12 @@ object Dedup {
       .select(col("id"), array((0 until numPerm).map(p => col(s"h$p")): _*).as("sig"))
   }
 
+  /** Per-document shingle-set sizes of a shingle relation (one row per
+    * doc; sz repeats on every shingle row, so first() is exact).
+    */
+  private def docSizes(sh: DataFrame): DataFrame =
+    sh.groupBy(col("id")).agg(first(col("sz")).as("sz"))
+
   /** MinHash + LSH banding near-dup candidates, verified by exact
     * shingle Jaccard. bands * rowsPerBand must equal numPerm. The
     * band-bucket join is the scale path: each doc lands in `bands`
@@ -123,11 +137,14 @@ object Dedup {
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
       .select(col("id"), col("pos").as("band"), hash(col("col")).as("bucket"))
+    val sizes = docSizes(sh)
     val candidates = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
+      .join(sizes.select(col("id").as("a"), col("sz").as("na")), "a")
+      .join(sizes.select(col("id").as("b"), col("sz").as("nb")), "b")
     // exact-Jaccard verification restricted to the candidate set — never
     // the full all-pairs intersection; reuses the cached shingle table
     jaccardVerify(candidates, sh, threshold)

@@ -68,17 +68,49 @@ object ExtensionQueries {
       Dedup.ngramJaccardPairs(docsWithDups(s, d), "id", "text", 3, 0.5)
         .orderBy(col("a"), col("b"))),
 
+    // bands=16 (r=2): per-pair collision prob at the j=0.5 threshold is
+    // 1-(1-0.25)^16 ≈ 0.99 and >0.999 above j=0.6 — on this corpus LSH
+    // recall is exact, so x03 carries the SAME full oracle as x02 (its
+    // verified output must equal the exact relation, hash and all).
     "x03_dedup_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLshPairs(docsWithDups(s, d), "id", "text",
-          n = 3, numPerm = 32, bands = 8, threshold = 0.5)
+          n = 3, numPerm = 32, bands = 16, threshold = 0.5)
         .orderBy(col("a"), col("b"))),
+
+    // recall gate: every synthesized EXACT-copy pair (jaccard 1.0 —
+    // identical minhash signatures, collide in every band) must be in
+    // the LSH output; anti-join => provably-empty oracle.
+    "x03r_dedup_minhash_recall" -> ((s, d) => {
+      val expected = Tables(s, d, "documents")
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id").as("a"), (col("doc_id") + 10000).as("b"))
+      val lsh = Dedup.minhashLshPairs(docsWithDups(s, d), "id", "text",
+        n = 3, numPerm = 32, bands = 16, threshold = 0.5)
+      expected.join(lsh.select("a", "b"), Seq("a", "b"), "left_anti")
+        .orderBy(col("a"))
+    }),
 
     "x04_dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(docsWithDups(s, d), "id", "text", maxDist = 3)
         .orderBy(col("a"), col("b"))),
 
+    // recall gate: exact copies have identical simhash (dist 0) and an
+    // equal block in every position — they can never be missed.
+    "x04r_dedup_simhash_recall" -> ((s, d) => {
+      val expected = Tables(s, d, "documents")
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id").as("a"), (col("doc_id") + 10000).as("b"))
+      val sim = Dedup.simhashPairs(docsWithDups(s, d), "id", "text", maxDist = 3)
+      expected.join(sim.select("a", "b"), Seq("a", "b"), "left_anti")
+        .orderBy(col("a"))
+    }),
+
+    // the 100×-safe declared plan: candidates from multi-table LSH
+    // bucket collisions (identical vectors always collide), exact
+    // scoring on collisions only — same oracle as the all-pairs form.
     "x05_embed_cosine_pairs" -> ((s, d) =>
-      Similarity.cosinePairs(vecsWithDups(s, d), "id", "embedding", 0.95)
+      Similarity.cosinePairsBucketed(vecsWithDups(s, d), "id", "embedding",
+          threshold = 0.95, nbits = 8, tables = 8)
         .orderBy(col("a"), col("b"))),
 
     // --- similarity search ------------------------------------------------
@@ -92,8 +124,25 @@ object ExtensionQueries {
     "x07_ann_lsh_topk" -> ((s, d) => {
       val e = Tables(s, d, "embeddings")
       Similarity.lshTopK(
-          e.filter(col("vec_id") < 10), e, "vec_id", "embedding", k = 5, nbits = 4)
+          e.filter(col("vec_id") < 10), e, "vec_id", "embedding", k = 5,
+          nbits = 4, tables = 4)
         .orderBy(col("qid"), col("rank"))
+    }),
+
+    // precision gate: every (qid, nid, sim) the LSH path emits must
+    // appear, score-identical, in the exhaustively-scored relation —
+    // anti-join => provably-empty oracle.
+    "x07p_ann_lsh_precision" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+      val lsh = Similarity.lshTopK(q, e, "vec_id", "embedding", k = 5,
+        nbits = 4, tables = 4)
+      val exhaustive = Similarity.bruteForceTopK(q, e, "vec_id", "embedding",
+        k = Int.MaxValue)
+      lsh.select("qid", "nid", "sim")
+        .join(exhaustive.select("qid", "nid", "sim"),
+          Seq("qid", "nid", "sim"), "left_anti")
+        .orderBy(col("qid"), col("nid"))
     }),
 
     // --- text analysis -----------------------------------------------------

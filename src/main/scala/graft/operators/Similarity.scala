@@ -29,9 +29,10 @@ object Similarity {
       .withColumn("nrm", sqrt(dot(col("vec"), col("vec"))))
   }
 
-  /** Pairwise cosine >= threshold between all vectors (a < b). Used for
-    * embedding near-dup detection. Cross-join based — intended for
-    * bounded candidate sets; at scale gate it behind [[lshBuckets]].
+  /** Pairwise cosine >= threshold between all vectors (a < b). Exact but
+    * cross-join based — ONLY for bounded candidate sets (e.g. verifying
+    * candidates another blocker produced). The corpus-scale entry point
+    * is [[cosinePairsBucketed]].
     */
   def cosinePairs(vecs: DataFrame, idCol: String, vecCol: String,
                   threshold: Double): DataFrame = {
@@ -39,6 +40,34 @@ object Similarity {
     v.as("x").join(v.as("y"), col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
         round(dot(col("x.vec"), col("y.vec")) / (col("x.nrm") * col("y.nrm")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /** Near-dup cosine pairs at corpus scale: candidates come from
+    * multi-table random-hyperplane LSH bucket collisions (union of L
+    * independent tables — AND over nbits within a table, OR across
+    * tables), then only collided pairs are scored exactly. Never a
+    * cross join: each table's join is per-bucket. Recall for a pair at
+    * cosine s is 1-(1-p^nbits)^tables with p = 1-acos(s)/π; identical
+    * vectors always collide (every table), so exact-duplicate detection
+    * is lossless at any setting.
+    */
+  def cosinePairsBucketed(vecs: DataFrame, idCol: String, vecCol: String,
+                          threshold: Double, nbits: Int = 8,
+                          tables: Int = 8): DataFrame = {
+    val v = withNorm(vecs, idCol, vecCol)
+    val b = lshBucketsMulti(vecs, idCol, vecCol, nbits, tables)
+      .select(col("id"), col("table"), col("bucket"))
+    val candidates = b.as("x").join(b.as("y"),
+        col("x.table") === col("y.table") && col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+    candidates
+      .join(v.select(col("id").as("a"), col("vec").as("va"), col("nrm").as("na")), "a")
+      .join(v.select(col("id").as("b"), col("vec").as("vb"), col("nrm").as("nb")), "b")
+      .select(col("a"), col("b"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("sim"))
       .filter(col("sim") >= threshold)
   }
 
@@ -63,17 +92,20 @@ object Similarity {
 
   /** Random-hyperplane LSH bucket id (nbits-bit signature) per vector.
     * Hyperplane h[p][d] is a deterministic pseudo-random +-1 derived from
-    * xxhash64(p, d) — no RNG state, fully reproducible across runs/nodes.
+    * xxhash64(seed, d) — no RNG state, fully reproducible across
+    * runs/nodes. `table` offsets the seeds so L independent tables can
+    * be derived from the same formula (table 0 = the original set).
     */
   def lshBuckets(vecs: DataFrame, idCol: String, vecCol: String,
-                 nbits: Int): DataFrame = {
+                 nbits: Int, table: Int = 0): DataFrame = {
     val v = vecs.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val bucketBits = (0 until nbits).map { p =>
-      // dot(vec, h_p) where h_p[d] = +1 if xxhash64(p, d) even else -1
+      val seed = table * nbits + p
+      // dot(vec, h_p) where h_p[d] = +1 if xxhash64(seed, d) even else -1
       val dotp = aggregate(
         zip_with(col("vec"), sequence(lit(0), size(col("vec")) - 1),
           (x, d) => x.cast("double") *
-            when(xxhash64(lit(p), d) % 2 === 0, 1.0).otherwise(-1.0)),
+            when(xxhash64(lit(seed), d) % 2 === 0, 1.0).otherwise(-1.0)),
         lit(0.0), (acc, x) => acc + x)
       when(dotp > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
@@ -82,21 +114,58 @@ object Similarity {
     v.withColumn("bucket", bucketBits.foldLeft(lit(0L))((a, b) => a.bitwiseOR(b)))
   }
 
-  /** ANN top-k via LSH buckets: score only same-bucket candidates.
-    * Approximate — structural properties verified in the spec suite.
-    * `nbits` tunes bucket granularity (recall vs cost).
+  /** L independent LSH tables in one frame: (id, table, bucket) — one
+    * row per (vector, table). OR-amplification across tables: a pair is
+    * a candidate when it collides in ANY table. The per-table signatures
+    * are computed in a single projection (no explode of the vector).
+    */
+  def lshBucketsMulti(vecs: DataFrame, idCol: String, vecCol: String,
+                      nbits: Int, tables: Int): DataFrame = {
+    require(tables >= 1, "tables must be >= 1")
+    val v = vecs.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    def bucketFor(t: Int) = {
+      val bits = (0 until nbits).map { p =>
+        val seed = t * nbits + p
+        val dotp = aggregate(
+          zip_with(col("vec"), sequence(lit(0), size(col("vec")) - 1),
+            (x, d) => x.cast("double") *
+              when(xxhash64(lit(seed), d) % 2 === 0, 1.0).otherwise(-1.0)),
+          lit(0.0), (acc, x) => acc + x)
+        when(dotp > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+      }
+      bits.foldLeft(lit(0L))((a, b) => a.bitwiseOR(b))
+    }
+    v.select(col("id"), col("vec"),
+        posexplode(array((0 until tables).map(bucketFor): _*)))
+      .select(col("id"), col("vec"), col("pos").as("table"), col("col").as("bucket"))
+  }
+
+  /** ANN top-k via multi-table LSH: candidates are the union of
+    * same-bucket collisions over `tables` independent hash tables
+    * (OR-amplification — recall 1-(1-p^nbits)^tables per neighbor),
+    * deduped, then scored exactly and ranked per query. `nbits` tunes
+    * bucket granularity (candidates per table ~ N/2^nbits), `tables`
+    * buys recall at linear candidate cost. Approximate — recall@k and
+    * precision (scores ⊆ exact scores) are verified in the spec suite
+    * and by the declared empty-set oracle gates.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame,
-              idCol: String, vecCol: String, k: Int, nbits: Int): DataFrame = {
+              idCol: String, vecCol: String, k: Int, nbits: Int,
+              tables: Int = 1): DataFrame = {
     GraftExtensions.register(queries.sparkSession)
-    val qb = lshBuckets(queries, idCol, vecCol, nbits)
-      .withColumn("qnrm", sqrt(dot(col("vec"), col("vec"))))
-      .select(col("id").as("qid"), col("vec").as("qvec"), col("qnrm"), col("bucket"))
-    val cb = lshBuckets(corpus, idCol, vecCol, nbits)
-      .withColumn("nnrm", sqrt(dot(col("vec"), col("vec"))))
-      .select(col("id").as("nid"), col("vec").as("nvec"), col("nnrm"), col("bucket"))
-    val scored = qb.join(cb, Seq("bucket"))
+    val q = withNorm(queries, idCol, vecCol)
+      .select(col("id").as("qid"), col("vec").as("qvec"), col("nrm").as("qnrm"))
+    val c = withNorm(corpus, idCol, vecCol)
+      .select(col("id").as("nid"), col("vec").as("nvec"), col("nrm").as("nnrm"))
+    val qb = lshBucketsMulti(queries, idCol, vecCol, nbits, tables)
+      .select(col("id").as("qid"), col("table"), col("bucket"))
+    val cb = lshBucketsMulti(corpus, idCol, vecCol, nbits, tables)
+      .select(col("id").as("nid"), col("table"), col("bucket"))
+    val candidates = qb.join(cb, Seq("table", "bucket"))
       .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"))
+      .distinct() // a pair colliding in several tables is scored once
+    val scored = candidates.join(q, "qid").join(c, "nid")
       .select(col("qid"), col("nid"),
         round(dot(col("qvec"), col("nvec")) / (col("qnrm") * col("nnrm")), 6).as("sim"))
     val w = Window.partitionBy(col("qid"))
