@@ -112,14 +112,16 @@ object AggWindowQueries {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      // amount stays DECIMAL(18,2) end-to-end (never cast back to double):
-      // the hashed comparison surface is an exact decimal string, immune
-      // to engine float-formatting differences (round-1 q37 lesson).
+      // money leaves the hashed surface as INTEGER CENTS (BIGINT): the
+      // 2-decimal doubles round exactly to cents in both engines, and a
+      // BIGINT cannot canonicalize differently across engines — unlike
+      // DECIMAL, whose stringification diverged in round 2 despite
+      // row-identical values (round-1/2 q37 lesson).
       Tables(s, d, "events")
         .withColumn("seg", sum(marker).over(w))
         .groupBy(col("user_id"), col("seg"))
         .agg(count(lit(1)).as("cnt"),
-          sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("amount"),
+          sum(round(col("value") * 100).cast("long")).as("amount_cents"),
           min(col("event_id")).as("first_event"))
         .orderBy(col("user_id"), col("seg"))
     }),
@@ -186,7 +188,7 @@ object AggWindowQueries {
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q37_sessionize" ->
       """SELECT user_id, seg, count(*) AS cnt,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS amount,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS amount_cents,
         |  min(event_id) AS first_event
         |FROM (
         |  SELECT *, sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)

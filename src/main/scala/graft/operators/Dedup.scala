@@ -153,21 +153,37 @@ object Dedup {
   /** 64-bit SimHash over whitespace tokens: sum +1/-1 per bit weighted by
     * token frequency, sign -> bit. Computed with bit arithmetic over
     * xxhash64 token hashes — pure built-ins.
+    *
+    * The 64 per-bit counts are aggregated BIT-SLICED: each sum() packs 3
+    * bit-counters into one long as 21-bit lanes (bit b of a token's hash
+    * contributes 1<<(21*(b%3)) to packed sum b/3), so the aggregation
+    * runs 22 long-sums instead of 64 — one third the buffer width and
+    * per-row agg updates. Lanes can't carry into each other while a
+    * document has < 2^21 (~2M) tokens (a multi-MB single document);
+    * shard larger documents before hashing.
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val laneBits = 21
+    val lanes = 3
     val tok = docs.select(col(idCol).as("id"),
         explode(tokens(col(textCol))).as("token"))
       .withColumn("h", xxhash64(col("token")))
-    // per (id, bit): count of tokens with that bit set vs total
-    val bits = tok.groupBy(col("id"))
-      .agg(count(lit(1)).as("total"),
-        array((0 until 64).map(b =>
-          sum(shiftright(col("h"), b).bitwiseAND(1)).as(s"b$b")): _*).as("ones"))
-    // bit b of simhash = 1 iff ones[b] * 2 > total (majority of tokens set it)
+    val packedSums = (0 until 64 by lanes).map { b0 =>
+      val packed = (b0 until math.min(b0 + lanes, 64)).map(b =>
+        shiftleft(shiftright(col("h"), b).bitwiseAND(1), laneBits * (b - b0)))
+        .reduce((a, b) => a.bitwiseOR(b))
+      sum(packed).as(s"p${b0 / lanes}")
+    }
+    val agg = tok.groupBy(col("id"))
+      .agg(count(lit(1)).as("total"), packedSums: _*)
+    // unpack: ones[b] = lane (b%3) of packed sum b/3 (post-agg, one row
+    // per document — negligible); simhash bit b = 1 iff ones[b]*2 > total
+    def ones(b: Int): Column =
+      shiftright(col(s"p${b / lanes}"), laneBits * (b % lanes))
+        .bitwiseAND((1L << laneBits) - 1)
     val simhashBits = (0 until 64).map(b =>
-      when(element_at(col("ones"), b + 1) * 2 > col("total"), lit(1L << b))
-        .otherwise(lit(0L)))
-    bits.select(col("id"),
+      when(ones(b) * 2 > col("total"), lit(1L << b)).otherwise(lit(0L)))
+    agg.select(col("id"),
       simhashBits.reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
   }
 

@@ -90,6 +90,38 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nid"), col("sim"))
   }
 
+  /** ±1 hyperplane components for each seed, PRECOMPUTED once on the
+    * driver by evaluating the defining expression — h[seed][d] = +1 iff
+    * xxhash64(seed, d) is even — in one tiny job over `dim` rows. The
+    * signs are then baked into literal arrays, so per-vector bucketing
+    * is `tables*nbits` codegen'd VecDot calls instead of
+    * `tables*nbits*dim` per-element xxhash64 evaluations (the round-2
+    * constant-factor sink). Buckets are bit-identical to the inline
+    * formulation: same hash values, same ±1, same left-to-right double
+    * accumulation order in VecDot as the aggregate() HOF had.
+    */
+  private def hyperplaneSigns(spark: org.apache.spark.sql.SparkSession,
+                              dim: Int, seeds: Seq[Int]): Map[Int, Seq[Double]] = {
+    // d must stay IntegerType: the old inline form hashed the elements of
+    // sequence(0, size-1) (int), and xxhash64 of int vs long differ.
+    val rows = spark.range(dim)
+      .select(col("id").cast("int").as("d"),
+        array(seeds.map(sd =>
+          when(xxhash64(lit(sd), col("id").cast("int")) % 2 === 0, 1.0)
+            .otherwise(-1.0)): _*).as("signs"))
+      .collect()
+      .sortBy(_.getInt(0))
+    seeds.zipWithIndex.map { case (sd, i) =>
+      sd -> rows.map(_.getSeq[Double](1)(i)).toIndexedSeq
+    }.toMap
+  }
+
+  /** Dimension of the embedding column (first row; assumes the uniform
+    * dimension any real embedding column has). None when empty.
+    */
+  private def dimOf(v: DataFrame): Option[Int] =
+    v.select(size(col("vec"))).take(1).headOption.map(_.getInt(0))
+
   /** Random-hyperplane LSH bucket id (nbits-bit signature) per vector.
     * Hyperplane h[p][d] is a deterministic pseudo-random +-1 derived from
     * xxhash64(seed, d) — no RNG state, fully reproducible across
@@ -98,20 +130,21 @@ object Similarity {
     */
   def lshBuckets(vecs: DataFrame, idCol: String, vecCol: String,
                  nbits: Int, table: Int = 0): DataFrame = {
+    GraftExtensions.register(vecs.sparkSession)
     val v = vecs.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val bucketBits = (0 until nbits).map { p =>
-      val seed = table * nbits + p
-      // dot(vec, h_p) where h_p[d] = +1 if xxhash64(seed, d) even else -1
-      val dotp = aggregate(
-        zip_with(col("vec"), sequence(lit(0), size(col("vec")) - 1),
-          (x, d) => x.cast("double") *
-            when(xxhash64(lit(seed), d) % 2 === 0, 1.0).otherwise(-1.0)),
-        lit(0.0), (acc, x) => acc + x)
-      when(dotp > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    dimOf(v) match {
+      case None => v.withColumn("bucket", lit(0L)).limit(0)
+      case Some(dim) =>
+        val seeds = (0 until nbits).map(p => table * nbits + p)
+        val signs = hyperplaneSigns(vecs.sparkSession, dim, seeds)
+        val bucketBits = (0 until nbits).map { p =>
+          val dotp = dot(col("vec"), typedlit(signs(table * nbits + p)))
+          when(dotp > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+        }
+        // foldLeft, not reduce: nbits=0 (single bucket = exhaustive
+        // search) is a valid configuration and must not throw
+        v.withColumn("bucket", bucketBits.foldLeft(lit(0L))((a, b) => a.bitwiseOR(b)))
     }
-    // foldLeft, not reduce: nbits=0 (single bucket = exhaustive search)
-    // is a valid configuration and must not throw on the empty list
-    v.withColumn("bucket", bucketBits.foldLeft(lit(0L))((a, b) => a.bitwiseOR(b)))
   }
 
   /** L independent LSH tables in one frame: (id, table, bucket) — one
@@ -122,22 +155,25 @@ object Similarity {
   def lshBucketsMulti(vecs: DataFrame, idCol: String, vecCol: String,
                       nbits: Int, tables: Int): DataFrame = {
     require(tables >= 1, "tables must be >= 1")
+    GraftExtensions.register(vecs.sparkSession)
     val v = vecs.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    def bucketFor(t: Int) = {
-      val bits = (0 until nbits).map { p =>
-        val seed = t * nbits + p
-        val dotp = aggregate(
-          zip_with(col("vec"), sequence(lit(0), size(col("vec")) - 1),
-            (x, d) => x.cast("double") *
-              when(xxhash64(lit(seed), d) % 2 === 0, 1.0).otherwise(-1.0)),
-          lit(0.0), (acc, x) => acc + x)
-        when(dotp > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-      }
-      bits.foldLeft(lit(0L))((a, b) => a.bitwiseOR(b))
+    dimOf(v) match {
+      case None =>
+        v.select(col("id"), col("vec"), lit(0).as("table"), lit(0L).as("bucket")).limit(0)
+      case Some(dim) =>
+        val seeds = (0 until tables * nbits)
+        val signs = hyperplaneSigns(vecs.sparkSession, dim, seeds)
+        def bucketFor(t: Int) = {
+          val bits = (0 until nbits).map { p =>
+            val dotp = dot(col("vec"), typedlit(signs(t * nbits + p)))
+            when(dotp > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+          }
+          bits.foldLeft(lit(0L))((a, b) => a.bitwiseOR(b))
+        }
+        v.select(col("id"), col("vec"),
+            posexplode(array((0 until tables).map(bucketFor): _*)))
+          .select(col("id"), col("vec"), col("pos").as("table"), col("col").as("bucket"))
     }
-    v.select(col("id"), col("vec"),
-        posexplode(array((0 until tables).map(bucketFor): _*)))
-      .select(col("id"), col("vec"), col("pos").as("table"), col("col").as("bucket"))
   }
 
   /** ANN top-k via multi-table LSH: candidates are the union of

@@ -174,6 +174,15 @@ object TableStore {
     * with an anti-join on its FK). On bucketed tables only buckets that
     * actually contain matching rows are rewritten; the rest keep their
     * files untouched.
+    *
+    * The delete key is often NOT the table's bucket key (record is
+    * bucketed by nca_number but cascaded on release_id), so affected
+    * buckets can't be derived from key hashes. Instead each row's bucket
+    * is recovered from its file path: ONE semi-join job finds the
+    * affected bucket set, ONE partitionBy job rewrites exactly those
+    * buckets — O(1) Spark jobs per table regardless of bucket count
+    * (the round-2 per-bucket isEmpty/replace driver loop was a
+    * driver-side bottleneck at production bucket counts).
     */
   def deleteCascade(spark: SparkSession, keys: DataFrame, keyCol: String,
                     parent: (String, String),
@@ -183,12 +192,31 @@ object TableStore {
     // table's anti-join would recompute keys against already-swapped files
     val k = keys.select(col(keyCol).as("__k")).distinct().localCheckpoint(true)
     (parent +: children).foreach { case (path, fk) =>
-      // bucket dirs: per-bucket replace, skipping buckets with no matches
-      bucketDirs(path).foreach { dir =>
-        val t = spark.read.parquet(dir.getPath)
-        val hasHits = !t.join(broadcast(k), col(fk) === col("__k"), "left_semi").isEmpty
-        if (hasHits)
-          replace(t.join(broadcast(k), col(fk) === col("__k"), "left_anti"), dir.getPath)
+      val dirs = bucketDirs(path)
+      if (dirs.nonEmpty) {
+        // job 1: affected buckets (bucket id recovered from file path)
+        val bOf = regexp_extract(input_file_name(), "/b(\\d{4})/[^/]*$", 1).cast("int")
+        val t = spark.read.parquet(dirs.map(_.getPath): _*).withColumn("__b", bOf)
+        val affected = t.join(broadcast(k), col(fk) === col("__k"), "left_semi")
+          .select("__b").distinct().collect().map(_.getInt(0)).toSeq.sorted
+        if (affected.nonEmpty) {
+          // job 2: rewrite only the affected buckets, one partitionBy
+          // write, then swap each bucket dir in (crash-safe per bucket)
+          val keep = spark.read
+            .parquet(affected.map(b => new File(path, bucketName(b)).getPath): _*)
+            .withColumn("__b", bOf)
+            .join(broadcast(k), col(fk) === col("__k"), "left_anti")
+          val staging = new File(path + ".delstaging")
+          if (staging.exists()) deleteRec(staging)
+          keep.write.partitionBy("__b").mode(SaveMode.Overwrite).parquet(staging.getPath)
+          affected.foreach { b =>
+            val part = new File(staging, s"__b=$b")
+            val live = new File(path, bucketName(b))
+            if (part.exists()) swapIn(part, live)
+            else if (live.exists()) deleteRec(live) // bucket fully deleted
+          }
+          deleteRec(staging)
+        }
       }
       // flat files (append layout): rewrite the file set in place without
       // touching any sibling bucket dirs

@@ -110,7 +110,8 @@ class EtlPipelineSpec extends SparkSpecBase {
       .withColumn("file_meta_modified_at", lit("m2"))
     val q = pipe.scrape(changed, stored)
     assert(q.count() === 1)
-    assert(pipe.records.get.count() === 0) // cascade wiped; re-work restores
+    // cascade wiped (a fully-emptied bucketed table reads as None); re-work restores
+    assert(pipe.records.forall(_.isEmpty), "stale records must not survive")
     assert(pipe.allocations.forall(_.isEmpty), "stale allocations must not survive")
     pipe.orchestrate(); pipe.work(blobDir)
     assert(pipe.records.get.count() === 1)

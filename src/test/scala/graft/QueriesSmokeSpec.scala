@@ -12,13 +12,22 @@ class QueriesSmokeSpec extends SparkSpecBase {
     assert(missing.isEmpty, s"oracleSql without queries impl: $missing")
   }
 
+  /** Recall/precision gates are anti-joins against provably-contained
+    * relations: their PASS condition is zero rows.
+    */
+  private val emptyByDesign = Set(
+    "x03r_dedup_minhash_recall",
+    "x04r_dedup_simhash_recall",
+    "x07p_ann_lsh_precision")
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs and yields rows") {
       val df = fn(spark, sfDir)
       assert(df.columns.nonEmpty)
       val n = df.count()
+      if (emptyByDesign(name)) assert(n == 0, s"gate $name violated: $n rows")
       // q27_anti legitimately returns 0 rows at some sf; all others > 0
-      if (name != "q27_anti") assert(n > 0, s"$name returned no rows")
+      else if (name != "q27_anti") assert(n > 0, s"$name returned no rows")
     }
   }
 }
