@@ -21,7 +21,8 @@ object SparkEntry {
     RelationalQueries.queries ++
       AggWindowQueries.queries ++
       ScalarQueries.queries ++
-      ExtensionQueries.queries
+      ExtensionQueries.queries ++
+      EventTimeQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -30,5 +31,6 @@ object SparkEntry {
     RelationalQueries.oracleSql ++
       AggWindowQueries.oracleSql ++
       ScalarQueries.oracleSql ++
-      ExtensionQueries.oracleSql
+      ExtensionQueries.oracleSql ++
+      EventTimeQueries.oracleSql
 }

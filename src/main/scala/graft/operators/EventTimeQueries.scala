@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Event-time extension operators over the `events` table (SURVEY §7.4):
+  * generic range join, tumbling-window aggregation, inactivity-gap
+  * sessionization. These generalize the reference's order-dependent
+  * marker sessionization (OP-37) to event time — the operators a
+  * training-data pipeline runs over petabyte event logs.
+  *
+  * The testdata stores TIMESTAMP(NANOS), which Spark reads as epoch-nano
+  * longs (nanosAsLong): all time arithmetic stays in exact 64-bit
+  * integers via the `div` integral division — double math would corrupt
+  * nanos above 2^53. Money aggregates leave the hashed surface as
+  * integer cents (the q37 lesson).
+  */
+object EventTimeQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val HourNs = 3600000000000L
+  private val HalfHourNs = 1800000000000L
+
+  private def cents(c: String): Column =
+    sum(round(col(c) * 100).cast("long"))
+
+  val queries: Map[String, Q] = Map(
+    // Generic range join, no equi key: every event (of a bounded probe
+    // set) against every signup's 30-minute follow-on window — executed
+    // as a bucket equi-join (RangeJoin), never a cross product.
+    "x13_range_join" -> ((s, d) => {
+      val e = Tables(s, d, "events")
+      val probe = e.filter(col("user_id") < 200)
+        .select(col("event_id").as("a"), col("ts").as("t"))
+      val intervals = e.filter(col("event_type") === "signup" && col("user_id") < 50)
+        .select(col("event_id").as("b"), col("ts").as("start"),
+          (col("ts") + HalfHourNs).as("end"))
+      RangeJoin.pointInInterval(probe, "t", intervals, "start", "end",
+          bucketWidth = HalfHourNs)
+        .select(col("a"), col("b"))
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // Tumbling event-time window: hourly buckets per event type. The
+    // bucket is a pure projection of ts, so this is ONE hash aggregate —
+    // the shuffle is (bucket, type), which scales with time span, not
+    // input size.
+    "x14_tumbling_window" -> ((s, d) =>
+      Tables(s, d, "events")
+        .groupBy(call_function("div", col("ts"), lit(HourNs)).as("hour_bucket"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"), cents("value").as("amount_cents"))
+        .orderBy(col("hour_bucket"), col("event_type"))),
+
+    // Inactivity-gap sessionization: a >30min silence starts a new
+    // session. Windows are partitioned per user — event-time order
+    // within a user, never a global sort.
+    "x15_session_gap" -> ((s, d) => {
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val gap = col("ts") - lag(col("ts"), 1).over(wOrd)
+      Tables(s, d, "events")
+        .withColumn("new_sess", when(gap > HalfHourNs, 1).otherwise(0))
+        .withColumn("sess", sum(col("new_sess")).over(wCum))
+        .groupBy(col("user_id"), col("sess"))
+        .agg(count(lit(1)).as("cnt"), cents("value").as("amount_cents"),
+          min(col("event_id")).as("first_event"))
+        .orderBy(col("user_id"), col("sess"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "x13_range_join" ->
+      """SELECT e.event_id AS a, s.event_id AS b
+        |FROM events e JOIN events s
+        |  ON s.event_type = 'signup' AND s.user_id < 50 AND e.user_id < 200
+        | AND epoch_ns(e.ts) >= epoch_ns(s.ts)
+        | AND epoch_ns(e.ts) < epoch_ns(s.ts) + 1800000000000
+        |ORDER BY a, b""".stripMargin,
+    "x14_tumbling_window" ->
+      """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS amount_cents
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "x15_session_gap" ->
+      """SELECT user_id, CAST(sess AS BIGINT) AS sess, count(*) AS cnt,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS amount_cents,
+        |  min(event_id) AS first_event
+        |FROM (
+        |  SELECT *, sum(CASE WHEN gap IS NOT NULL AND gap > 1800000000000
+        |                     THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM (SELECT *, epoch_ns(ts) - lag(epoch_ns(ts))
+        |          OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |        FROM events)
+        |) GROUP BY user_id, sess ORDER BY user_id, sess""".stripMargin
+  )
+}

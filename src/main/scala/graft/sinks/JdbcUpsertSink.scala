@@ -1,0 +1,134 @@
+package graft.sinks
+
+import java.sql.{Connection, DriverManager, PreparedStatement}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types.StructType
+
+/** OP-11/12 reference-parity JDBC sink: chunked bulk upsert / insert
+  * against a relational database (the reference's ACTUAL sink —
+  * supabase_repository.py:45-71: rows written in chunks of
+  * DB_BULK_SIZE=500 as `UPSERT ... ON CONFLICT(key)`; the bucketed
+  * parquet [[TableStore]] is the offline analog of the same semantics).
+  *
+  * Distributed writer: each partition opens one connection and writes
+  * `chunkSize`-row statement batches inside per-chunk transactions. The
+  * write is idempotent (key-conflict rows update in place), so the
+  * streaming at-least-once retry model (OP-61) stays exactly-once-
+  * effective, and batch-internal duplicate keys resolve keep-last
+  * before the write — the reference's later-chunk-wins.
+  *
+  * SQL is dialect-pluggable: [[PostgresDialect]] emits the reference's
+  * native `INSERT ... ON CONFLICT (key) DO UPDATE` (one round trip per
+  * chunk); [[GenericDialect]] expresses the same last-writer-wins as
+  * UPDATE-then-INSERT-the-misses, which any JDBC database (including
+  * the offline test harness's embedded Derby) accepts.
+  */
+object JdbcUpsertSink {
+
+  /** Builds + executes the upsert statement(s) for one chunk. */
+  trait Dialect extends Serializable {
+    def writeChunk(conn: Connection, table: String, schema: StructType,
+                   key: String, chunk: Seq[Row]): Unit
+  }
+
+  private def bind(ps: PreparedStatement, row: Row, cols: Seq[Int]): Unit =
+    cols.zipWithIndex.foreach { case (c, i) => ps.setObject(i + 1, row.get(c)) }
+
+  /** Portable upsert: batched UPDATE, then batched INSERT of the rows
+    * the UPDATE missed. Two round trips per chunk, any SQL database.
+    */
+  object GenericDialect extends Dialect {
+    override def writeChunk(conn: Connection, table: String, schema: StructType,
+                            key: String, chunk: Seq[Row]): Unit = {
+      val cols = schema.fieldNames.toSeq
+      val keyIdx = schema.fieldIndex(key)
+      val nonKey = cols.indices.filterNot(_ == keyIdx)
+      val upd = conn.prepareStatement(
+        s"UPDATE $table SET ${nonKey.map(i => s"${cols(i)} = ?").mkString(", ")} " +
+          s"WHERE $key = ?")
+      try {
+        chunk.foreach { r => bind(upd, r, nonKey :+ keyIdx); upd.addBatch() }
+        val updated = upd.executeBatch()
+        val misses = chunk.zip(updated).collect { case (r, 0) => r }
+        if (misses.nonEmpty) {
+          val ins = conn.prepareStatement(
+            s"INSERT INTO $table (${cols.mkString(", ")}) " +
+              s"VALUES (${cols.map(_ => "?").mkString(", ")})")
+          try {
+            misses.foreach { r => bind(ins, r, cols.indices); ins.addBatch() }
+            ins.executeBatch()
+          } finally ins.close()
+        }
+      } finally upd.close()
+    }
+  }
+
+  /** The reference's statement shape (supabase -> Postgres): one
+    * `INSERT ... ON CONFLICT (key) DO UPDATE SET c = EXCLUDED.c` batch
+    * per chunk.
+    */
+  object PostgresDialect extends Dialect {
+    override def writeChunk(conn: Connection, table: String, schema: StructType,
+                            key: String, chunk: Seq[Row]): Unit = {
+      val cols = schema.fieldNames.toSeq
+      val nonKey = cols.filterNot(_ == key)
+      val ps = conn.prepareStatement(
+        s"INSERT INTO $table (${cols.mkString(", ")}) " +
+          s"VALUES (${cols.map(_ => "?").mkString(", ")}) " +
+          s"ON CONFLICT ($key) DO UPDATE SET " +
+          nonKey.map(c => s"$c = EXCLUDED.$c").mkString(", "))
+      try {
+        chunk.foreach { r => bind(ps, r, cols.indices); ps.addBatch() }
+        ps.executeBatch()
+      } finally ps.close()
+    }
+  }
+
+  /** OP-11: chunked bulk upsert. Empty input raises
+    * (supabase_repository.py:55-57).
+    */
+  def upsert(batch: DataFrame, url: String, table: String, key: String,
+             chunkSize: Int = 500, dialect: Dialect = GenericDialect): Unit = {
+    TableStore.requireNonEmpty(batch, s"jdbc upsert into $table")
+    val deduped = TableStore.dedupeKeepLast(batch, key)
+    val schema = deduped.schema
+    deduped.foreachPartition { rows: Iterator[Row] =>
+      if (rows.hasNext) {
+        val conn = DriverManager.getConnection(url)
+        try {
+          conn.setAutoCommit(false)
+          rows.grouped(chunkSize).foreach { chunk =>
+            dialect.writeChunk(conn, table, schema, key, chunk)
+            conn.commit()
+          }
+        } finally conn.close()
+      }
+    }
+  }
+
+  /** OP-12: chunked append-only bulk insert (allocations,
+    * supabase_repository.py:67-71).
+    */
+  def insert(batch: DataFrame, url: String, table: String,
+             chunkSize: Int = 500): Unit = {
+    TableStore.requireNonEmpty(batch, s"jdbc insert into $table")
+    val schema = batch.schema
+    val cols = schema.fieldNames.toSeq
+    batch.foreachPartition { rows: Iterator[Row] =>
+      if (rows.hasNext) {
+        val conn = DriverManager.getConnection(url)
+        try {
+          conn.setAutoCommit(false)
+          val ps = conn.prepareStatement(
+            s"INSERT INTO $table (${cols.mkString(", ")}) " +
+              s"VALUES (${cols.map(_ => "?").mkString(", ")})")
+          try rows.grouped(chunkSize).foreach { chunk =>
+            chunk.foreach { r => bind(ps, r, cols.indices); ps.addBatch() }
+            ps.executeBatch()
+            conn.commit()
+          } finally ps.close()
+        } finally conn.close()
+      }
+    }
+  }
+}

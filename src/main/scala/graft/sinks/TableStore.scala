@@ -103,7 +103,7 @@ object TableStore {
     * column on the batch, "last" is resolved by DESCENDING all-column
     * order — deterministic and permutation-independent.
     */
-  private def dedupeKeepLast(batch: DataFrame, key: String): DataFrame = {
+  private[sinks] def dedupeKeepLast(batch: DataFrame, key: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(key))
       .orderBy(batch.columns.map(c => col(c).desc).toIndexedSeq: _*)

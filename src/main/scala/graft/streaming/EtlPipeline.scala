@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, StructType}
 import graft.operators.{Batcher, ChangeDetector, NcaCleaner}
 import graft.sinks.TableStore
-import graft.sources.PdfTableSource
+import graft.sources.{BlobFetcher, PdfTableSource}
 
 /** The reference pipeline end-to-end (SURVEY §3), Spark-first:
   *
@@ -79,6 +79,41 @@ final class EtlPipeline(spark: SparkSession, workDir: String,
       QueuePipeline.enqueue(toQueue, releaseQueue)
     }
     toQueue
+  }
+
+  /** Stage A from the web (reference handlers/scraper.py end-to-end):
+    * candidates carry only what the link scan yields (id, title,
+    * filename, url, year) — the file metadata driving CDC comes from the
+    * DOCUMENTS themselves. Every candidate's url is fetched (OP-02,
+    * executor-side, fail on non-2xx/empty — releases_scraper.py:87-93),
+    * the extractor reads (created_at, modified_at, page_count) from the
+    * bytes (OP-04/05, pdf_parser.py:23-36), CDC classifies against the
+    * release table and the stored-blob listing, and only PROCEEDING
+    * releases get their blob saved (releases_scraper.py:128-136
+    * _save_release) before the upsert + enqueue.
+    */
+  def scrapeWeb(candidates: DataFrame, fetch: BlobFetcher.Fetch, blobDir: String,
+                extractor: PdfTableSource.TableExtractor): DataFrame = {
+    import spark.implicits._
+    // fetched once, reused for metadata + save (the reference's memoized
+    // single download, file_stream_memo_loader.py:13-26)
+    val blobs = BlobFetcher.fetchBlobs(candidates, fetch).localCheckpoint(true)
+    val meta = blobs.as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (fn, bytes) => extractor.metadata(fn, bytes) })
+      .toDF()
+      .select(col("doc").as("filename"),
+        col("created_at").as("file_meta_created_at"),
+        col("modified_at").as("file_meta_modified_at"),
+        col("page_count"))
+    val enriched = candidates
+      .select(col("id"), col("title"), col("filename"), col("url"), col("year"))
+      .join(meta, Seq("filename"))
+      .select(releaseSchema.fieldNames.map(col).toIndexedSeq: _*)
+    val queued = scrape(enriched, BlobFetcher.listBlobs(spark, blobDir))
+    val save = blobs.join(
+      broadcast(queued.select("filename")), Seq("filename"), "left_semi")
+    if (!save.isEmpty) BlobFetcher.saveBlobs(save, blobDir)
+    queued
   }
 
   /** Stage B (reference handlers/orchestrator.py): drain the release

@@ -118,6 +118,62 @@ class EtlPipelineSpec extends SparkSpecBase {
     assert(pipe.allocations.get.count() === 1) // restored, not duplicated
   }
 
+  test("scrapeWeb: fetched blobs drive CDC via extractor metadata (OP-02/04)") {
+    import graft.sources.{BlobFetcher, PositionedStubPdfFormat}
+    import graft.sources.AdaptiveTable.Word
+    val workDir = Files.createTempDirectory("etlweb").toString
+    val blobDir = s"$workDir/blobs"
+    val pipe = new EtlPipeline(spark, workDir, batchSize = 10)
+
+    def doc(modified: String): Array[Byte] = PositionedStubPdfFormat.encode(
+      pages = Seq(
+        Seq("nca_number", "nca_type", "released_date", "department", "agency",
+          "operating_unit", "amount", "purpose").zipWithIndex.flatMap {
+          case (phrase, i) => phrase.split("_").zipWithIndex.map {
+            case (w, j) => Word(w, 20 + i * 100 + j * 45, 10)
+          }
+        } ++ Seq(Word("NCA-7", 20, 30), Word("Regular", 120, 30),
+          Word("3/1/2024", 220, 30), Word("DOST", 320, 30),
+          Word("AgQ", 420, 30), Word("OU-Q", 520, 30),
+          Word("77.00", 620, 30), Word("Grants", 720, 30))),
+      created = "2024-04-01T00:00:00", modified = modified, width = 821)
+
+    val candidates = Seq(("id_2024", "NCA 2024", "NCA_2024.pdf",
+      "https://x/NCA_2024.pdf", 2024)).toDF("id", "title", "filename", "url", "year")
+    var bytes = doc("2024-04-02T00:00:00")
+    val fetch: BlobFetcher.Fetch = _ => (200, bytes)
+
+    // new release: fetched, metadata read from the DOCUMENT, queued, saved
+    val q1 = pipe.scrapeWeb(candidates, fetch, blobDir, PositionedStubPdfFormat)
+    assert(q1.count() === 1)
+    assert(new java.io.File(blobDir, "NCA_2024.pdf").exists(), "proceeding blob saved")
+    val rel = TableStore.read(spark, pipe.releaseTable).get.collect()(0)
+    assert(rel.getAs[String]("file_meta_created_at") === "2024-04-01T00:00:00")
+    assert(rel.getAs[String]("file_meta_modified_at") === "2024-04-02T00:00:00")
+    assert(rel.getAs[Int]("page_count") === 1)
+
+    // downstream stages consume the queued release with the SAME extractor
+    pipe.orchestrate(); pipe.work(blobDir, PositionedStubPdfFormat)
+    val recs = pipe.records.get.select("nca_number", "department")
+      .as[(String, String)].collect().toSeq
+    assert(recs === Seq(("NCA-7", "DOST")))
+
+    // unchanged document -> CDC (keyed on extractor metadata) filters it
+    assert(pipe.scrapeWeb(candidates, fetch, blobDir, PositionedStubPdfFormat).isEmpty)
+
+    // document changed (new ModDate in the bytes) -> re-queued
+    bytes = doc("2024-04-09T00:00:00")
+    assert(pipe.scrapeWeb(candidates, fetch, blobDir, PositionedStubPdfFormat).count() === 1)
+
+    // non-2xx fetch fails the scrape (raise_for_status semantics)
+    val boom = intercept[org.apache.spark.SparkException] {
+      pipe.scrapeWeb(candidates, _ => (404, Array.emptyByteArray), blobDir,
+        PositionedStubPdfFormat)
+    }
+    assert(boom.getMessage.contains("HTTP 404") ||
+      Option(boom.getCause).exists(_.getMessage.contains("HTTP 404")))
+  }
+
   test("per-message isolation: one poison well-formed message quarantines, rest process") {
     import org.apache.spark.sql.types.StructType
     import graft.streaming.QueuePipeline

@@ -1,0 +1,63 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.EventTimeStreams
+
+/** Event-time semantics: batch operators are oracle-gated (x13-x15 in
+  * EventTimeQueries); this spec covers the STREAMING side — watermarked
+  * tumbling windows with late-data drop — and the RangeJoin bucket
+  * arithmetic edges.
+  */
+class EventTimeSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(hhmm: String) = Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+
+  test("streaming tumbling window: watermark drops late rows, append emits finalized windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val agg = EventTimeStreams.tumblingAgg(
+      in.toDF().toDF("ts", "event_type", "value"),
+      "ts", "event_type", "value", windowLen = "5 minutes",
+      watermarkDelay = "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("etw")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: two in [10:00,10:05), one in [10:05,10:10)
+      in.addData((ts("10:00"), "click", 1.0), (ts("10:01"), "click", 2.5),
+        (ts("10:06"), "click", 4.0))
+      q.processAllAvailable() // watermark -> 09:56; nothing finalized
+      // batch 2: 10:30 advances watermark to 10:20; 09:00 is LATE (beyond
+      // watermark) and must be dropped — were it accepted, its window
+      // [09:00,09:05) would finalize below and appear in the sink
+      in.addData((ts("10:30"), "click", 8.0), (ts("09:00"), "click", 100.0))
+      q.processAllAvailable() // emits windows ending <= 10:20
+      // batch 3: advance watermark past 10:35 to flush [10:30,10:35)
+      in.addData((ts("10:50"), "click", 16.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val out = spark.table("etw")
+      .select($"window_start".cast("string"), $"cnt", $"amount_cents")
+      .as[(String, Long, Long)].collect()
+      .map { case (w, c, a) => w -> ((c, a)) }.toMap
+    assert(out.get("2024-01-01 10:00:00").contains((2L, 350L)))
+    assert(out.get("2024-01-01 10:05:00").contains((1L, 400L)))
+    assert(out.get("2024-01-01 10:30:00").contains((1L, 800L)))
+    assert(!out.keys.exists(_.startsWith("2024-01-01 09:")),
+      "late row beyond the watermark must be dropped")
+  }
+
+  test("RangeJoin: boundary inclusion/exclusion and bucket-spanning intervals") {
+    import graft.operators.RangeJoin
+    val probe = Seq((1L, 0L), (2L, 99L), (3L, 100L), (4L, 250L), (5L, 399L), (6L, 400L))
+      .toDF("a", "t")
+    val intervals = Seq((10L, 100L, 400L)).toDF("b", "start", "end") // [100, 400)
+    val joined = RangeJoin.pointInInterval(probe, "t", intervals, "start", "end",
+        bucketWidth = 64) // interval spans buckets 1..6: no pair duplicated
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(joined === Set((3L, 10L), (4L, 10L), (5L, 10L)))
+  }
+}
