@@ -19,9 +19,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warmup: JVM + codegen + parquet reader init
+    // warmup: JVM + codegen + parquet reader init. A bare count() reads
+    // only footers — aggregate over every column so the DATA pages are
+    // actually decoded (and OS-page-cached): otherwise whichever query
+    // first touches a big string/array column pays the cold IO and the
+    // per-query numbers become run-order-dependent.
     val _ = spark.range(1000000).selectExpr("sum(id)").collect()
-    Tables.names.foreach(n => Tables(spark, sfDir, n).count())
+    Tables.names.foreach { n =>
+      val t = Tables(spark, sfDir, n)
+      t.selectExpr(s"sum(xxhash64(${t.columns.mkString(", ")}))").collect()
+    }
     // SPARK_GRAFT_ONLY=x04,x05 runs just the named (prefix-matched)
     // queries — for local iteration; the driver never sets it.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)

@@ -30,10 +30,19 @@ object Dedup {
     * is computed BEFORE the explode (one projection) and no post-explode
     * distinct/window is ever needed. The exploded shingle relation is
     * the shared substrate for the Jaccard / MinHash paths.
+    *
+    * Shingles are hashed to 64-bit longs at the source: every downstream
+    * shuffle, window, and join (document frequency, prefix rank, the
+    * PPJoin self-join, intersection counting, MinHash) moves 8-byte keys
+    * instead of multi-word strings — at corpus scale the shuffled bytes
+    * drop ~4x. A 64-bit collision (~1e-7 over million-shingle corpora)
+    * could at worst nudge one Jaccard count; MinHash already lives on
+    * exactly this hash.
     */
   def shingleTable(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("shs"))
-      .select(col("id"), size(col("shs")).as("sz"), explode(col("shs")).as("shingle"))
+      .select(col("id"), size(col("shs")).as("sz"), explode(col("shs")).as("sh_str"))
+      .select(col("id"), col("sz"), xxhash64(col("sh_str")).as("shingle"))
 
   /** Exact intersection/Jaccard verification of candidate (a, b, na, nb)
     * pairs against the shingle relation: candidates ⋈ sh_a ⋈ sh_b on

@@ -67,6 +67,15 @@ object ExtensionQueries {
         nbits = 4, tables = 4)
     }
 
+  /** IVF ANN top-k — consumed by x16 and x16p. */
+  private def annIvf(s: SparkSession, d: String): DataFrame =
+    once(s, d, "ann_ivf") {
+      val e = Tables(s, d, "embeddings")
+      Similarity.ivfTopK(
+        e.filter(col("vec_id") < 10), e, "vec_id", "embedding", k = 5,
+        nlist = 16, nprobe = 4)
+    }
+
   /** documents ∪ exact copies (id+10000 for id<50) ∪ near-dup copies with
     * a 3-token tail appended (id+20000 for 50<=id<80).
     */
@@ -177,6 +186,24 @@ object ExtensionQueries {
         .orderBy(col("qid"), col("nid"))
     }),
 
+    // IVF: the data-adaptive ANN scale path (coarse-quantize the corpus,
+    // probe nearest cells). Approximate -> rows-only; its precision gate
+    // below is oracle-gated, and nprobe=nlist equivalence to brute force
+    // is asserted in DedupSimilaritySpec.
+    "x16_ann_ivf_topk" -> ((s, d) =>
+      annIvf(s, d).orderBy(col("qid"), col("rank"))),
+
+    "x16p_ann_ivf_precision" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+      val exhaustive = Similarity.bruteForceTopK(q, e, "vec_id", "embedding",
+        k = Int.MaxValue)
+      annIvf(s, d).select("qid", "nid", "sim")
+        .join(exhaustive.select("qid", "nid", "sim"),
+          Seq("qid", "nid", "sim"), "left_anti")
+        .orderBy(col("qid"), col("nid"))
+    }),
+
     // --- text analysis -----------------------------------------------------
     "x08_lang_id" -> ((s, d) =>
       Tables(s, d, "documents")
@@ -268,6 +295,10 @@ object ExtensionQueries {
       "SELECT CAST(NULL AS BIGINT) AS a, CAST(NULL AS BIGINT) AS b WHERE false",
 
     "x07p_ann_lsh_precision" ->
+      """SELECT CAST(NULL AS BIGINT) AS qid, CAST(NULL AS BIGINT) AS nid,
+        |  CAST(NULL AS DOUBLE) AS sim WHERE false""".stripMargin,
+
+    "x16p_ann_ivf_precision" ->
       """SELECT CAST(NULL AS BIGINT) AS qid, CAST(NULL AS BIGINT) AS nid,
         |  CAST(NULL AS DOUBLE) AS sim WHERE false""".stripMargin,
 

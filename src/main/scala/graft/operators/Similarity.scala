@@ -176,6 +176,59 @@ object Similarity {
     }
   }
 
+  /** IVF (inverted-file) coarse quantization: nlist centroids are a
+    * deterministic pseudo-random corpus sample (ordered by xxhash64(id)
+    * — no RNG state; production would refine with k-means‖, which only
+    * moves centroids, not the algorithm). Every vector is assigned to
+    * its `take` highest-cosine centroids; the window is per-vector, the
+    * centroid side broadcasts (nlist is small by construction).
+    */
+  private def ivfAssign(v: DataFrame, centroids: DataFrame, take: Int): DataFrame = {
+    val scored = v.crossJoin(broadcast(centroids))
+      .select(col("id"), col("vec"), col("nrm"), col("cell"),
+        (dot(col("vec"), col("cvec")) / (col("nrm") * col("cnrm"))).as("csim"))
+    val w = Window.partitionBy(col("id")).orderBy(col("csim").desc, col("cell"))
+    scored.withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= take)
+      .select(col("id"), col("vec"), col("nrm"), col("cell"))
+  }
+
+  /** ANN top-k via IVF: score only the corpus cells nearest the query.
+    * Candidates per query ≈ nprobe/nlist of the corpus — the classic
+    * accuracy/cost dial (nprobe = nlist degenerates to exact brute force,
+    * asserted in the spec; precision — every emitted score appears in
+    * the exhaustive relation — is gated by the declared empty-set oracle
+    * x16p). Complements [[lshTopK]]: IVF adapts to the data's cluster
+    * structure where hyperplane LSH is data-oblivious.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+              idCol: String, vecCol: String, k: Int, nlist: Int,
+              nprobe: Int): DataFrame = {
+    require(nlist >= 1 && nprobe >= 1, "nlist/nprobe must be >= 1")
+    val c = withNorm(corpus, idCol, vecCol)
+    // nlist rows: the global window is over a bounded tiny frame
+    val wSeed = Window.orderBy(xxhash64(col("id")))
+    val centroids = c.orderBy(xxhash64(col("id"))).limit(nlist)
+      .withColumn("cell", row_number().over(wSeed))
+      .select(col("cell"), col("vec").as("cvec"), col("nrm").as("cnrm"))
+    val assign = ivfAssign(c, centroids, take = 1)
+      .select(col("id").as("nid"), col("vec").as("nvec"),
+        col("nrm").as("nnrm"), col("cell"))
+    val probes = ivfAssign(withNorm(queries, idCol, vecCol), centroids, take = nprobe)
+      .select(col("id").as("qid"), col("vec").as("qvec"),
+        col("nrm").as("qnrm"), col("cell"))
+    val scored = probes.join(assign, Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        round(dot(col("qvec"), col("nvec")) / (col("qnrm") * col("nnrm")), 6).as("sim"))
+      .distinct() // a (q, n) pair probed via two cells scores once
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("sim"))
+  }
+
   /** ANN top-k via multi-table LSH: candidates are the union of
     * same-bucket collisions over `tables` independent hash tables
     * (OR-amplification — recall 1-(1-p^nbits)^tables per neighbor),

@@ -90,4 +90,29 @@ class DedupSimilaritySpec extends SparkSpecBase {
       assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  test("ivfTopK: full probe reproduces brute force exactly; partial probe is precise") {
+    val e = graft.Tables(spark, sfDir, "embeddings")
+    val q = e.filter($"vec_id" < 5)
+    val brute = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k = 3)
+      .select("qid", "rank", "nid", "sim")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    // nprobe = nlist: every cell probed -> candidate set is the whole
+    // corpus -> MUST equal brute force row-for-row
+    val full = Similarity.ivfTopK(q, e, "vec_id", "embedding", k = 3,
+        nlist = 8, nprobe = 8)
+      .select("qid", "rank", "nid", "sim")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(full === brute)
+    // partial probe: approximate recall, but every emitted (qid,nid,sim)
+    // must appear score-identical in the exhaustive relation (precision)
+    val exhaustive = Similarity.bruteForceTopK(q, e, "vec_id", "embedding",
+        k = Int.MaxValue)
+      .select("qid", "nid", "sim").as[(Long, Long, Double)].collect().toSet
+    val part = Similarity.ivfTopK(q, e, "vec_id", "embedding", k = 3,
+        nlist = 8, nprobe = 2)
+      .select("qid", "nid", "sim").as[(Long, Long, Double)].collect()
+    assert(part.nonEmpty)
+    assert(part.forall(exhaustive.contains), "IVF emitted a score not in the exhaustive relation")
+  }
 }

@@ -18,7 +18,8 @@ class QueriesSmokeSpec extends SparkSpecBase {
   private val emptyByDesign = Set(
     "x03r_dedup_minhash_recall",
     "x04r_dedup_simhash_recall",
-    "x07p_ann_lsh_precision")
+    "x07p_ann_lsh_precision",
+    "x16p_ann_ivf_precision")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs and yields rows") {
