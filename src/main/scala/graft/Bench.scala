@@ -27,7 +27,8 @@ object Bench {
     val _ = spark.range(1000000).selectExpr("sum(id)").collect()
     Tables.names.foreach { n =>
       val t = Tables(spark, sfDir, n)
-      t.selectExpr(s"sum(xxhash64(${t.columns.mkString(", ")}))").collect()
+      // bit_xor, not sum: ANSI mode overflows on summed full-range hashes
+      t.selectExpr(s"bit_xor(xxhash64(${t.columns.mkString(", ")}))").collect()
     }
     // SPARK_GRAFT_ONLY=x04,x05 runs just the named (prefix-matched)
     // queries — for local iteration; the driver never sets it.

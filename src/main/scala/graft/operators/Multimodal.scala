@@ -59,6 +59,52 @@ object Multimodal {
       .toDF()
   }
 
+  /** Resize plumbing: re-encode each blob to a target (width, height),
+    * updating the metadata struct in the same pass. The byte transform
+    * is the stub (a deterministic re-slice standing in for a pixel
+    * resampler); the shape — binary in, binary + revised meta out, one
+    * partition-wise pass, no driver involvement — is the real contract.
+    */
+  def resize(spark: SparkSession, blobs: DataFrame, width: Int, height: Int): DataFrame = {
+    import spark.implicits._
+    blobs.select(col("doc_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val m = stubDecode(id, bytes)
+        // fake resample: scale the byte budget by target/source area
+        val budget = math.max(1,
+          (bytes.length.toLong * (width * height) /
+            math.max(m.width * m.height, 1)).toInt)
+        val out = if (budget <= bytes.length) bytes.take(budget)
+          else bytes ++ Array.fill(budget - bytes.length)(0: Byte)
+        (id, out, m.format, width, height)
+      })
+      .toDF("doc_id", "content", "format", "width", "height")
+  }
+
+  /** Feature extraction: blob -> dense embedding (array<float>), the
+    * step that bridges multimodal data into the similarity operators
+    * (Similarity.bruteForceTopK / lshTopK / ivfTopK run on this output
+    * unchanged). The stub derives a deterministic unit-norm vector from
+    * rolling byte hashes — a real model server would replace only the
+    * per-batch body.
+    */
+  def featureExtract(spark: SparkSession, blobs: DataFrame, dim: Int = 16): DataFrame = {
+    import spark.implicits._
+    blobs.select(col("doc_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val raw = Array.tabulate(dim) { d =>
+          var h = 1125899906842597L + d
+          bytes.foreach(b => h = h * 31 + b)
+          ((h % 1000).toFloat / 1000.0f)
+        }
+        val n = math.sqrt(raw.map(x => x.toDouble * x).sum).toFloat
+        (id, raw.map(x => if (n == 0) 0.0f else x / n).toSeq)
+      })
+      .toDF("doc_id", "embedding")
+  }
+
   /** Frame sampling over a (fake) video blob: emit every `stride`-th
     * frame index with a per-frame byte slice — exercises the explode
     * shape a real frame sampler would produce.

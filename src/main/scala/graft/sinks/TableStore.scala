@@ -158,6 +158,33 @@ object TableStore {
       n.toString.getBytes("UTF-8"))
   }
 
+  /** OP-08 at scale: point lookup by the table's bucket key. Reads ONE
+    * bucket directory — the one `pmod(hash(value), n)` selects — plus
+    * any not-yet-folded flat files, instead of scanning the table: on a
+    * thousand-bucket production table this is a thousandth of the IO.
+    * The hash is evaluated through the same Catalyst expression the
+    * writer used, so reader and writer can never disagree.
+    */
+  def lookup(spark: SparkSession, path: String, key: String, value: Any): Option[DataFrame] = {
+    read(spark, path).map { whole =>
+      declaredBuckets(path) match {
+        case Some(n) =>
+          // cast the literal to the key's table type before hashing:
+          // hash(int 42) != hash(long 42), and a width mismatch would
+          // silently probe the wrong bucket
+          val lv = lit(value).cast(whole.schema(key).dataType)
+          val b = spark.range(1)
+            .select(pmod(hash(lv), lit(n)).as("b"))
+            .head().getInt(0)
+          val parts = Seq(new File(path, bucketName(b))).filter(_.exists()).map(_.getPath) ++
+            flatFiles(path).map(_.getPath)
+          if (parts.isEmpty) whole.limit(0)
+          else spark.read.parquet(parts: _*).filter(col(key) === lv)
+        case None => whole.filter(col(key) === lit(value))
+      }
+    }
+  }
+
   /** OP-12 + OP-44: append-only chunked insert. `chunkRows` bounds rows
     * per output file (the reference's DB_BULK_SIZE=500 write batching,
     * supabase_repository.py:67-71 + constants.py:56); 0 = no bound.

@@ -85,6 +85,25 @@ class TableStoreSpec extends SparkSpecBase {
     assert(TableStore.read(spark, dir).get.count() === 499)
   }
 
+  test("lookup probes a single bucket and survives literal width mismatch") {
+    val dir = Files.createTempDirectory("ts7").toString + "/t"
+    TableStore.upsert((1 to 500).map(i => (i, s"v$i")).toDF("k", "v"), dir, "k")
+    assert(TableStore.lookup(spark, dir, "k", 42).get
+      .as[(Int, String)].collect().toSeq === Seq((42, "v42")))
+    // a long literal against an int key must still hash to the right bucket
+    assert(TableStore.lookup(spark, dir, "k", 42L).get
+      .as[(Int, String)].collect().toSeq === Seq((42, "v42")))
+    assert(TableStore.lookup(spark, dir, "k", 9999).get.isEmpty)
+    // single-bucket proof: remove every bucket dir EXCEPT the key's —
+    // the lookup must not notice
+    val keyBucket = TableStore.lookup(spark, dir, "k", 42).get
+      .inputFiles.head.replaceAll(".*/(b\\d{4})/.*", "$1")
+    new File(dir).listFiles().filter(f => f.isDirectory && f.getName != keyBucket)
+      .foreach(f => { def rm(x: File): Unit = { Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); }; rm(f) })
+    assert(TableStore.lookup(spark, dir, "k", 42).get
+      .as[(Int, String)].collect().toSeq === Seq((42, "v42")))
+  }
+
   test("upsert folds a legacy flat append layout into buckets") {
     val dir = Files.createTempDirectory("ts6").toString + "/t"
     TableStore.append(Seq((1, "a"), (2, "b")).toDF("k", "v"), dir)

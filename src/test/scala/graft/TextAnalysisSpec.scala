@@ -63,4 +63,33 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(frames.nonEmpty)
     assert(frames.forall(_.getInt(1) % 2 === 0))
   }
+
+  test("multimodal resize rewrites bytes + meta to the target dimensions") {
+    val docs = Seq((1L, "0123456789abcdef"), (2L, "xy")).toDF("doc_id", "text")
+    val blobs = Multimodal.attachBlobs(docs, "doc_id", "text")
+    val r = Multimodal.resize(spark, blobs, width = 32, height = 32)
+      .collect().sortBy(_.getLong(0))
+    assert(r.forall(_.getAs[Int]("width") === 32))
+    assert(r.forall(_.getAs[Int]("height") === 32))
+    assert(r.forall(_.getAs[Array[Byte]]("content").nonEmpty))
+    // deterministic: same input, same output bytes
+    val r2 = Multimodal.resize(spark, blobs, 32, 32).collect().sortBy(_.getLong(0))
+    assert(r.map(_.getAs[Array[Byte]]("content").toSeq).toSeq ===
+      r2.map(_.getAs[Array[Byte]]("content").toSeq).toSeq)
+  }
+
+  test("multimodal featureExtract feeds the similarity operators directly") {
+    import graft.operators.Similarity
+    // 1 and 3 are identical blobs -> identical embeddings -> cosine 1.0
+    val docs = Seq((1L, "same bytes"), (2L, "other content"), (3L, "same bytes"))
+      .toDF("doc_id", "text")
+    val emb = Multimodal.featureExtract(spark,
+      Multimodal.attachBlobs(docs, "doc_id", "text"))
+    assert(emb.schema("embedding").dataType ===
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, false))
+    val top = Similarity.bruteForceTopK(
+        emb.filter($"doc_id" === 1L), emb, "doc_id", "embedding", k = 1)
+      .select("qid", "nid", "sim").as[(Long, Long, Double)].collect().head
+    assert(top === ((1L, 3L, 1.0)))
+  }
 }
