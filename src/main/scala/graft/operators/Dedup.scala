@@ -41,7 +41,17 @@ object Dedup {
     */
   def shingleTable(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("shs"))
-      .select(col("id"), size(col("shs")).as("sz"), explode(col("shs")).as("sh_str"))
+      // explode_outer, NOT explode: an inner explode triggers
+      // InferFiltersFromGenerate, whose size(arr)>0 predicate inlines the
+      // whole shingle expression and is then pushed below any upstream
+      // exchange — the corpus gets re-shingled a second time, on the
+      // pre-rebalance (possibly single) scan partitions. The outer form
+      // infers no filter; the cheap not-null filter on the GENERATED
+      // column drops the same zero-shingle rows and cannot sink below
+      // the Generate. Output is identical; the expensive expression is
+      // evaluated exactly once, after the rebalance.
+      .select(col("id"), size(col("shs")).as("sz"), explode_outer(col("shs")).as("sh_str"))
+      .filter(col("sh_str").isNotNull)
       .select(col("id"), col("sz"), xxhash64(col("sh_str")).as("shingle"))
 
   /** Exact intersection/Jaccard verification of candidate (a, b, na, nb)
@@ -81,8 +91,16 @@ object Dedup {
     * bound). Exact verification runs on the survivors only.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int, threshold: Double): DataFrame = {
-    val sh = shingleTable(docs, idCol, textCol, n).cache()
+                        n: Int, threshold: Double): DataFrame =
+    ngramJaccardPairsFromShingles(
+      shingleTable(docs, idCol, textCol, n).cache(), threshold)
+
+  /** PPJoin over a prebuilt (id, sz, shingle) relation — callers that
+    * run several dedup algorithms over one corpus materialize the
+    * shingle table once and share it (the builds were the duplicated
+    * cost when x02/x03 each made their own).
+    */
+  def ngramJaccardPairsFromShingles(sh: DataFrame, threshold: Double): DataFrame = {
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val wRank = Window.partitionBy(col("id")).orderBy(col("df"), col("shingle"))
     val ranked = sh.join(dfreq, "shingle")
@@ -137,10 +155,17 @@ object Dedup {
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int, numPerm: Int, bands: Int,
-                      threshold: Double): DataFrame = {
+                      threshold: Double): DataFrame =
+    minhashLshPairsFromShingles(
+      shingleTable(docs, idCol, textCol, n).cache(), numPerm, bands, threshold)
+
+  /** LSH banding over a prebuilt (id, sz, shingle) relation (see
+    * [[ngramJaccardPairsFromShingles]] for why callers share it).
+    */
+  def minhashLshPairsFromShingles(sh: DataFrame, numPerm: Int, bands: Int,
+                                  threshold: Double): DataFrame = {
     require(numPerm % bands == 0, "bands must divide numPerm")
     val rowsPerBand = numPerm / bands
-    val sh = shingleTable(docs, idCol, textCol, n).cache()
     val sig = minhashSignaturesFromShingles(sh, numPerm)
     val banded = sig.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -174,8 +199,11 @@ object Dedup {
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val laneBits = 21
     val lanes = 3
+    // explode_outer + not-null: see shingleTable — keeps the tokenizer
+    // out of an inferred pre-exchange filter
     val tok = docs.select(col(idCol).as("id"),
-        explode(tokens(col(textCol))).as("token"))
+        explode_outer(tokens(col(textCol))).as("token"))
+      .filter(col("token").isNotNull)
       .withColumn("h", xxhash64(col("token")))
     val packedSums = (0 until 64 by lanes).map { b0 =>
       val packed = (b0 until math.min(b0 + lanes, 64)).map(b =>

@@ -43,25 +43,47 @@ object ExtensionQueries {
   private def once(s: SparkSession, d: String, name: String)(f: => DataFrame): DataFrame =
     shared.computeIfAbsent((s, d, name), _ => f.localCheckpoint(true))
 
+  /** Rebalance a small-scan input to the cluster's cores before a
+    * row-expansion stage (shingle/token explode, per-vector LSH
+    * scoring). The bench tables are single-row-group parquet — one
+    * scan partition — so without this the expansion runs on one core
+    * until its first shuffle. The exchange moves the small
+    * PRE-expansion rows; at production scale the scan already yields
+    * thousands of partitions and this becomes a cheap rebalance of
+    * scan splits, never of expanded rows.
+    */
+  private def rebalanced(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  /** The trigram shingle relation of the dup-synthesized corpus,
+    * materialized once and shared by the exact-PPJoin (x02) and
+    * MinHash-LSH (x03 family) paths — at sf0.1 it is a few tens of MB
+    * of (long, int, long) rows.
+    */
+  private def sharedShingles(s: SparkSession, d: String): DataFrame =
+    once(s, d, "shingles") {
+      Dedup.shingleTable(rebalanced(docsWithDups(s, d)), "id", "text", n = 3)
+    }
+
   /** The full MinHash-LSH near-dup pair relation (a, b, jaccard) at the
     * declared parameters — consumed by x03 and its recall gate x03r.
     */
   private def minhashPairs(s: SparkSession, d: String): DataFrame =
     once(s, d, "minhash_pairs") {
-      Dedup.minhashLshPairs(docsWithDups(s, d), "id", "text",
-        n = 3, numPerm = 32, bands = 16, threshold = 0.5)
+      Dedup.minhashLshPairsFromShingles(sharedShingles(s, d),
+        numPerm = 32, bands = 16, threshold = 0.5)
     }
 
   /** SimHash near-dup pairs (a, b, dist) — consumed by x04 and x04r. */
   private def simhashPairs(s: SparkSession, d: String): DataFrame =
     once(s, d, "simhash_pairs") {
-      Dedup.simhashPairs(docsWithDups(s, d), "id", "text", maxDist = 3)
+      Dedup.simhashPairs(rebalanced(docsWithDups(s, d)), "id", "text", maxDist = 3)
     }
 
   /** LSH ANN top-k (qid, rank, nid, sim) — consumed by x07 and x07p. */
   private def annLsh(s: SparkSession, d: String): DataFrame =
     once(s, d, "ann_lsh") {
-      val e = Tables(s, d, "embeddings")
+      val e = rebalanced(Tables(s, d, "embeddings"))
       Similarity.lshTopK(
         e.filter(col("vec_id") < 10), e, "vec_id", "embedding", k = 5,
         nbits = 4, tables = 4)
@@ -70,7 +92,7 @@ object ExtensionQueries {
   /** IVF ANN top-k — consumed by x16 and x16p. */
   private def annIvf(s: SparkSession, d: String): DataFrame =
     once(s, d, "ann_ivf") {
-      val e = Tables(s, d, "embeddings")
+      val e = rebalanced(Tables(s, d, "embeddings"))
       Similarity.ivfTopK(
         e.filter(col("vec_id") < 10), e, "vec_id", "embedding", k = 5,
         nlist = 16, nprobe = 4)
@@ -100,8 +122,8 @@ object ExtensionQueries {
   /** embeddings ∪ exact copies (id+10000 for id<20). */
   private def vecsWithDups(s: SparkSession, d: String): DataFrame = {
     val v = Tables(s, d, "embeddings").select(col("vec_id").as("id"), col("embedding"))
-    v.unionByName(v.filter(col("id") < 20)
-      .select((col("id") + 10000).as("id"), col("embedding")))
+    rebalanced(v.unionByName(v.filter(col("id") < 20)
+      .select((col("id") + 10000).as("id"), col("embedding"))))
   }
 
   // sqrt(aa)*sqrt(bb), NOT sqrt(aa*bb): must match the engine's norm
@@ -119,7 +141,7 @@ object ExtensionQueries {
         .select(col("id")).orderBy(col("id"))),
 
     "x02_dedup_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccardPairs(docsWithDups(s, d), "id", "text", 3, 0.5)
+      Dedup.ngramJaccardPairsFromShingles(sharedShingles(s, d), 0.5)
         .orderBy(col("a"), col("b"))),
 
     // bands=16 (r=2): per-pair collision prob at the j=0.5 threshold is
@@ -163,7 +185,7 @@ object ExtensionQueries {
 
     // --- similarity search ------------------------------------------------
     "x06_ann_brute_topk" -> ((s, d) => {
-      val e = Tables(s, d, "embeddings")
+      val e = rebalanced(Tables(s, d, "embeddings"))
       Similarity.bruteForceTopK(
           e.filter(col("vec_id") < 10), e, "vec_id", "embedding", k = 5)
         .orderBy(col("qid"), col("rank"))
@@ -176,7 +198,7 @@ object ExtensionQueries {
     // appear, score-identical, in the exhaustively-scored relation —
     // anti-join => provably-empty oracle.
     "x07p_ann_lsh_precision" -> ((s, d) => {
-      val e = Tables(s, d, "embeddings")
+      val e = rebalanced(Tables(s, d, "embeddings"))
       val q = e.filter(col("vec_id") < 10)
       val exhaustive = Similarity.bruteForceTopK(q, e, "vec_id", "embedding",
         k = Int.MaxValue)
@@ -194,7 +216,7 @@ object ExtensionQueries {
       annIvf(s, d).orderBy(col("qid"), col("rank"))),
 
     "x16p_ann_ivf_precision" -> ((s, d) => {
-      val e = Tables(s, d, "embeddings")
+      val e = rebalanced(Tables(s, d, "embeddings"))
       val q = e.filter(col("vec_id") < 10)
       val exhaustive = Similarity.bruteForceTopK(q, e, "vec_id", "embedding",
         k = Int.MaxValue)

@@ -170,8 +170,12 @@ object Similarity {
           }
           bits.foldLeft(lit(0L))((a, b) => a.bitwiseOR(b))
         }
+        // posexplode_outer + not-null (see Dedup.shingleTable): the inner
+        // form would infer a size(...)>0 filter inlining all tables*nbits
+        // VecDot bucket computations below any upstream exchange
         v.select(col("id"), col("vec"),
-            posexplode(array((0 until tables).map(bucketFor): _*)))
+            posexplode_outer(array((0 until tables).map(bucketFor): _*)))
+          .filter(col("pos").isNotNull)
           .select(col("id"), col("vec"), col("pos").as("table"), col("col").as("bucket"))
     }
   }
