@@ -22,7 +22,8 @@ object SparkEntry {
       AggWindowQueries.queries ++
       ScalarQueries.queries ++
       ExtensionQueries.queries ++
-      EventTimeQueries.queries
+      EventTimeQueries.queries ++
+      SketchQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -32,5 +33,6 @@ object SparkEntry {
       AggWindowQueries.oracleSql ++
       ScalarQueries.oracleSql ++
       ExtensionQueries.oracleSql ++
-      EventTimeQueries.oracleSql
+      EventTimeQueries.oracleSql ++
+      SketchQueries.oracleSql
 }

@@ -19,7 +19,9 @@ class QueriesSmokeSpec extends SparkSpecBase {
     "x03r_dedup_minhash_recall",
     "x04r_dedup_simhash_recall",
     "x07p_ann_lsh_precision",
-    "x16p_ann_ivf_precision")
+    "x16p_ann_ivf_precision",
+    "x17g_approx_distinct_gate",
+    "x18g_approx_median_gate")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs and yields rows") {
