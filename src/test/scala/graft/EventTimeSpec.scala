@@ -50,6 +50,57 @@ class EventTimeSpec extends SparkSpecBase {
       "late row beyond the watermark must be dropped")
   }
 
+  test("streaming gap sessionization: explicit close on gap, timeout close on watermark") {
+    import EventTimeStreams.{ClosedSession, SessionEvent}
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[SessionEvent]
+    val sessions = EventTimeStreams.gapSessions(in.toDS(),
+      gapMs = 30 * 60 * 1000, watermarkDelay = "10 minutes")
+    val q = sessions.writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: two events 10 min apart (one session); user 2: one event
+      in.addData(SessionEvent(1, ts("10:00"), 100),
+        SessionEvent(1, ts("10:10"), 200), SessionEvent(2, ts("10:05"), 50))
+      q.processAllAvailable()
+      // 12:00 for user 1 is >30min past 10:10: closes [10:00,10:10]
+      // explicitly and opens a new session. Watermark -> 11:50, past
+      // user 2's 10:05+30min: user 2 times out NEXT batch.
+      in.addData(SessionEvent(1, ts("12:00"), 400))
+      q.processAllAvailable()
+      // any batch triggers the pending user-2 timeout
+      in.addData(SessionEvent(99, ts("12:01"), 1))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val out = spark.table("sess").as[ClosedSession].collect()
+      .map(c => (c.userId, c.sessionStart.toString, c.sessionEnd.toString,
+        c.cnt, c.amountCents)).toSet
+    assert(out === Set(
+      (1L, "2024-01-01 10:00:00.0", "2024-01-01 10:10:00.0", 2L, 300L),
+      (2L, "2024-01-01 10:05:00.0", "2024-01-01 10:05:00.0", 1L, 50L)))
+  }
+
+  test("streaming gap sessionization: batch-internal gap splits sessions in event-time order") {
+    import EventTimeStreams.{ClosedSession, SessionEvent}
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[SessionEvent]
+    val sessions = EventTimeStreams.gapSessions(in.toDS(),
+      gapMs = 30 * 60 * 1000, watermarkDelay = "0 seconds")
+    val q = sessions.writeStream.format("memory").queryName("sess2")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // one batch, out of order: sessions [09:00,09:10] and [11:00]
+      in.addData(SessionEvent(7, ts("11:00"), 8), SessionEvent(7, ts("09:00"), 1),
+        SessionEvent(7, ts("09:10"), 2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("sess2").as[ClosedSession].collect()
+      .map(c => (c.sessionStart.toString, c.cnt, c.amountCents)).toSet
+    // only the FIRST session closes (the 11:00 one stays open in state)
+    assert(out === Set(("2024-01-01 09:00:00.0", 2L, 3L)))
+  }
+
   test("RangeJoin: boundary inclusion/exclusion and bucket-spanning intervals") {
     import graft.operators.RangeJoin
     val probe = Seq((1L, 0L), (2L, 99L), (3L, 100L), (4L, 250L), (5L, 399L), (6L, 400L))
