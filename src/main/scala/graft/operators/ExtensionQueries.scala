@@ -226,6 +226,20 @@ object ExtensionQueries {
         .orderBy(col("qid"), col("nid"))
     }),
 
+    // --- skew handling ----------------------------------------------------
+    // salted shuffle join: identical relation to the plain join (the
+    // oracle IS the unsalted SQL); the salt spreads each hot orderkey
+    // across 8 shuffle partitions. Money leaves as integer cents.
+    "x20_salted_join" -> ((s, d) => {
+      val probe = Tables(s, d, "lineitem").select(col("l_orderkey").as("okey"),
+        col("l_linenumber"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_cents"))
+      val build = Tables(s, d, "orders").select(col("o_orderkey").as("okey"),
+        col("o_custkey"), col("o_orderstatus"))
+      Skew.saltedJoin(probe, build, "okey", nSalt = 8)
+        .orderBy(col("okey"), col("l_linenumber"), col("price_cents"))
+    }),
+
     // --- text analysis -----------------------------------------------------
     "x08_lang_id" -> ((s, d) =>
       Tables(s, d, "documents")
@@ -346,6 +360,13 @@ object ExtensionQueries {
          |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rank,
          |  nid, sim
          |FROM s QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "x20_salted_join" ->
+      """SELECT l.l_orderkey AS okey, l.l_linenumber,
+        |  CAST(round(l.l_extendedprice * 100) AS BIGINT) AS price_cents,
+        |  o.o_custkey, o.o_orderstatus
+        |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |ORDER BY okey, l_linenumber, price_cents""".stripMargin,
 
     "x08_lang_id" ->
       """WITH t AS (
