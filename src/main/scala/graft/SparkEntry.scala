@@ -23,7 +23,8 @@ object SparkEntry {
       ScalarQueries.queries ++
       ExtensionQueries.queries ++
       EventTimeQueries.queries ++
-      SketchQueries.queries
+      SketchQueries.queries ++
+      SamplingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -34,5 +35,6 @@ object SparkEntry {
       ScalarQueries.oracleSql ++
       ExtensionQueries.oracleSql ++
       EventTimeQueries.oracleSql ++
-      SketchQueries.oracleSql
+      SketchQueries.oracleSql ++
+      SamplingQueries.oracleSql
 }

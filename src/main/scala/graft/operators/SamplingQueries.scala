@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deterministic content-hash sampling and train/val/test assignment —
+  * the reproducibility pattern for training-data pipelines: membership
+  * is a pure function of the row's key (md5 prefix range), so samples
+  * and splits are identical across runs, engines, partitionings and
+  * cluster sizes, need no RNG state or seed plumbing, and a row's split
+  * never changes when the corpus around it grows. (Spark's sample()/
+  * randomSplit() guarantee none of that — they are seed + partitioning
+  * dependent.)
+  *
+  * The hash condition is a scan-level predicate: Catalyst evaluates it
+  * in the same whole-stage-codegen pass as the parquet scan, so a 10%
+  * sample reads 100% of rows but materializes/shuffles only its 10% —
+  * and both engines agree on md5 of the decimal key string, which is
+  * what makes these queries hash-green against DuckDB.
+  */
+object SamplingQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** First two hex chars of md5(key as decimal string) — 256 evenly
+    * filled buckets, portable across engines as plain string compare.
+    */
+  private def hashPrefix(key: Column): Column =
+    substring(md5(key.cast("string")), 1, 2)
+
+  val queries: Map[String, Q] = Map(
+    // ~10% deterministic sample: prefix '00'..'19' = 26/256 buckets
+    "x21_hash_sample" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .filter(hashPrefix(col("doc_id")) <= "19")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
+    // 80/10/10 train/val/test: '00'..'cb' / 'cc'..'e5' / 'e6'..'ff'
+    "x22_split_assign" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .select(col("doc_id"),
+          when(hashPrefix(col("doc_id")) <= "cb", "train")
+            .when(hashPrefix(col("doc_id")) <= "e5", "val")
+            .otherwise("test").as("split"))
+        .orderBy(col("doc_id"))),
+
+    // split sizes: proves the assignment is total and near the 80/10/10
+    // target on real data
+    "x22s_split_sizes" -> ((s, d) =>
+      queries("x22_split_assign")(s, d)
+        .groupBy(col("split")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("split")))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "x21_hash_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '19'
+        |ORDER BY doc_id""".stripMargin,
+
+    "x22_split_assign" ->
+      """SELECT doc_id,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'cb' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'e5' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x22s_split_sizes" ->
+      """SELECT split, count(*) AS cnt FROM (
+        |  SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'cb' THEN 'train'
+        |              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'e5' THEN 'val'
+        |              ELSE 'test' END AS split
+        |  FROM documents
+        |) GROUP BY split ORDER BY split""".stripMargin
+  )
+}
