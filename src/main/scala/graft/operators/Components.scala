@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge list — the step that
+  * turns the dedup family's PAIR relations (x02/x03/x04/x05) into
+  * duplicate CLUSTERS, so a pipeline can keep exactly one canonical
+  * document per cluster (the member with the smallest id).
+  *
+  * Min-label propagation with pointer jumping: each round every node
+  * takes the smallest root among itself and its neighbors' roots
+  * (propagation), then replaces its root by its root's root (path
+  * halving). Propagation alone needs O(diameter) rounds; the jumping
+  * step compresses chains so convergence is O(log n) rounds even on
+  * path graphs — near-dup clusters (near-cliques) converge in 2-3.
+  * Each round is a handful of shuffle joins on (node|root) keys; the
+  * driver loop only counts changed labels per round — the standard
+  * Spark iterative-algorithm shape (same as GraphX Pregel), with
+  * per-round localCheckpoint so lineage stays O(1) deep.
+  */
+object Components {
+
+  /** (node, root) for every node appearing in `edges` (a, b); root is
+    * the minimum node id in the node's component.
+    */
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 25): DataFrame = {
+    val sym = edges.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = sym.select(col("u").as("node")).distinct()
+      .withColumn("root", col("node"))
+      .localCheckpoint(true)
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxRounds) {
+      // smallest root among the node's neighbors
+      val nbrMin = sym
+        .join(labels.select(col("node").as("v"), col("root")), "v")
+        .groupBy(col("u").as("node")).agg(min(col("root")).as("nbr_root"))
+      val propagated = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("root"), coalesce(col("nbr_root"), col("root"))).as("root"))
+        .localCheckpoint(true)
+      // pointer jumping: root := root's root (roots are nodes themselves)
+      val jumped = propagated
+        .join(propagated.select(col("node").as("root"), col("root").as("rr")),
+          Seq("root"), "left")
+        .select(col("node"), coalesce(col("rr"), col("root")).as("root"))
+        .localCheckpoint(true)
+      changed = jumped.as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.root") =!= col("o.root"))
+        .count()
+      labels = jumped
+      round += 1
+    }
+    require(changed == 0, s"connectedComponents did not converge in $maxRounds rounds")
+    labels
+  }
+
+  /** Keep-canonical dedup: all ids of `docs` except non-root members of
+    * duplicate clusters — one representative (the min id) survives per
+    * cluster; documents with no duplicate pair pass through untouched.
+    */
+  def keepCanonical(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val dupes = connectedComponents(pairs)
+      .filter(col("root") =!= col("node"))
+      .select(col("node").as(idCol))
+    docs.join(dupes, Seq(idCol), "left_anti")
+  }
+}

@@ -65,6 +65,22 @@ object ExtensionQueries {
       Dedup.shingleTable(rebalanced(docsWithDups(s, d)), "id", "text", n = 3)
     }
 
+  /** The exact PPJoin near-dup pair relation (a, b, jaccard) —
+    * consumed by x02 and the cluster queries x23/x24.
+    */
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame =
+    once(s, d, "jaccard_pairs") {
+      Dedup.ngramJaccardPairsFromShingles(sharedShingles(s, d), 0.5)
+    }
+
+  /** Duplicate clusters (node, root) over the exact pair relation —
+    * consumed by x23 and the keep-canonical x24.
+    */
+  private def dupClusters(s: SparkSession, d: String): DataFrame =
+    once(s, d, "dup_clusters") {
+      Components.connectedComponents(jaccardPairs(s, d).select("a", "b"))
+    }
+
   /** The full MinHash-LSH near-dup pair relation (a, b, jaccard) at the
     * declared parameters — consumed by x03 and its recall gate x03r.
     */
@@ -141,8 +157,18 @@ object ExtensionQueries {
         .select(col("id")).orderBy(col("id"))),
 
     "x02_dedup_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccardPairsFromShingles(sharedShingles(s, d), 0.5)
-        .orderBy(col("a"), col("b"))),
+      jaccardPairs(s, d).orderBy(col("a"), col("b"))),
+
+    // duplicate clusters over the exact pairs: min-id root per component
+    "x23_dedup_clusters" -> ((s, d) =>
+      dupClusters(s, d).orderBy(col("node"))),
+
+    // the end-to-end dedup OUTPUT: one canonical doc per cluster
+    "x24_dedup_canonical" -> ((s, d) =>
+      docsWithDups(s, d).select(col("id"))
+        .join(dupClusters(s, d).filter(col("root") =!= col("node"))
+          .select(col("node").as("id")), Seq("id"), "left_anti")
+        .orderBy(col("id"))),
 
     // bands=16 (r=2): per-pair collision prob at the j=0.5 threshold is
     // 1-(1-0.25)^16 ≈ 0.99 and >0.999 above j=0.6 — on this corpus LSH
@@ -320,6 +346,69 @@ object ExtensionQueries {
          |  SELECT a, b, CAST(icnt AS DOUBLE) / (sa.sz + sb.sz - icnt) AS jaccard
          |  FROM inter JOIN sizes sa ON sa.id = a JOIN sizes sb ON sb.id = b
          |) WHERE jaccard >= 0.5 ORDER BY a, b""".stripMargin,
+
+    // Connected components in DuckDB: symmetric transitive closure as a
+    // recursive CTE (UNION dedups, so it terminates), then min reachable
+    // node per node — tractable because dedup clusters are tiny.
+    "x23_dedup_clusters" ->
+      s"""WITH RECURSIVE $docsWithDupsSql,
+         |tok AS (SELECT id, string_split_regex(lower(trim(text)), '\\s+') AS ts FROM docs),
+         |sh AS (
+         |  SELECT DISTINCT id, array_to_string(ts[i:i+2], ' ') AS shingle
+         |  FROM tok, unnest(generate_series(1, greatest(len(ts) - 2, 1))) AS t(i)
+         |  WHERE array_to_string(ts[i:i+2], ' ') <> ''
+         |),
+         |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+         |inter AS (
+         |  SELECT x.id AS a, y.id AS b, count(*) AS icnt
+         |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.id < y.id
+         |  GROUP BY 1, 2
+         |),
+         |pairs AS (
+         |  SELECT a, b FROM (
+         |    SELECT a, b, CAST(icnt AS DOUBLE) / (sa.sz + sb.sz - icnt) AS jaccard
+         |    FROM inter JOIN sizes sa ON sa.id = a JOIN sizes sb ON sb.id = b
+         |  ) WHERE jaccard >= 0.5
+         |),
+         |edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+         |)
+         |SELECT u AS node, least(u, min(v)) AS root FROM reach
+         |GROUP BY u ORDER BY node""".stripMargin,
+
+    "x24_dedup_canonical" ->
+      s"""WITH RECURSIVE $docsWithDupsSql,
+         |tok AS (SELECT id, string_split_regex(lower(trim(text)), '\\s+') AS ts FROM docs),
+         |sh AS (
+         |  SELECT DISTINCT id, array_to_string(ts[i:i+2], ' ') AS shingle
+         |  FROM tok, unnest(generate_series(1, greatest(len(ts) - 2, 1))) AS t(i)
+         |  WHERE array_to_string(ts[i:i+2], ' ') <> ''
+         |),
+         |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+         |inter AS (
+         |  SELECT x.id AS a, y.id AS b, count(*) AS icnt
+         |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.id < y.id
+         |  GROUP BY 1, 2
+         |),
+         |pairs AS (
+         |  SELECT a, b FROM (
+         |    SELECT a, b, CAST(icnt AS DOUBLE) / (sa.sz + sb.sz - icnt) AS jaccard
+         |    FROM inter JOIN sizes sa ON sa.id = a JOIN sizes sb ON sb.id = b
+         |  ) WHERE jaccard >= 0.5
+         |),
+         |edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+         |),
+         |cc AS (SELECT u AS node, least(u, min(v)) AS root FROM reach GROUP BY u)
+         |SELECT id FROM docs
+         |WHERE id NOT IN (SELECT node FROM cc WHERE root <> node)
+         |ORDER BY id""".stripMargin,
 
     // The gates' PASS condition is the empty set (anti-join of a
     // provably-contained relation): the oracle is an empty relation
