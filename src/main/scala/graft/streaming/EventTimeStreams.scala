@@ -31,6 +31,22 @@ object EventTimeStreams {
       .select(col("window.start").as("window_start"), col(keyCol),
         col("cnt"), col("amount_cents"))
 
+  /** Streaming exact dedup — the streaming twin of the batch x01
+    * operator: the first row per key is emitted, later duplicates are
+    * dropped while the key's state lives. State is bounded by the
+    * watermark (dropDuplicatesWithinWatermark expires a key once the
+    * watermark passes its event time + delay), so unlike a raw
+    * dropDuplicates stream the state store cannot grow without bound —
+    * the 100 TB posture for infinite streams. The contract is
+    * "exactly-once within the watermark horizon": a duplicate arriving
+    * after its key expired is re-emitted, which is the correct trade on
+    * unbounded input (callers pick the horizon).
+    */
+  def streamingDedup(events: DataFrame, keyCols: Seq[String], tsCol: String,
+                     watermarkDelay: String): DataFrame =
+    events.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** One event on the session stream. Money rides as integer cents (the
     * engine's hashed-surface convention).
     */

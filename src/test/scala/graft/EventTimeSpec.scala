@@ -50,6 +50,34 @@ class EventTimeSpec extends SparkSpecBase {
       "late row beyond the watermark must be dropped")
   }
 
+  test("streaming dedup: duplicates within the watermark horizon dropped, expired keys re-emit") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val deduped = EventTimeStreams.streamingDedup(
+      in.toDF().toDF("ts", "key", "value"),
+      keyCols = Seq("key"), tsCol = "ts", watermarkDelay = "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("sdd")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // first occurrence emitted; in-horizon duplicate dropped
+      in.addData((ts("10:00"), "a", 1.0), (ts("10:01"), "a", 2.0),
+        (ts("10:00"), "b", 3.0))
+      q.processAllAvailable()
+      // same batch-to-batch: still within horizon -> dropped
+      in.addData((ts("10:02"), "a", 4.0))
+      q.processAllAvailable()
+      // advance watermark far past a's expiry (10:00 + 10min)
+      in.addData((ts("11:00"), "c", 5.0))
+      q.processAllAvailable()
+      // a's state expired: re-emitted (the documented horizon contract)
+      in.addData((ts("11:05"), "a", 6.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val vals = spark.table("sdd").select($"key", $"value")
+      .as[(String, Double)].collect().sorted.toSeq
+    assert(vals === Seq(("a", 1.0), ("a", 6.0), ("b", 3.0), ("c", 5.0)))
+  }
+
   test("streaming gap sessionization: explicit close on gap, timeout close on watermark") {
     import EventTimeStreams.{ClosedSession, SessionEvent}
     implicit val sqlCtx = spark.sqlContext
