@@ -24,7 +24,8 @@ object SparkEntry {
       ExtensionQueries.queries ++
       EventTimeQueries.queries ++
       SketchQueries.queries ++
-      SamplingQueries.queries
+      SamplingQueries.queries ++
+      OlapQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -36,5 +37,6 @@ object SparkEntry {
       ExtensionQueries.oracleSql ++
       EventTimeQueries.oracleSql ++
       SketchQueries.oracleSql ++
-      SamplingQueries.oracleSql
+      SamplingQueries.oracleSql ++
+      OlapQueries.oracleSql
 }
