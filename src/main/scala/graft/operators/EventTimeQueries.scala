@@ -54,6 +54,21 @@ object EventTimeQueries {
         .agg(count(lit(1)).as("cnt"), cents("value").as("amount_cents"))
         .orderBy(col("hour_bucket"), col("event_type"))),
 
+    // As-of join: each click enriched with the user's latest signup at
+    // or before it (union+window — one shuffle, see AsOfJoin). ts stays
+    // off the output (nanos-long vs timestamp on the hashed surface).
+    "x25_asof_join" -> ((s, d) => {
+      val e = Tables(s, d, "events")
+      val probe = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val build = e.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("signup_id"))
+      AsOfJoin.backward(probe, build, "user_id", "ts")
+        .select(col("event_id"), col("user_id"), col("signup_id"))
+        .orderBy(col("event_id"))
+    }),
+
     // Inactivity-gap sessionization: a >30min silence starts a new
     // session. Windows are partitioned per user — event-time order
     // within a user, never a global sort.
@@ -84,6 +99,18 @@ object EventTimeQueries {
         |  count(*) AS cnt,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS amount_cents
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "x25_asof_join" ->
+      """WITH probe AS (
+        |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+        |), build AS (
+        |  SELECT user_id, ts, max(event_id) AS signup_id FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id, ts
+        |)
+        |SELECT p.event_id, p.user_id, b.signup_id
+        |FROM probe p ASOF LEFT JOIN build b
+        |  ON p.user_id = b.user_id AND p.ts >= b.ts
+        |ORDER BY p.event_id""".stripMargin,
+
     "x15_session_gap" ->
       """SELECT user_id, CAST(sess AS BIGINT) AS sess, count(*) AS cnt,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS amount_cents,
