@@ -43,7 +43,37 @@ object OlapQueries {
       Tables(s, d, "events")
         .groupBy(floor(col("value") / 50).cast("long").as("bucket"))
         .agg(count(lit(1)).as("cnt"))
-        .orderBy(col("bucket")))
+        .orderBy(col("bucket"))),
+
+    // unpivot/melt: wide metric columns to long (metric, value) rows —
+    // a metadata-only Expand, no shuffle at all
+    "q47_unpivot" -> ((s, d) =>
+      Tables(s, d, "part")
+        .select(col("p_partkey"), col("p_retailprice"),
+          col("p_size").cast("double").as("p_size"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("p_retailprice"), col("p_size")), "metric", "v")
+        .orderBy(col("p_partkey"), col("metric"))),
+
+    // ntile quartiles over the distinct-user relation. The global window
+    // is over a BOUNDED tiny frame (distinct users of the probe set) —
+    // the same justified use as IVF centroid seeding; per-key quantiles
+    // at scale go through x18's sketch instead.
+    "q48_ntile" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("user_id"))
+      Tables(s, d, "events").select(col("user_id")).distinct()
+        .withColumn("quartile", ntile(4).over(w))
+        .orderBy(col("user_id"))
+    }),
+
+    // distributed second-moment aggregates (merge-formula partials)
+    "q49_stats" -> ((s, d) =>
+      Tables(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(round(stddev_samp(col("value")), 6).as("sd"),
+          round(corr(col("value"), col("user_id").cast("double")), 6).as("r"),
+          round(covar_samp(col("value"), col("user_id").cast("double")), 6).as("cov"))
+        .orderBy(col("event_type")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -64,6 +94,25 @@ object OlapQueries {
 
     "q46_histogram" ->
       """SELECT CAST(floor(value / 50) AS BIGINT) AS bucket, count(*) AS cnt
-        |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin
+        |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q47_unpivot" ->
+      """UNPIVOT (
+        |  SELECT p_partkey, p_retailprice, CAST(p_size AS DOUBLE) AS p_size
+        |  FROM part
+        |) ON p_retailprice, p_size INTO NAME metric VALUE v
+        |ORDER BY p_partkey, metric""".stripMargin,
+
+    "q48_ntile" ->
+      """SELECT user_id, CAST(ntile(4) OVER (ORDER BY user_id) AS INT) AS quartile
+        |FROM (SELECT DISTINCT user_id FROM events)
+        |ORDER BY user_id""".stripMargin,
+
+    "q49_stats" ->
+      """SELECT event_type,
+        |  round(stddev_samp(value), 6) AS sd,
+        |  round(corr(value, CAST(user_id AS DOUBLE)), 6) AS r,
+        |  round(covar_samp(value, CAST(user_id AS DOUBLE)), 6) AS cov
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }
