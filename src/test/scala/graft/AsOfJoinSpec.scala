@@ -27,6 +27,15 @@ class AsOfJoinSpec extends SparkSpecBase {
     assert(out === Set(("p1", "b1"), ("p2", null)))
   }
 
+  test("empty build leaves every probe row with null payload; empty probe yields nothing") {
+    val probe = Seq((1L, 100L, "p1")).toDF("k", "t", "pv")
+    val build = Seq((1L, 10L, "b1")).toDF("k", "t", "bv")
+    val noBuild = AsOfJoin.backward(probe, build.limit(0), "k", "t")
+      .select($"pv", $"bv").as[(String, String)].collect().toSet
+    assert(noBuild === Set(("p1", null)))
+    assert(AsOfJoin.backward(probe.limit(0), build, "k", "t").isEmpty)
+  }
+
   test("multiple payload columns survive on both sides") {
     val probe = Seq((1L, 5L, "a", 1.5)).toDF("k", "t", "pa", "pb")
     val build = Seq((1L, 3L, "x", 9)).toDF("k", "t", "ba", "bb")

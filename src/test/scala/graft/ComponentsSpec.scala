@@ -33,6 +33,15 @@ class ComponentsSpec extends SparkSpecBase {
     assert(cc(Seq((5L, 3L), (3L, 9L))) === Map(3L -> 3L, 5L -> 3L, 9L -> 3L))
   }
 
+  test("empty edge list: no components, keepCanonical passes everything through") {
+    assert(cc(Seq.empty) === Map.empty)
+    val docs = (1L to 3L).toDF("id")
+    val kept = Components.keepCanonical(docs, "id",
+        Seq.empty[(Long, Long)].toDF("a", "b"))
+      .as[Long].collect().toSet
+    assert(kept === Set(1L, 2L, 3L))
+  }
+
   test("keepCanonical keeps one doc per cluster and all unpaired docs") {
     val docs = (1L to 10L).toDF("id")
     val pairs = Seq((2L, 7L), (7L, 9L), (4L, 5L)).toDF("a", "b")
