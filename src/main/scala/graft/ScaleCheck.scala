@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Scaling probe (manual tool, not part of the driver contract): runs
+  * the dedup family over the documents corpus replicated 1x/4x/16x and
+  * prints one JSON line per (op, scale) with wall seconds and output
+  * rows.
+  *
+  * Replicas get DISJOINT token spaces (every token prefixed with the
+  * copy tag), so each copy preserves the original's internal near-dup
+  * structure while never matching across copies: output pair counts —
+  * and honest work — grow linearly in the scale factor, which is
+  * exactly what the probe is checking (a quadratic candidate blowup
+  * shows up immediately as super-linear seconds).
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.ScaleCheck"
+  */
+object ScaleCheck {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def corpus(k: Int): DataFrame = {
+      val base = Tables(spark, sfDir, "documents")
+        .select(col("doc_id").as("id"), col("text"))
+      (0 until k).map { i =>
+        base.select((col("id") + i * 1000000L).as("id"),
+          regexp_replace(col("text"), "(\\S+)", s"c$i$$1").as("text"))
+      }.reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(true)
+    }
+
+    def time(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val rows = f
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+
+    for (k <- Seq(1, 4, 16)) {
+      val docs = corpus(k)
+      val ops: Seq[(String, () => Long)] = Seq(
+        "exact" -> (() => Dedup.exactKeepFirst(docs, "id", "text").count()),
+        "ppjoin" -> (() =>
+          Dedup.ngramJaccardPairs(docs, "id", "text", n = 3, threshold = 0.5).count()),
+        "minhash_lsh" -> (() =>
+          Dedup.minhashLshPairs(docs, "id", "text", n = 3, numPerm = 32,
+            bands = 16, threshold = 0.5).count()),
+        "simhash" -> (() => Dedup.simhashPairs(docs, "id", "text", maxDist = 3).count()))
+      ops.foreach { case (name, f) =>
+        val (sec, rows) = time(f())
+        println(f"""{"op":"$name","scale":$k,"sec":$sec%.2f,"rows":$rows}""")
+        spark.catalog.clearCache()
+      }
+    }
+    spark.stop()
+  }
+}
