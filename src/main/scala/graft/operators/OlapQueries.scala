@@ -73,7 +73,33 @@ object OlapQueries {
         .agg(round(stddev_samp(col("value")), 6).as("sd"),
           round(corr(col("value"), col("user_id").cast("double")), 6).as("r"),
           round(covar_samp(col("value"), col("user_id").cast("double")), 6).as("cov"))
-        .orderBy(col("event_type")))
+        .orderBy(col("event_type"))),
+
+    // full-outer join: customers with no orders keep a 0 count; an
+    // aggregate-then-join shape so the outer side stays one row per key
+    "q50_full_outer" -> ((s, d) => {
+      val perCust = Tables(s, d, "orders")
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg(count(lit(1)).as("order_cnt"))
+      Tables(s, d, "customer").select(col("c_custkey"), col("c_name"))
+        .join(perCust, Seq("c_custkey"), "full_outer")
+        .select(col("c_custkey"), col("c_name"),
+          coalesce(col("order_cnt"), lit(0L)).as("order_cnt"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // bounded sliding window frame (ROWS BETWEEN 2 PRECEDING AND CURRENT):
+    // per-user rolling mean in integer-cents space, partitioned windows
+    "q51_rolling_avg" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-2, org.apache.spark.sql.expressions.Window.currentRow)
+      Tables(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          floor(avg(round(col("value") * 100).cast("long")).over(w)).cast("long")
+            .as("roll_cents"))
+        .orderBy(col("event_id"))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -113,6 +139,22 @@ object OlapQueries {
         |  round(stddev_samp(value), 6) AS sd,
         |  round(corr(value, CAST(user_id AS DOUBLE)), 6) AS r,
         |  round(covar_samp(value, CAST(user_id AS DOUBLE)), 6) AS cov
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q50_full_outer" ->
+      """SELECT COALESCE(c.c_custkey, o.c_custkey) AS c_custkey, c.c_name,
+        |  COALESCE(o.order_cnt, 0) AS order_cnt
+        |FROM customer c FULL JOIN (
+        |  SELECT o_custkey AS c_custkey, count(*) AS order_cnt
+        |  FROM orders GROUP BY 1
+        |) o ON c.c_custkey = o.c_custkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q51_rolling_avg" ->
+      """SELECT event_id, user_id,
+        |  CAST(floor(avg(CAST(round(value * 100) AS BIGINT))
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) AS BIGINT) AS roll_cents
+        |FROM events ORDER BY event_id""".stripMargin
   )
 }
