@@ -40,8 +40,18 @@ object ExtensionQueries {
     */
   private val shared =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
-  private def once(s: SparkSession, d: String, name: String)(f: => DataFrame): DataFrame =
-    shared.computeIfAbsent((s, d, name), _ => f.localCheckpoint(true))
+  // NOT computeIfAbsent: memoized builders call each other (jaccardPairs
+  // -> sharedShingles), and a nested computeIfAbsent on one CHM throws
+  // IllegalStateException("Recursive update") whenever the two keys hash
+  // to the same bin. Compute outside the map, then putIfAbsent — queries
+  // run sequentially, so the lost-race recompute is theoretical.
+  private def once(s: SparkSession, d: String, name: String)(f: => DataFrame): DataFrame = {
+    val k = (s, d, name)
+    Option(shared.get(k)).getOrElse {
+      val v = f.localCheckpoint(true)
+      Option(shared.putIfAbsent(k, v)).getOrElse(v)
+    }
+  }
 
   /** Rebalance a small-scan input to the cluster's cores before a
     * row-expansion stage (shingle/token explode, per-vector LSH
