@@ -99,6 +99,42 @@ object OlapQueries {
           floor(avg(round(col("value") * 100).cast("long")).over(w)).cast("long")
             .as("roll_cents"))
         .orderBy(col("event_id"))
+    }),
+
+    // the canonical star join: fact (lineitem⋈orders shuffle join) with
+    // BROADCAST dimension sides (customer, nation) — revenue per nation
+    // in integer cents. Dims broadcast (explicitly for nation, by size
+    // for customer); only the fact tables shuffle.
+    "q52_star_join" -> ((s, d) => {
+      val rev = round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+        .cast("long")
+      Tables(s, d, "lineitem")
+        .join(Tables(s, d, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(rev).as("revenue_cents"), count(lit(1)).as("line_cnt"))
+        .orderBy(col("n_name"))
+    }),
+
+    // the same relation THROUGH THE SQL TEXT SURFACE (spark.sql over
+    // registered views) — proves the engine's SQL API end-to-end; the
+    // DuckDB oracle is literally the same statement
+    "q53_sql_surface" -> ((s, d) => {
+      graft.Tables.registerAll(s, d)
+      s.sql(
+        """SELECT n_name,
+          |  sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+          |    AS revenue_cents,
+          |  count(*) AS line_cnt
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |GROUP BY n_name ORDER BY n_name""".stripMargin)
     })
   )
 
@@ -155,6 +191,28 @@ object OlapQueries {
         |  CAST(floor(avg(CAST(round(value * 100) AS BIGINT))
         |    OVER (PARTITION BY user_id ORDER BY ts, event_id
         |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) AS BIGINT) AS roll_cents
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q52_star_join" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+        |    AS BIGINT) AS revenue_cents,
+        |  count(*) AS line_cnt
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q53_sql_surface" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+        |    AS BIGINT) AS revenue_cents,
+        |  count(*) AS line_cnt
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin
   )
 }
