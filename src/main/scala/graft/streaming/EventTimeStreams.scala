@@ -31,6 +31,26 @@ object EventTimeStreams {
       .select(col("window.start").as("window_start"), col(keyCol),
         col("cnt"), col("amount_cents"))
 
+  /** Watermarked stream-stream interval join — the streaming twin of the
+    * batch range join (x13): left events matched to right events on an
+    * equi key with the right timestamp inside
+    * [left ts, left ts + within). Both sides buffer state; the time
+    * bound plus the watermarks lets Spark EVICT buffered rows once they
+    * can no longer match (unbounded two-sided state otherwise — the
+    * difference between a demo and something that survives an infinite
+    * stream). Column names must be disjoint across the two inputs (the
+    * usual stream-stream join requirement).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   leftKey: String, rightKey: String,
+                   leftTs: String, rightTs: String,
+                   watermarkDelay: String, within: String): DataFrame =
+    left.withWatermark(leftTs, watermarkDelay)
+      .join(right.withWatermark(rightTs, watermarkDelay),
+        col(leftKey) === col(rightKey) &&
+          col(rightTs) >= col(leftTs) &&
+          col(rightTs) < col(leftTs) + expr(s"INTERVAL $within"))
+
   /** Streaming exact dedup — the streaming twin of the batch x01
     * operator: the first row per key is emitted, later duplicates are
     * dropped while the key's state lives. State is bounded by the

@@ -50,6 +50,30 @@ class EventTimeSpec extends SparkSpecBase {
       "late row beyond the watermark must be dropped")
   }
 
+  test("stream-stream interval join: matches inside the window, evicts outside") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, String)]
+    val signups = MemoryStream[(Long, Timestamp, String)]
+    val joined = EventTimeStreams.intervalJoin(
+      clicks.toDF().toDF("c_uid", "c_ts", "c_id"),
+      signups.toDF().toDF("s_uid", "s_ts", "s_id"),
+      "c_uid", "s_uid", "c_ts", "s_ts",
+      watermarkDelay = "5 minutes", within = "30 minutes")
+    val q = joined.select($"c_id", $"s_id").writeStream.format("memory")
+      .queryName("ssj").outputMode(OutputMode.Append()).start()
+    try {
+      // signup at 10:10 inside click@10:00's +30min window; 11:00 outside
+      clicks.addData((1L, ts("10:00"), "c1"), (2L, ts("10:00"), "c2"))
+      signups.addData((1L, ts("10:10"), "s1"), (2L, ts("11:00"), "s2"))
+      q.processAllAvailable()
+      // a later signup for user 1 still inside the window, across batches
+      signups.addData((1L, ts("10:25"), "s3"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("ssj").as[(String, String)].collect().toSet
+    assert(out === Set(("c1", "s1"), ("c1", "s3")))
+  }
+
   test("streaming dedup: duplicates within the watermark horizon dropped, expired keys re-emit") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, String, Double)]
