@@ -59,6 +59,36 @@ class DedupPropertySpec extends SparkSpecBase {
     }
   }
 
+  private val graphGen: Gen[Seq[(Long, Long)]] = for {
+    nNodes <- Gen.choose(2, 24)
+    nEdges <- Gen.choose(1, 30)
+    edges <- Gen.listOfN(nEdges, for {
+      a <- Gen.choose(0L, nNodes - 1L); b <- Gen.choose(0L, nNodes - 1L)
+      if a != b
+    } yield (a, b))
+  } yield edges
+
+  test("connectedComponents equals union-find on random graphs") {
+    import graft.operators.Components
+    for (s <- 1L to 10L) {
+      val edges = graphGen.pureApply(Gen.Parameters.default, rng.Seed(s), retries = 1000)
+      val parent = collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(n => n -> find(n)).toMap
+      val actual = Components.connectedComponents(edges.toDF("a", "b"))
+        .as[(Long, Long)].collect().toMap
+      assert(actual === expected, s"seed $s edges $edges")
+    }
+  }
+
   private val eventsGen: Gen[(Seq[(Long, Long, Long)], Seq[(Long, Long, Long)])] =
     for {
       np <- Gen.choose(1, 12)
