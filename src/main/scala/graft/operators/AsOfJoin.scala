@@ -25,6 +25,9 @@ object AsOfJoin {
                tsCol: String): DataFrame = {
     val pPayload = probe.columns.filterNot(c => c == keyCol || c == tsCol)
     val bPayload = build.columns.filterNot(c => c == keyCol || c == tsCol)
+    // fail fast instead of emitting ambiguous duplicate output columns
+    require(pPayload.intersect(bPayload).isEmpty,
+      s"payload column collision: ${pPayload.intersect(bPayload).mkString(", ")}")
     val pStruct = struct(pPayload.map(col): _*)
     val bStruct = struct(bPayload.map(col): _*)
     val pType = probe.select(pStruct).schema.head.dataType

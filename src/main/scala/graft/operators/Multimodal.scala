@@ -71,10 +71,12 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
         val m = stubDecode(id, bytes)
-        // fake resample: scale the byte budget by target/source area
-        val budget = math.max(1,
-          (bytes.length.toLong * (width * height) /
-            math.max(m.width * m.height, 1)).toInt)
+        // fake resample: scale the byte budget by target/source area —
+        // all in Long (an Int width*height overflows at 64k x 64k) and
+        // clamped before the narrowing
+        val budget = math.max(1L, math.min(Int.MaxValue.toLong,
+          bytes.length.toLong * (width.toLong * height) /
+            math.max(m.width.toLong * m.height, 1L))).toInt
         val out = if (budget <= bytes.length) bytes.take(budget)
           else bytes ++ Array.fill(budget - bytes.length)(0: Byte)
         (id, out, m.format, width, height)

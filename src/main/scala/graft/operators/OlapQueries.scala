@@ -148,11 +148,14 @@ object OlapQueries {
         |  count(*) FILTER (event_type = 'view') AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    // NULLS FIRST matches Spark's ascending default for the rollup's
+    // subtotal rows (the driver's hash sorts rows anyway; this keeps the
+    // two outputs literally row-identical)
     "q45_rollup" ->
       """SELECT event_type, user_id % 10 AS ug, count(*) AS cnt,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS amount_cents
         |FROM events GROUP BY ROLLUP(event_type, ug)
-        |ORDER BY event_type, ug""".stripMargin,
+        |ORDER BY event_type NULLS FIRST, ug NULLS FIRST""".stripMargin,
 
     "q46_histogram" ->
       """SELECT CAST(floor(value / 50) AS BIGINT) AS bucket, count(*) AS cnt

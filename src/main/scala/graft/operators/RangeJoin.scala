@@ -32,9 +32,14 @@ object RangeJoin {
     require(bucketWidth > 0, "bucketWidth must be positive")
     def bucketOf(c: Column): Column = call_function("div", c, lit(bucketWidth))
     val pb = probe.withColumn("__bkt", bucketOf(col(probeTime)))
-    // end is exclusive: the last overlapped bucket is the one of end-1
-    val iv = intervals.withColumn("__bkt",
-      explode(sequence(bucketOf(col(startCol)), bucketOf(col(endCol) - 1))))
+    // end is exclusive: the last overlapped bucket is the one of end-1.
+    // Empty/inverted intervals are dropped FIRST: they can never match,
+    // and sequence(a, b) with a > b generates a DESCENDING sequence — one
+    // corrupt row (end before start) would otherwise explode to billions
+    // of buckets and kill the job.
+    val iv = intervals.filter(col(endCol) > col(startCol))
+      .withColumn("__bkt",
+        explode(sequence(bucketOf(col(startCol)), bucketOf(col(endCol) - 1))))
     pb.join(iv, Seq("__bkt"))
       .filter(col(probeTime) >= col(startCol) && col(probeTime) < col(endCol))
       .drop("__bkt")

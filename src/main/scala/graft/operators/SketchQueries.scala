@@ -29,7 +29,8 @@ object SketchQueries {
   private val Rsd = 0.01
 
   /** Relative-rank accuracy for approx_percentile (rank error <=
-    * n/Accuracy); the gate asserts a 1% relative-rank window.
+    * n/Accuracy); the gate asserts rank containment within
+    * 1/Accuracy + 1/n.
     */
   private val Accuracy = 10000
 
@@ -65,19 +66,26 @@ object SketchQueries {
     "x18_approx_median" -> ((s, d) =>
       approxMedian(s, d).orderBy(col("event_type"))),
 
-    // gate: the estimate's true relative RANK must sit in 0.5 +- 1%.
-    // approx_percentile guarantees rank error <= n/Accuracy (= 0.01%
-    // of ranks here) and returns an actual element of the group, so
-    // the fraction of values <= estimate is within the window by
-    // construction. Verified by joining the estimate back against the
-    // raw values — the join is per-group (5 groups), never a cross.
+    // gate: rank CONTAINMENT. approx_percentile returns an element whose
+    // rank r obeys |r - 0.5n| <= n/Accuracy, so the element's true
+    // insertion interval — [fraction strictly below it, fraction at or
+    // below it] — must straddle 0.5 within eps = 1/Accuracy + 1/n (the
+    // 1/n term is rank discreteness; the two-sided lt/le pair is what
+    // makes ties at the median provably harmless, where a single
+    // "fraction <=" test is NOT empty-by-construction for small or tied
+    // groups). The join is per-group (5 groups), never a cross.
     "x18g_approx_median_gate" -> ((s, d) => {
-      val frac = events(s, d).join(approxMedian(s, d), "event_type")
+      val fr = events(s, d).join(approxMedian(s, d), "event_type")
         .groupBy(col("event_type"))
-        .agg(avg(when(col("value") <= col("approx_median"), 1.0).otherwise(0.0))
-          .as("rank_frac"))
-      frac.filter(abs(col("rank_frac") - 0.5) > 0.01)
-        .select(col("event_type"), round(col("rank_frac"), 6).as("rank_frac"))
+        .agg(avg(when(col("value") < col("approx_median"), 1.0).otherwise(0.0))
+            .as("frac_lt"),
+          avg(when(col("value") <= col("approx_median"), 1.0).otherwise(0.0))
+            .as("frac_le"),
+          count(lit(1)).as("n"))
+      val eps = lit(1.0 / Accuracy) + lit(1.0) / col("n")
+      fr.filter(col("frac_lt") > lit(0.5) + eps || col("frac_le") < lit(0.5) - eps)
+        .select(col("event_type"), round(col("frac_lt"), 6).as("frac_lt"),
+          round(col("frac_le"), 6).as("frac_le"))
         .orderBy(col("event_type"))
     }),
 
@@ -97,7 +105,8 @@ object SketchQueries {
 
     "x18g_approx_median_gate" ->
       """SELECT CAST(NULL AS VARCHAR) AS event_type,
-        |  CAST(NULL AS DOUBLE) AS rank_frac WHERE false""".stripMargin,
+        |  CAST(NULL AS DOUBLE) AS frac_lt,
+        |  CAST(NULL AS DOUBLE) AS frac_le WHERE false""".stripMargin,
 
     "x19_exact_median" ->
       """SELECT event_type, round(quantile_cont(value, 0.5), 6) AS median_value

@@ -49,7 +49,17 @@ object JdbcUpsertSink {
       try {
         chunk.foreach { r => bind(upd, r, nonKey :+ keyIdx); upd.addBatch() }
         val updated = upd.executeBatch()
-        val misses = chunk.zip(updated).collect { case (r, 0) => r }
+        // drivers may return SUCCESS_NO_INFO (-2) per batch entry (Oracle
+        // always; MySQL with rewritten batches) — treating that as "hit"
+        // would silently drop every brand-new row. Resolve unknowns with
+        // a per-row update whose count is authoritative.
+        val misses = chunk.zip(updated).flatMap {
+          case (r, 0) => Some(r)
+          case (r, c) if c < 0 =>
+            bind(upd, r, nonKey :+ keyIdx)
+            if (upd.executeUpdate() == 0) Some(r) else None
+          case _ => None
+        }
         if (misses.nonEmpty) {
           val ins = conn.prepareStatement(
             s"INSERT INTO $table (${cols.mkString(", ")}) " +

@@ -42,7 +42,7 @@ object TableStore {
 
   private def bucketDirs(path: String): Seq[File] =
     Option(new File(path).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.matches("b\\d{4}"))
+      .filter(f => f.isDirectory && f.getName.matches("b\\d+"))
       .sortBy(_.getName)
 
   /** Loose files at the table root — the flat layout `append` writes. */
@@ -222,7 +222,7 @@ object TableStore {
       val dirs = bucketDirs(path)
       if (dirs.nonEmpty) {
         // job 1: affected buckets (bucket id recovered from file path)
-        val bOf = regexp_extract(input_file_name(), "/b(\\d{4})/[^/]*$", 1).cast("int")
+        val bOf = regexp_extract(input_file_name(), "/b(\\d+)/[^/]*$", 1).cast("int")
         val t = spark.read.parquet(dirs.map(_.getPath): _*).withColumn("__b", bOf)
         val affected = t.join(broadcast(k), col(fk) === col("__k"), "left_semi")
           .select("__b").distinct().collect().map(_.getInt(0)).toSeq.sorted

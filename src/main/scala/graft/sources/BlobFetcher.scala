@@ -26,11 +26,16 @@ object BlobFetcher {
     */
   type Fetch = String => (Int, Array[Byte])
 
+  /** One HTTP client per executor JVM (lazily built on first use, after
+    * deserialization) — per-row clients would cold-handshake every fetch
+    * and allocate a pool per document.
+    */
+  @transient private lazy val sharedClient = java.net.http.HttpClient.newHttpClient()
+
   /** Production transport: blocking GET via java.net.http. */
   def httpFetch: Fetch = { url =>
-    val client = java.net.http.HttpClient.newHttpClient()
     val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url)).GET().build()
-    val res = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+    val res = sharedClient.send(req, java.net.http.HttpResponse.BodyHandlers.ofByteArray())
     (res.statusCode(), res.body())
   }
 

@@ -72,10 +72,15 @@ object EventTimeStreams {
     */
   case class SessionEvent(userId: Long, ts: java.sql.Timestamp, valueCents: Long)
 
-  /** Per-user open-session state (epoch millis — Spark's GroupState
-    * timeout clock).
-    */
+  /** One open session (epoch millis — Spark's GroupState timeout clock). */
   case class SessionState(start: Long, last: Long, cnt: Long, cents: Long)
+
+  /** Per-user state: ALL open sessions inside the watermark horizon.
+    * More than one exists exactly when events arrive out of order with
+    * silences between them — a later-arriving event may still BRIDGE
+    * two of them into one.
+    */
+  case class OpenSessions(open: Seq[SessionState])
 
   /** A closed session, emitted exactly once. */
   case class ClosedSession(userId: Long, sessionStart: java.sql.Timestamp,
@@ -83,18 +88,22 @@ object EventTimeStreams {
                            amountCents: Long)
 
   /** Streaming inactivity-gap sessionization — the streaming twin of the
-    * batch x15 operator, as `flatMapGroupsWithState` custom state: a
-    * session closes when a >gap silence follows it, either observed (a
-    * later event arrives past the gap) or inferred (the event-time
-    * watermark passes last+gap, via EventTimeTimeout — so sessions of
-    * USERS WHO LEFT still close, which no pure windowed aggregation
-    * expresses).
+    * batch x15 operator, as `flatMapGroupsWithState` custom state.
     *
-    * State per key is one fixed-size SessionState, dropped on close:
-    * memory is O(active users), independent of stream length — the
-    * unbounded-input posture. Emission is append-mode (each closed
-    * session exactly once); within a micro-batch, events are folded in
-    * event-time order so batch boundaries never change the result.
+    * Each incoming event merges every open session within `gapMs` of it
+    * (at most its two neighbors — merging THROUGH an event is how two
+    * sessions bridge when the connecting event arrives late). A session
+    * closes ONLY when the event-time watermark passes last+gap
+    * (EventTimeTimeout or an expiry sweep while processing events):
+    * at that point no event that could extend or bridge it can still
+    * arrive, so emission is correct under ANY within-watermark disorder
+    * — closing on the mere observation of a later event would be wrong,
+    * since a bridging event may still come.
+    *
+    * State per key is the open-session list — bounded by the number of
+    * gap-separated bursts inside one watermark horizon, independent of
+    * stream length; sessions of USERS WHO LEFT still close via timeout,
+    * which no pure windowed aggregation expresses.
     */
   def gapSessions(events: Dataset[SessionEvent], gapMs: Long,
                   watermarkDelay: String): Dataset[ClosedSession] = {
@@ -104,39 +113,32 @@ object EventTimeStreams {
       s.cnt, s.cents)
     events.withWatermark("ts", watermarkDelay)
       .groupByKey(_.userId)
-      .flatMapGroupsWithState[SessionState, ClosedSession](
+      .flatMapGroupsWithState[OpenSessions, ClosedSession](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid, evs, state) =>
-          if (state.hasTimedOut) {
-            // watermark passed last+gap with no further events: the
-            // session provably cannot be extended (late data is gone)
-            val s = state.get
-            state.remove()
-            Iterator.single(closed(uid, s))
-          } else {
-            val out = Seq.newBuilder[ClosedSession]
-            var cur = state.getOption
-            evs.toSeq.sortBy(_.ts.getTime).foreach { e =>
+          val wm = state.getCurrentWatermarkMs()
+          // fold events: each merges itself plus every session in reach
+          val open = evs.foldLeft(state.getOption.map(_.open).getOrElse(Nil)) {
+            (open, e) =>
               val t = e.ts.getTime
-              cur match {
-                case Some(s) if t - s.last <= gapMs =>
-                  cur = Some(SessionState(s.start, math.max(s.last, t),
-                    s.cnt + 1, s.cents + e.valueCents))
-                case other =>
-                  other.foreach(s => out += closed(uid, s))
-                  cur = Some(SessionState(t, t, 1, e.valueCents))
-              }
-            }
-            cur.foreach { s =>
-              state.update(s)
-              // the timeout must sit strictly past the current watermark
-              // (Spark rejects stale timestamps); a session whose close
-              // time the watermark already passed times out next batch
-              state.setTimeoutTimestamp(
-                math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
-            }
-            out.result().iterator
+              val (reach, rest) = open.partition(s =>
+                t >= s.start - gapMs && t <= s.last + gapMs)
+              reach.foldLeft(SessionState(t, t, 1, e.valueCents)) { (a, s) =>
+                SessionState(math.min(a.start, s.start), math.max(a.last, s.last),
+                  a.cnt + s.cnt, a.cents + s.cents)
+              } +: rest
           }
+          // a session with last+gap < wm can neither be extended nor
+          // bridged by any future event (all have ts >= wm): close it
+          val (expired, alive) = open.partition(_.last + gapMs < wm)
+          if (alive.isEmpty) state.remove()
+          else {
+            state.update(OpenSessions(alive))
+            // earliest possible close, clamped strictly past the watermark
+            state.setTimeoutTimestamp(
+              math.max(alive.map(_.last + gapMs).min, wm + 1))
+          }
+          expired.sortBy(_.start).map(closed(uid, _)).iterator
       }
   }
 }

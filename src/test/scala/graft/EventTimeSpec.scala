@@ -146,11 +146,47 @@ class EventTimeSpec extends SparkSpecBase {
       in.addData(SessionEvent(7, ts("11:00"), 8), SessionEvent(7, ts("09:00"), 1),
         SessionEvent(7, ts("09:10"), 2))
       q.processAllAvailable()
+      // watermark (11:00 after batch 1) passes 09:10+30min on the next
+      // batch: the early session times out; 11:15 keeps the watermark
+      // below 11:00+gap so [11:00] stays open (even through the engine's
+      // no-data timeout batch)
+      in.addData(SessionEvent(8, ts("11:15"), 1))
+      q.processAllAvailable()
     } finally q.stop()
     val out = spark.table("sess2").as[ClosedSession].collect()
       .map(c => (c.sessionStart.toString, c.cnt, c.amountCents)).toSet
     // only the FIRST session closes (the 11:00 one stays open in state)
     assert(out === Set(("2024-01-01 09:00:00.0", 2L, 3L)))
+  }
+
+  test("streaming gap sessionization: a late event bridges two open sessions") {
+    import EventTimeStreams.{ClosedSession, SessionEvent}
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[SessionEvent]
+    val sessions = EventTimeStreams.gapSessions(in.toDS(),
+      gapMs = 30 * 60 * 1000, watermarkDelay = "2 hours")
+    val q = sessions.writeStream.format("memory").queryName("sess3")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // 09:00 and 10:00 are >30min apart: two OPEN sessions
+      in.addData(SessionEvent(5, ts("09:00"), 1), SessionEvent(5, ts("10:00"), 4))
+      q.processAllAvailable()
+      // 09:30 arrives late (inside the 2h watermark): within 30min of
+      // BOTH — must merge them into one [09:00,10:00] session, which is
+      // exactly why observing 10:00 must not close [09:00,09:00]
+      in.addData(SessionEvent(5, ts("09:30"), 2))
+      q.processAllAvailable()
+      // advance the watermark past 10:30 to flush the merged session
+      in.addData(SessionEvent(9, ts("13:00"), 1))
+      q.processAllAvailable()
+      in.addData(SessionEvent(9, ts("13:30"), 1))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("sess3").as[ClosedSession].collect()
+      .filter(_.userId == 5)
+      .map(c => (c.sessionStart.toString, c.sessionEnd.toString,
+        c.cnt, c.amountCents)).toSet
+    assert(out === Set(("2024-01-01 09:00:00.0", "2024-01-01 10:00:00.0", 3L, 7L)))
   }
 
   test("RangeJoin: boundary inclusion/exclusion and bucket-spanning intervals") {
