@@ -63,6 +63,67 @@ class JdbcUpsertSinkSpec extends SparkSpecBase {
     }
   }
 
+  test("GenericDialect resolves SUCCESS_NO_INFO batch results per-row") {
+    // Derby reports real update counts, so the -2 path never fires
+    // naturally: proxy the connection so the UPDATE batch claims
+    // SUCCESS_NO_INFO for every row, forcing the per-row fallback. The
+    // actual writes still hit real Derby — correctness is end-to-end.
+    import java.lang.reflect.{InvocationHandler, Method, Proxy => JProxy}
+    import java.sql.{Connection, PreparedStatement, Statement}
+
+    def noInfoStatement(real: PreparedStatement): PreparedStatement =
+      JProxy.newProxyInstance(getClass.getClassLoader,
+        Array(classOf[PreparedStatement]),
+        new InvocationHandler {
+          def invoke(p: AnyRef, m: Method, a: Array[AnyRef]): AnyRef = {
+            val r = m.invoke(real, a: _*)
+            if (m.getName == "executeBatch")
+              Array.fill(r.asInstanceOf[Array[Int]].length)(Statement.SUCCESS_NO_INFO)
+            else r
+          }
+        }).asInstanceOf[PreparedStatement]
+
+    def noInfoConnection(real: Connection): Connection =
+      JProxy.newProxyInstance(getClass.getClassLoader,
+        Array(classOf[Connection]),
+        new InvocationHandler {
+          def invoke(p: AnyRef, m: Method, a: Array[AnyRef]): AnyRef = {
+            val r = m.invoke(real, a: _*)
+            if (m.getName == "prepareStatement" &&
+                a(0).asInstanceOf[String].startsWith("UPDATE"))
+              noInfoStatement(r.asInstanceOf[PreparedStatement])
+            else r
+          }
+        }).asInstanceOf[Connection]
+
+    withTable("CREATE TABLE rel2 (id VARCHAR(32) PRIMARY KEY, yr INT, title VARCHAR(64))", "rel2") {
+      val conn = DriverManager.getConnection(url)
+      try {
+        conn.setAutoCommit(false)
+        val st = conn.createStatement()
+        st.execute("INSERT INTO rel2 VALUES ('a', 2024, 'old')")
+        st.close()
+        val schema = Seq(("x", 1, "y")).toDF("id", "yr", "title").schema
+        val chunk = Seq(
+          org.apache.spark.sql.Row("a", 2025, "updated"), // existing -> UPDATE
+          org.apache.spark.sql.Row("b", 2025, "fresh"))   // new -> INSERT
+        JdbcUpsertSink.GenericDialect.writeChunk(
+          noInfoConnection(conn), "rel2", schema, "id", chunk)
+        conn.commit()
+
+        val rs = conn.createStatement()
+          .executeQuery("SELECT id, yr, title FROM rel2 ORDER BY id")
+        val out = Iterator.continually(rs)
+          .takeWhile(_.next())
+          .map(r => (r.getString(1), r.getInt(2), r.getString(3))).toList
+        // a "all -2" batch must neither drop the new row (treated as
+        // hit) nor double-insert the existing one (treated as miss)
+        assert(out === List(("a", 2025, "updated"), ("b", 2025, "fresh")))
+        conn.commit() // close the read txn (autoCommit is off)
+      } finally conn.close()
+    }
+  }
+
   test("insert appends in chunks without conflict handling (OP-12)") {
     withTable("CREATE TABLE alloc (nca VARCHAR(32), amt DOUBLE)", "alloc") {
       val rows = (1 to 700).map(i => (s"n$i", i * 1.5)).toDF("nca", "amt")
