@@ -62,6 +62,38 @@ object ScaleCheck {
         spark.catalog.clearCache()
       }
     }
+
+    // ANN corpus scaling: FIXED 10 queries against a replicated corpus
+    // (ids offset; vectors identical — the replicas are real neighbors,
+    // which is fine for top-k, whose output stays k per query). Brute
+    // force must grow linearly in the corpus; LSH's scoring stays
+    // confined to bucket collisions, so its seconds should grow slower
+    // than brute's — a quadratic candidate blowup in either shows up
+    // immediately as super-linear seconds.
+    import graft.operators.Similarity
+    def embCorpus(k: Int): DataFrame = {
+      val base = Tables(spark, sfDir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      (0 until k).map(i => base.select((col("id") + i * 1000000L).as("id"), col("vec")))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(true)
+    }
+    val annQueries = embCorpus(1).orderBy("id").limit(10).localCheckpoint(true)
+    for (k <- Seq(1, 4, 16)) {
+      val corpus = embCorpus(k)
+      val anns: Seq[(String, () => Long)] = Seq(
+        "ann_brute" -> (() =>
+          Similarity.bruteForceTopK(annQueries, corpus, "id", "vec", k = 5).count()),
+        "ann_lsh" -> (() =>
+          Similarity.lshTopK(annQueries, corpus, "id", "vec", k = 5,
+            nbits = 8, tables = 4).count()))
+      anns.foreach { case (name, f) =>
+        val (sec, rows) = time(f())
+        println(f"""{"op":"$name","scale":$k,"sec":$sec%.2f,"rows":$rows}""")
+        spark.catalog.clearCache()
+      }
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+
+/** Plan-level regression guard: every declared query is planned against
+  * sf0.001 and checked for the two anti-patterns that turn a working
+  * sf0.01 query into a 100 TB non-starter — cartesian products and
+  * unbounded nested-loop joins. A refactor that silently drops an
+  * equi-join condition (or defeats a pushdown that made one safe) fails
+  * here, not in production.
+  *
+  * Uses `sparkPlan` (the pre-AQE physical plan): the AQE wrapper node
+  * hides its inner plan from TreeNode traversal, and a cartesian is
+  * visible before adaptive re-planning anyway.
+  */
+class PlanAuditSpec extends SparkSpecBase {
+
+  /** x06 is the intentional O(N*Q) brute-force ANN baseline (its
+    * qid != nid scoring join is a nested loop BY DESIGN; the LSH and
+    * IVF variants are its scale paths), and the two precision gates
+    * embed the same exhaustive brute-force scoring as their reference
+    * relation.
+    */
+  private val nestedLoopByDesign =
+    Set("x06_ann_brute_topk", "x07p_ann_lsh_precision", "x16p_ann_ivf_precision")
+
+  test("no declared query plans a cartesian product or an unintended nested-loop join") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, f) =>
+        val plan = f(spark, sfDir).queryExecution.sparkPlan
+        val cart = plan.collect { case c: CartesianProductExec => c }
+        val bnlj = plan.collect { case j: BroadcastNestedLoopJoinExec => j }
+        val bad =
+          (if (cart.nonEmpty) Seq(s"$name: CartesianProduct") else Nil) ++
+            (if (bnlj.nonEmpty && !nestedLoopByDesign(name))
+               Seq(s"$name: BroadcastNestedLoopJoin") else Nil)
+        bad
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+}
