@@ -46,7 +46,9 @@ object SketchQueries {
     events(s, d).groupBy(col("event_type"))
       .agg(approx_percentile(col("value"), lit(0.5), lit(Accuracy)).as("approx_median"))
 
-  val queries: Map[String, Q] = Map(
+  val queries: Map[String, Q] = baseQueries ++ heavyHitters
+
+  private lazy val baseQueries: Map[String, Q] = Map(
     "x17_approx_distinct" -> ((s, d) =>
       approxDistinct(s, d).orderBy(col("event_type"))),
 
@@ -97,6 +99,40 @@ object SketchQueries {
         .orderBy(col("event_type")))
   )
 
+  /** Heavy-hitter user ids via Misra-Gries-style freqItems: one pass,
+    * O(1/support) counters per partition plus a counter merge — never a
+    * full groupBy of the (at scale, billions-of-keys) id domain. The
+    * sketch may over-report (false positives) but NEVER misses an item
+    * occurring in more than `support` of the rows — which is what the
+    * recall gate proves against the exact counts.
+    */
+  private val Support = 0.005
+
+  private def hhCandidates(s: SparkSession, d: String): DataFrame =
+    events(s, d).stat.freqItems(Array("user_id"), Support)
+      .select(explode(col("user_id_freqItems")).as("user_id"))
+
+  private lazy val heavyHitters: Map[String, Q] = Map(
+    // approximate output -> rows-only; the gate below is the oracle
+    "x26_heavy_hitters" -> ((s, d) =>
+      hhCandidates(s, d).orderBy(col("user_id"))),
+
+    // gate: every user with count STRICTLY above support*n must be in
+    // the sketch output (the Misra-Gries recall guarantee) => the
+    // anti-join is empty by construction, declared with an empty oracle.
+    "x26g_heavy_hitters_recall" -> ((s, d) => {
+      // total row count as a broadcast 1-row frame, not a driver action
+      val total = events(s, d).agg(count(lit(1)).as("n"))
+      val exact = events(s, d).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(total))
+        .filter(col("cnt") > lit(Support) * col("n"))
+      exact.join(hhCandidates(s, d), Seq("user_id"), "left_anti")
+        .select(col("user_id"), col("cnt"))
+        .orderBy(col("user_id"))
+    })
+  )
+
   val oracleSql: Map[String, String] = Map(
     "x17g_approx_distinct_gate" ->
       """SELECT CAST(NULL AS VARCHAR) AS event_type,
@@ -107,6 +143,10 @@ object SketchQueries {
       """SELECT CAST(NULL AS VARCHAR) AS event_type,
         |  CAST(NULL AS DOUBLE) AS frac_lt,
         |  CAST(NULL AS DOUBLE) AS frac_le WHERE false""".stripMargin,
+
+    "x26g_heavy_hitters_recall" ->
+      """SELECT CAST(NULL AS BIGINT) AS user_id,
+        |  CAST(NULL AS BIGINT) AS cnt WHERE false""".stripMargin,
 
     "x19_exact_median" ->
       """SELECT event_type, round(quantile_cont(value, 0.5), 6) AS median_value

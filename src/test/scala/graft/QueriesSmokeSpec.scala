@@ -21,7 +21,8 @@ class QueriesSmokeSpec extends SparkSpecBase {
     "x07p_ann_lsh_precision",
     "x16p_ann_ivf_precision",
     "x17g_approx_distinct_gate",
-    "x18g_approx_median_gate")
+    "x18g_approx_median_gate",
+    "x26g_heavy_hitters_recall")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs and yields rows") {
