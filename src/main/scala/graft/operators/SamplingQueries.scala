@@ -28,7 +28,9 @@ object SamplingQueries {
   private def hashPrefix(key: Column): Column =
     substring(md5(key.cast("string")), 1, 2)
 
-  val queries: Map[String, Q] = Map(
+  val queries: Map[String, Q] = base ++ stratified
+
+  private lazy val base = Map[String, Q](
     // ~10% deterministic sample: prefix '00'..'19' = 26/256 buckets
     "x21_hash_sample" -> ((s, d) =>
       Tables(s, d, "documents")
@@ -53,6 +55,29 @@ object SamplingQueries {
         .orderBy(col("split")))
   )
 
+  /** Deterministic stratified (class-balancing) sample: per-class keep
+    * fractions expressed as per-class hash-prefix thresholds — here the
+    * majority class ('en', ~44% of the corpus) is downsampled to
+    * 86/256 ≈ 34% while minority classes keep every row, flattening the
+    * language distribution. Same scan-level-predicate properties as
+    * x21: no RNG, no shuffle, membership independent of partitioning
+    * and corpus growth — the determinism Spark's stat.sampleBy (seeded
+    * per-partition RNG) cannot give.
+    */
+  private lazy val stratified = Map[String, Q](
+    "x27_stratified_sample" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .filter(col("lang") =!= "en" || hashPrefix(col("doc_id")) <= "55")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
+    // class sizes after balancing: the point of the operator, visible
+    "x27s_class_sizes" -> ((s, d) =>
+      queries("x27_stratified_sample")(s, d)
+        .groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("lang")))
+  )
+
   val oracleSql: Map[String, String] = Map(
     "x21_hash_sample" ->
       """SELECT doc_id, lang FROM documents
@@ -72,6 +97,16 @@ object SamplingQueries {
         |              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'e5' THEN 'val'
         |              ELSE 'test' END AS split
         |  FROM documents
-        |) GROUP BY split ORDER BY split""".stripMargin
+        |) GROUP BY split ORDER BY split""".stripMargin,
+
+    "x27_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE lang <> 'en' OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '55'
+        |ORDER BY doc_id""".stripMargin,
+
+    "x27s_class_sizes" ->
+      """SELECT lang, count(*) AS cnt FROM documents
+        |WHERE lang <> 'en' OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '55'
+        |GROUP BY lang ORDER BY lang""".stripMargin
   )
 }
