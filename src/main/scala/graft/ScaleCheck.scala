@@ -29,16 +29,24 @@ object ScaleCheck {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def corpus(k: Int): DataFrame = {
-      val base = Tables(spark, sfDir, "documents")
-        .select(col("doc_id").as("id"), col("text"))
+    /** k id-offset copies of `base` (offset stride 1M — well above any
+      * test corpus), each transformed by `perCopy`, rebalanced and
+      * pinned. Shared by the dedup and ANN sections.
+      */
+    def replicate(base: DataFrame, k: Int)
+                 (perCopy: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until k).map { i =>
-        base.select((col("id") + i * 1000000L).as("id"),
-          regexp_replace(col("text"), "(\\S+)", s"c$i$$1").as("text"))
+        perCopy(base.withColumn("id", col("id") + i * 1000000L), i)
       }.reduce(_ unionByName _)
         .repartition(spark.sparkContext.defaultParallelism)
         .localCheckpoint(true)
-    }
+
+    def corpus(k: Int): DataFrame =
+      replicate(Tables(spark, sfDir, "documents")
+          .select(col("doc_id").as("id"), col("text")), k) { (df, i) =>
+        // disjoint token spaces: copies never match each other
+        df.withColumn("text", regexp_replace(col("text"), "(\\S+)", s"c$i$$1"))
+      }
 
     def time(f: => Long): (Double, Long) = {
       val t0 = System.nanoTime()
@@ -71,15 +79,12 @@ object ScaleCheck {
     // than brute's — a quadratic candidate blowup in either shows up
     // immediately as super-linear seconds.
     import graft.operators.Similarity
-    def embCorpus(k: Int): DataFrame = {
-      val base = Tables(spark, sfDir, "embeddings")
-        .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      (0 until k).map(i => base.select((col("id") + i * 1000000L).as("id"), col("vec")))
-        .reduce(_ unionByName _)
-        .repartition(spark.sparkContext.defaultParallelism)
-        .localCheckpoint(true)
-    }
-    val annQueries = embCorpus(1).orderBy("id").limit(10).localCheckpoint(true)
+    def embBase: DataFrame = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    def embCorpus(k: Int): DataFrame = replicate(embBase, k)((df, _) => df)
+    // query set straight off the base table — no full-corpus checkpoint
+    // just to take 10 rows
+    val annQueries = embBase.orderBy("id").limit(10).localCheckpoint(true)
     for (k <- Seq(1, 4, 16)) {
       val corpus = embCorpus(k)
       val anns: Seq[(String, () => Long)] = Seq(

@@ -26,11 +26,15 @@ class CoLocatedJoinSpec extends SparkSpecBase {
 
       val joined = CoLocatedJoin.join(spark, "bkt_orders", "bkt_lineitem",
         "o_orderkey")
-      val shuffles = joined.queryExecution.executedPlan.collect {
+      // sparkPlan, NOT executedPlan: if a shuffle regressed into this
+      // plan, AQE would wrap executedPlan in an AdaptiveSparkPlanExec
+      // LEAF that hides it from collect — the assertion would pass on
+      // exactly the regression it guards against
+      val shuffles = joined.queryExecution.sparkPlan.collect {
         case e: ShuffleExchangeExec => e
       }
       assert(shuffles.isEmpty,
-        s"expected a shuffle-free co-located join, got:\n${joined.queryExecution.executedPlan}")
+        s"expected a shuffle-free co-located join, got:\n${joined.queryExecution.sparkPlan}")
 
       // same result as the plain (shuffling) join
       val expected = orders.join(lineitem, "o_orderkey")

@@ -35,8 +35,12 @@ class PlanAuditSpec extends SparkSpecBase {
         val plan = f(spark, sfDir).queryExecution.sparkPlan
         val cart = plan.collect { case c: CartesianProductExec => c }
         val bnlj = plan.collect { case j: BroadcastNestedLoopJoinExec => j }
+        // the by-design exemption covers BOTH shapes: the same non-equi
+        // join plans as either BNLJ or CartesianProduct depending on
+        // whether stats put one side under the broadcast threshold
         val bad =
-          (if (cart.nonEmpty) Seq(s"$name: CartesianProduct") else Nil) ++
+          (if (cart.nonEmpty && !nestedLoopByDesign(name))
+             Seq(s"$name: CartesianProduct") else Nil) ++
             (if (bnlj.nonEmpty && !nestedLoopByDesign(name))
                Seq(s"$name: BroadcastNestedLoopJoin") else Nil)
         bad
