@@ -119,6 +119,25 @@ object JdbcUpsertSink {
   /** OP-12: chunked append-only bulk insert (allocations,
     * supabase_repository.py:67-71).
     */
+  /** Streaming load stage in the reference's actual topology: each
+    * micro-batch upserts into the relational sink via foreachBatch
+    * (handlers/worker.py ends every message in a supabase bulk upsert).
+    * At-least-once delivery composes with the upsert's idempotence into
+    * exactly-once-effective rows — a replayed micro-batch re-applies
+    * the same key-conflict updates. Empty micro-batches are skipped
+    * (the reference's empty-write guard raises; an idle stream tick is
+    * not an error).
+    *
+    * Returns the configured writer; callers pick trigger/checkpoint and
+    * call start().
+    */
+  def streamUpsert(stream: DataFrame, url: String, table: String, key: String,
+                   chunkSize: Int = 500, dialect: Dialect = GenericDialect)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      if (!batch.isEmpty) upsert(batch, url, table, key, chunkSize, dialect)
+    }
+
   def insert(batch: DataFrame, url: String, table: String,
              chunkSize: Int = 500): Unit = {
     TableStore.requireNonEmpty(batch, s"jdbc insert into $table")

@@ -124,6 +124,32 @@ class JdbcUpsertSinkSpec extends SparkSpecBase {
     }
   }
 
+  test("streamUpsert: micro-batches land exactly-once-effective in the DB") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    withTable("CREATE TABLE srel (id VARCHAR(32) PRIMARY KEY, yr INT)", "srel") {
+      val in = MemoryStream[(String, Int)]
+      val q = JdbcUpsertSink.streamUpsert(
+        in.toDF().toDF("id", "yr"), url, "srel", "id").start()
+      try {
+        in.addData(("a", 2024), ("b", 2024))
+        q.processAllAvailable()
+        // conflicting key updates, new key inserts — across micro-batches
+        in.addData(("a", 2025), ("c", 2025))
+        q.processAllAvailable()
+      } finally q.stop()
+
+      val conn = DriverManager.getConnection(url)
+      try {
+        val rs = conn.createStatement()
+          .executeQuery("SELECT id, yr FROM srel ORDER BY id")
+        val out = Iterator.continually(rs).takeWhile(_.next())
+          .map(r => (r.getString(1), r.getInt(2))).toList
+        assert(out === List(("a", 2025), ("b", 2024), ("c", 2025)))
+      } finally conn.close()
+    }
+  }
+
   test("insert appends in chunks without conflict handling (OP-12)") {
     withTable("CREATE TABLE alloc (nca VARCHAR(32), amt DOUBLE)", "alloc") {
       val rows = (1 to 700).map(i => (s"n$i", i * 1.5)).toDF("nca", "amt")
