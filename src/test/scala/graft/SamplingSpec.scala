@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.SamplingQueries
+
+/** The sampling family's value proposition is determinism properties no
+  * seeded RNG sample has — prove them directly rather than relying on
+  * the oracle hash alone.
+  */
+class SamplingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("stratified sample keeps every minority row and ~34% of the majority") {
+    val out = SamplingQueries.queries("x27_stratified_sample")(spark, sfDir)
+    val byLang = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val inLang = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+
+    inLang.keys.filter(_ != "en").foreach { l =>
+      assert(byLang(l) === inLang(l), s"minority class $l must keep every row")
+    }
+    val frac = byLang("en").toDouble / inLang("en")
+    // 86/256 = 0.336; md5 buckets are near-uniform, wide tolerance
+    assert(frac > 0.2 && frac < 0.5, s"en kept fraction $frac")
+  }
+
+  test("sample membership is invariant under repartitioning") {
+    def ids(parts: Int): Set[Long] =
+      docs.repartition(parts)
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 2) <= "19")
+        .select("doc_id").as[Long].collect().toSet
+    assert(ids(1) === ids(7))
+  }
+
+  test("a row's split assignment never changes when the corpus grows") {
+    val full = SamplingQueries.queries("x22_split_assign")(spark, sfDir)
+      .as[(Long, String)].collect().toMap
+    // same operator over a half-corpus "earlier snapshot"
+    val halfDocs = docs.filter(col("doc_id") % 2 === 0)
+    val half = halfDocs
+      .select(col("doc_id"),
+        when(substring(md5(col("doc_id").cast("string")), 1, 2) <= "cb", "train")
+          .when(substring(md5(col("doc_id").cast("string")), 1, 2) <= "e5", "val")
+          .otherwise("test").as("split"))
+      .as[(Long, String)].collect().toMap
+    half.foreach { case (id, split) =>
+      assert(full(id) === split, s"doc $id changed split when the corpus grew")
+    }
+    assert(half.nonEmpty)
+  }
+}
