@@ -135,6 +135,25 @@ object OlapQueries {
           |JOIN customer ON o_custkey = c_custkey
           |JOIN nation ON c_nationkey = n_nationkey
           |GROUP BY n_name ORDER BY n_name""".stripMargin)
+    }),
+
+    // top-k per group via rank-filter pushdown: Spark 4 rewrites the
+    // row_number <= k filter into a WindowGroupLimit that keeps a
+    // per-group k-heap on BOTH the map side (before the shuffle) and
+    // the reduce side — no group is ever fully sorted or fully
+    // shuffled, the per-key scale shape a bare window + filter lacks.
+    // PlanAuditSpec asserts the operator is actually planned.
+    // o_orderkey is unique -> deterministic tiebreak cross-engine.
+    "q54_topk_group" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+          row_number().over(w).as("rnk"))
+        .filter(col("rnk") <= 2)
+        .orderBy(col("o_custkey"), col("rnk"))
     })
   )
 
@@ -216,6 +235,17 @@ object OlapQueries {
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
-        |GROUP BY n_name ORDER BY n_name""".stripMargin
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q54_topk_group" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |  CAST(rnk AS INT) AS rnk
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders
+        |) WHERE rnk <= 2 ORDER BY o_custkey, rnk""".stripMargin
   )
 }

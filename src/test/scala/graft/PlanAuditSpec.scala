@@ -47,4 +47,14 @@ class PlanAuditSpec extends SparkSpecBase {
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }
+
+  test("q54's rank filter is pushed into a WindowGroupLimit (map+reduce k-heap)") {
+    import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+    val plan = SparkEntry.queries("q54_topk_group")(spark, sfDir)
+      .queryExecution.sparkPlan
+    val limits = plan.collect { case w: WindowGroupLimitExec => w }
+    // Partial (pre-shuffle) + Final: no group is fully sorted or fully
+    // shuffled — losing this rewrite silently reverts to sort-everything
+    assert(limits.size === 2, s"expected partial+final WindowGroupLimit, got:\n$plan")
+  }
 }
