@@ -48,6 +48,17 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("q52 star join broadcasts its dimension sides") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val plan = SparkEntry.queries("q52_star_join")(spark, sfDir)
+      .queryExecution.sparkPlan
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    // customer and nation must come in as broadcasts; only the fact
+    // tables may shuffle. A stats/threshold regression that demotes a
+    // dim to a shuffle join fails here, not at 100 TB
+    assert(bhj.size >= 2, s"expected >=2 broadcast dim joins, got:\n$plan")
+  }
+
   test("q54's rank filter is pushed into a WindowGroupLimit (map+reduce k-heap)") {
     import org.apache.spark.sql.execution.window.WindowGroupLimitExec
     val plan = SparkEntry.queries("q54_topk_group")(spark, sfDir)
