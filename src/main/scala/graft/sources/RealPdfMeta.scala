@@ -1,0 +1,80 @@
+package graft.sources
+
+import graft.sources.PdfTableSource.{PdfMeta, TableExtractor}
+
+/** OP-04/05 over GENUINE PDF bytes, without a codec jar: a byte-level
+  * scanner for the classic (uncompressed-object) PDF layout that reads
+  * exactly what the reference reads — `/CreationDate`, `/ModDate` from
+  * the Info dictionary and the page count
+  * (reference: src/infrastructure/adapters/pdf_parser.py:23-36).
+  *
+  * Scope (documented, not hidden): object streams (PDF 1.5+ compressed
+  * metadata) and encrypted files are out — the scanner returns None and
+  * callers fall back. Page COUNT comes from counting leaf `/Type /Page`
+  * objects, which is dictionary-order-independent; table EXTRACTION
+  * still requires content-stream decoding and stays with the stub
+  * codec.
+  */
+object RealPdfMeta {
+
+  def isPdf(bytes: Array[Byte]): Boolean =
+    bytes.length >= 5 && new String(bytes, 0, 5, "ISO-8859-1") == "%PDF-"
+
+  // PDF date: D:YYYYMMDDHHmmSS with optional trailing fields/zone
+  private val DateRe = """D:(\d{4})(\d{2})(\d{2})(\d{2})?(\d{2})?(\d{2})?""".r
+
+  /** "D:20240131120000+00'00'" -> "2024-01-31T12:00:00" (the stub's ISO
+    * shape, so CDC comparisons are uniform across codecs).
+    */
+  private[sources] def isoDate(raw: String): Option[String] =
+    DateRe.findFirstMatchIn(raw).map { m =>
+      def part(i: Int) = Option(m.group(i)).getOrElse("00")
+      s"${m.group(1)}-${m.group(2)}-${m.group(3)}T${part(4)}:${part(5)}:${part(6)}"
+    }
+
+  // latin-1: a byte-transparent decoding — binary segments pass through
+  // without corrupting the ASCII tokens we scan for
+  private def text(bytes: Array[Byte]): String = new String(bytes, "ISO-8859-1")
+
+  private def dictDate(s: String, key: String): Option[String] =
+    (java.util.regex.Pattern.quote(key) + """\s*\(\s*(D:[^)]*)\)""").r
+      .findFirstMatchIn(s)
+      .flatMap(m => isoDate(m.group(1)))
+
+  // leaf page objects only: the (?!s) lookahead excludes /Pages tree
+  // nodes; order-independent unlike pairing /Type with /Count
+  private val LeafPage = """/Type\s*/Page(?!s)""".r
+
+  def pageCount(bytes: Array[Byte]): Option[Int] =
+    if (!isPdf(bytes)) None
+    else Some(LeafPage.findAllMatchIn(text(bytes)).length).filter(_ > 0)
+
+  /** Full OP-04 metadata when `bytes` is a scannable real PDF. */
+  def metadata(doc: String, bytes: Array[Byte]): Option[PdfMeta] =
+    if (!isPdf(bytes)) None
+    else {
+      val s = text(bytes)
+      for {
+        created <- dictDate(s, "/CreationDate")
+        pages <- pageCount(bytes)
+      } yield PdfMeta(doc,
+        created_at = created,
+        // reference tolerates absent ModDate (meta.get) — mirror that
+        modified_at = dictDate(s, "/ModDate").getOrElse(created),
+        page_count = pages)
+    }
+
+  /** Extractor that reads OP-04/05 from real PDF bytes when handed one
+    * and falls back to `inner` (the stub text codec) otherwise — one
+    * pipeline handles a mixed corpus; extraction always delegates.
+    */
+  final case class WithRealPdfMeta(inner: TableExtractor) extends TableExtractor {
+    override def extract(doc: String, bytes: Array[Byte],
+                         startPage: Int, endPage: Int) =
+      inner.extract(doc, bytes, startPage, endPage)
+    override def pageCount(bytes: Array[Byte]): Int =
+      RealPdfMeta.pageCount(bytes).getOrElse(inner.pageCount(bytes))
+    override def metadata(doc: String, bytes: Array[Byte]): PdfMeta =
+      RealPdfMeta.metadata(doc, bytes).getOrElse(inner.metadata(doc, bytes))
+  }
+}
