@@ -38,6 +38,17 @@ object OlapQueries {
           sum(round(col("value") * 100).cast("long")).as("amount_cents"))
         .orderBy(col("event_type"), col("ug"))),
 
+    // cube: the full 2^n grouping-set lattice (per-pair, per-type,
+    // per-decile, grand total) — one shuffle computes all four
+    // aggregation levels via grouping-id expansion, not four scans
+    "q55_cube" -> ((s, d) =>
+      Tables(s, d, "events")
+        .withColumn("ug", col("user_id") % 10)
+        .cube(col("event_type"), col("ug"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(round(col("value") * 100).cast("long")).as("amount_cents"))
+        .orderBy(col("event_type"), col("ug"))),
+
     // fixed-width value histogram: bucket is a pure projection, one agg
     "q46_histogram" -> ((s, d) =>
       Tables(s, d, "events")
@@ -179,6 +190,12 @@ object OlapQueries {
     "q46_histogram" ->
       """SELECT CAST(floor(value / 50) AS BIGINT) AS bucket, count(*) AS cnt
         |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q55_cube" ->
+      """SELECT event_type, user_id % 10 AS ug, count(*) AS cnt,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS amount_cents
+        |FROM events GROUP BY CUBE(event_type, ug)
+        |ORDER BY event_type NULLS FIRST, ug NULLS FIRST""".stripMargin,
 
     "q47_unpivot" ->
       """UNPIVOT (
