@@ -191,9 +191,9 @@ object AggWindowQueries {
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS amount_cents,
         |  min(event_id) AS first_event
         |FROM (
-        |  SELECT *, sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |  SELECT *, CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
         |    OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS seg
         |  FROM events
         |) GROUP BY user_id, seg ORDER BY user_id, seg""".stripMargin,
     "q38_zip_explode" ->
