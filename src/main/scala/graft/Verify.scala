@@ -23,8 +23,15 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet).filter(_.nonEmpty)
     val selected = only match {
-      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
-      case None        => SparkEntry.queries
+      case Some(names) =>
+        // Prefix matching, same as Bench: SPARK_GRAFT_ONLY=x23 selects
+        // x23_dedup_clusters. Warn when nothing matches (typo'd filter
+        // would otherwise silently write zero results).
+        val sel = SparkEntry.queries.filter { case (k, _) => names.exists(k.startsWith) }
+        if (sel.isEmpty)
+          System.err.println(s"[verify] WARNING: SPARK_GRAFT_ONLY=${names.mkString(",")} matched no queries")
+        sel
+      case None => SparkEntry.queries
     }
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
