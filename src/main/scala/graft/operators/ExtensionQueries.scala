@@ -53,6 +53,14 @@ object ExtensionQueries {
     }
   }
 
+  /** Drop every memoized relation (Bench calls this between repeat
+    * passes: a second pass reusing the first pass's checkpointed
+    * shingle tables would measure near-zero and corrupt the median).
+    * The checkpoint blocks themselves are reclaimed by the
+    * ContextCleaner once the dropped frames are unreachable.
+    */
+  def clearMemo(): Unit = shared.clear()
+
   /** Rebalance a small-scan input to the cluster's cores before a
     * row-expansion stage (shingle/token explode, per-vector LSH
     * scoring). The bench tables are single-row-group parquet — one
