@@ -1,0 +1,651 @@
+package graft.sources
+
+import java.util.zip.Inflater
+
+import graft.sources.AdaptiveTable.Word
+
+/** Genuine-PDF text extraction with zero codec jars: classic-layout PDF
+  * object parsing, FlateDecode via JDK [[java.util.zip.Inflater]], a
+  * content-stream tokenizer/interpreter for the text operators
+  * (BT/ET, Td/TD/Tm/T*, Tf/TL/Tc/Tw/Tz, Tj/TJ/'/"), ToUnicode CMap
+  * decoding, and page-rotation-normalized positioned words — exactly the
+  * `(text, x0, top)` boxes [[AdaptiveTable]] consumes, so the reference's
+  * adaptive column discovery (pdf_parser.py:52-96, which runs pdfplumber's
+  * extract_words + explicit-vertical-lines table extraction) runs on real
+  * bytes end to end.
+  *
+  * Scope (documented): classic cross-reference layout (objects scannable
+  * in the byte stream; PDF 1.5 object streams and encryption are out —
+  * [[parse]] returns None and callers fall back), FlateDecode or
+  * uncompressed streams, simple fonts with /Widths (+ ToUnicode when
+  * present; Type0 fonts get 2-byte code splitting and ToUnicode but
+  * default advance widths). Everything here is a pure function of the
+  * bytes and runs executor-side.
+  */
+object PdfTextCodec {
+
+  // ---------------------------------------------------------------- objects
+
+  /** One indirect object: its dictionary text (latin-1, byte-transparent)
+    * and, when present, the RAW stream bytes (still compressed).
+    */
+  final case class PdfObj(num: Int, dict: String, streamRaw: Option[Array[Byte]])
+
+  private val ObjStart = """(\d+)\s+0\s+obj""".r
+
+  /** Scan every `N 0 obj … endobj` in the file. Latin-1 decoding is
+    * byte-transparent, so string indexes are byte offsets and stream
+    * payloads can be recovered exactly.
+    */
+  def objects(bytes: Array[Byte]): Map[Int, PdfObj] = {
+    val s = new String(bytes, "ISO-8859-1")
+    ObjStart.findAllMatchIn(s).map { m =>
+      val num = m.group(1).toInt
+      val bodyStart = m.end
+      val streamKw = s.indexOf("stream", bodyStart)
+      val endobj = s.indexOf("endobj", bodyStart) match {
+        case -1 => s.length
+        case i  => i
+      }
+      if (streamKw >= 0 && streamKw < endobj) {
+        val dict = s.substring(bodyStart, streamKw)
+        // EOL after the `stream` keyword: CRLF or LF (spec 7.3.8.1)
+        var dataStart = streamKw + "stream".length
+        if (dataStart < s.length && s.charAt(dataStart) == '\r') dataStart += 1
+        if (dataStart < s.length && s.charAt(dataStart) == '\n') dataStart += 1
+        // Prefer a literal /Length (indirect lengths resolved by the
+        // caller via resolveLength); fall back to the endstream keyword.
+        val end = s.indexOf("endstream", dataStart) match {
+          case -1 => endobj
+          case i  => i
+        }
+        PdfObj(num, dict, Some(s.substring(dataStart, end).getBytes("ISO-8859-1")))
+      } else PdfObj(num, s.substring(bodyStart, endobj), None)
+    }.map(o => o.num -> o).toMap
+  }
+
+  // ------------------------------------------------------------ dict values
+
+  // key must end at a delimiter ("/Font" must not match "/FontDescriptor")
+  private def quoted(key: String) = java.util.regex.Pattern.quote(key) + """(?![A-Za-z0-9])"""
+
+  /** `/Key 7 0 R` -> Some(7). */
+  def ref(dict: String, key: String): Option[Int] =
+    (quoted(key) + """\s*(\d+)\s+0\s+R""").r
+      .findFirstMatchIn(dict).map(_.group(1).toInt)
+
+  /** `/Key 42` (direct integer, NOT a reference — the `(?!\d)` stops the
+    * digit match from backtracking `/Length 16 0 R` into a literal 1).
+    */
+  def int(dict: String, key: String): Option[Int] =
+    (quoted(key) + """\s*(-?\d+)(?!\d)(?!\s+0\s+R)""").r
+      .findFirstMatchIn(dict).map(_.group(1).toInt)
+
+  /** `/Key [n n n n]` -> numbers. */
+  def numArray(dict: String, key: String): Option[Seq[Double]] =
+    (quoted(key) + """\s*\[([^\]]*)\]""").r.findFirstMatchIn(dict)
+      .map(_.group(1).trim.split("""[\s]+""").toSeq.filter(_.nonEmpty)
+        .flatMap(_.toDoubleOption))
+
+  /** The balanced `<<…>>` span starting at `start` (which must point at
+    * `<<`), handling nested dictionaries — needed because values like
+    * /Resources<</ProcSet[…]/Font<<…>>>> defeat plain regexes.
+    */
+  def dictSpan(s: String, start: Int): String = {
+    var depth = 0; var i = start
+    while (i < s.length - 1) {
+      if (s.charAt(i) == '<' && s.charAt(i + 1) == '<') { depth += 1; i += 2 }
+      else if (s.charAt(i) == '>' && s.charAt(i + 1) == '>') {
+        depth -= 1; i += 2
+        if (depth == 0) return s.substring(start, i)
+      } else i += 1
+    }
+    s.substring(start)
+  }
+
+  /** `/Key <<…>>` inline dict or `/Key N 0 R` indirect dict. */
+  def subDict(objs: Map[Int, PdfObj], dict: String, key: String): Option[String] = {
+    val m = (quoted(key) + """\s*""").r.findFirstMatchIn(dict)
+    m.flatMap { mm =>
+      val rest = dict.substring(mm.end)
+      if (rest.startsWith("<<")) Some(dictSpan(dict, mm.end))
+      else ref(dict, key).flatMap(objs.get).map(_.dict)
+    }
+  }
+
+  /** Stream /Length: literal int or indirect reference to an int object. */
+  private def streamLength(objs: Map[Int, PdfObj], dict: String): Option[Int] =
+    int(dict, "/Length").orElse(
+      ref(dict, "/Length").flatMap(objs.get)
+        .flatMap(o => """(\d+)""".r.findFirstMatchIn(o.dict).map(_.group(1).toInt)))
+
+  // ---------------------------------------------------------------- inflate
+
+  /** zlib-inflate (FlateDecode). Tolerates trailing whitespace the
+    * endstream fallback may have included; throws on corrupt data (the
+    * caller's parse() turns that into a fallback).
+    */
+  def inflate(raw: Array[Byte]): Array[Byte] = {
+    val inf = new Inflater()
+    inf.setInput(raw)
+    val out = new java.io.ByteArrayOutputStream(raw.length * 4)
+    val buf = new Array[Byte](8192)
+    try {
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0) {
+          if (inf.finished()) ()
+          else throw new java.util.zip.DataFormatException("truncated deflate stream")
+        } else out.write(buf, 0, n)
+      }
+    } finally inf.end()
+    out.toByteArray
+  }
+
+  /** Decoded stream bytes of one object: FlateDecode inflated, raw
+    * otherwise; trimmed to /Length when it is resolvable (the endstream
+    * scan can overshoot by the EOL before the keyword).
+    */
+  def streamData(objs: Map[Int, PdfObj], o: PdfObj): Option[Array[Byte]] =
+    o.streamRaw.map { raw0 =>
+      val raw = streamLength(objs, o.dict).filter(_ <= raw0.length)
+        .map(raw0.take).getOrElse {
+          // strip the EOL the endstream keyword follows
+          var n = raw0.length
+          while (n > 0 && (raw0(n - 1) == '\n' || raw0(n - 1) == '\r')) n -= 1
+          raw0.take(n)
+        }
+      if (o.dict.contains("/FlateDecode")) inflate(raw) else raw
+    }
+
+  // ------------------------------------------------------------------ fonts
+
+  /** What the interpreter needs from one font resource. `code` is a font
+    * byte (or 2-byte code for Type0); widths in glyph space (1/1000 em).
+    */
+  final case class Font(firstChar: Int, widths: Array[Int],
+                        toUnicode: Map[Int, String], twoByte: Boolean) {
+    def width(code: Int): Int = {
+      val i = code - firstChar
+      if (i >= 0 && i < widths.length) widths(i) else 500
+    }
+    def uni(code: Int): String =
+      toUnicode.getOrElse(code,
+        // no ToUnicode: printable-ASCII identity (Standard/WinAnsi overlap)
+        if (code >= 32 && code <= 126 && !twoByte) code.toChar.toString else "")
+  }
+
+  private val BfChar = """<([0-9a-fA-F]+)>\s*<([0-9a-fA-F]+)>""".r
+  private val BfRangeList = """<([0-9a-fA-F]+)>\s*<([0-9a-fA-F]+)>\s*\[([^\]]*)\]""".r
+  private val BfRange = """<([0-9a-fA-F]+)>\s*<([0-9a-fA-F]+)>\s*<([0-9a-fA-F]+)>""".r
+  private val HexItem = """<([0-9a-fA-F]+)>""".r
+
+  private def utf16(hex: String): String = {
+    val padded = if (hex.length % 4 == 0) hex else ("0" * (4 - hex.length % 4)) + hex
+    padded.grouped(4).map(h => Integer.parseInt(h, 16).toChar).mkString
+  }
+
+  /** Parse a ToUnicode CMap (bfchar + bfrange, incl. the array form). */
+  def parseCMap(cmap: String): Map[Int, String] = {
+    val out = Map.newBuilder[Int, String]
+    """beginbfchar([\s\S]*?)endbfchar""".r.findAllMatchIn(cmap).foreach { sec =>
+      BfChar.findAllMatchIn(sec.group(1)).foreach { m =>
+        out += Integer.parseInt(m.group(1), 16) -> utf16(m.group(2))
+      }
+    }
+    """beginbfrange([\s\S]*?)endbfrange""".r.findAllMatchIn(cmap).foreach { sec =>
+      // array form first: the triple-hex regex would half-match it
+      val body = sec.group(1)
+      BfRangeList.findAllMatchIn(body).foreach { m =>
+        val lo = Integer.parseInt(m.group(1), 16)
+        HexItem.findAllMatchIn(m.group(3)).zipWithIndex.foreach { case (h, i) =>
+          out += (lo + i) -> utf16(h.group(1))
+        }
+      }
+      BfRange.findAllMatchIn(body).foreach { m =>
+        val lo = Integer.parseInt(m.group(1), 16)
+        val hi = Integer.parseInt(m.group(2), 16)
+        val dst = Integer.parseInt(m.group(3), 16)
+        // per spec only the LAST byte increments, but contiguous single-
+        // range maps (the common emitter output) are covered either way
+        (lo to hi).foreach(c => out += c -> new String(Character.toChars(dst + c - lo)))
+      }
+    }
+    out.result()
+  }
+
+  private def loadFont(objs: Map[Int, PdfObj], fontDict: String): Font = {
+    val twoByte = fontDict.contains("/Type0")
+    val firstChar = int(fontDict, "/FirstChar").getOrElse(0)
+    val widths = numArray(fontDict, "/Widths")
+      .orElse(ref(fontDict, "/Widths").flatMap(objs.get)
+        .flatMap(o => numArray("[" + o.dict + "]", "")))
+      .getOrElse(Seq.empty).map(_.toInt).toArray
+    val toUni = ref(fontDict, "/ToUnicode").flatMap(objs.get)
+      .flatMap(o => streamData(objs, o))
+      .map(b => parseCMap(new String(b, "ISO-8859-1")))
+      .getOrElse(Map.empty)
+    Font(firstChar, widths, toUni, twoByte)
+  }
+
+  // ------------------------------------------------- content-stream tokens
+
+  sealed trait Tok
+  final case class TNum(v: Double) extends Tok
+  final case class TStr(codes: Array[Int]) extends Tok
+  final case class TName(v: String) extends Tok
+  final case class TArr(items: Seq[Tok]) extends Tok
+  final case class TOp(v: String) extends Tok
+
+  /** Tokenize a decoded content stream (latin-1 text). Handles literal
+    * strings with escapes and balanced parens, hex strings, arrays,
+    * names, numbers, inline dicts (skipped) and inline images (BI…EI
+    * skipped) — enough for any text-bearing stream.
+    */
+  def tokenize(s: String): Seq[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = s.length
+    var arrays = List.empty[collection.mutable.ArrayBuffer[Tok]]
+    def emit(t: Tok): Unit = arrays match {
+      case buf :: _ => buf += t
+      case Nil      => out += t
+    }
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '\f' || c == 0) i += 1
+      else if (c == '%') { while (i < n && s.charAt(i) != '\n' && s.charAt(i) != '\r') i += 1 }
+      else if (c == '(') {
+        val codes = collection.mutable.ArrayBuffer.empty[Int]
+        var depth = 1; i += 1
+        while (i < n && depth > 0) {
+          val ch = s.charAt(i)
+          if (ch == '\\' && i + 1 < n) {
+            val e = s.charAt(i + 1)
+            e match {
+              case 'n' => codes += '\n'; i += 2
+              case 'r' => codes += '\r'; i += 2
+              case 't' => codes += '\t'; i += 2
+              case 'b' => codes += '\b'; i += 2
+              case 'f' => codes += '\f'; i += 2
+              case '\n' => i += 2 // line continuation
+              case '\r' => i += 2; if (i < n && s.charAt(i) == '\n') i += 1
+              case d if d >= '0' && d <= '7' =>
+                var v = 0; var k = 0; i += 1
+                while (k < 3 && i < n && s.charAt(i) >= '0' && s.charAt(i) <= '7') {
+                  v = v * 8 + (s.charAt(i) - '0'); i += 1; k += 1
+                }
+                codes += v
+              case other => codes += other.toInt; i += 2
+            }
+          } else if (ch == '(') { depth += 1; codes += ch.toInt; i += 1 }
+          else if (ch == ')') {
+            depth -= 1; if (depth > 0) codes += ch.toInt; i += 1
+          } else { codes += ch.toInt; i += 1 }
+        }
+        emit(TStr(codes.toArray))
+      }
+      else if (c == '<' && i + 1 < n && s.charAt(i + 1) == '<') {
+        // inline dict (BDC properties etc.) — skip balanced
+        val span = dictSpan(s, i); i += span.length
+      }
+      else if (c == '<') {
+        val close = s.indexOf('>', i + 1)
+        val hex = s.substring(i + 1, if (close < 0) n else close)
+          .filterNot(_.isWhitespace)
+        val padded = if (hex.length % 2 == 0) hex else hex + "0"
+        emit(TStr(padded.grouped(2).map(Integer.parseInt(_, 16)).toArray))
+        i = (if (close < 0) n else close + 1)
+      }
+      else if (c == '[') { arrays = collection.mutable.ArrayBuffer.empty[Tok] :: arrays; i += 1 }
+      else if (c == ']') {
+        arrays match {
+          case buf :: rest => arrays = rest; emit(TArr(buf.toSeq))
+          case Nil         => // stray — ignore
+        }
+        i += 1
+      }
+      else if (c == '/') {
+        val start = i + 1; i += 1
+        while (i < n && !" \t\r\n\f()<>[]{}/%".contains(s.charAt(i))) i += 1
+        emit(TName(s.substring(start, i)))
+      }
+      else if (c == '+' || c == '-' || c == '.' || c.isDigit) {
+        val start = i; i += 1
+        while (i < n && (s.charAt(i).isDigit || s.charAt(i) == '.' ||
+          s.charAt(i) == 'e' || s.charAt(i) == 'E' || s.charAt(i) == '-')) i += 1
+        s.substring(start, i).toDoubleOption.foreach(v => emit(TNum(v)))
+      }
+      else {
+        val start = i; i += 1
+        while (i < n && (s.charAt(i).isLetter || s.charAt(i) == '*' ||
+          s.charAt(i) == '\'' || s.charAt(i) == '"')) i += 1
+        val op = s.substring(start, i)
+        if (op == "BI") {
+          // inline image: skip to the EI operator
+          val ei = s.indexOf("EI", i)
+          i = if (ei < 0) n else ei + 2
+        } else if (op.nonEmpty) emit(TOp(op))
+      }
+    }
+    // tolerate an unterminated array
+    arrays.reverse.foreach(buf => out += TArr(buf.toSeq))
+    out.result()
+  }
+
+  // --------------------------------------------------------- interpretation
+
+  /** Affine matrix (a b c d e f): maps (x,y) -> (a·x+c·y+e, b·x+d·y+f). */
+  final case class Mat(a: Double, b: Double, c: Double, d: Double, e: Double, f: Double) {
+    def *(o: Mat): Mat = Mat(
+      a * o.a + b * o.c, a * o.b + b * o.d,
+      c * o.a + d * o.c, c * o.b + d * o.d,
+      e * o.a + f * o.c + o.e, e * o.b + f * o.d + o.f)
+    def apply(x: Double, y: Double): (Double, Double) =
+      (a * x + c * y + e, b * x + d * y + f)
+  }
+  object Mat { val id: Mat = Mat(1, 0, 0, 1, 0, 0) }
+
+  /** One positioned glyph in DEVICE space: origin, expected next-glyph
+    * origin (origin + advance image), and the text run it belongs to
+    * (word grouping never crosses runs — each BT/Td/Tm/T* starts one).
+    */
+  final case class Glyph(uni: String, x: Double, y: Double,
+                         nx: Double, ny: Double, run: Int)
+
+  /** Execute the text operators of one content stream. Non-text painting
+    * operators only consume their operands.
+    */
+  def interpret(toks: Seq[Tok], fonts: Map[String, Font]): Seq[Glyph] = {
+    val glyphs = Vector.newBuilder[Glyph]
+    var ctm = Mat.id
+    val ctmStack = collection.mutable.Stack.empty[Mat]
+    var tm = Mat.id;  var tlm = Mat.id
+    var font: Font = Font(0, Array.empty, Map.empty, twoByte = false)
+    var fs = 1.0; var tc = 0.0; var tw = 0.0; var th = 1.0; var tl = 0.0; var rise = 0.0
+    var tx = 0.0 // accumulated advance along the text line, text space
+    var run = 0
+    val operands = collection.mutable.ArrayBuffer.empty[Tok]
+    def num(i: Int): Double = operands.lift(operands.length - i) match {
+      case Some(TNum(v)) => v
+      case _             => 0.0
+    }
+    def newRun(): Unit = { run += 1; tx = 0.0 }
+    def show(codes: Array[Int]): Unit = {
+      val trm = tm * ctm
+      val cs = if (font.twoByte) codes.grouped(2)
+        .map(p => if (p.length == 2) p(0) * 256 + p(1) else p(0)).toArray
+      else codes
+      cs.foreach { code =>
+        val adv = (font.width(code) / 1000.0 * fs + tc +
+          (if (code == 32) tw else 0.0)) * th
+        val (x0, y0) = trm(tx, rise)
+        val (x1, y1) = trm(tx + adv, rise)
+        val u = font.uni(code)
+        if (u.nonEmpty) glyphs += Glyph(u, x0, y0, x1, y1, run)
+        tx += adv
+      }
+    }
+    def td(dx: Double, dy: Double): Unit = {
+      tlm = Mat(1, 0, 0, 1, dx, dy) * tlm
+      tm = tlm
+      newRun()
+    }
+    toks.foreach {
+      case t @ (TNum(_) | TStr(_) | TName(_) | TArr(_)) => operands += t
+      case TOp(op) =>
+        op match {
+          case "q"  => ctmStack.push(ctm)
+          case "Q"  => if (ctmStack.nonEmpty) ctm = ctmStack.pop()
+          case "cm" => ctm = Mat(num(6), num(5), num(4), num(3), num(2), num(1)) * ctm
+          case "BT" => tm = Mat.id; tlm = Mat.id; newRun()
+          case "ET" =>
+          case "Tf" =>
+            fs = num(1)
+            operands.lift(operands.length - 2) match {
+              case Some(TName(nm)) => fonts.get(nm).foreach(font = _)
+              case _               =>
+            }
+          case "TL" => tl = num(1)
+          case "Tc" => tc = num(1)
+          case "Tw" => tw = num(1)
+          case "Tz" => th = num(1) / 100.0
+          case "Ts" => rise = num(1)
+          case "Td" => td(num(2), num(1))
+          case "TD" => tl = -num(1); td(num(2), num(1))
+          case "Tm" =>
+            tlm = Mat(num(6), num(5), num(4), num(3), num(2), num(1))
+            tm = tlm; newRun()
+          case "T*" => td(0, -tl)
+          case "Tj" => operands.lastOption match {
+            case Some(TStr(cs)) => show(cs)
+            case _              =>
+          }
+          case "'" =>
+            td(0, -tl)
+            operands.lastOption match {
+              case Some(TStr(cs)) => show(cs)
+              case _              =>
+            }
+          case "\"" =>
+            tw = num(3); tc = num(2)
+            td(0, -tl)
+            operands.lastOption match {
+              case Some(TStr(cs)) => show(cs)
+              case _              =>
+            }
+          case "TJ" => operands.lastOption match {
+            case Some(TArr(items)) =>
+              items.foreach {
+                case TStr(cs) => show(cs)
+                case TNum(v)  => tx -= v / 1000.0 * fs * th
+                case _        =>
+              }
+            case _ =>
+          }
+          case _ => // painting/state op: operands just drop
+        }
+        operands.clear()
+    }
+    glyphs.result()
+  }
+
+  // ---------------------------------------------------------------- pages
+
+  /** One normalized glyph: text, left x, top, expected next-glyph x, and
+    * its text run. Kept alongside the words because table cell slicing is
+    * CHAR-accurate in the reference (pdfplumber assigns chars, not words,
+    * to cells): a right-aligned amount ending 0.3pt before the next
+    * column's text must split at the column boundary even though word
+    * grouping would merge them.
+    */
+  final case class CharBox(uni: String, x0: Double, top: Double, nx: Double, run: Int)
+
+  final case class PdfPage(words: Seq[Word], chars: Seq[CharBox],
+                           width: Double, height: Double)
+  final case class PdfDoc(pages: IndexedSeq[PdfPage]) {
+    /** Rotation-normalized width of page 1 — what detectBoundaries needs. */
+    def pageWidth: Double = pages.headOption.map(_.width).getOrElse(0.0)
+  }
+
+  /** pdfplumber's default word-split x tolerance (extract_words
+    * x_tolerance=3): a larger-than-this gap between the expected and
+    * actual next-glyph origin starts a new word.
+    */
+  val XTolerance = 3.0
+  private val YTolerance = 1.0
+
+  /** Group glyphs into words: never across runs, split on whitespace
+    * glyphs, vertical jumps, or a FORWARD x gap beyond [[XTolerance]].
+    * Backward motion does NOT split: sub-point kerning overlaps inside a
+    * word are routine (pdfplumber's rule likewise only checks forward
+    * gaps). `splitAt` (sorted column boundaries, when cell-accurate
+    * assignment is needed) additionally breaks any word that crosses one.
+    */
+  private[sources] def toWords(glyphs: Seq[CharBox],
+                               splitAt: Seq[Double] = Nil): Seq[Word] = {
+    val words = Vector.newBuilder[Word]
+    val sb = new StringBuilder
+    var wx = 0.0; var wt = 0.0
+    var prevX = Double.NaN; var prevEnd = Double.NaN
+    var prevTop = Double.NaN; var prevRun = -1
+    def flush(): Unit = {
+      if (sb.nonEmpty) { words += Word(sb.toString, wx, wt); sb.clear() }
+    }
+    glyphs.foreach { case CharBox(u, x, top, nx, run) =>
+      val crossesBoundary =
+        !prevX.isNaN && splitAt.exists(b => prevX < b && x >= b)
+      val break = prevEnd.isNaN || run != prevRun ||
+        math.abs(top - prevTop) > YTolerance ||
+        x > prevEnd + XTolerance || crossesBoundary
+      if (u.isBlank) { flush(); prevEnd = Double.NaN; prevX = Double.NaN }
+      else {
+        if (break) flush()
+        if (sb.isEmpty) { wx = x; wt = top }
+        sb ++= u
+        prevX = x; prevEnd = nx; prevTop = top; prevRun = run
+      }
+    }
+    flush()
+    words.result()
+  }
+
+  /** /Rotate-aware device→display normalization, pdfplumber-style:
+    * x grows right, top grows DOWN from the displayed top-left, and the
+    * displayed page width/height swap for 90/270.
+    */
+  private def normalize(g: Glyph, w: Double, h: Double, rot: Int): CharBox = {
+    def pt(x: Double, y: Double): (Double, Double) = rot match {
+      case 90  => (y, x)
+      case 180 => (w - x, y)
+      case 270 => (h - y, w - x)
+      case _   => (x, h - y)
+    }
+    val (x0, top) = pt(g.x, g.y)
+    val (nx, _) = pt(g.nx, g.ny)
+    // quantize to 0.01pt: producers emit scale chains like 8.33333 × 0.12
+    // = 0.9999996, so a header glyph and a data glyph meant to share a
+    // column x differ by ~2e-4 — which would flip strict boundary
+    // comparisons. 0.01pt is far below any layout distance.
+    def q(v: Double): Double = math.rint(v * 100) / 100
+    CharBox(g.uni, q(x0), q(top), q(nx), g.run)
+  }
+
+  /** Parse a whole document into rotation-normalized positioned words per
+    * page. None when the bytes are not a parseable classic-layout PDF —
+    * callers fall back to their stub codec.
+    */
+  def parse(bytes: Array[Byte]): Option[PdfDoc] =
+    try {
+      if (!RealPdfMeta.isPdf(bytes)) return None
+      val objs = objects(bytes)
+      if (objs.isEmpty) return None
+      // page tree walk: catalog -> /Pages -> /Kids (ordering!), falling
+      // back to document-order /Type /Page objects when the tree is odd
+      val catalog = objs.values.find(_.dict.contains("/Catalog"))
+      def kids(o: PdfObj, depth: Int): Seq[PdfObj] =
+        if (depth > 16) Nil
+        else if (o.dict.contains("/Kids"))
+          """(\d+)\s+0\s+R""".r.findAllMatchIn(
+            (quoted("/Kids") + """\s*\[([^\]]*)\]""").r
+              .findFirstMatchIn(o.dict).map(_.group(1)).getOrElse(""))
+            .flatMap(m => objs.get(m.group(1).toInt)).toSeq
+            .flatMap(kids(_, depth + 1))
+        else Seq(o)
+      val fromTree = for {
+        cat <- catalog
+        rootRef <- ref(cat.dict, "/Pages")
+        root <- objs.get(rootRef)
+      } yield kids(root, 0).filter(o =>
+        """/Type\s*/Page(?!s)""".r.findFirstIn(o.dict).isDefined)
+      val pages = fromTree.filter(_.nonEmpty).getOrElse {
+        objs.values.toSeq.sortBy(_.num).filter(o =>
+          """/Type\s*/Page(?!s)""".r.findFirstIn(o.dict).isDefined)
+      }
+      if (pages.isEmpty) return None
+
+      def inherited[A](o: PdfObj, get: String => Option[A], depth: Int = 0): Option[A] =
+        get(o.dict).orElse {
+          if (depth > 16) None
+          else ref(o.dict, "/Parent").flatMap(objs.get)
+            .flatMap(p => inherited(p, get, depth + 1))
+        }
+
+      val parsed = pages.map { pg =>
+        val mb = inherited(pg, d => numArray(d, "/MediaBox"))
+          .getOrElse(Seq(0.0, 0.0, 612.0, 792.0))
+        val rot0 = inherited(pg, d => int(d, "/Rotate")).getOrElse(0)
+        val rot = ((rot0 % 360) + 360) % 360
+        val w = mb(2) - mb(0); val h = mb(3) - mb(1)
+        // /Contents: single ref or array of refs, concatenated in order
+        val contentRefs: Seq[Int] =
+          (quoted("/Contents") + """\s*\[([^\]]*)\]""").r
+            .findFirstMatchIn(pg.dict).map(m =>
+              """(\d+)\s+0\s+R""".r.findAllMatchIn(m.group(1))
+                .map(_.group(1).toInt).toSeq)
+            .orElse(ref(pg.dict, "/Contents").map(Seq(_)))
+            .getOrElse(Nil)
+        val content = contentRefs.flatMap(objs.get)
+          .flatMap(o => streamData(objs, o))
+          .map(b => new String(b, "ISO-8859-1")).mkString("\n")
+        // fonts from /Resources /Font
+        val fonts: Map[String, Font] = (for {
+          res <- inherited(pg, d => subDict(objs, d, "/Resources"))
+          fd <- subDict(objs, res, "/Font")
+        } yield {
+          """/(\w+)\s+(\d+)\s+0\s+R""".r.findAllMatchIn(fd).flatMap { m =>
+            objs.get(m.group(2).toInt).map(fo => m.group(1) -> loadFont(objs, fo.dict))
+          }.toMap
+        }).getOrElse(Map.empty)
+        val glyphs = interpret(tokenize(content), fonts)
+          .map(g => Glyph(g.uni, g.x - mb(0), g.y - mb(1), g.nx - mb(0), g.ny - mb(1), g.run))
+        val normalized = glyphs.map(normalize(_, w, h, rot))
+        val (dw, dh) = if (rot == 90 || rot == 270) (h, w) else (w, h)
+        PdfPage(toWords(normalized), normalized, dw, dh)
+      }
+      Some(PdfDoc(parsed.toIndexedSeq))
+    } catch { case scala.util.control.NonFatal(_) => None }
+}
+
+/** The production codec: full adaptive table extraction (OP-06/07) from
+  * GENUINE PDF bytes via [[PdfTextCodec]], metadata/page count via
+  * [[RealPdfMeta]]'s scanner, falling back to `inner` (the stub codec)
+  * for non-PDF documents — one pipeline handles a mixed corpus.
+  * Supersedes [[RealPdfMeta.WithRealPdfMeta]], which could only read
+  * metadata from real bytes and delegated extraction.
+  */
+final case class RealPdfCodec(inner: PdfTableSource.TableExtractor)
+    extends PdfTableSource.TableExtractor {
+  import PdfTableSource.{GridRow, PageStride, PdfMeta}
+
+  override def extract(doc: String, bytes: Array[Byte],
+                       startPage: Int, endPage: Int): Iterator[GridRow] =
+    PdfTextCodec.parse(bytes) match {
+      case Some(d) if d.pages.nonEmpty =>
+        // boundary DISCOVERY is word-level on page 1 (the reference scans
+        // extract_words for header phrases, pdf_parser.py:79-96) …
+        val boundaries =
+          AdaptiveTable.detectBoundaries(d.pages.head.words, d.pageWidth)
+        val sorted = boundaries.distinct.sorted
+        // … but cell ASSIGNMENT is char-accurate (pdfplumber slices cells
+        // by char): re-group each page's glyphs with word breaks forced at
+        // the discovered column boundaries, then slice as usual.
+        (math.max(startPage, 1) to math.min(endPage, d.pages.length))
+          .iterator.flatMap { p =>
+            val words = PdfTextCodec.toWords(d.pages(p - 1).chars, sorted)
+            AdaptiveTable.extractRows(words, boundaries)
+              .iterator.zipWithIndex.map { case (cells, r) =>
+                GridRow(doc, p, p * PageStride + r, cells)
+              }
+          }
+      case _ => inner.extract(doc, bytes, startPage, endPage)
+    }
+
+  override def pageCount(bytes: Array[Byte]): Int =
+    RealPdfMeta.pageCount(bytes)
+      .orElse(PdfTextCodec.parse(bytes).map(_.pages.length))
+      .getOrElse(inner.pageCount(bytes))
+
+  override def metadata(doc: String, bytes: Array[Byte]): PdfMeta =
+    RealPdfMeta.metadata(doc, bytes).getOrElse(inner.metadata(doc, bytes))
+}

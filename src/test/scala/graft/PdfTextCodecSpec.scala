@@ -1,0 +1,174 @@
+package graft
+
+import java.util.zip.Deflater
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{AdaptiveTable, PdfTextCodec, RealPdfCodec}
+import graft.sources.PdfTableSource.StubPdfFormat
+
+/** The genuine-PDF codec, bottom-up: inflate, tokenizer, CMap, text
+  * interpreter, synthetic whole-document parses (rotate 0 and 90), and
+  * the reference's real artifact UPDATED_NCA.PDF as a fixture
+  * (reference: the document the dbm-nca-ph-etl pipeline actually
+  * ingests; pdf_parser.py:52-96 runs pdfplumber over it).
+  */
+class PdfTextCodecSpec extends AnyFunSuite with org.scalactic.Tolerance {
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new Deflater()
+    d.setInput(data); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  test("inflate round-trips deflated bytes") {
+    val payload = ("BT (round trip) Tj ET " * 100).getBytes("ISO-8859-1")
+    assert(PdfTextCodec.inflate(deflate(payload)).sameElements(payload))
+  }
+
+  test("tokenizer: strings with escapes, hex strings, arrays, names, numbers") {
+    import PdfTextCodec._
+    val toks = tokenize("""/F1 10.5 Tf (a\(b\)c\\d\101) Tj <414 2> Tj [(x) -120 (y)] TJ""")
+    assert(toks(0) === TName("F1"))
+    assert(toks(1) === TNum(10.5))
+    assert(toks(2) === TOp("Tf"))
+    assert(toks(3).asInstanceOf[TStr].codes.toSeq ===
+      "a(b)c\\dA".map(_.toInt).toSeq) // \101 octal = 'A'
+    // hex string: whitespace ignored, odd length padded with 0
+    assert(toks(5).asInstanceOf[TStr].codes.toSeq === Seq(0x41, 0x42))
+    val arr = toks(7).asInstanceOf[TArr].items
+    assert(arr(0).asInstanceOf[TStr].codes.toSeq === Seq('x'.toInt))
+    assert(arr(1) === TNum(-120))
+    assert(toks(8) === TOp("TJ"))
+  }
+
+  test("tokenizer: balanced nested parens and inline dicts are handled") {
+    import PdfTextCodec._
+    val toks = tokenize("""(outer (inner) tail) Tj /MC <</P (skip me)>> BDC""")
+    assert(new String(toks(0).asInstanceOf[TStr].codes.map(_.toChar)) ===
+      "outer (inner) tail")
+    assert(toks.collect { case TOp(o) => o } === Seq("Tj", "BDC"))
+  }
+
+  test("CMap: bfchar, contiguous bfrange, and array-form bfrange") {
+    val cmap =
+      """2 beginbfchar
+        |<0001> <004e>
+        |<0002> <0043>
+        |endbfchar
+        |2 beginbfrange
+        |<0010> <0012> <0041>
+        |<0020> <0021> [<0058> <0059>]
+        |endbfrange""".stripMargin
+    val m = PdfTextCodec.parseCMap(cmap)
+    assert(m(1) === "N" && m(2) === "C")
+    assert(m(0x10) === "A" && m(0x11) === "B" && m(0x12) === "C")
+    assert(m(0x20) === "X" && m(0x21) === "Y")
+  }
+
+  /** Minimal classic-layout PDF: one page, Flate content stream, one
+    * font with no ToUnicode (printable-ASCII identity, default widths).
+    */
+  private def miniPdf(content: String, rotate: Int = 0): Array[Byte] = {
+    val c = deflate(content.getBytes("ISO-8859-1"))
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w(s"3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      s"/Rotate $rotate /Resources << /Font << /F1 5 0 R >> >> " +
+      s"/Contents 4 0 R >> endobj\n")
+    w(s"4 0 obj << /Length ${c.length} /Filter /FlateDecode >> stream\n")
+    out.write(c)
+    w("\nendstream endobj\n")
+    w("5 0 obj << /Type /Font /Subtype /TrueType /BaseFont /Helvetica >> endobj\n")
+    w("6 0 obj << /Producer (spec) /CreationDate (D:20250601093000Z) >> endobj\n")
+    w("trailer << /Root 1 0 R /Info 6 0 R >>\n%%EOF")
+    out.toByteArray
+  }
+
+  test("synthetic PDF: words with positions, space/gap/kern splits") {
+    // default width 500/1000 em * 10pt = 5pt per glyph
+    val content =
+      "BT /F1 10 Tf 72 700 Td (Hello world) Tj ET " +
+        "BT /F1 10 Tf 200 700 Td [(AB) -1000 (CD)] TJ ET"
+    val doc = PdfTextCodec.parse(miniPdf(content)).get
+    assert(doc.pages.length === 1)
+    val words = doc.pages.head.words
+    // y=700 from the bottom of a 792-high page -> top = 92
+    assert(words.map(_.text) === Seq("Hello", "world", "AB", "CD"))
+    val hello = words.head
+    assert(hello.x0 === 72.0 +- 0.01)
+    assert(hello.top === 92.0 +- 0.01)
+    // "world" starts after "Hello " = 6 glyphs * 5pt
+    assert(words(1).x0 === 102.0 +- 0.01)
+    // TJ adjustment -1000 = +10pt gap after "AB" (2 glyphs from x=200)
+    assert(words(3).x0 === 220.0 +- 0.01)
+  }
+
+  test("synthetic PDF rotated 90: coordinates and page width normalize") {
+    // device (100, 50): under /Rotate 90 display -> x0 = 50, top = 100;
+    // displayed width = mediabox HEIGHT = 792
+    val doc = PdfTextCodec.parse(
+      miniPdf("BT /F1 10 Tf 100 50 Td (R) Tj ET", rotate = 90)).get
+    assert(doc.pageWidth === 792.0)
+    val word = doc.pages.head.words.head
+    assert(math.abs(word.x0 - 50.0) < 0.01, s"x0=${word.x0}")
+    assert(math.abs(word.top - 100.0) < 0.01, s"top=${word.top}")
+  }
+
+  // ---- the reference's genuine artifact --------------------------------
+
+  private lazy val ncaBytes: Array[Byte] = {
+    val in = getClass.getResourceAsStream("/UPDATED_NCA.PDF")
+    try in.readAllBytes() finally in.close()
+  }
+
+  test("UPDATED_NCA.PDF: metadata and page count from real bytes") {
+    val codec = RealPdfCodec(StubPdfFormat)
+    val m = codec.metadata("UPDATED_NCA.PDF", ncaBytes)
+    assert(m.created_at === "2026-02-21T09:05:00")
+    assert(m.modified_at === "2026-02-21T09:05:00")
+    assert(m.page_count === 1)
+    assert(codec.pageCount(ncaBytes) === 1)
+  }
+
+  test("UPDATED_NCA.PDF: FlateDecode text extraction yields the header words") {
+    val doc = PdfTextCodec.parse(ncaBytes).get
+    assert(doc.pages.length === 1)
+    // /Rotate 90 on a 792x1224 MediaBox -> displayed width 1224
+    assert(doc.pageWidth === 1224.0)
+    val texts = doc.pages.head.words.map(_.text)
+    Seq("NCA", "NUMBER", "TYPE", "RELEASED", "DATE", "DEPARTMENT",
+      "AGENCY", "OPERATING", "UNIT", "AMOUNT", "PURPOSE").foreach { t =>
+      assert(texts.contains(t), s"missing word $t in $texts")
+    }
+  }
+
+  test("UPDATED_NCA.PDF: adaptive table extraction discovers the columns") {
+    val rows = RealPdfCodec(StubPdfFormat)
+      .extract("UPDATED_NCA.PDF", ncaBytes, 1, 1).toSeq
+    assert(rows.nonEmpty)
+    val header = rows.head.cells
+    assert(header === Seq("NCA NUMBER", "NCA TYPE", "RELEASED DATE",
+      "DEPARTMENT", "AGENCY", "OPERATING UNIT", "AMOUNT", "PURPOSE"),
+      s"header was $header")
+    // the known first data row of the reference artifact
+    val flat = rows.map(_.cells.map(c => Option(c).getOrElse("")).mkString("|"))
+    assert(flat.exists(_.contains("TR")), s"no TR row in $flat")
+    assert(flat.exists(_.contains("01/15/2026")), s"no date in $flat")
+    assert(flat.exists(_.contains("1,626,450.00")), s"no amount in $flat")
+  }
+
+  test("non-PDF bytes fall back to the stub codec") {
+    val stub = StubPdfFormat.encode(Seq(Seq(Seq("a", "b"))))
+    val rows = RealPdfCodec(StubPdfFormat).extract("d", stub, 1, 1).toSeq
+    assert(rows.map(_.cells) === Seq(Seq("a", "b")))
+    assert(PdfTextCodec.parse(stub).isEmpty)
+  }
+}
