@@ -174,6 +174,58 @@ class EtlPipelineSpec extends SparkSpecBase {
       Option(boom.getCause).exists(_.getMessage.contains("HTTP 404")))
   }
 
+  test("scrapeWeb + work with the REAL PDF codec over a mixed corpus (OP-06 e2e)") {
+    import graft.sources.{BlobFetcher, PositionedStubPdfFormat, RealPdfCodec}
+    import graft.sources.AdaptiveTable.Word
+    val workDir = Files.createTempDirectory("etlreal").toString
+    val blobDir = s"$workDir/blobs"
+    val pipe = new EtlPipeline(spark, workDir, batchSize = 10)
+    val codec = RealPdfCodec(PositionedStubPdfFormat)
+
+    val realBytes = {
+      val in = getClass.getResourceAsStream("/UPDATED_NCA.PDF")
+      try in.readAllBytes() finally in.close()
+    }
+    val stubBytes = PositionedStubPdfFormat.encode(
+      pages = Seq(
+        Seq("nca_number", "nca_type", "released_date", "department", "agency",
+          "operating_unit", "amount", "purpose").zipWithIndex.flatMap {
+          case (phrase, i) => phrase.split("_").zipWithIndex.map {
+            case (w, j) => Word(w, 20 + i * 100 + j * 45, 10)
+          }
+        } ++ Seq(Word("NCA-7", 20, 30), Word("Regular", 120, 30),
+          Word("3/1/2024", 220, 30), Word("DOST", 320, 30),
+          Word("AgQ", 420, 30), Word("OU-Q", 520, 30),
+          Word("77.00", 620, 30), Word("Grants", 720, 30))),
+      created = "2024-04-01T00:00:00", modified = "2024-04-02T00:00:00", width = 821)
+
+    val candidates = Seq(
+      ("id_real", "Updated NCA", "UPDATED_NCA.PDF", "https://x/UPDATED_NCA.PDF", 2026),
+      ("id_stub", "NCA 2024", "NCA_2024.pdf", "https://x/NCA_2024.pdf", 2024)
+    ).toDF("id", "title", "filename", "url", "year")
+    val fetch: BlobFetcher.Fetch =
+      url => (200, if (url.endsWith("UPDATED_NCA.PDF")) realBytes else stubBytes)
+
+    // one pipeline, one extractor, mixed real/stub corpus
+    val queued = pipe.scrapeWeb(candidates, fetch, blobDir, codec)
+    assert(queued.count() === 2)
+    // the REAL document's release metadata came from its genuine bytes
+    val rel = TableStore.read(spark, pipe.releaseTable).get
+      .filter(col("id") === "id_real").collect()(0)
+    assert(rel.getAs[String]("file_meta_created_at") === "2026-02-21T09:05:00")
+    assert(rel.getAs[String]("file_meta_modified_at") === "2026-02-21T09:05:00")
+    assert(rel.getAs[Int]("page_count") === 1)
+
+    pipe.orchestrate(); pipe.work(blobDir, codec)
+    // the stub doc yields its record; the real artifact's rows carry no
+    // nca_number, so the cleaner drops them (pandas groupby-NaN parity)
+    val recs = pipe.records.get.select("nca_number", "release_id")
+      .as[(String, String)].collect().toSeq
+    assert(recs === Seq(("NCA-7", "id_stub")))
+    // nothing quarantined: the real codec handled its document
+    assert(!Files.exists(Paths.get(pipe.quarantine)))
+  }
+
   test("per-message isolation: one poison well-formed message quarantines, rest process") {
     import org.apache.spark.sql.types.StructType
     import graft.streaming.QueuePipeline
