@@ -310,7 +310,21 @@ object ExtensionQueries {
     "x12_multimodal_meta" -> ((s, d) =>
       Multimodal.decodeMeta(s,
           Multimodal.attachBlobs(Tables(s, d, "documents"), "doc_id", "text"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // gate: the partition-wise JVM decoder (Multimodal.decodeMeta) must
+    // agree field-by-field with an INDEPENDENT Catalyst-expression
+    // recomputation of the same deterministic function
+    // (Multimodal.expectedMeta: per-byte polynomial checksum ->
+    // format/width/height/n_frames). Divergence in either code path
+    // emits a row => empty-set oracle. TextAnalysisSpec proves the gate
+    // has teeth (a tampered field fires it) and covers non-ASCII UTF-8.
+    "x12g_multimodal_meta_gate" -> ((s, d) => {
+      val blobs = Multimodal.attachBlobs(Tables(s, d, "documents"), "doc_id", "text")
+      Multimodal.metaMismatches(
+          Multimodal.decodeMeta(s, blobs), Multimodal.expectedMeta(blobs))
+        .orderBy(col("doc_id"))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -444,6 +458,15 @@ object ExtensionQueries {
     "x16p_ann_ivf_precision" ->
       """SELECT CAST(NULL AS BIGINT) AS qid, CAST(NULL AS BIGINT) AS nid,
         |  CAST(NULL AS DOUBLE) AS sim WHERE false""".stripMargin,
+
+    "x12g_multimodal_meta_gate" ->
+      """SELECT CAST(NULL AS BIGINT) AS doc_id,
+        |  CAST(NULL AS INTEGER) AS byte_len, CAST(NULL AS INTEGER) AS exp_byte_len,
+        |  CAST(NULL AS VARCHAR) AS format, CAST(NULL AS VARCHAR) AS exp_format,
+        |  CAST(NULL AS INTEGER) AS width, CAST(NULL AS INTEGER) AS exp_width,
+        |  CAST(NULL AS INTEGER) AS height, CAST(NULL AS INTEGER) AS exp_height,
+        |  CAST(NULL AS INTEGER) AS n_frames, CAST(NULL AS INTEGER) AS exp_n_frames
+        |WHERE false""".stripMargin,
 
     "x05_embed_cosine_pairs" ->
       s"""WITH vecs AS (

@@ -59,6 +59,49 @@ object Multimodal {
       .toDF()
   }
 
+  /** The decoder's expectation recomputed through a SECOND, independent
+    * code path — pure Catalyst expressions instead of the JVM closure —
+    * for the x12g verification gate. Bytes are read via
+    * hex(substr(content, i, 1)) and re-signed, so the recompute sees
+    * exactly the signed bytes [[stubDecode]]'s fold sees, for arbitrary
+    * (non-ASCII) UTF-8. The JVM fold's 32-bit Int wrap + positive mask
+    * is reproduced in Long arithmetic: acc stays < 2^31 after each
+    * mask, so acc*31+b never exceeds Long range and
+    * (acc*31+b) & 0x7fffffff equals the Int-wrapped-then-masked value.
+    */
+  def expectedMeta(blobs: DataFrame): DataFrame = {
+    val len = length(col("content"))
+    val signedBytes = when(len > 0,
+        transform(sequence(lit(1), len), i => {
+          val u = conv(hex(col("content").substr(i, lit(1))), 16, 10).cast("long")
+          when(u > 127, u - 256).otherwise(u)
+        }))
+      .otherwise(array().cast("array<long>"))
+    val ck = aggregate(signedBytes, lit(0L),
+      (acc, b) => (acc * 31 + b).bitwiseAND(lit(0x7fffffffL)))
+    blobs.select(col("doc_id"),
+      len.as("exp_byte_len"),
+      when(ck % 2 === 0, "png").otherwise("jpeg").as("exp_format"),
+      (ck % 640 + 16).cast("int").as("exp_width"),
+      (floor(ck / lit(7)) % 480 + 16).cast("int").as("exp_height"),
+      (ck % 16 + 1).cast("int").as("exp_n_frames"))
+  }
+
+  /** Rows where the decoded metadata diverges from the independent
+    * recomputation — the x12g gate body; empty iff the two code paths
+    * agree on every field of every document.
+    */
+  def metaMismatches(decoded: DataFrame, expected: DataFrame): DataFrame =
+    decoded.join(expected, "doc_id")
+      .filter(col("byte_len") =!= col("exp_byte_len") ||
+        col("format") =!= col("exp_format") ||
+        col("width") =!= col("exp_width") ||
+        col("height") =!= col("exp_height") ||
+        col("n_frames") =!= col("exp_n_frames"))
+      .select(col("doc_id"), col("byte_len"), col("exp_byte_len"),
+        col("format"), col("exp_format"), col("width"), col("exp_width"),
+        col("height"), col("exp_height"), col("n_frames"), col("exp_n_frames"))
+
   /** Resize plumbing: re-encode each blob to a target (width, height),
     * updating the metadata struct in the same pass. The byte transform
     * is the stub (a deterministic re-slice standing in for a pixel

@@ -19,6 +19,7 @@ class QueriesSmokeSpec extends SparkSpecBase {
     "x03r_dedup_minhash_recall",
     "x04r_dedup_simhash_recall",
     "x07p_ann_lsh_precision",
+    "x12g_multimodal_meta_gate",
     "x16p_ann_ivf_precision",
     "x17g_approx_distinct_gate",
     "x18g_approx_median_gate",

@@ -56,6 +56,25 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(Set("png", "jpeg").contains(m1(0).getAs[String]("format")))
   }
 
+  test("multimodal meta gate: decode and Catalyst recompute agree on non-ASCII UTF-8") {
+    // multi-byte UTF-8 exercises the signed-byte path (bytes >= 0x80)
+    val docs = Seq((1L, "héllo wörld"), (2L, "日本語テキスト"),
+      (3L, "emoji 😀 mix"), (4L, ""), (5L, "plain ascii")).toDF("doc_id", "text")
+    val blobs = Multimodal.attachBlobs(docs, "doc_id", "text")
+    val mism = Multimodal.metaMismatches(
+      Multimodal.decodeMeta(spark, blobs), Multimodal.expectedMeta(blobs))
+    assert(mism.count() === 0)
+  }
+
+  test("multimodal meta gate has teeth: a tampered field fires it") {
+    val docs = Seq((1L, "abc"), (2L, "defgh")).toDF("doc_id", "text")
+    val blobs = Multimodal.attachBlobs(docs, "doc_id", "text")
+    val tampered = Multimodal.decodeMeta(spark, blobs)
+      .withColumn("width", when($"doc_id" === 2L, $"width" + 1).otherwise($"width"))
+    val mism = Multimodal.metaMismatches(tampered, Multimodal.expectedMeta(blobs))
+    assert(mism.select("doc_id").as[Long].collect().toSeq === Seq(2L))
+  }
+
   test("multimodal sampleFrames explodes stride-sampled frames") {
     val docs = Seq((1L, "0123456789abcdef")).toDF("doc_id", "text")
     val blobs = Multimodal.attachBlobs(docs, "doc_id", "text")
