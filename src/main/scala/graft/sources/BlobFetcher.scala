@@ -39,6 +39,21 @@ object BlobFetcher {
     (res.statusCode(), res.body())
   }
 
+  /** Driver-side single-document GET with the same fail-fast contract
+    * as the executor-side blob fetch — for the LISTING page, which is
+    * one document (reference bs4_scraper.py:18-22 fetches it inline
+    * too; distributing a single GET buys nothing). Returns the decoded
+    * body.
+    */
+  def fetchPage(fetch: Fetch, url: String): String = {
+    val (status, body) = fetch(url)
+    if (status < 200 || status > 299)
+      throw new java.io.IOException(s"fetch failed: HTTP $status for $url")
+    if (body.isEmpty)
+      throw new java.io.IOException(s"downloaded file is empty: $url")
+    new String(body, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
   /** Fetch each candidate's url: (filename, url, ...) -> (filename,
     * content). Non-2xx or empty body throws in the task.
     */

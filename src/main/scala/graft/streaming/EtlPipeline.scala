@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, StructType}
 import graft.operators.{Batcher, ChangeDetector, NcaCleaner}
 import graft.sinks.TableStore
-import graft.sources.{BlobFetcher, PdfTableSource}
+import graft.sources.{BlobFetcher, HtmlLinkSource, PdfTableSource}
 
 /** The reference pipeline end-to-end (SURVEY §3), Spark-first:
   *
@@ -114,6 +114,24 @@ final class EtlPipeline(spark: SparkSession, workDir: String,
       broadcast(queued.select("filename")), Seq("filename"), "left_semi")
     if (!save.isEmpty) BlobFetcher.saveBlobs(save, blobDir)
     queued
+  }
+
+  /** Stage A from the LISTING URL — the reference's true entry point
+    * (bs4_scraper.py:18-76 end-to-end): GET the listing page
+    * (driver-side; it is one document), scan its anchors into release
+    * candidates (HtmlLinkSource: NCA-pdf predicate, absolutization,
+    * year threshold, id synthesis), then run [[scrapeWeb]] — per-
+    * candidate document fetch on executors, CDC on embedded metadata,
+    * save + enqueue proceeding releases. One injected transport serves
+    * both the listing GET and the document fetches.
+    */
+  def scrapeFromUrl(listingUrl: String, baseUrl: String, oldestYear: Int,
+                    nowYear: Int, fetch: BlobFetcher.Fetch, blobDir: String,
+                    extractor: PdfTableSource.TableExtractor): DataFrame = {
+    val html = BlobFetcher.fetchPage(fetch, listingUrl)
+    val candidates = HtmlLinkSource.releaseCandidates(
+      HtmlLinkSource.anchors(spark, html), baseUrl, oldestYear, nowYear)
+    scrapeWeb(candidates, fetch, blobDir, extractor)
   }
 
   /** Stage B (reference handlers/orchestrator.py): drain the release

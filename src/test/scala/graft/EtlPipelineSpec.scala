@@ -226,6 +226,66 @@ class EtlPipelineSpec extends SparkSpecBase {
     assert(!Files.exists(Paths.get(pipe.quarantine)))
   }
 
+  test("scrapeFromUrl: listing URL -> anchors -> candidates -> CDC -> work (OP-01/02 e2e)") {
+    import graft.sources.{BlobFetcher, PositionedStubPdfFormat}
+    import graft.sources.AdaptiveTable.Word
+    val workDir = Files.createTempDirectory("etlurl").toString
+    val blobDir = s"$workDir/blobs"
+    val pipe = new EtlPipeline(spark, workDir, batchSize = 10)
+
+    val docBytes = PositionedStubPdfFormat.encode(
+      pages = Seq(
+        Seq("nca_number", "nca_type", "released_date", "department", "agency",
+          "operating_unit", "amount", "purpose").zipWithIndex.flatMap {
+          case (phrase, i) => phrase.split("_").zipWithIndex.map {
+            case (w, j) => Word(w, 20 + i * 100 + j * 45, 10)
+          }
+        } ++ Seq(Word("NCA-8", 20, 30), Word("Regular", 120, 30),
+          Word("5/1/2024", 220, 30), Word("DENR", 320, 30),
+          Word("AgR", 420, 30), Word("OU-R", 520, 30),
+          Word("88.00", 620, 30), Word("Trees", 720, 30))),
+      created = "2024-05-01T00:00:00", modified = "2024-05-02T00:00:00", width = 821)
+
+    val listing =
+      """<html><body>
+        |<a href="/files/NCA_2024.pdf">NCA <b>2024</b></a>
+        |<a href="/files/notes.txt">not a pdf</a>
+        |<a href="/files/NCA_1999.pdf">too old</a>
+        |</body></html>""".stripMargin
+    // ONE transport serves the listing page and the document fetches
+    val fetch: BlobFetcher.Fetch = {
+      case "https://host/releases" => (200, listing.getBytes("UTF-8"))
+      case "https://host/files/NCA_2024.pdf" => (200, docBytes)
+      case _ => (404, Array.emptyByteArray)
+    }
+
+    // the link scan keeps only the in-threshold NCA pdf; its document is
+    // fetched, metadata-read, queued, saved
+    val queued = pipe.scrapeFromUrl("https://host/releases", "https://host",
+      oldestYear = 2020, nowYear = 2026, fetch, blobDir, PositionedStubPdfFormat)
+    assert(queued.select("id", "title", "filename", "url", "year")
+      .as[(String, String, String, String, Int)].collect().toSeq ===
+      Seq(("id_2024", "NCA 2024", "NCA_2024.pdf",
+        "https://host/files/NCA_2024.pdf", 2024)))
+    assert(new java.io.File(blobDir, "NCA_2024.pdf").exists())
+
+    pipe.orchestrate(); pipe.work(blobDir, PositionedStubPdfFormat)
+    val recs = pipe.records.get.select("nca_number", "department", "release_id")
+      .as[(String, String, String)].collect().toSeq
+    assert(recs === Seq(("NCA-8", "DENR", "id_2024")))
+
+    // unchanged listing + unchanged document -> CDC yields nothing
+    assert(pipe.scrapeFromUrl("https://host/releases", "https://host",
+      2020, 2026, fetch, blobDir, PositionedStubPdfFormat).isEmpty)
+
+    // a failing listing GET fails the scrape driver-side
+    val boom = intercept[java.io.IOException] {
+      pipe.scrapeFromUrl("https://host/missing", "https://host",
+        2020, 2026, fetch, blobDir, PositionedStubPdfFormat)
+    }
+    assert(boom.getMessage.contains("HTTP 404"))
+  }
+
   test("per-message isolation: one poison well-formed message quarantines, rest process") {
     import org.apache.spark.sql.types.StructType
     import graft.streaming.QueuePipeline
