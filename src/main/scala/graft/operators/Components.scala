@@ -15,9 +15,12 @@ import org.apache.spark.sql.functions._
   * step compresses chains so convergence is O(log n) rounds even on
   * path graphs — near-dup clusters (near-cliques) converge in 2-3.
   * Each round is a handful of shuffle joins on (node|root) keys; the
-  * driver loop only counts changed labels per round — the standard
-  * Spark iterative-algorithm shape (same as GraphX Pregel), with
-  * per-round localCheckpoint so lineage stays O(1) deep.
+  * standard Spark iterative-algorithm shape (same as GraphX Pregel),
+  * with per-round localCheckpoint so lineage stays O(1) deep. The
+  * convergence check rides the round's own materialization job (an
+  * accumulator bumped per changed label while the checkpoint runs)
+  * instead of a separate join+count job per round — two jobs per
+  * round, not three, and the check itself shuffles nothing.
   */
 object Components {
 
@@ -25,6 +28,7 @@ object Components {
     * the minimum node id in the node's component.
     */
   def connectedComponents(edges: DataFrame, maxRounds: Int = 25): DataFrame = {
+    val spark = edges.sparkSession
     val sym = edges.select(col("a").as("u"), col("b").as("v"))
       .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
       .distinct()
@@ -41,19 +45,27 @@ object Components {
         .groupBy(col("u").as("node")).agg(min(col("root")).as("nbr_root"))
       val propagated = labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"),
-          least(col("root"), coalesce(col("nbr_root"), col("root"))).as("root"))
+          least(col("root"), coalesce(col("nbr_root"), col("root"))).as("root"),
+          col("root").as("old_root"))
         .localCheckpoint(true)
       // pointer jumping: root := root's root (roots are nodes themselves)
       val jumped = propagated
         .join(propagated.select(col("node").as("root"), col("root").as("rr")),
           Seq("root"), "left")
-        .select(col("node"), coalesce(col("rr"), col("root")).as("root"))
-        .localCheckpoint(true)
-      changed = jumped.as("n")
-        .join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.root") =!= col("o.root"))
-        .count()
-      labels = jumped
+        .select(col("node"), coalesce(col("rr"), col("root")).as("root"),
+          col("old_root"))
+      // convergence check folded into the round's own materialization:
+      // the accumulator is bumped per changed label WHILE the checkpoint
+      // job runs, replacing the former separate join+count job. A task
+      // retry could only overcount (costing one extra confirming round,
+      // same fixpoint); zero is exact — every partition ran once and saw
+      // no change.
+      val acc = spark.sparkContext.longAccumulator("cc-changed")
+      val counted = jumped.mapPartitions { it =>
+        it.map { r => if (r.get(1) != r.get(2)) acc.add(1); r }
+      }(org.apache.spark.sql.Encoders.row(jumped.schema))
+      labels = counted.localCheckpoint(true).select("node", "root")
+      changed = acc.value
       round += 1
     }
     require(changed == 0, s"connectedComponents did not converge in $maxRounds rounds")

@@ -42,6 +42,44 @@ class ComponentsSpec extends SparkSpecBase {
     assert(kept === Set(1L, 2L, 3L))
   }
 
+  test("convergence check launches no extra job: two jobs per round plus setup") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+    }
+    val sc = spark.sparkContext
+    // AQE splits one materialization into per-shuffle-stage jobs, which
+    // would make the count plan-shape-dependent; job accounting is only
+    // deterministic with it off (1 localCheckpoint = 1 job, no others)
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val abj = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // a broadcast build side collects via its own job; force SMJ so the
+    // only jobs are the checkpoints themselves
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sc.addSparkListener(listener)
+    try {
+      // triangle: round 1 relabels, round 2 confirms -> exactly 2 rounds
+      val roots = cc(Seq((10L, 11L), (11L, 12L), (10L, 12L)))
+      assert(roots === Map(10L -> 10L, 11L -> 10L, 12L -> 10L))
+      // listener bus is async: poll until the count is stable
+      var last = -1
+      var spins = 0
+      while (jobs.get != last && spins < 50) {
+        last = jobs.get; spins += 1; Thread.sleep(100)
+      }
+      // 2 setup checkpoints (sym, initial labels) + 2 rounds x 2
+      // checkpoints + 1 collect from cc() = 7; the old separate
+      // join+count convergence job would add one per round (9+)
+      assert(jobs.get <= 7, s"expected <=7 jobs (2 setup + 2/round + collect), saw ${jobs.get}")
+    } finally {
+      sc.removeSparkListener(listener)
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abj)
+    }
+  }
+
   test("keepCanonical keeps one doc per cluster and all unpaired docs") {
     val docs = (1L to 10L).toDF("id")
     val pairs = Seq((2L, 7L), (7L, 9L), (4L, 5L)).toDF("a", "b")
