@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, StructType}
-import graft.operators.{Batcher, ChangeDetector, NcaCleaner}
+import graft.operators.{Batcher, ChangeDetector, CoLocatedJoin, NcaCleaner}
 import graft.sinks.TableStore
 import graft.sources.{BlobFetcher, HtmlLinkSource, PdfTableSource}
 
@@ -199,4 +199,21 @@ final class EtlPipeline(spark: SparkSession, workDir: String,
   def records: Option[DataFrame] = TableStore.read(spark, recordTable)
   def allocations: Option[DataFrame] =
     TableStore.read(spark, allocationTable).map(_.drop("__batch_key"))
+
+  /** Publish record + allocation into the session catalog CO-BUCKETED
+    * on nca_number and return their co-located join — the pipeline's
+    * dominant downstream query (every allocation with its record's
+    * type/date/department). Both scans expose the same
+    * HashPartitioning(nca_number, n), so the sort-merge join plans with
+    * ZERO shuffle exchanges (asserted in EtlPipelineSpec): one
+    * write-time shuffle per load, amortized over every subsequent
+    * reporting join instead of re-shuffling both fact tables each run.
+    */
+  def publishCoLocated(prefix: String = "graft", buckets: Int = 8): Option[DataFrame] =
+    for { r <- records; a <- allocations } yield {
+      CoLocatedJoin.writeBucketed(r, s"${prefix}_record_nca", "nca_number", buckets)
+      CoLocatedJoin.writeBucketed(a, s"${prefix}_allocation_nca", "nca_number", buckets)
+      CoLocatedJoin.join(spark, s"${prefix}_record_nca",
+        s"${prefix}_allocation_nca", "nca_number")
+    }
 }

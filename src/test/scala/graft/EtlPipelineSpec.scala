@@ -286,6 +286,46 @@ class EtlPipelineSpec extends SparkSpecBase {
     assert(boom.getMessage.contains("HTTP 404"))
   }
 
+  test("publishCoLocated: record-allocation reporting join plans zero shuffles") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val workDir = Files.createTempDirectory("etlcoloc").toString
+    val blobDir = s"$workDir/blobs"
+    writeBlob(blobDir, "NCA_2024.pdf", Seq(
+      page(
+        Seq("NCA-1", "Regular", "2024-01-15", "DepEd", "AgA", "OU1", "100.50", "Books"),
+        Seq("", "", "", "", "", "", "", ""),
+        Seq("NCA-1", "", "", "", "AgB", "OU2", "200.00", "")),
+      page(
+        Seq("NCA-2", "Special", "2024-02-01", "DOH", "AgC", "OU3", "300.25", "Meds"))))
+    val pipe = new EtlPipeline(spark, workDir, batchSize = 10)
+    pipe.scrape(candidatesDf(workDir, 2), Seq("NCA_2024.pdf").toDF("filename"))
+    pipe.orchestrate(); pipe.work(blobDir)
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // force a non-broadcast join: the assertion must prove the BUCKETING
+    // removes the shuffle, not a broadcast of the small test tables
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = pipe.publishCoLocated(prefix = "etlcoloc").get
+      // sparkPlan, not executedPlan: AQE wraps executedPlan in an
+      // adaptive leaf that would hide a regressed shuffle from collect
+      val shuffles = joined.queryExecution.sparkPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(shuffles.isEmpty,
+        s"expected shuffle-free co-located join:\n${joined.queryExecution.sparkPlan}")
+      // NCA-1 has two allocations, NCA-2 one -> 3 joined rows
+      val rows = joined.select("nca_number", "agency", "department")
+        .as[(String, String, String)].collect().toSeq.sorted
+      assert(rows === Seq(("NCA-1", "AgA", "DepEd"), ("NCA-1", "AgB", "DepEd"),
+        ("NCA-2", "AgC", "DOH")))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS etlcoloc_record_nca")
+      spark.sql("DROP TABLE IF EXISTS etlcoloc_allocation_nca")
+    }
+  }
+
   test("per-message isolation: one poison well-formed message quarantines, rest process") {
     import org.apache.spark.sql.types.StructType
     import graft.streaming.QueuePipeline
