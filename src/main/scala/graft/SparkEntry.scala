@@ -25,6 +25,7 @@ object SparkEntry {
       EventTimeQueries.queries ++
       SketchQueries.queries ++
       SamplingQueries.queries ++
+      PackingQueries.queries ++
       OlapQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -38,5 +39,6 @@ object SparkEntry {
       EventTimeQueries.oracleSql ++
       SketchQueries.oracleSql ++
       SamplingQueries.oracleSql ++
+      PackingQueries.oracleSql ++
       OlapQueries.oracleSql
 }
