@@ -165,6 +165,73 @@ class PdfTextCodecSpec extends AnyFunSuite with org.scalactic.Tolerance {
     assert(flat.exists(_.contains("1,626,450.00")), s"no amount in $flat")
   }
 
+  /** Multi-page classic-layout PDF: one Flate content stream per page,
+    * shared font, 850pt-wide MediaBox (the NCA layout is wide).
+    */
+  private def multiPdf(pages: Seq[Seq[(String, Int, Int)]]): Array[Byte] = {
+    val n = pages.length
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    val kids = (1 to n).map(i => s"${2 + i} 0 R").mkString(" ")
+    w(s"2 0 obj << /Type /Pages /Kids [$kids] /Count $n >> endobj\n")
+    pages.zipWithIndex.foreach { case (_, i) =>
+      w(s"${3 + i} 0 obj << /Type /Page /Parent 2 0 R " +
+        s"/MediaBox [0 0 850 792] /Resources << /Font << /F1 ${3 + 2 * n} 0 R >> >> " +
+        s"/Contents ${3 + n + i} 0 R >> endobj\n")
+    }
+    pages.zipWithIndex.foreach { case (words, i) =>
+      val content = words.map { case (t, x, y) =>
+        s"BT /F1 10 Tf $x $y Td ($t) Tj ET"
+      }.mkString(" ")
+      val c = deflate(content.getBytes("ISO-8859-1"))
+      w(s"${3 + n + i} 0 obj << /Length ${c.length} /Filter /FlateDecode >> stream\n")
+      out.write(c)
+      w("\nendstream endobj\n")
+    }
+    w(s"${3 + 2 * n} 0 obj << /Type /Font /Subtype /TrueType /BaseFont /Helvetica >> endobj\n")
+    w("trailer << /Root 1 0 R >>\n%%EOF")
+    out.toByteArray
+  }
+
+  test("multi-page Flate PDF: page ranges slice through RealPdfCodec (OP-06)") {
+    // page 1 carries the header phrases (boundary discovery reads page 1
+    // only); pages 2 and 3 carry one data row each at the same x layout
+    val header = Seq("nca", "number", "nca", "type", "released", "date",
+      "department", "agency", "operating", "unit", "amount", "purpose")
+    val phrases = Seq("nca_number", "nca_type", "released_date", "department",
+      "agency", "operating_unit", "amount", "purpose")
+    val headerWords = phrases.zipWithIndex.flatMap { case (p, i) =>
+      p.split("_").zipWithIndex.map { case (t, j) => (t, 20 + i * 100 + j * 45, 700) }
+    }
+    val row2 = Seq("NCA-9", "Regular", "1/1/2024", "DOH", "AgX", "OU1",
+      "10.00", "Meds").zipWithIndex.map { case (t, i) => (t, 20 + i * 100, 660) }
+    val row3 = Seq("NCA-10", "Special", "2/1/2024", "DOTr", "AgY", "OU2",
+      "20.00", "Rails").zipWithIndex.map { case (t, i) => (t, 20 + i * 100, 660) }
+    val pdf = multiPdf(Seq(headerWords, row2, row3))
+
+    val codec = RealPdfCodec(StubPdfFormat)
+    assert(codec.pageCount(pdf) === 3)
+
+    // mid-range extraction touches ONLY page 2
+    val mid = codec.extract("d", pdf, 2, 2).toSeq
+    assert(mid.map(_.page).distinct === Seq(2))
+    assert(mid.map(_.cells) === Seq(Seq("NCA-9", "Regular", "1/1/2024",
+      "DOH", "AgX", "OU1", "10.00", "Meds")))
+
+    // full range: header row then both data rows, ord strictly increasing
+    val all = codec.extract("d", pdf, 1, 3).toSeq
+    assert(all.map(_.page) === Seq(1, 2, 3))
+    assert(all.head.cells === Seq("nca number", "nca type", "released date",
+      "department", "agency", "operating unit", "amount", "purpose"))
+    assert(all.last.cells.head === "NCA-10")
+    assert(all.map(_.ord) === all.map(_.ord).sorted)
+
+    // out-of-range start/end clamp rather than throw
+    assert(codec.extract("d", pdf, 3, 99).toSeq.map(_.page) === Seq(3))
+  }
+
   test("non-PDF bytes fall back to the stub codec") {
     val stub = StubPdfFormat.encode(Seq(Seq(Seq("a", "b"))))
     val rows = RealPdfCodec(StubPdfFormat).extract("d", stub, 1, 1).toSeq
