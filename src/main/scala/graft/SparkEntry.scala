@@ -26,6 +26,7 @@ object SparkEntry {
       SketchQueries.queries ++
       SamplingQueries.queries ++
       PackingQueries.queries ++
+      Quantize.queries ++
       OlapQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -40,5 +41,6 @@ object SparkEntry {
       SketchQueries.oracleSql ++
       SamplingQueries.oracleSql ++
       PackingQueries.oracleSql ++
+      Quantize.oracleSql ++
       OlapQueries.oracleSql
 }

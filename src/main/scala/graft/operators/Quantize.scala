@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Per-vector symmetric int8 embedding quantization — the storage/
+  * bandwidth step of a production vector pipeline: a 100 TB float32
+  * embedding corpus shrinks 4x before it ever reaches the ANN
+  * operators, and the dequantization error is bounded per element by
+  * scale/2 (half a quantization step).
+  *
+  * Pure column expressions (array HOFs) in the scan-project stage — no
+  * shuffle, no UDF. The declared query is rows-only (float division
+  * parity across engines is not bit-exact, so no hash oracle); its
+  * correctness gate x31g re-derives the guarantee the operator
+  * documents — every dequantized element within scale/2 (+ float eps)
+  * of the original, every code in [-127, 127], lengths preserved — and
+  * emits violators, provably none, with an empty-set DuckDB oracle
+  * (the x17g pattern).
+  */
+object Quantize {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** (id, scale, qvec): qvec[i] = round(emb[i] / scale) with
+    * scale = max|emb| / 127; an all-zero vector quantizes to scale 0
+    * and an all-zero code array (the division guard).
+    */
+  def quantize(df: DataFrame, idCol: String, embCol: String): DataFrame = {
+    val maxabs = array_max(transform(col(embCol), x => abs(x))).cast("double")
+    val scale = maxabs / lit(127.0)
+    df.select(col(idCol),
+      when(maxabs > 0, scale).otherwise(lit(0.0)).as("scale"),
+      when(maxabs > 0,
+          transform(col(embCol), x => round(x.cast("double") / scale).cast("int")))
+        .otherwise(transform(col(embCol), _ => lit(0))).as("qvec"))
+  }
+
+  /** Vectors violating the quantization contract against their
+    * originals: dequantization error beyond scale/2 (+eps for the
+    * float32->double element cast), a code outside int8 range, or a
+    * length mismatch. Empty by construction for [[quantize]] output.
+    */
+  def contractViolations(orig: DataFrame, quant: DataFrame,
+                         idCol: String, embCol: String): DataFrame = {
+    val bound = col("scale") / 2 + lit(1e-6)
+    orig.select(col(idCol), col(embCol)).join(quant, idCol)
+      .select(col(idCol),
+        exists(zip_with(col(embCol), col("qvec"),
+            (e, q) => abs(q.cast("double") * col("scale") - e.cast("double")) > bound),
+          b => b).as("bad_err"),
+        exists(col("qvec"), q => abs(q) > 127).as("bad_range"),
+        (size(col("qvec")) =!= size(col(embCol))).as("bad_len"))
+      .filter(col("bad_err") || col("bad_range") || col("bad_len"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // rows-only: engine-specific float division; gated by x31g below
+    "x31_quantize_embeddings" -> ((s, d) =>
+      quantize(Tables(s, d, "embeddings"), "vec_id", "embedding")
+        .orderBy(col("vec_id"))),
+
+    "x31g_quantize_gate" -> ((s, d) => {
+      val e = Tables(s, d, "embeddings")
+      contractViolations(e, quantize(e, "vec_id", "embedding"),
+          "vec_id", "embedding")
+        .orderBy(col("vec_id"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "x31g_quantize_gate" ->
+      """SELECT CAST(NULL AS BIGINT) AS vec_id,
+        |  CAST(NULL AS BOOLEAN) AS bad_err,
+        |  CAST(NULL AS BOOLEAN) AS bad_range,
+        |  CAST(NULL AS BOOLEAN) AS bad_len
+        |WHERE false""".stripMargin
+  )
+}

@@ -21,6 +21,7 @@ class QueriesSmokeSpec extends SparkSpecBase {
     "x07p_ann_lsh_precision",
     "x12g_multimodal_meta_gate",
     "x16p_ann_ivf_precision",
+    "x31g_quantize_gate",
     "x17g_approx_distinct_gate",
     "x18g_approx_median_gate",
     "x26g_heavy_hitters_recall")
