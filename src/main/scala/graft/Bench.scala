@@ -107,9 +107,16 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","passes":$repeat,"queries":$qs,"errors":$errs$raw,"sf":"$sfDir"}"""
     println(line)
     // durable copy: the driver captures stdout, but local iteration loses
-    // it — target/bench.json always holds the last completed run
-    Files.createDirectories(Paths.get("target"))
-    Files.writeString(Paths.get("target/bench.json"), line + "\n")
+    // it — target/bench.json always holds the last completed run.
+    // Best-effort: a read-only working dir must not fail a bench whose
+    // results already reached stdout.
+    try {
+      Files.createDirectories(Paths.get("target"))
+      Files.writeString(Paths.get("target/bench.json"), line + "\n")
+    } catch {
+      case e: java.io.IOException =>
+        System.err.println(s"[bench] WARNING: durable write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

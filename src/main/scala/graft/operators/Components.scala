@@ -38,6 +38,7 @@ object Components {
       .localCheckpoint(true)
     var round = 0
     var changed = 1L
+    var lastCounted: DataFrame = null
     while (changed > 0 && round < maxRounds) {
       // smallest root among the node's neighbors
       val nbrMin = sym
@@ -64,10 +65,16 @@ object Components {
       val counted = jumped.mapPartitions { it =>
         it.map { r => if (r.get(1) != r.get(2)) acc.add(1); r }
       }(org.apache.spark.sql.Encoders.row(jumped.schema))
-      labels = counted.localCheckpoint(true).select("node", "root")
+      lastCounted = counted.localCheckpoint(true)
+      labels = lastCounted.select("node", "root")
       changed = acc.value
       round += 1
     }
+    // the accumulator can only OVERcount (task retry/speculation), so a
+    // nonzero at the round bound gets one exact recheck — a cheap filter
+    // over the already-materialized frame, no join — before aborting
+    if (changed != 0 && lastCounted != null)
+      changed = lastCounted.filter(col("root") =!= col("old_root")).count()
     require(changed == 0, s"connectedComponents did not converge in $maxRounds rounds")
     labels
   }

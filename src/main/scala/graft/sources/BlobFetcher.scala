@@ -39,20 +39,26 @@ object BlobFetcher {
     (res.statusCode(), res.body())
   }
 
-  /** Driver-side single-document GET with the same fail-fast contract
-    * as the executor-side blob fetch — for the LISTING page, which is
-    * one document (reference bs4_scraper.py:18-22 fetches it inline
-    * too; distributing a single GET buys nothing). Returns the decoded
-    * body.
+  /** The fail-fast contract shared by every fetch path: non-2xx or an
+    * empty body throws (raise_for_status + the reference's empty-file
+    * guard). Serializable — runs on executors and on the driver alike.
     */
-  def fetchPage(fetch: Fetch, url: String): String = {
+  def checkedFetch(fetch: Fetch, url: String): Array[Byte] = {
     val (status, body) = fetch(url)
     if (status < 200 || status > 299)
       throw new java.io.IOException(s"fetch failed: HTTP $status for $url")
     if (body.isEmpty)
       throw new java.io.IOException(s"downloaded file is empty: $url")
-    new String(body, java.nio.charset.StandardCharsets.UTF_8)
+    body
   }
+
+  /** Driver-side single-document GET — for the LISTING page, which is
+    * one document (reference bs4_scraper.py:18-22 fetches it inline
+    * too; distributing a single GET buys nothing). Returns the decoded
+    * body.
+    */
+  def fetchPage(fetch: Fetch, url: String): String =
+    new String(checkedFetch(fetch, url), java.nio.charset.StandardCharsets.UTF_8)
 
   /** Fetch each candidate's url: (filename, url, ...) -> (filename,
     * content). Non-2xx or empty body throws in the task.
@@ -62,12 +68,7 @@ object BlobFetcher {
     import spark.implicits._
     candidates.select("filename", "url").as[(String, String)]
       .mapPartitions(_.map { case (filename, url) =>
-        val (status, body) = fetch(url)
-        if (status < 200 || status > 299)
-          throw new java.io.IOException(s"fetch failed: HTTP $status for $url")
-        if (body.isEmpty)
-          throw new java.io.IOException(s"downloaded file is empty: $url")
-        (filename, body)
+        (filename, checkedFetch(fetch, url))
       }).toDF("filename", "content")
   }
 

@@ -53,11 +53,20 @@ object PdfTextCodec {
         var dataStart = streamKw + "stream".length
         if (dataStart < s.length && s.charAt(dataStart) == '\r') dataStart += 1
         if (dataStart < s.length && s.charAt(dataStart) == '\n') dataStart += 1
-        // Prefer a literal /Length (indirect lengths resolved by the
-        // caller via resolveLength); fall back to the endstream keyword.
-        val end = s.indexOf("endstream", dataStart) match {
-          case -1 => endobj
-          case i  => i
+        // Slice by a literal /Length when it lands on (within EOL slack
+        // of) an endstream keyword — stream DATA may itself contain the
+        // bytes "endstream", and cutting at the first occurrence would
+        // silently truncate it. Indirect /Length (rare for content
+        // streams) falls back to the first-keyword heuristic.
+        val end = int(dict, "/Length") match {
+          case Some(n) if n >= 0 && dataStart + n <= s.length && {
+              val kw = s.indexOf("endstream", dataStart + n)
+              kw >= 0 && kw - (dataStart + n) <= 2 // at most CRLF between
+            } => dataStart + n
+          case _ => s.indexOf("endstream", dataStart) match {
+            case -1 => endobj
+            case i  => i
+          }
         }
         PdfObj(num, dict, Some(s.substring(dataStart, end).getBytes("ISO-8859-1")))
       } else PdfObj(num, s.substring(bodyStart, endobj), None)
@@ -217,9 +226,20 @@ object PdfTextCodec {
   private def loadFont(objs: Map[Int, PdfObj], fontDict: String): Font = {
     val twoByte = fontDict.contains("/Type0")
     val firstChar = int(fontDict, "/FirstChar").getOrElse(0)
+    // indirect /Widths: the referenced object's BODY is the array
+    // (possibly bracketed) — parse its numbers directly; re-wrapping in
+    // brackets would glue '[' onto the first width and drop it
     val widths = numArray(fontDict, "/Widths")
-      .orElse(ref(fontDict, "/Widths").flatMap(objs.get)
-        .flatMap(o => numArray("[" + o.dict + "]", "")))
+      .orElse(ref(fontDict, "/Widths").flatMap(objs.get).flatMap { o =>
+        val body = o.dict
+        val inner =
+          if (body.contains("[") && body.lastIndexOf("]") > body.indexOf("["))
+            body.substring(body.indexOf("[") + 1, body.lastIndexOf("]"))
+          else body
+        val nums = inner.trim.split("""\s+""").toSeq
+          .filter(_.nonEmpty).flatMap(_.toDoubleOption)
+        if (nums.nonEmpty) Some(nums) else None
+      })
       .getOrElse(Seq.empty).map(_.toInt).toArray
     val toUni = ref(fontDict, "/ToUnicode").flatMap(objs.get)
       .flatMap(o => streamData(objs, o))
@@ -359,10 +379,13 @@ object PdfTextCodec {
   def interpret(toks: Seq[Tok], fonts: Map[String, Font]): Seq[Glyph] = {
     val glyphs = Vector.newBuilder[Glyph]
     var ctm = Mat.id
-    val ctmStack = collection.mutable.Stack.empty[Mat]
     var tm = Mat.id;  var tlm = Mat.id
     var font: Font = Font(0, Array.empty, Map.empty, twoByte = false)
     var fs = 1.0; var tc = 0.0; var tw = 0.0; var th = 1.0; var tl = 0.0; var rise = 0.0
+    // q/Q scope the WHOLE graphics state (spec 8.4.2): text-state
+    // parameters set inside q..Q must revert at Q, not leak out
+    val gsStack =
+      collection.mutable.Stack.empty[(Mat, Font, Double, Double, Double, Double, Double, Double)]
     var tx = 0.0 // accumulated advance along the text line, text space
     var run = 0
     val operands = collection.mutable.ArrayBuffer.empty[Tok]
@@ -395,8 +418,11 @@ object PdfTextCodec {
       case t @ (TNum(_) | TStr(_) | TName(_) | TArr(_)) => operands += t
       case TOp(op) =>
         op match {
-          case "q"  => ctmStack.push(ctm)
-          case "Q"  => if (ctmStack.nonEmpty) ctm = ctmStack.pop()
+          case "q"  => gsStack.push((ctm, font, fs, tc, tw, th, tl, rise))
+          case "Q"  => if (gsStack.nonEmpty) {
+            val (c, f, s2, c2, w2, h2, l2, r2) = gsStack.pop()
+            ctm = c; font = f; fs = s2; tc = c2; tw = w2; th = h2; tl = l2; rise = r2
+          }
           case "cm" => ctm = Mat(num(6), num(5), num(4), num(3), num(2), num(1)) * ctm
           case "BT" => tm = Mat.id; tlm = Mat.id; newRun()
           case "ET" =>

@@ -122,6 +122,57 @@ class PdfTextCodecSpec extends AnyFunSuite with org.scalactic.Tolerance {
     assert(math.abs(word.top - 100.0) < 0.01, s"top=${word.top}")
   }
 
+  /** Classic-layout PDF with an UNCOMPRESSED content stream and an
+    * indirect /Widths array — the two emitter layouts miniPdf doesn't
+    * exercise.
+    */
+  private def rawPdf(content: String, fontExtra: String = "",
+                     widthsObj: String = ""): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >> endobj\n")
+    w(s"4 0 obj << /Length ${content.length} >> stream\n")
+    w(content)
+    w("\nendstream endobj\n")
+    w(s"5 0 obj << /Type /Font /Subtype /TrueType /BaseFont /Helvetica $fontExtra >> endobj\n")
+    if (widthsObj.nonEmpty) w(s"7 0 obj $widthsObj endobj\n")
+    w("trailer << /Root 1 0 R >>\n%%EOF")
+    out.toByteArray
+  }
+
+  test("indirect /Widths object keeps every width in position") {
+    // A (code 65) advances 1000/1000em * 10pt = 10pt; a shifted-by-one
+    // parse would use B's 2000 and land the second char at 92, not 82
+    val pdf = rawPdf("BT /F1 10 Tf 72 700 Td (AB) Tj ET",
+      fontExtra = "/FirstChar 65 /Widths 7 0 R",
+      widthsObj = "[1000 2000]")
+    val chars = PdfTextCodec.parse(pdf).get.pages.head.chars.sortBy(_.x0)
+    assert(chars.map(_.uni) === Seq("A", "B"))
+    assert(chars(1).x0 === 82.0 +- 0.01)
+  }
+
+  test("Q restores text state set inside q..Q (font size does not leak)") {
+    val content =
+      "BT /F1 10 Tf 72 700 Td (A) Tj ET " +
+        "q BT /F1 30 Tf 72 650 Td (X) Tj ET Q " +
+        "BT 72 600 Td (CD) Tj ET"
+    val chars = PdfTextCodec.parse(rawPdf(content)).get.pages.head.chars
+    val cd = chars.filter(c => c.uni == "C" || c.uni == "D").sortBy(_.x0)
+    // default width 500/1000em: 5pt at the restored fs=10 (15pt if the
+    // q-scoped Tf 30 leaked through Q)
+    assert(cd(1).x0 - cd(0).x0 === 5.0 +- 0.01)
+  }
+
+  test("stream data containing the bytes 'endstream' is not truncated") {
+    val pdf = rawPdf("BT /F1 10 Tf 72 700 Td (endstream inside) Tj ET")
+    val words = PdfTextCodec.parse(pdf).get.pages.head.words.map(_.text)
+    assert(words === Seq("endstream", "inside"))
+  }
+
   // ---- the reference's genuine artifact --------------------------------
 
   private lazy val ncaBytes: Array[Byte] = {
