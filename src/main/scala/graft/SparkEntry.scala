@@ -27,6 +27,7 @@ object SparkEntry {
       SamplingQueries.queries ++
       PackingQueries.queries ++
       Quantize.queries ++
+      Contamination.queries ++
       OlapQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -42,5 +43,6 @@ object SparkEntry {
       SamplingQueries.oracleSql ++
       PackingQueries.oracleSql ++
       Quantize.oracleSql ++
+      Contamination.oracleSql ++
       OlapQueries.oracleSql
 }

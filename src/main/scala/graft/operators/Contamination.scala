@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.GraftFunctions.tokens
+
+/** Exact-substring overlap operators over k-token window hashes — the
+  * exact-match complement to the Jaccard/MinHash document-level family
+  * (public approach: Lee et al. 2021, "Deduplicating Training Data
+  * Makes Language Models Better", which dedups exact token spans):
+  *
+  *  - [[dupWindowFrac]]: per document, the fraction of its distinct
+  *    k-token windows that also occur in ANOTHER document — the
+  *    "how much of this doc is copied" signal that drives span-level
+  *    dedup decisions.
+  *  - [[decontamination]]: per EVAL document, the fraction of its
+  *    windows present anywhere in the TRAIN split — the train/test
+  *    leakage check run before any benchmark evaluation.
+  *
+  * Windows travel as md5 hashes (portable across engines, fixed 32
+  * bytes) — the shuffle never carries raw text. Both operators are
+  * explode + hash-join + per-key aggregation: sub-quadratic, no window
+  * functions, no driver state; both declared queries are exact and
+  * DuckDB-hash-checked.
+  */
+object Contamination {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Window size of the declared queries (tokens per window). */
+  private val K = 5
+
+  /** (id, w): md5 of each DISTINCT k-token window per document. A
+    * document shorter than k tokens contributes its whole token list as
+    * one short window (the shingle-family convention, so no document
+    * silently drops out of the relation).
+    */
+  def tokenWindows(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int): DataFrame = {
+    val ts = tokens(col(textCol))
+    val wins = transform(
+      sequence(lit(1), greatest(size(ts) - (k - 1), lit(1))),
+      i => array_join(slice(ts, i, lit(k)), " "))
+    docs.select(col(idCol).as("id"), explode(array_distinct(wins)).as("win"))
+      .select(col("id"), md5(col("win")).as("w"))
+  }
+
+  /** (id, dup_win_frac): fraction of the document's distinct windows
+    * occurring in at least one OTHER document.
+    */
+  def dupWindowFrac(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    val w = tokenWindows(docs, idCol, textCol, k)
+    val ndocs = w.groupBy(col("w")).agg(countDistinct(col("id")).as("ndocs"))
+    w.join(ndocs, "w")
+      .groupBy(col("id"))
+      .agg(round(avg(when(col("ndocs") > 1, 1.0).otherwise(0.0)), 6)
+        .as("dup_win_frac"))
+  }
+
+  /** (id, contam_frac) for every eval-split document: fraction of its
+    * windows found anywhere in the train corpus. `evalDocs` and
+    * `trainDocs` are (id, text)-shaped frames (any disjoint split).
+    */
+  def decontamination(evalDocs: DataFrame, trainDocs: DataFrame,
+                      idCol: String, textCol: String, k: Int): DataFrame = {
+    val trainW = tokenWindows(trainDocs, idCol, textCol, k)
+      .select(col("w")).distinct().withColumn("hit", lit(1))
+    tokenWindows(evalDocs, idCol, textCol, k)
+      .join(trainW, Seq("w"), "left")
+      .groupBy(col("id"))
+      .agg(round(avg(when(col("hit").isNotNull, 1.0).otherwise(0.0)), 6)
+        .as("contam_frac"))
+  }
+
+  /** The deterministic md5-prefix split shared with x22 (SamplingQueries):
+    * '00'..'cb' = train, 'e6'..'ff' = test.
+    */
+  private def split(df: DataFrame, lo: String, hi: String): DataFrame =
+    df.filter(substring(md5(col("doc_id").cast("string")), 1, 2).between(lo, hi))
+
+  val queries: Map[String, Q] = Map(
+    "x32_dup_window_frac" -> ((s, d) =>
+      dupWindowFrac(Tables(s, d, "documents"), "doc_id", "text", K)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))),
+
+    // decontamination of the x22 test split against the x22 train split
+    "x33_decontamination" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      decontamination(split(docs, "e6", "ff"), split(docs, "00", "cb"),
+          "doc_id", "text", K)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  private val TokArr = """string_split_regex(lower(trim(text)), '\s+')"""
+
+  val oracleSql: Map[String, String] = Map(
+    "x32_dup_window_frac" ->
+      s"""WITH w AS (
+         |  SELECT DISTINCT doc_id AS id,
+         |    md5(array_to_string(ts[i : i + 4], ' ')) AS w
+         |  FROM (SELECT doc_id, $TokArr AS ts FROM documents),
+         |    unnest(generate_series(1, greatest(len(ts) - 4, 1))) AS t(i)
+         |),
+         |nd AS (SELECT w, count(DISTINCT id) AS ndocs FROM w GROUP BY w)
+         |SELECT id AS doc_id,
+         |  round(avg(CASE WHEN ndocs > 1 THEN 1.0 ELSE 0.0 END), 6) AS dup_win_frac
+         |FROM w JOIN nd USING (w)
+         |GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "x33_decontamination" ->
+      s"""WITH tok AS (SELECT doc_id, $TokArr AS ts FROM documents),
+         |w AS (
+         |  SELECT DISTINCT doc_id AS id,
+         |    md5(array_to_string(ts[i : i + 4], ' ')) AS w
+         |  FROM tok, unnest(generate_series(1, greatest(len(ts) - 4, 1))) AS t(i)
+         |),
+         |train AS (
+         |  SELECT DISTINCT w.w FROM w
+         |  WHERE substr(md5(CAST(id AS VARCHAR)), 1, 2) BETWEEN '00' AND 'cb'
+         |),
+         |test AS (
+         |  SELECT id, w.w FROM w
+         |  WHERE substr(md5(CAST(id AS VARCHAR)), 1, 2) BETWEEN 'e6' AND 'ff'
+         |)
+         |SELECT id AS doc_id,
+         |  round(avg(CASE WHEN train.w IS NOT NULL THEN 1.0 ELSE 0.0 END), 6)
+         |    AS contam_frac
+         |FROM test LEFT JOIN train ON test.w = train.w
+         |GROUP BY id ORDER BY doc_id""".stripMargin
+  )
+}
