@@ -45,13 +45,27 @@ object Contamination {
       .select(col("id"), md5(col("win")).as("w"))
   }
 
+  /** Spread a small-scan input across the cluster before the window
+    * expansion (single-row-group parquet scans as ONE partition; at
+    * production scale the scan already has thousands of splits and this
+    * is a cheap rebalance of pre-expansion rows).
+    */
+  private def rebalanced(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** (id, dup_win_frac): fraction of the document's distinct windows
-    * occurring in at least one OTHER document.
+    * occurring in at least one OTHER document. The window relation
+    * feeds BOTH sides of the frequency join, so it is materialized once
+    * (localCheckpoint) instead of re-tokenizing the corpus twice — the
+    * materialization is proportional to the input, the recompute is the
+    * more expensive path at every scale.
     */
   def dupWindowFrac(docs: DataFrame, idCol: String, textCol: String,
                     k: Int): DataFrame = {
-    val w = tokenWindows(docs, idCol, textCol, k)
-    val ndocs = w.groupBy(col("w")).agg(countDistinct(col("id")).as("ndocs"))
+    val w = tokenWindows(rebalanced(docs), idCol, textCol, k).localCheckpoint(true)
+    // (id, w) pairs are unique by construction (per-doc array_distinct),
+    // so docs-per-window is a plain count — no distinct-aggregate pass
+    val ndocs = w.groupBy(col("w")).agg(count(lit(1)).as("ndocs"))
     w.join(ndocs, "w")
       .groupBy(col("id"))
       .agg(round(avg(when(col("ndocs") > 1, 1.0).otherwise(0.0)), 6)
@@ -64,9 +78,9 @@ object Contamination {
     */
   def decontamination(evalDocs: DataFrame, trainDocs: DataFrame,
                       idCol: String, textCol: String, k: Int): DataFrame = {
-    val trainW = tokenWindows(trainDocs, idCol, textCol, k)
+    val trainW = tokenWindows(rebalanced(trainDocs), idCol, textCol, k)
       .select(col("w")).distinct().withColumn("hit", lit(1))
-    tokenWindows(evalDocs, idCol, textCol, k)
+    tokenWindows(rebalanced(evalDocs), idCol, textCol, k)
       .join(trainW, Seq("w"), "left")
       .groupBy(col("id"))
       .agg(round(avg(when(col("hit").isNotNull, 1.0).otherwise(0.0)), 6)
