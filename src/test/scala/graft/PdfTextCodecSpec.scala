@@ -283,6 +283,30 @@ class PdfTextCodecSpec extends AnyFunSuite with org.scalactic.Tolerance {
     assert(codec.extract("d", pdf, 3, 99).toSeq.map(_.page) === Seq(3))
   }
 
+  test("corrupted real-PDF bytes never throw: parse yields None or a valid doc") {
+    // executors must survive arbitrary document corruption — a poison
+    // blob quarantines its message, it must not kill the task with an
+    // uncaught parse exception (OP-61/62). Seeded corruption battery
+    // over the genuine artifact: byte flips, truncations, splices.
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 60) {
+      val b = ncaBytes.clone()
+      trial % 3 match {
+        case 0 => // flip a handful of bytes anywhere
+          (1 to 8).foreach { _ => b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte }
+          assert(PdfTextCodec.parse(b).fold(true)(_.pages.nonEmpty), s"trial $trial")
+        case 1 => // truncate at a random point
+          val cut = 1 + rnd.nextInt(b.length - 1)
+          assert(PdfTextCodec.parse(b.take(cut)).fold(true)(_.pages.nonEmpty),
+            s"trial $trial")
+        case 2 => // splice a random window with garbage
+          val at = rnd.nextInt(b.length - 64)
+          (at until at + 64).foreach(i => b(i) = rnd.nextInt(256).toByte)
+          assert(PdfTextCodec.parse(b).fold(true)(_.pages.nonEmpty), s"trial $trial")
+      }
+    }
+  }
+
   test("non-PDF bytes fall back to the stub codec") {
     val stub = StubPdfFormat.encode(Seq(Seq(Seq("a", "b"))))
     val rows = RealPdfCodec(StubPdfFormat).extract("d", stub, 1, 1).toSeq
