@@ -644,6 +644,19 @@ final case class RealPdfCodec(inner: PdfTableSource.TableExtractor)
     extends PdfTableSource.TableExtractor {
   import PdfTableSource.{GridRow, PageStride, PdfMeta}
 
+  /** Bytes that CLAIM to be a PDF must parse as one: falling back to the
+    * stub on a corrupt %PDF document would decode its raw bytes as grid
+    * text and silently load garbage (or nothing), where the reference's
+    * parser raises and the message takes the DLQ path (worker.py
+    * per-record try/except). The stub fallback is only for documents
+    * that never claimed the format.
+    */
+  private def looksPdf(bytes: Array[Byte]): Boolean =
+    bytes.length >= 5 && bytes.startsWith("%PDF-".getBytes("ISO-8859-1"))
+
+  private def corrupt(doc: String): Nothing =
+    throw new java.io.IOException(s"corrupt PDF: cannot parse $doc")
+
   override def extract(doc: String, bytes: Array[Byte],
                        startPage: Int, endPage: Int): Iterator[GridRow] =
     PdfTextCodec.parse(bytes) match {
@@ -664,14 +677,17 @@ final case class RealPdfCodec(inner: PdfTableSource.TableExtractor)
                 GridRow(doc, p, p * PageStride + r, cells)
               }
           }
+      case _ if looksPdf(bytes) => corrupt(doc)
       case _ => inner.extract(doc, bytes, startPage, endPage)
     }
 
   override def pageCount(bytes: Array[Byte]): Int =
     RealPdfMeta.pageCount(bytes)
       .orElse(PdfTextCodec.parse(bytes).map(_.pages.length))
-      .getOrElse(inner.pageCount(bytes))
+      .getOrElse(
+        if (looksPdf(bytes)) corrupt("<pageCount>") else inner.pageCount(bytes))
 
   override def metadata(doc: String, bytes: Array[Byte]): PdfMeta =
-    RealPdfMeta.metadata(doc, bytes).getOrElse(inner.metadata(doc, bytes))
+    RealPdfMeta.metadata(doc, bytes).getOrElse(
+      if (looksPdf(bytes)) corrupt(doc) else inner.metadata(doc, bytes))
 }

@@ -326,6 +326,42 @@ class EtlPipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("a blob corrupted after scrape quarantines its batch; healthy batches load") {
+    val workDir = Files.createTempDirectory("etlpoison").toString
+    val blobDir = s"$workDir/blobs"
+    writeBlob(blobDir, "NCA_2023.pdf", Seq(page(
+      Seq("NCA-3", "Regular", "2023-03-01", "DOST", "AgM", "OU5", "50.00", "Labs"))))
+    writeBlob(blobDir, "NCA_2024.pdf", Seq(page(
+      Seq("NCA-4", "Special", "2024-04-01", "DICT", "AgN", "OU6", "60.00", "Nets"))))
+    val pipe = new EtlPipeline(spark, workDir, batchSize = 10)
+    val candidates = Seq(
+      ("id_2023", "NCA 2023", "NCA_2023.pdf", "https://x/NCA_2023.pdf",
+        2023, 1, Some("c"), Some("m")),
+      ("id_2024", "NCA 2024", "NCA_2024.pdf", "https://x/NCA_2024.pdf",
+        2024, 1, Some("c"), Some("m"))
+    ).toDF("id", "title", "filename", "url", "year", "page_count",
+      "file_meta_created_at", "file_meta_modified_at")
+    pipe.scrape(candidates,
+      Seq("NCA_2023.pdf", "NCA_2024.pdf").toDF("filename"))
+    pipe.orchestrate()
+
+    // the 2023 blob rots on disk between orchestration and the worker:
+    // it still CLAIMS the PDF format but its content is unparseable, so
+    // the real codec must fail it (DLQ path) — not silently decode
+    // garbage through the stub fallback
+    Files.write(Paths.get(blobDir, "NCA_2023.pdf"),
+      "%PDF-1.4".getBytes("ISO-8859-1") ++ Array.fill[Byte](64)(0x5a))
+
+    pipe.work(blobDir, graft.sources.RealPdfCodec(StubPdfFormat))
+    // healthy batch loaded (via the stub fallback); poison batch
+    // quarantined; the stage survived
+    val recs = pipe.records.get.select("nca_number")
+      .as[String].collect().toSeq
+    assert(recs === Seq("NCA-4"))
+    assert(spark.read.text(pipe.quarantine).count() === 1,
+      "the corrupt document's batch message must quarantine")
+  }
+
   test("per-message isolation: one poison well-formed message quarantines, rest process") {
     import org.apache.spark.sql.types.StructType
     import graft.streaming.QueuePipeline
