@@ -159,18 +159,26 @@ object Dedup {
     minhashLshPairsFromShingles(
       shingleTable(docs, idCol, textCol, n).cache(), numPerm, bands, threshold)
 
+  /** (id, band, bucket) LSH band table — the PERSISTABLE dedup index: a
+    * production pipeline stores this relation and appends each load's
+    * rows, so later batches join against it without recomputing the
+    * corpus (see [[incrementalMinhashLshPairs]]).
+    */
+  def lshBandTable(sh: DataFrame, numPerm: Int, bands: Int): DataFrame = {
+    require(numPerm % bands == 0, "bands must divide numPerm")
+    val rowsPerBand = numPerm / bands
+    minhashSignaturesFromShingles(sh, numPerm).select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+      .select(col("id"), col("pos").as("band"), hash(col("col")).as("bucket"))
+  }
+
   /** LSH banding over a prebuilt (id, sz, shingle) relation (see
     * [[ngramJaccardPairsFromShingles]] for why callers share it).
     */
   def minhashLshPairsFromShingles(sh: DataFrame, numPerm: Int, bands: Int,
                                   threshold: Double): DataFrame = {
-    require(numPerm % bands == 0, "bands must divide numPerm")
-    val rowsPerBand = numPerm / bands
-    val sig = minhashSignaturesFromShingles(sh, numPerm)
-    val banded = sig.select(col("id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
-      .select(col("id"), col("pos").as("band"), hash(col("col")).as("bucket"))
+    val banded = lshBandTable(sh, numPerm, bands)
     val sizes = docSizes(sh)
     val candidates = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
@@ -181,6 +189,38 @@ object Dedup {
       .join(sizes.select(col("id").as("b"), col("sz").as("nb")), "b")
     // exact-Jaccard verification restricted to the candidate set — never
     // the full all-pairs intersection; reuses the cached shingle table
+    jaccardVerify(candidates, sh, threshold)
+  }
+
+  /** INCREMENTAL near-dup detection — the growing-corpus shape: pairs
+    * between a new batch and the already-indexed corpus, plus pairs
+    * inside the batch, WITHOUT ever re-pairing old-vs-old. In
+    * production `indexSh`'s band table is read from storage
+    * ([[lshBandTable]] persisted per load) so the per-load cost is
+    * O(batch bands + bucket collisions) — independent of corpus size
+    * beyond the index join; here it is derived from the shingle
+    * relation for oracle-checkability. Semantics: exactly the pairs of
+    * the full recompute that touch at least one new document (same
+    * params, same exact-Jaccard verification).
+    */
+  def incrementalMinhashLshPairs(indexSh: DataFrame, newSh: DataFrame,
+                                 numPerm: Int, bands: Int,
+                                 threshold: Double): DataFrame = {
+    val idxB = lshBandTable(indexSh, numPerm, bands)
+    val newB = lshBandTable(newSh, numPerm, bands)
+    val crossCand = newB.as("x").join(idxB.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
+      .select(least(col("x.id"), col("y.id")).as("a"),
+        greatest(col("x.id"), col("y.id")).as("b"))
+    val innerCand = newB.as("x").join(newB.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+    val sh = indexSh.unionByName(newSh)
+    val sizes = docSizes(sh)
+    val candidates = crossCand.unionByName(innerCand).distinct()
+      .join(sizes.select(col("id").as("a"), col("sz").as("na")), "a")
+      .join(sizes.select(col("id").as("b"), col("sz").as("nb")), "b")
     jaccardVerify(candidates, sh, threshold)
   }
 

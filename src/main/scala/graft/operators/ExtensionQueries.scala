@@ -195,6 +195,20 @@ object ExtensionQueries {
     "x03_dedup_minhash_lsh" -> ((s, d) =>
       minhashPairs(s, d).orderBy(col("a"), col("b"))),
 
+    // INCREMENTAL dedup — the growing-corpus shape: the originals
+    // (id < 10000) stand for the already-indexed corpus, the synthesized
+    // copies (id >= 10000) for the incoming batch; pairs touching a new
+    // doc, never old-vs-old. Same LSH params as x03, so the oracle is
+    // the exact relation restricted to new-doc pairs (recall argument
+    // identical to x03's).
+    "x34_dedup_incremental" -> ((s, d) => {
+      val sh = sharedShingles(s, d)
+      Dedup.incrementalMinhashLshPairs(
+          sh.filter(col("id") < 10000), sh.filter(col("id") >= 10000),
+          numPerm = 32, bands = 16, threshold = 0.5)
+        .orderBy(col("a"), col("b"))
+    }),
+
     // recall gate: every synthesized EXACT-copy pair (jaccard 1.0 —
     // identical minhash signatures, collide in every band) must be in
     // the LSH output; anti-join => provably-empty oracle.
@@ -441,6 +455,26 @@ object ExtensionQueries {
          |SELECT id FROM docs
          |WHERE id NOT IN (SELECT node FROM cc WHERE root <> node)
          |ORDER BY id""".stripMargin,
+
+    "x34_dedup_incremental" ->
+      s"""WITH $docsWithDupsSql,
+         |tok AS (SELECT id, string_split_regex(lower(trim(text)), '\\s+') AS ts FROM docs),
+         |sh AS (
+         |  SELECT DISTINCT id, array_to_string(ts[i:i+2], ' ') AS shingle
+         |  FROM tok, unnest(generate_series(1, greatest(len(ts) - 2, 1))) AS t(i)
+         |  WHERE array_to_string(ts[i:i+2], ' ') <> ''
+         |),
+         |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+         |inter AS (
+         |  SELECT x.id AS a, y.id AS b, count(*) AS icnt
+         |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.id < y.id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT a, b, jaccard FROM (
+         |  SELECT a, b, CAST(icnt AS DOUBLE) / (sa.sz + sb.sz - icnt) AS jaccard
+         |  FROM inter JOIN sizes sa ON sa.id = a JOIN sizes sb ON sb.id = b
+         |) WHERE jaccard >= 0.5 AND (a >= 10000 OR b >= 10000)
+         |ORDER BY a, b""".stripMargin,
 
     // The gates' PASS condition is the empty set (anti-join of a
     // provably-contained relation): the oracle is an empty relation

@@ -39,6 +39,32 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("incremental LSH equals the full recompute restricted to new-doc pairs") {
+    val oldDocs = Seq(
+      (1L, "alpha beta gamma delta eps zeta"),
+      (2L, "one two three four five six"),
+      (3L, "alpha beta gamma delta eps zeta") // old-vs-old dup of 1
+    ).toDF("id", "text")
+    val newDocs = Seq(
+      (10L, "alpha beta gamma delta eps zeta"),       // dup of 1 and 3
+      (11L, "one two three four five six seven"),     // near dup of 2
+      (12L, "alpha beta gamma delta eps zeta")        // dup of 1, 3, 10
+    ).toDF("id", "text")
+    val shOld = Dedup.shingleTable(oldDocs, "id", "text", n = 3)
+    val shNew = Dedup.shingleTable(newDocs, "id", "text", n = 3)
+    val inc = Dedup.incrementalMinhashLshPairs(shOld, shNew,
+        numPerm = 32, bands = 16, threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val full = Dedup.minhashLshPairsFromShingles(shOld.unionByName(shNew),
+        numPerm = 32, bands = 16, threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(inc === full.filter { case (a, b) => a >= 10L || b >= 10L })
+    // the cross and in-batch dups surface; old-vs-old (1,3) never does
+    assert(inc.contains((1L, 10L)) && inc.contains((10L, 12L)) &&
+      inc.contains((2L, 11L)))
+    assert(full.contains((1L, 3L)) && !inc.contains((1L, 3L)))
+  }
+
   test("simhash of identical docs is identical; pairs found at dist 0") {
     val sig = Dedup.simhash(docs, "id", "text")
       .as[(Long, Long)].collect().toMap
