@@ -60,6 +60,7 @@ object Bench {
       (1 to repeat).map { p =>
         if (p > 1) {
           graft.operators.ExtensionQueries.clearMemo()
+          graft.operators.Contamination.clearMemo()
           spark.catalog.clearCache()
         }
         selected.map { case (name, fn) =>

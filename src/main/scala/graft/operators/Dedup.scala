@@ -206,8 +206,16 @@ object Dedup {
   def incrementalMinhashLshPairs(indexSh: DataFrame, newSh: DataFrame,
                                  numPerm: Int, bands: Int,
                                  threshold: Double): DataFrame = {
-    val idxB = lshBandTable(indexSh, numPerm, bands)
-    val newB = lshBandTable(newSh, numPerm, bands)
+    // a replayed load may re-ingest an already-indexed id: the batch
+    // wins — stale index rows for those ids are dropped, or the union
+    // below would double every such doc's shingles (inter = 2I makes
+    // jaccard 2I/(na+nb-2I) blow past 1 or divide by zero) and the
+    // cross join would emit degenerate self-pairs
+    val idxSh = indexSh.join(newSh.select("id").distinct(), Seq("id"), "left_anti")
+    val idxB = lshBandTable(idxSh, numPerm, bands)
+    // the batch band table feeds three join legs — cache it so the
+    // 32-min-aggregate signature pass runs once per load, not thrice
+    val newB = lshBandTable(newSh, numPerm, bands).cache()
     val crossCand = newB.as("x").join(idxB.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
       .select(least(col("x.id"), col("y.id")).as("a"),
@@ -216,7 +224,7 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"))
-    val sh = indexSh.unionByName(newSh)
+    val sh = idxSh.unionByName(newSh)
     val sizes = docSizes(sh)
     val candidates = crossCand.unionByName(innerCand).distinct()
       .join(sizes.select(col("id").as("a"), col("sz").as("na")), "a")

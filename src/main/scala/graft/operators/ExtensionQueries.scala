@@ -70,7 +70,7 @@ object ExtensionQueries {
     * thousands of partitions and this becomes a cheap rebalance of
     * scan splits, never of expanded rows.
     */
-  private def rebalanced(df: DataFrame): DataFrame =
+  private[operators] def rebalanced(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
   /** The trigram shingle relation of the dup-synthesized corpus,

@@ -24,9 +24,18 @@ object SamplingQueries {
 
   /** First two hex chars of md5(key as decimal string) — 256 evenly
     * filled buckets, portable across engines as plain string compare.
+    * Shared with every operator that must agree with the x22 split
+    * (Contamination's decontamination check) — ONE definition.
     */
-  private def hashPrefix(key: Column): Column =
+  private[operators] def hashPrefix(key: Column): Column =
     substring(md5(key.cast("string")), 1, 2)
+
+  /** The x22 split bounds: train = '00'..TrainHi, val = ..ValHi,
+    * test = above ValHi. Operators that slice by split reuse these so a
+    * ratio retune cannot silently diverge.
+    */
+  private[operators] val TrainHi = "cb"
+  private[operators] val ValHi = "e5"
 
   val queries: Map[String, Q] = base ++ stratified
 
@@ -42,8 +51,8 @@ object SamplingQueries {
     "x22_split_assign" -> ((s, d) =>
       Tables(s, d, "documents")
         .select(col("doc_id"),
-          when(hashPrefix(col("doc_id")) <= "cb", "train")
-            .when(hashPrefix(col("doc_id")) <= "e5", "val")
+          when(hashPrefix(col("doc_id")) <= TrainHi, "train")
+            .when(hashPrefix(col("doc_id")) <= ValHi, "val")
             .otherwise("test").as("split"))
         .orderBy(col("doc_id"))),
 

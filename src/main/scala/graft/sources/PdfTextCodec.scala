@@ -645,17 +645,16 @@ final case class RealPdfCodec(inner: PdfTableSource.TableExtractor)
   import PdfTableSource.{GridRow, PageStride, PdfMeta}
 
   /** Bytes that CLAIM to be a PDF must parse as one: falling back to the
-    * stub on a corrupt %PDF document would decode its raw bytes as grid
-    * text and silently load garbage (or nothing), where the reference's
-    * parser raises and the message takes the DLQ path (worker.py
-    * per-record try/except). The stub fallback is only for documents
-    * that never claimed the format.
+    * stub on an unparseable %PDF document would decode its raw bytes as
+    * grid text and silently load garbage (or nothing), where the
+    * reference's parser raises and the message takes the DLQ path
+    * (worker.py per-record try/except). The stub fallback is only for
+    * documents that never claimed the format. The format sniff is
+    * RealPdfMeta.isPdf — ONE definition, shared with the byte scanner.
     */
-  private def looksPdf(bytes: Array[Byte]): Boolean =
-    bytes.length >= 5 && bytes.startsWith("%PDF-".getBytes("ISO-8859-1"))
-
   private def corrupt(doc: String): Nothing =
-    throw new java.io.IOException(s"corrupt PDF: cannot parse $doc")
+    throw new java.io.IOException(
+      s"unparseable PDF (corrupt or unsupported layout): $doc")
 
   override def extract(doc: String, bytes: Array[Byte],
                        startPage: Int, endPage: Int): Iterator[GridRow] =
@@ -677,7 +676,7 @@ final case class RealPdfCodec(inner: PdfTableSource.TableExtractor)
                 GridRow(doc, p, p * PageStride + r, cells)
               }
           }
-      case _ if looksPdf(bytes) => corrupt(doc)
+      case _ if RealPdfMeta.isPdf(bytes) => corrupt(doc)
       case _ => inner.extract(doc, bytes, startPage, endPage)
     }
 
@@ -685,9 +684,17 @@ final case class RealPdfCodec(inner: PdfTableSource.TableExtractor)
     RealPdfMeta.pageCount(bytes)
       .orElse(PdfTextCodec.parse(bytes).map(_.pages.length))
       .getOrElse(
-        if (looksPdf(bytes)) corrupt("<pageCount>") else inner.pageCount(bytes))
+        if (RealPdfMeta.isPdf(bytes)) corrupt("<pageCount>")
+        else inner.pageCount(bytes))
 
   override def metadata(doc: String, bytes: Array[Byte]): PdfMeta =
-    RealPdfMeta.metadata(doc, bytes).getOrElse(
-      if (looksPdf(bytes)) corrupt(doc) else inner.metadata(doc, bytes))
+    RealPdfMeta.metadata(doc, bytes)
+      // a PARSEABLE document without a scannable /CreationDate is valid:
+      // real page count, absent dates (PyPDF2 meta.get semantics) — only
+      // an unparseable self-declared PDF is an error
+      .orElse(PdfTextCodec.parse(bytes).filter(_.pages.nonEmpty).map(d =>
+        PdfMeta(doc, created_at = "", modified_at = "",
+          page_count = d.pages.length)))
+      .getOrElse(
+        if (RealPdfMeta.isPdf(bytes)) corrupt(doc) else inner.metadata(doc, bytes))
 }

@@ -167,6 +167,17 @@ class PdfTextCodecSpec extends AnyFunSuite with org.scalactic.Tolerance {
     assert(cd(1).x0 - cd(0).x0 === 5.0 +- 0.01)
   }
 
+  test("parseable PDF without /CreationDate yields metadata, not an error") {
+    // rawPdf writes no Info dict: the document is valid, so metadata
+    // must return absent dates + the real page count (PyPDF2 meta.get
+    // semantics) — only an UNPARSEABLE self-declared PDF may throw
+    val pdf = rawPdf("BT /F1 10 Tf 72 700 Td (ok) Tj ET")
+    val codec = RealPdfCodec(StubPdfFormat)
+    val m = codec.metadata("nodates.pdf", pdf)
+    assert(m.created_at === "" && m.modified_at === "")
+    assert(m.page_count === 1)
+  }
+
   test("stream data containing the bytes 'endstream' is not truncated") {
     val pdf = rawPdf("BT /F1 10 Tf 72 700 Td (endstream inside) Tj ET")
     val words = PdfTextCodec.parse(pdf).get.pages.head.words.map(_.text)
