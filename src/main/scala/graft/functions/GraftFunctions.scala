@@ -82,11 +82,19 @@ object GraftFunctions {
     * tokens yields its whole token list as one (short) shingle — matching
     * the SQL-oracle formulation exactly.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val ts = tokens(text)
-    val grams = transform(
-      sequence(lit(1), greatest(size(ts) - (n - 1), lit(1))),
-      i => array_join(slice(ts, i, lit(n)), " "))
-    array_sort(array_distinct(filter(grams, g => g =!= "")))
-  }
+  def shingles(text: Column, n: Int): Column =
+    array_sort(array_distinct(filter(windowGrams(tokens(text), n), g => g =!= "")))
+
+  /** All k-token sliding windows of a token array, joined with single
+    * spaces — positions 1..max(len-(k-1), 1), so a shorter-than-k input
+    * yields its whole token list as one (short) window. The ONE
+    * definition of the window-position convention, shared by the
+    * shingle dedup family, Contamination.tokenWindows and
+    * PackingQueries.repetitionRatio (each with a matching SQL-oracle
+    * formulation).
+    */
+  def windowGrams(ts: Column, k: Int): Column =
+    transform(
+      sequence(lit(1), greatest(size(ts) - (k - 1), lit(1))),
+      i => array_join(slice(ts, i, lit(k)), " "))
 }

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.GraftFunctions.tokens
+import graft.functions.GraftFunctions.{tokens, windowGrams}
 
 /** Exact-substring overlap operators over k-token window hashes — the
   * exact-match complement to the Jaccard/MinHash document-level family
@@ -36,14 +36,10 @@ object Contamination {
     * silently drops out of the relation).
     */
   def tokenWindows(docs: DataFrame, idCol: String, textCol: String,
-                   k: Int): DataFrame = {
-    val ts = tokens(col(textCol))
-    val wins = transform(
-      sequence(lit(1), greatest(size(ts) - (k - 1), lit(1))),
-      i => array_join(slice(ts, i, lit(k)), " "))
-    docs.select(col(idCol).as("id"), explode(array_distinct(wins)).as("win"))
+                   k: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(array_distinct(windowGrams(tokens(col(textCol)), k))).as("win"))
       .select(col("id"), md5(col("win")).as("w"))
-  }
 
   /** (id, dup_win_frac) over a prebuilt window relation — the window
     * table feeds BOTH sides of the frequency join, so callers pass a

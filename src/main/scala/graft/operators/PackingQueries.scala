@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.GraftFunctions.tokens
+import graft.functions.GraftFunctions.{tokens, windowGrams}
 import graft.operators.{TextAnalysis => TA}
 
 /** Sequence-shaping operators for LLM training-data pipelines:
@@ -83,10 +83,7 @@ object PackingQueries {
     * dedup family ([[graft.functions.GraftFunctions.shingles]]).
     */
   def repetitionRatio(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ts = tokens(col(textCol))
-    val grams = transform(
-      sequence(lit(1), greatest(size(ts) - 2, lit(1))),
-      i => array_join(slice(ts, i, lit(3)), " "))
+    val grams = windowGrams(tokens(col(textCol)), 3)
     docs.select(col(idCol),
       round(lit(1.0) -
         size(array_distinct(grams)).cast("double") /
@@ -118,7 +115,13 @@ object PackingQueries {
         .orderBy(col("doc_id")))
   )
 
-  private val TokLen = """len(string_split_regex(lower(trim(text)), '\s+'))"""
+  // list_filter mirrors Spark's tokens() empty-string filter, so an
+  // empty/whitespace-only document counts 0 tokens in BOTH engines (an
+  // unfiltered string_split_regex('') yields [''] = len 1, silently
+  // shifting every later doc's bin in the shard)
+  private val TokArr =
+    """list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')"""
+  private val TokLen = s"len($TokArr)"
 
   val oracleSql: Map[String, String] = Map(
     "x28_pack_sequences" ->
@@ -147,8 +150,8 @@ object PackingQueries {
          |) GROUP BY shard ORDER BY shard""".stripMargin,
 
     "x29_chunk_overlap" ->
-      """WITH tok AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts
+      s"""WITH tok AS (
+        |  SELECT doc_id, $TokArr AS ts
         |  FROM documents
         |)
         |SELECT doc_id, CAST(st // 48 AS INT) AS chunk_id,
@@ -158,8 +161,8 @@ object PackingQueries {
         |ORDER BY doc_id, chunk_id""".stripMargin,
 
     "x30_repetition_ratio" ->
-      """WITH tok AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts
+      s"""WITH tok AS (
+        |  SELECT doc_id, $TokArr AS ts
         |  FROM documents
         |),
         |g AS (

@@ -39,7 +39,13 @@ object PdfTextCodec {
     */
   def objects(bytes: Array[Byte]): Map[Int, PdfObj] = {
     val s = new String(bytes, "ISO-8859-1")
-    ObjStart.findAllMatchIn(s).map { m =>
+    // `cursor` tracks the end of the last object's span: an `N 0 obj`
+    // byte pattern INSIDE a (compressed) stream payload must not spawn
+    // a phantom object that shadows the real one. Later matches outside
+    // any span still win (classic incremental-update appends).
+    var cursor = 0
+    val out = Map.newBuilder[Int, PdfObj]
+    ObjStart.findAllMatchIn(s).foreach { m => if (m.start >= cursor) {
       val num = m.group(1).toInt
       val bodyStart = m.end
       val streamKw = s.indexOf("stream", bodyStart)
@@ -68,9 +74,15 @@ object PdfTextCodec {
             case i  => i
           }
         }
-        PdfObj(num, dict, Some(s.substring(dataStart, end).getBytes("ISO-8859-1")))
-      } else PdfObj(num, s.substring(bodyStart, endobj), None)
-    }.map(o => o.num -> o).toMap
+        out += num -> PdfObj(num, dict,
+          Some(s.substring(dataStart, end).getBytes("ISO-8859-1")))
+        cursor = end
+      } else {
+        out += num -> PdfObj(num, s.substring(bodyStart, endobj), None)
+        cursor = endobj
+      }
+    }}
+    out.result()
   }
 
   // ------------------------------------------------------------ dict values
@@ -211,7 +223,11 @@ object PdfTextCodec {
           out += (lo + i) -> utf16(h.group(1))
         }
       }
-      BfRange.findAllMatchIn(body).foreach { m =>
+      // strip the array-form entries BEFORE the triple-hex scan: three
+      // consecutive items of a [<..> <..> <..>] body would otherwise
+      // match as a bogus contiguous range and override real mappings
+      val scalarBody = BfRangeList.replaceAllIn(body, " ")
+      BfRange.findAllMatchIn(scalarBody).foreach { m =>
         val lo = Integer.parseInt(m.group(1), 16)
         val hi = Integer.parseInt(m.group(2), 16)
         val dst = Integer.parseInt(m.group(3), 16)
@@ -400,8 +416,11 @@ object PdfTextCodec {
         .map(p => if (p.length == 2) p(0) * 256 + p(1) else p(0)).toArray
       else codes
       cs.foreach { code =>
+        // word spacing applies to single-byte code 32 only — never to
+        // a Type0 combined 2-byte code that happens to equal 32
+        // (PDF 32000 §9.3.3)
         val adv = (font.width(code) / 1000.0 * fs + tc +
-          (if (code == 32) tw else 0.0)) * th
+          (if (code == 32 && !font.twoByte) tw else 0.0)) * th
         val (x0, y0) = trm(tx, rise)
         val (x1, y1) = trm(tx + adv, rise)
         val u = font.uni(code)

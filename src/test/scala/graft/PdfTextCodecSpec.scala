@@ -70,6 +70,35 @@ class PdfTextCodecSpec extends AnyFunSuite with org.scalactic.Tolerance {
     assert(m(0x20) === "X" && m(0x21) === "Y")
   }
 
+  test("CMap: array-form bfrange items never re-read as a contiguous range") {
+    // the three consecutive array items would match the triple-hex
+    // bfrange regex as a bogus <0058> <0059> <005A> range, overriding
+    // the legitimate bfchar mapping for 0x58
+    val cmap =
+      """1 beginbfchar
+        |<0058> <0041>
+        |endbfchar
+        |1 beginbfrange
+        |<0001> <0003> [<0058> <0059> <005A>]
+        |endbfrange""".stripMargin
+    val m = PdfTextCodec.parseCMap(cmap)
+    assert(m(1) === "X" && m(2) === "Y" && m(3) === "Z")
+    assert(m(0x58) === "A", "bfchar mapping must survive the array body")
+    assert(!m.contains(0x59))
+  }
+
+  test("object headers inside stream payloads do not shadow real objects") {
+    val payload = "junk 5 0 obj << /Type /Garbage >> endobj junk"
+    val pdf = ("%PDF-1.4\n" +
+      "5 0 obj << /Real true >> endobj\n" +
+      s"6 0 obj << /Length ${payload.length} >> stream\n" +
+      payload + "\nendstream endobj\n%%EOF").getBytes("ISO-8859-1")
+    val objs = PdfTextCodec.objects(pdf)
+    assert(objs(5).dict.contains("/Real"),
+      "a phantom header inside object 6's stream must not replace object 5")
+    assert(new String(objs(6).streamRaw.get, "ISO-8859-1") === payload)
+  }
+
   /** Minimal classic-layout PDF: one page, Flate content stream, one
     * font with no ToUnicode (printable-ASCII identity, default widths).
     */
