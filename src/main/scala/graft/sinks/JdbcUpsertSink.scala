@@ -34,6 +34,26 @@ object JdbcUpsertSink {
   private def bind(ps: PreparedStatement, row: Row, cols: Seq[Int]): Unit =
     cols.zipWithIndex.foreach { case (c, i) => ps.setObject(i + 1, row.get(c)) }
 
+  /** Key-only table (no non-key columns): an upsert degrades to
+    * insert-if-absent — probe existing keys, insert the misses. Both
+    * dialect SQL shapes are invalid with an empty SET list, so this
+    * shared portable path handles the degenerate schema.
+    */
+  private def keyOnlyChunk(conn: Connection, table: String, key: String,
+                           keyIdx: Int, chunk: Seq[Row]): Unit = {
+    val probe = conn.prepareStatement(s"SELECT 1 FROM $table WHERE $key = ?")
+    val ins = conn.prepareStatement(s"INSERT INTO $table ($key) VALUES (?)")
+    try {
+      chunk.foreach { r =>
+        probe.setObject(1, r.get(keyIdx))
+        val rs = probe.executeQuery()
+        val exists = try rs.next() finally rs.close()
+        if (!exists) { ins.setObject(1, r.get(keyIdx)); ins.addBatch() }
+      }
+      ins.executeBatch()
+    } finally { probe.close(); ins.close() }
+  }
+
   /** Portable upsert: batched UPDATE, then batched INSERT of the rows
     * the UPDATE missed. Two round trips per chunk, any SQL database.
     */
@@ -43,6 +63,7 @@ object JdbcUpsertSink {
       val cols = schema.fieldNames.toSeq
       val keyIdx = schema.fieldIndex(key)
       val nonKey = cols.indices.filterNot(_ == keyIdx)
+      if (nonKey.isEmpty) { keyOnlyChunk(conn, table, key, keyIdx, chunk); return }
       val upd = conn.prepareStatement(
         s"UPDATE $table SET ${nonKey.map(i => s"${cols(i)} = ?").mkString(", ")} " +
           s"WHERE $key = ?")
@@ -82,11 +103,15 @@ object JdbcUpsertSink {
                             key: String, chunk: Seq[Row]): Unit = {
       val cols = schema.fieldNames.toSeq
       val nonKey = cols.filterNot(_ == key)
+      // key-only table: nothing to update on conflict — DO NOTHING is
+      // the valid degenerate form (an empty SET list is a syntax error)
+      val onConflict =
+        if (nonKey.isEmpty) s"ON CONFLICT ($key) DO NOTHING"
+        else s"ON CONFLICT ($key) DO UPDATE SET " +
+          nonKey.map(c => s"$c = EXCLUDED.$c").mkString(", ")
       val ps = conn.prepareStatement(
         s"INSERT INTO $table (${cols.mkString(", ")}) " +
-          s"VALUES (${cols.map(_ => "?").mkString(", ")}) " +
-          s"ON CONFLICT ($key) DO UPDATE SET " +
-          nonKey.map(c => s"$c = EXCLUDED.$c").mkString(", "))
+          s"VALUES (${cols.map(_ => "?").mkString(", ")}) " + onConflict)
       try {
         chunk.foreach { r => bind(ps, r, cols.indices); ps.addBatch() }
         ps.executeBatch()
@@ -151,9 +176,18 @@ object JdbcUpsertSink {
           val ps = conn.prepareStatement(
             s"INSERT INTO $table (${cols.mkString(", ")}) " +
               s"VALUES (${cols.map(_ => "?").mkString(", ")})")
-          try rows.grouped(chunkSize).foreach { chunk =>
-            chunk.foreach { r => bind(ps, r, cols.indices); ps.addBatch() }
-            ps.executeBatch()
+          try {
+            rows.grouped(chunkSize).foreach { chunk =>
+              chunk.foreach { r => bind(ps, r, cols.indices); ps.addBatch() }
+              ps.executeBatch()
+            }
+            // ONE commit per partition: append-only rows have no key to
+            // make a replay idempotent, so a task retry after per-chunk
+            // commits would duplicate every committed chunk. A failure
+            // anywhere in the partition now rolls the whole partition
+            // back and the retry starts clean. (The window between this
+            // commit and task-success reporting remains — inherent to
+            // keyless JDBC sinks; the keyed upsert has no such window.)
             conn.commit()
           } finally ps.close()
         } finally conn.close()

@@ -63,6 +63,63 @@ object TableStore {
 
   private def bucketExpr(key: String, n: Int): Column = pmod(hash(col(key)), lit(n))
 
+  /** Swap-in-progress marker for multi-step rewrites: present => the
+    * staged data is authoritative (roll FORWARD on recovery); absent
+    * with a backup present => the rewrite hadn't committed (roll BACK).
+    */
+  private val SwapMarker = "_graft_swap"
+
+  /** Crash recovery, run before every read or rewrite. Heals, in order:
+    *  - orphaned per-bucket backups (`bNNNN.bak`): a crash between
+    *    swapIn's backup and promote steps leaves the ONLY copy of the
+    *    bucket in `.bak`, which no read path consults — restore it
+    *    (promote never happened) or drop it (live exists => promote
+    *    completed, only the cleanup was lost);
+    *  - an interrupted flat-file rewrite: with the [[SwapMarker]]
+    *    present the staged survivors are authoritative — finish moving
+    *    them in and drop the backup; without it the old files are —
+    *    restore them from `.flatbak` and drop the staging dir.
+    */
+  private def recover(path: String): Unit = {
+    Option(new File(path).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.matches("b\\d+\\.bak"))
+      .foreach { bak =>
+        val live = new File(path, bak.getName.stripSuffix(".bak"))
+        if (live.exists()) deleteRec(bak)
+        else require(bak.renameTo(live), s"recover: restore failed for $bak")
+      }
+    val marker = new File(path, SwapMarker)
+    val flatbak = new File(path + ".flatbak")
+    val flatStaging = new File(path + ".flatstaging")
+    if (marker.exists()) {
+      // staged data is authoritative: complete the interrupted swap —
+      // promote remaining staged bucket parts (upsert) and remaining
+      // staged flat files (flat rewrite) — then drop the backups
+      val bucketStaging = new File(path + ".staging")
+      Option(bucketStaging.listFiles()).toSeq.flatten
+        .filter(d => d.isDirectory && d.getName.startsWith("__b="))
+        .foreach { part =>
+          val b = part.getName.stripPrefix("__b=").toInt
+          swapIn(part, new File(path, bucketName(b)))
+        }
+      deleteRec(bucketStaging)
+      Option(flatStaging.listFiles()).toSeq.flatten
+        .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+        .foreach(f => require(f.renameTo(new File(path, f.getName)),
+          s"recover: promote failed for $f"))
+      deleteRec(flatStaging); deleteRec(flatbak)
+      val _ = marker.delete()
+    } else if (flatbak.exists()) {
+      // rewrite never committed: the old files are authoritative
+      Option(flatbak.listFiles()).toSeq.flatten.foreach { f =>
+        val back = new File(path, f.getName)
+        if (!back.exists())
+          require(f.renameTo(back), s"recover: rollback failed for $f")
+      }
+      deleteRec(flatbak); deleteRec(flatStaging)
+    } else if (flatStaging.exists()) deleteRec(flatStaging)
+  }
+
   /** Read a table in either layout (bucket dirs, flat files, or both —
     * `append` may add flat files to a bucketed table; `upsert` folds them
     * into buckets on its next run). Flat files are addressed by explicit
@@ -70,6 +127,7 @@ object TableStore {
     * non-partition subdirectories is ill-defined for Spark's file index.
     */
   def read(spark: SparkSession, path: String): Option[DataFrame] = {
+    recover(path)
     val parts = bucketDirs(path).map(_.getPath) ++ flatFiles(path).map(_.getPath)
     if (parts.isEmpty) None else Some(spark.read.parquet(parts: _*))
   }
@@ -118,6 +176,7 @@ object TableStore {
   def upsert(batch: DataFrame, path: String, key: String,
              numBuckets: Int = DefaultBuckets): Unit = {
     val spark = batch.sparkSession
+    recover(path)
     val n = declaredBuckets(path).getOrElse(numBuckets)
     val deduped = dedupeKeepLast(batch, key).localCheckpoint(true)
     val withB = deduped.withColumn("__b", bucketExpr(key, n))
@@ -144,6 +203,22 @@ object TableStore {
     keep.unionByName(withB)
       .write.partitionBy("__b").mode(SaveMode.Overwrite).parquet(staging.getPath)
     new File(path).mkdirs()
+    // the bucket-count marker is written BEFORE any swap: a crash after
+    // buckets land but before the marker would let a later upsert merge
+    // with a different default modulus and silently duplicate keys
+    java.nio.file.Files.write(new File(path, BucketMarker).toPath,
+      n.toString.getBytes("UTF-8"))
+    // flat files being folded move to a recoverable backup BEFORE the
+    // swaps (a crash mid-fold must not leave their rows both in the new
+    // buckets and still loose, which no later run would dedup); the
+    // swap marker makes recovery roll forward from here on
+    val flatbak = new File(path + ".flatbak")
+    if (flat.nonEmpty) {
+      flatbak.mkdirs()
+      flat.foreach(f => require(f.renameTo(new File(flatbak, f.getName)),
+        s"upsert: flat backup failed for $f"))
+    }
+    java.nio.file.Files.write(new File(path, SwapMarker).toPath, Array.emptyByteArray)
     affected.foreach { b =>
       val part = new File(staging, s"__b=$b")
       if (part.exists()) swapIn(part, new File(path, bucketName(b)))
@@ -153,9 +228,8 @@ object TableStore {
       }
     }
     deleteRec(staging)
-    flat.foreach(deleteRec) // folded into buckets above
-    java.nio.file.Files.write(new File(path, BucketMarker).toPath,
-      n.toString.getBytes("UTF-8"))
+    if (flatbak.exists()) deleteRec(flatbak)
+    val _ = new File(path, SwapMarker).delete()
   }
 
   /** OP-08 at scale: point lookup by the table's bucket key. Reads ONE
@@ -219,6 +293,7 @@ object TableStore {
     // table's anti-join would recompute keys against already-swapped files
     val k = keys.select(col(keyCol).as("__k")).distinct().localCheckpoint(true)
     (parent +: children).foreach { case (path, fk) =>
+      recover(path)
       val dirs = bucketDirs(path)
       if (dirs.nonEmpty) {
         // job 1: affected buckets (bucket id recovered from file path)
@@ -245,8 +320,11 @@ object TableStore {
           deleteRec(staging)
         }
       }
-      // flat files (append layout): rewrite the file set in place without
-      // touching any sibling bucket dirs
+      // flat files (append layout): rewrite the file set without touching
+      // any sibling bucket dirs. Crash-safe via the recover() protocol:
+      // survivors staged first, old files moved to a restorable backup,
+      // THEN the swap marker commits the rewrite — at no point is the
+      // only copy of a surviving row deletable
       val flat = flatFiles(path)
       if (flat.nonEmpty) {
         val t = spark.read.parquet(flat.map(_.getPath): _*)
@@ -256,12 +334,19 @@ object TableStore {
           if (staging.exists()) deleteRec(staging)
           t.join(broadcast(k), col(fk) === col("__k"), "left_anti")
             .write.parquet(staging.getPath)
-          flat.foreach(deleteRec)
+          val flatbak = new File(path + ".flatbak")
+          flatbak.mkdirs()
+          flat.foreach(f => require(f.renameTo(new File(flatbak, f.getName)),
+            s"flat rewrite: backup failed for $f"))
+          java.nio.file.Files.write(new File(path, SwapMarker).toPath,
+            Array.emptyByteArray)
           Option(staging.listFiles()).toSeq.flatten
             .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
             .foreach(f => require(f.renameTo(new File(path, f.getName)),
               s"flat rewrite: move failed for $f"))
           deleteRec(staging)
+          deleteRec(flatbak)
+          val _ = new File(path, SwapMarker).delete()
         }
       }
     }

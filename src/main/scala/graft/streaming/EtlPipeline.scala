@@ -90,7 +90,10 @@ final class EtlPipeline(spark: SparkSession, workDir: String,
     * bytes (OP-04/05, pdf_parser.py:23-36), CDC classifies against the
     * release table and the stored-blob listing, and only PROCEEDING
     * releases get their blob saved (releases_scraper.py:128-136
-    * _save_release) before the upsert + enqueue.
+    * _save_release). The save runs AFTER the upsert + enqueue (the
+    * proceeding set IS the scrape's output); a crash in between leaves
+    * a queued message without its blob, which `work` then fails into
+    * the quarantine for operator redelivery — never a silent drop.
     */
   def scrapeWeb(candidates: DataFrame, fetch: BlobFetcher.Fetch, blobDir: String,
                 extractor: PdfTableSource.TableExtractor): DataFrame = {
@@ -166,10 +169,20 @@ final class EtlPipeline(spark: SparkSession, workDir: String,
       val blobs = PdfTableSource.readBlobs(spark, blobDir)
         .select(element_at(split(col("path"), "/"), -1).as("filename"),
           col("content"))
-      val tasks = batches.select(
-          col("release.filename").as("filename"),
-          col("release.id").as("release_id"),
-          col("batch_number"), col("start_page_num"), col("end_page_num"))
+      val batchCols = batches.select(
+        col("release.filename").as("filename"),
+        col("release.id").as("release_id"),
+        col("batch_number"), col("start_page_num"), col("end_page_num"))
+      // a batch whose blob is MISSING must fail (-> per-message
+      // quarantine), not silently drop out of an inner join with its
+      // queue message checkpointed as processed — the reference worker
+      // raises and dead-letters exactly this case
+      val missing = batchCols.join(blobs, Seq("filename"), "left_anti")
+        .select("filename").distinct().as[String].collect()
+      if (missing.nonEmpty)
+        throw new java.io.IOException(
+          s"blob missing for queued batch(es): ${missing.sorted.mkString(", ")}")
+      val tasks = batchCols
         .join(blobs, Seq("filename"))
         .select(col("release_id"), col("batch_number"),
           col("start_page_num"), col("end_page_num"), col("content"))

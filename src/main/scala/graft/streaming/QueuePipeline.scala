@@ -80,8 +80,12 @@ object QueuePipeline {
           val goodRaw = parsed.filter(!isBad)
           val good = goodRaw.select("m.*").drop(corruptCol)
           if (!good.isEmpty) {
+            // NonFatal only: an OOM / shutdown interrupt must FAIL the
+            // query so checkpointed redelivery applies — swallowing it
+            // would dead-letter a whole batch of valid messages over a
+            // transient environmental error
             try process(good)
-            catch { case _: Throwable =>
+            catch { case scala.util.control.NonFatal(_) =>
               // OP-62 per-message isolation (reference worker.py:51-113
               // try/excepts each record): when the whole micro-batch
               // fails, reprocess its messages one at a time so a single
@@ -93,7 +97,7 @@ object QueuePipeline {
                 val one = parse(spark.createDataset(Seq(v)).toDF("value"))
                   .select("m.*").drop(corruptCol)
                 try process(one)
-                catch { case _: Throwable =>
+                catch { case scala.util.control.NonFatal(_) =>
                   spark.createDataset(Seq(v)).toDF("value")
                     .write.mode("append").text(quarantineDir)
                 }

@@ -362,6 +362,36 @@ class EtlPipelineSpec extends SparkSpecBase {
       "the corrupt document's batch message must quarantine")
   }
 
+  test("a queued batch whose blob is missing quarantines instead of vanishing") {
+    val workDir = Files.createTempDirectory("etlmissing").toString
+    val blobDir = s"$workDir/blobs"
+    writeBlob(blobDir, "NCA_2023.pdf", Seq(page(
+      Seq("NCA-5", "Regular", "2023-05-01", "DA", "AgP", "OU7", "70.00", "Seeds"))))
+    writeBlob(blobDir, "NCA_2024.pdf", Seq(page(
+      Seq("NCA-6", "Special", "2024-06-01", "DTI", "AgQ", "OU8", "80.00", "Trade"))))
+    val pipe = new EtlPipeline(spark, workDir, batchSize = 10)
+    val candidates = Seq(
+      ("id_2023", "NCA 2023", "NCA_2023.pdf", "https://x/NCA_2023.pdf",
+        2023, 1, Some("c"), Some("m")),
+      ("id_2024", "NCA 2024", "NCA_2024.pdf", "https://x/NCA_2024.pdf",
+        2024, 1, Some("c"), Some("m"))
+    ).toDF("id", "title", "filename", "url", "year", "page_count",
+      "file_meta_created_at", "file_meta_modified_at")
+    pipe.scrape(candidates, Seq("NCA_2023.pdf", "NCA_2024.pdf").toDF("filename"))
+    pipe.orchestrate()
+
+    // the 2023 blob disappears (crash between enqueue and save, cleanup
+    // job, renamed dir): its batch must dead-letter, not silently drop
+    // with the queue message checkpointed as done
+    Files.delete(Paths.get(blobDir, "NCA_2023.pdf"))
+
+    pipe.work(blobDir)
+    assert(pipe.records.get.select("nca_number").as[String].collect().toSeq
+      === Seq("NCA-6"))
+    assert(spark.read.text(pipe.quarantine).count() === 1,
+      "the missing-blob batch message must quarantine")
+  }
+
   test("per-message isolation: one poison well-formed message quarantines, rest process") {
     import org.apache.spark.sql.types.StructType
     import graft.streaming.QueuePipeline

@@ -150,6 +150,22 @@ class JdbcUpsertSinkSpec extends SparkSpecBase {
     }
   }
 
+  test("upsert on a key-only table degrades to insert-if-absent") {
+    withTable("CREATE TABLE members (id VARCHAR(32) PRIMARY KEY)", "members") {
+      // an empty SET list is a syntax error in both dialect SQL shapes;
+      // the degenerate schema must still upsert idempotently
+      JdbcUpsertSink.upsert(Seq("a", "b", "c").toDF("id"), url, "members", "id")
+      JdbcUpsertSink.upsert(Seq("b", "c", "d").toDF("id"), url, "members", "id")
+      val conn = DriverManager.getConnection(url)
+      try {
+        val rs = conn.createStatement().executeQuery("SELECT id FROM members")
+        val got = scala.collection.mutable.Set[String]()
+        while (rs.next()) got += rs.getString(1)
+        assert(got === Set("a", "b", "c", "d"))
+      } finally conn.close()
+    }
+  }
+
   test("insert appends in chunks without conflict handling (OP-12)") {
     withTable("CREATE TABLE alloc (nca VARCHAR(32), amt DOUBLE)", "alloc") {
       val rows = (1 to 700).map(i => (s"n$i", i * 1.5)).toDF("nca", "amt")

@@ -125,6 +125,64 @@ class TableStoreSpec extends SparkSpecBase {
     assert(files.length >= 3)
   }
 
+  test("recover: an orphaned bucket backup is restored on the next read") {
+    val dir = Files.createTempDirectory("tsrec").toString + "/t"
+    TableStore.upsert((1 to 200).map(i => (i, s"v$i")).toDF("k", "v"), dir, "k")
+    // simulate a crash between swapIn's backup and promote steps: the
+    // live bucket dir is gone, its only copy sits in .bak
+    val buckets = new File(dir).listFiles().filter(_.getName.matches("b\\d+"))
+    val victim = buckets.head
+    val bak = new File(dir, victim.getName + ".bak")
+    assert(victim.renameTo(bak))
+    // without recovery this read would silently miss the bucket's rows
+    assert(TableStore.read(spark, dir).get.count() === 200)
+    assert(!bak.exists(), "backup must be promoted back to live")
+  }
+
+  test("recover: interrupted flat rewrite rolls back without the swap marker") {
+    val dir = Files.createTempDirectory("tsrec2").toString + "/t"
+    TableStore.append(Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"), dir)
+    // simulate a crash AFTER old files moved to backup, BEFORE the
+    // marker: old data must come back, staging must be discarded
+    val flat = new File(dir).listFiles().filter(f =>
+      f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    val bakDir = new File(dir + ".flatbak"); bakDir.mkdirs()
+    flat.foreach(f => assert(f.renameTo(new File(bakDir, f.getName))))
+    new File(dir + ".flatstaging").mkdirs()
+    assert(TableStore.read(spark, dir).get.count() === 3,
+      "rollback must restore the backed-up flat files")
+    assert(!bakDir.exists() && !new File(dir + ".flatstaging").exists())
+  }
+
+  test("recover: interrupted flat rewrite rolls forward with the swap marker") {
+    val dir = Files.createTempDirectory("tsrec3").toString + "/t"
+    TableStore.append(Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"), dir)
+    // a committed rewrite (marker present) whose staged survivors were
+    // not yet moved in: recovery must promote them and drop the backup
+    val flat = new File(dir).listFiles().filter(f =>
+      f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    val bakDir = new File(dir + ".flatbak"); bakDir.mkdirs()
+    flat.foreach(f => assert(f.renameTo(new File(bakDir, f.getName))))
+    val staging = new File(dir + ".flatstaging").toString
+    Seq((1, "a")).toDF("k", "v").write.parquet(staging) // the survivors
+    Files.write(new File(dir, "_graft_swap").toPath, Array.emptyByteArray)
+    assert(TableStore.read(spark, dir).get.as[(Int, String)].collect().toSet
+      === Set((1, "a")), "roll-forward must keep only the staged survivors")
+    assert(!bakDir.exists() && !new File(dir, "_graft_swap").exists())
+  }
+
+  test("deleteCascade flat rewrite survives and stays correct end to end") {
+    val dir = Files.createTempDirectory("tsrec4").toString + "/t"
+    TableStore.append((1 to 10).map(i => (i, s"v$i")).toDF("k", "v"), dir)
+    TableStore.deleteCascade(spark, Seq(3, 7).toDF("k"), "k", parent = (dir, "k"))
+    assert(TableStore.read(spark, dir).get.as[(Int, String)].collect().map(_._1).toSet
+      === (1 to 10).toSet -- Set(3, 7))
+    // no protocol droppings left behind
+    assert(!new File(dir + ".flatbak").exists())
+    assert(!new File(dir + ".flatstaging").exists())
+    assert(!new File(dir, "_graft_swap").exists())
+  }
+
   test("requireNonEmpty guards empty bulk writes") {
     intercept[IllegalArgumentException] {
       TableStore.requireNonEmpty(Seq.empty[Int].toDF("x"), "records")
