@@ -68,7 +68,11 @@ object GraftFunctions {
       aggregate(
         zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
         lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+    // zero-norm guard: 0/0 would be NaN, and Spark sorts NaN ABOVE every
+    // double, so an all-zero vector would pass any >= threshold filter
+    // as a "perfect match"; null fails such filters instead
+    val denom = sqrt(dot(a, a) * dot(b, b))
+    when(denom > 0, dot(a, b) / denom)
   }
 
   /** Whitespace tokenizer shared by the text-analysis operators; lowercases

@@ -37,10 +37,28 @@ case class VecDot(left: Expression, right: Expression)
   private def isFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  private def mayHoldNulls: Boolean =
+    left.dataType.asInstanceOf[ArrayType].containsNull ||
+      right.dataType.asInstanceOf[ArrayType].containsNull
+
+  // null OUTPUT for mismatched dimensions or null elements — matching
+  // the zip_with+aggregate formulation this expression replaces, where
+  // a truncated dot product would be a plausible-looking WRONG score
+  // that can clear a similarity threshold
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
+    if (mayHoldNulls) {
+      var j = 0
+      while (j < n) {
+        if (x.isNullAt(j) || y.isNullAt(j)) return null
+        j += 1
+      }
+    }
     var s = 0.0
     var i = 0
     if (isFloat(left) && isFloat(right)) {
@@ -62,13 +80,25 @@ case class VecDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
+      // the per-element null check is emitted ONLY when the input type
+      // admits nulls — the common non-null embedding path keeps the
+      // tight branch-free loop
+      val nullGuard =
+        if (mayHoldNulls)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += ${getter(left, a, i)} * ${getter(right, b, i)};
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullGuard
+         |    $s += ${getter(left, a, i)} * ${getter(right, b, i)};
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
   }

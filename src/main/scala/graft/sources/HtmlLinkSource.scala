@@ -16,7 +16,9 @@ import org.apache.spark.sql.functions._
   */
 object HtmlLinkSource {
 
-  private val AnchorRe = """(?is)<a\b[^>]*href\s*=\s*["']([^"']+)["'][^>]*>(.*?)</a>"""
+  // \shref (whitespace REQUIRED before href): without it, attributes
+  // like data-href match first and their value becomes the anchor URL
+  private val AnchorRe = """(?is)<a\b[^>]*?\shref\s*=\s*["']([^"']+)["'][^>]*>(.*?)</a>"""
 
   /** Parse the page into (url, title) anchor rows. Tag-stripping and
     * whitespace normalization mirror bs4's get_text(strip=True).
@@ -37,8 +39,16 @@ object HtmlLinkSource {
     */
   def releaseCandidates(anchorsDf: DataFrame, baseUrl: String,
                         oldestYear: Int, nowYear: Int): DataFrame = {
-    val absolute = when(col("url").startsWith("/"),
-      concat(lit(baseUrl), col("url"))).otherwise(col("url"))
+    // full absolutization: protocol-relative keeps the base scheme,
+    // already-absolute passes through, root-relative and bare-relative
+    // join onto the base — a missed case either 404s (baseUrl//host/x)
+    // or leaves an unfetchable relative url
+    val scheme = baseUrl.takeWhile(_ != ':') + ":"
+    val absolute =
+      when(col("url").startsWith("//"), concat(lit(scheme), col("url")))
+        .when(col("url").rlike("(?i)^https?://"), col("url"))
+        .when(col("url").startsWith("/"), concat(lit(baseUrl), col("url")))
+        .otherwise(concat(lit(baseUrl), lit("/"), col("url")))
     val filename = element_at(split(col("abs_url"), "/"), -1)
     val yearRe = regexp_extract(col("filename"), "(\\d{4})", 1)
     anchorsDf
@@ -55,6 +65,16 @@ object HtmlLinkSource {
         format_string("id_%d", col("year")).as("id"),  // OP-53
         col("title"), col("filename"),
         col("abs_url").as("url"), col("year"))
-      .orderBy(coalesce(col("year"), lit(0)))          // OP-40
+      // the year IS the registry key downstream (release upsert +
+      // cascade delete key), mirroring the reference's one-release-per-
+      // year model — so a listing with several same-year links must
+      // resolve to ONE deterministic winner here, not silently
+      // overwrite each other in the store: keep the lexicographically
+      // LAST filename (an UPDATED variant sorts after its base name)
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("id")).orderBy(col("filename").desc, col("url").desc)))
+      .filter(col("__rn") === 1).drop("__rn")
+      .orderBy(col("year"), col("filename"))           // OP-40, total order
   }
 }

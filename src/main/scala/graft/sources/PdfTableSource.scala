@@ -71,7 +71,7 @@ object PdfTableSource {
     override def extract(doc: String, bytes: Array[Byte],
                          startPage: Int, endPage: Int): Iterator[GridRow] = {
       val pages = decodePages(bytes)
-      (startPage to math.min(endPage, pages.length)).iterator.flatMap { p =>
+      (math.max(startPage, 1) to math.min(endPage, pages.length)).iterator.flatMap { p =>
         pages(p - 1).iterator.zipWithIndex.map { case (cells, r) =>
           GridRow(doc, p, p * PageStride + r, cells.toIndexedSeq)
         }

@@ -656,8 +656,8 @@ object PdfTextCodec {
   * GENUINE PDF bytes via [[PdfTextCodec]], metadata/page count via
   * [[RealPdfMeta]]'s scanner, falling back to `inner` (the stub codec)
   * for non-PDF documents — one pipeline handles a mixed corpus.
-  * Supersedes [[RealPdfMeta.WithRealPdfMeta]], which could only read
-  * metadata from real bytes and delegated extraction.
+  * (Replaced the earlier metadata-only composite, which delegated
+  * extraction to the stub even for real PDF bytes.)
   */
 final case class RealPdfCodec(inner: PdfTableSource.TableExtractor)
     extends PdfTableSource.TableExtractor {

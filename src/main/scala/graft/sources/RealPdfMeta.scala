@@ -1,6 +1,6 @@
 package graft.sources
 
-import graft.sources.PdfTableSource.{PdfMeta, TableExtractor}
+import graft.sources.PdfTableSource.PdfMeta
 
 /** OP-04/05 over GENUINE PDF bytes, without a codec jar: a byte-level
   * scanner for the classic (uncompressed-object) PDF layout that reads
@@ -37,8 +37,11 @@ object RealPdfMeta {
   private def text(bytes: Array[Byte]): String = new String(bytes, "ISO-8859-1")
 
   private def dictDate(s: String, key: String): Option[String] =
+    // LAST occurrence: an incrementally-updated PDF appends a new Info
+    // dict after the original — the stale first date would hide changes
+    // from CDC
     (java.util.regex.Pattern.quote(key) + """\s*\(\s*(D:[^)]*)\)""").r
-      .findFirstMatchIn(s)
+      .findAllMatchIn(s).toSeq.lastOption
       .flatMap(m => isoDate(m.group(1)))
 
   // leaf page objects only: the (?!s) lookahead excludes /Pages tree
@@ -47,7 +50,18 @@ object RealPdfMeta {
 
   def pageCount(bytes: Array[Byte]): Option[Int] =
     if (!isPdf(bytes)) None
-    else Some(LeafPage.findAllMatchIn(text(bytes)).length).filter(_ > 0)
+    else {
+      // count leaf pages among DISTINCT objects (last generation wins):
+      // an incremental update leaves every generation of a rewritten
+      // page object in the byte stream and a whole-file scan counts
+      // each of them
+      val objs = PdfTextCodec.objects(bytes)
+      val n =
+        if (objs.nonEmpty)
+          objs.values.count(o => LeafPage.findFirstMatchIn(o.dict).isDefined)
+        else LeafPage.findAllMatchIn(text(bytes)).length
+      Some(n).filter(_ > 0)
+    }
 
   /** Full OP-04 metadata when `bytes` is a scannable real PDF. */
   def metadata(doc: String, bytes: Array[Byte]): Option[PdfMeta] =
@@ -64,17 +78,4 @@ object RealPdfMeta {
         page_count = pages)
     }
 
-  /** Extractor that reads OP-04/05 from real PDF bytes when handed one
-    * and falls back to `inner` (the stub text codec) otherwise — one
-    * pipeline handles a mixed corpus; extraction always delegates.
-    */
-  final case class WithRealPdfMeta(inner: TableExtractor) extends TableExtractor {
-    override def extract(doc: String, bytes: Array[Byte],
-                         startPage: Int, endPage: Int) =
-      inner.extract(doc, bytes, startPage, endPage)
-    override def pageCount(bytes: Array[Byte]): Int =
-      RealPdfMeta.pageCount(bytes).getOrElse(inner.pageCount(bytes))
-    override def metadata(doc: String, bytes: Array[Byte]): PdfMeta =
-      RealPdfMeta.metadata(doc, bytes).getOrElse(inner.metadata(doc, bytes))
-  }
 }

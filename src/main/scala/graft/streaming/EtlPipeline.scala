@@ -166,6 +166,20 @@ final class EtlPipeline(spark: SparkSession, workDir: String,
     QueuePipeline.runStage(spark, batchQueue, batchSchema,
         p("checkpoints", "worker"), quarantine) { batches =>
       import spark.implicits._
+      // doc identity downstream is the BASENAME (candidates carry
+      // filenames, not paths): two same-named blobs in different
+      // subdirectories would collapse into one doc and interleave their
+      // ord keys through the cleaner — refuse the ambiguity up front
+      locally {
+        def files(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(files)
+          else Seq(f)
+        val dups = files(new java.io.File(blobDir)).groupBy(_.getName)
+          .filter(_._2.size > 1).keys.toSeq.sorted
+        if (dups.nonEmpty)
+          throw new java.io.IOException(
+            s"ambiguous blob basenames in $blobDir: ${dups.mkString(", ")}")
+      }
       val blobs = PdfTableSource.readBlobs(spark, blobDir)
         .select(element_at(split(col("path"), "/"), -1).as("filename"),
           col("content"))

@@ -47,6 +47,19 @@ class GraftFunctionsSpec extends SparkSpecBase {
     assert(r === "nca_number")
   }
 
+  test("cosineSim: zero-norm vectors yield null, never a NaN that passes filters") {
+    import graft.functions.GraftFunctions.cosineSim
+    val df = Seq(
+      (Seq(1.0f, 0.0f), Seq(1.0f, 0.0f)),
+      (Seq(0.0f, 0.0f), Seq(1.0f, 0.0f))).toDF("a", "b")
+    val sims = df.select(cosineSim($"a", $"b").as("sim"))
+      .as[Option[Double]].collect().toSeq
+    assert(sims(0) === Some(1.0))
+    assert(sims(1) === None, "zero vector must be null, not NaN")
+    // and a similarity-threshold filter must NOT keep the zero vector
+    assert(df.filter(cosineSim($"a", $"b") >= 0.9).count() === 1)
+  }
+
   test("parseAmount coerces garbage to null, strips commas") {
     val r = Seq("1,234,567.89", "500.00 1000 500", "750.25", "N/A")
       .toDF("c").select(parseAmount($"c")).collect().map(x =>

@@ -1,7 +1,6 @@
 package graft
 
-import graft.sources.{PdfTableSource, RealPdfMeta}
-import graft.sources.RealPdfMeta.WithRealPdfMeta
+import graft.sources.{RealPdfCodec, RealPdfMeta}
 import graft.sources.PdfTableSource.StubPdfFormat
 
 /** OP-04/05 against GENUINE PDF bytes: a handcrafted minimal-but-valid
@@ -42,7 +41,7 @@ class RealPdfMetaSpec extends SparkSpecBase {
     assert(RealPdfMeta.metadata("s", stubBytes) === None)
     assert(RealPdfMeta.pageCount(stubBytes) === None)
 
-    val ext = WithRealPdfMeta(StubPdfFormat)
+    val ext = RealPdfCodec(StubPdfFormat)
     // stub bytes -> stub codec answers
     assert(ext.metadata("s", stubBytes) === StubPdfFormat.metadata("s", stubBytes))
     assert(ext.pageCount(stubBytes) === 1)
@@ -53,9 +52,27 @@ class RealPdfMetaSpec extends SparkSpecBase {
     assert(ext.extract("s", stubBytes, 1, 1).toSeq.head.cells === Seq("h1", "h2"))
   }
 
+  test("incremental update: the LAST generation's dates and pages win") {
+    // simulate an Acrobat-style incremental save: a rewritten page 3
+    // (same object number) and a new Info dict appended after %%EOF —
+    // the old generations remain in the byte stream
+    val updated = (new String(realPdf, "ISO-8859-1") +
+      """
+        |3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Rotate 90 >> endobj
+        |5 0 obj << /Producer (graft-spec) /CreationDate (D:20240131120000+00'00')
+        |  /ModDate (D:20250601090000Z) >> endobj
+        |trailer << /Root 1 0 R /Info 5 0 R >>
+        |%%EOF""".stripMargin).getBytes("ISO-8859-1")
+    // page 3 was REWRITTEN, not added: still 2 pages
+    assert(RealPdfMeta.pageCount(updated) === Some(2))
+    // the appended Info dict's ModDate is the current one
+    assert(RealPdfMeta.metadata("a.pdf", updated).get.modified_at
+      === "2025-06-01T09:00:00")
+  }
+
   test("a mixed blob corpus yields uniform CDC metadata through one extractor") {
     import spark.implicits._
-    val ext = WithRealPdfMeta(StubPdfFormat)
+    val ext = RealPdfCodec(StubPdfFormat)
     val blobs = Seq(("real.pdf", realPdf),
       ("stub.pdf", StubPdfFormat.encode(Seq(Seq(Seq("x")))))).toDF("doc", "content")
     val metas = blobs.as[(String, Array[Byte])]

@@ -33,6 +33,42 @@ class SourcesSpec extends SparkSpecBase {
       ("id_2026", "NCA_UPDATED.pdf", "https://other/NCA_UPDATED.pdf", 2026)))
   }
 
+  test("HtmlLinkSource: same-year links resolve to one deterministic winner") {
+    // the year is the registry key downstream — two same-year links must
+    // not silently overwrite each other in the release store; the
+    // lexicographically-last filename (the UPDATED variant) wins
+    val html =
+      """<a href="/f/NCA_2024.pdf">base</a>
+        |<a href="/f/NCA_2024_UPDATED.pdf">updated</a>""".stripMargin
+    val rows = HtmlLinkSource.releaseCandidates(
+        HtmlLinkSource.anchors(spark, html), "https://x", 2020, 2024)
+      .select("id", "filename").as[(String, String)].collect().toSeq
+    assert(rows === Seq(("id_2024", "NCA_2024_UPDATED.pdf")))
+  }
+
+  test("HtmlLinkSource: absolutization covers protocol-relative and bare-relative") {
+    val html =
+      """<a href="//cdn.example/NCA_2021.pdf">p</a>
+        |<a href="files/NCA_2022.pdf">r</a>
+        |<a href="https://other/NCA_2023.pdf">a</a>
+        |<a href="/root/NCA_2024.pdf">s</a>""".stripMargin
+    val urls = HtmlLinkSource.releaseCandidates(
+        HtmlLinkSource.anchors(spark, html), "https://dbm.example", 2020, 2026)
+      .select("year", "url").as[(Int, String)].collect().toMap
+    assert(urls(2021) === "https://cdn.example/NCA_2021.pdf")
+    assert(urls(2022) === "https://dbm.example/files/NCA_2022.pdf")
+    assert(urls(2023) === "https://other/NCA_2023.pdf")
+    assert(urls(2024) === "https://dbm.example/root/NCA_2024.pdf")
+  }
+
+  test("HtmlLinkSource: data-href is not mistaken for the anchor url") {
+    val html =
+      """<a class="x" data-href="/track/NCA_2020.pdf" href="/real/NCA_2024.pdf">y</a>"""
+    val rows = HtmlLinkSource.anchors(spark, html)
+      .select("url").as[String].collect().toSeq
+    assert(rows === Seq("/real/NCA_2024.pdf"))
+  }
+
   test("PdfTableSource: blobs -> grid with explicit (page, row) order keys") {
     val dir = Files.createTempDirectory("pdfsrc").toString
     val pages = Seq(
