@@ -8,7 +8,7 @@ import java.nio.file.{Files, Paths}
   * happens to run first; queries run in sorted name order for run-to-run
   * comparability.
   *
-  * SPARK_GRAFT_REPEAT=N (default 1) runs each query N times back-to-back
+  * SPARK_GRAFT_REPEAT=N (default 3) runs each query N times back-to-back
   * and reports the per-query MEDIAN: single-pass numbers on this box swing
   * up to 9x on identical code (page-cache / run-order effects measured
   * across three rounds), so one sample can neither catch nor clear a real
@@ -46,8 +46,10 @@ object Bench {
     // silently bench nothing), mirroring Verify.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSeq.filter(_.nonEmpty)).filter(_.nonEmpty)
+    // default 3: medians, not single-pass samples — the driver sets no env,
+    // so the default IS the driver's measurement policy
     val repeat = sys.env.get("SPARK_GRAFT_REPEAT")
-      .flatMap(_.trim.toIntOption).filter(_ >= 1).getOrElse(1)
+      .flatMap(_.trim.toIntOption).filter(_ >= 1).getOrElse(3)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
     if (selected.isEmpty)

@@ -213,9 +213,12 @@ object Dedup {
     // cross join would emit degenerate self-pairs
     val idxSh = indexSh.join(newSh.select("id").distinct(), Seq("id"), "left_anti")
     val idxB = lshBandTable(idxSh, numPerm, bands)
-    // the batch band table feeds three join legs — cache it so the
-    // 32-min-aggregate signature pass runs once per load, not thrice
-    val newB = lshBandTable(newSh, numPerm, bands).cache()
+    // the batch band table feeds three join legs — eager localCheckpoint
+    // (not cache) so the 32-min-aggregate signature pass runs once per
+    // load AND the blocks are GC-reclaimed after the result is consumed:
+    // a long-lived session issuing per-load calls must not accumulate
+    // pinned band tables in executor storage
+    val newB = lshBandTable(newSh, numPerm, bands).localCheckpoint(true)
     val crossCand = newB.as("x").join(idxB.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
       .select(least(col("x.id"), col("y.id")).as("a"),

@@ -11,12 +11,16 @@ import graft.Tables
   * scale/2 (half a quantization step).
   *
   * Pure column expressions (array HOFs) in the scan-project stage — no
-  * shuffle, no UDF. The declared query is rows-only (float division
-  * parity across engines is not bit-exact, so no hash oracle); its
-  * correctness gate x31g re-derives the guarantee the operator
-  * documents — every dequantized element within scale/2 (+ float eps)
-  * of the original, every code in [-127, 127], lengths preserved — and
-  * emits violators, provably none, with an empty-set DuckDB oracle
+  * shuffle, no UDF. The declared query projects the codes as a
+  * space-joined string and the scale as a double so every cell is a
+  * sortable scalar (array cells crash the harness's pandas sort), and
+  * is fully hash-checked against a DuckDB oracle: scale and each
+  * x/scale division are IEEE double ops with exact float32 inputs, and
+  * both engines round halves away from zero, so the integer codes are
+  * bit-deterministic across engines. The x31g gate additionally
+  * re-derives the guarantee the operator documents — every dequantized
+  * element within scale/2 (+ float eps) of the original, every code in
+  * [-127, 127], lengths preserved — with an empty-set DuckDB oracle
   * (the x17g pattern).
   */
 object Quantize {
@@ -55,9 +59,12 @@ object Quantize {
   }
 
   val queries: Map[String, Q] = Map(
-    // rows-only: engine-specific float division; gated by x31g below
+    // declared shape: scalar columns only (vec_id, scale, qcodes string);
+    // the raw-array quantize() API stays for engine callers (ANN etc.)
     "x31_quantize_embeddings" -> ((s, d) =>
       quantize(Tables(s, d, "embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"), col("scale"),
+          array_join(col("qvec"), " ").as("qcodes"))
         .orderBy(col("vec_id"))),
 
     "x31g_quantize_gate" -> ((s, d) => {
@@ -69,6 +76,24 @@ object Quantize {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "x31_quantize_embeddings" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |         -- abs over exact float32->double promotions: bit-identical
+        |         -- to the engine's array_max(transform(abs)).cast(double)
+        |         list_max(list_transform(embedding,
+        |           x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s0
+        |  FROM embeddings
+        |)
+        |SELECT vec_id,
+        |  CASE WHEN s0 > 0 THEN s0 ELSE 0.0 END AS scale,
+        |  CASE WHEN s0 > 0
+        |       THEN array_to_string(list_transform(embedding,
+        |              x -> CAST(round(CAST(x AS DOUBLE) / s0) AS INTEGER)), ' ')
+        |       ELSE array_to_string(list_transform(embedding, x -> 0), ' ')
+        |  END AS qcodes
+        |FROM s""".stripMargin,
+
     "x31g_quantize_gate" ->
       """SELECT CAST(NULL AS BIGINT) AS vec_id,
         |  CAST(NULL AS BOOLEAN) AS bad_err,

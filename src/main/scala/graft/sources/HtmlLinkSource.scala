@@ -69,11 +69,15 @@ object HtmlLinkSource {
       // cascade delete key), mirroring the reference's one-release-per-
       // year model — so a listing with several same-year links must
       // resolve to ONE deterministic winner here, not silently
-      // overwrite each other in the store: keep the lexicographically
-      // LAST filename (an UPDATED variant sorts after its base name)
+      // overwrite each other in the store: an UPDATED variant always
+      // beats its base file (an explicit flag, NOT lexicographic order —
+      // "NCA-2023-UPDATED.pdf" < "NCA-2023.pdf" because '-' sorts
+      // before '.'), then filename/url desc as deterministic tie-breaks
       .withColumn("__rn", row_number().over(
         org.apache.spark.sql.expressions.Window
-          .partitionBy(col("id")).orderBy(col("filename").desc, col("url").desc)))
+          .partitionBy(col("id")).orderBy(
+            col("filename").contains("UPDATED").desc,
+            col("filename").desc, col("url").desc)))
       .filter(col("__rn") === 1).drop("__rn")
       .orderBy(col("year"), col("filename"))           // OP-40, total order
   }
