@@ -18,11 +18,22 @@ import graft.functions.GraftFunctions.{tokens, windowGrams}
   *    windows present anywhere in the TRAIN split — the train/test
   *    leakage check run before any benchmark evaluation.
   *
-  * Windows travel as md5 hashes (portable across engines, fixed 32
-  * bytes) — the shuffle never carries raw text. Both operators are
-  * explode + hash-join + per-key aggregation: sub-quadratic, no window
+  * Windows travel as xxhash64 keys (8 bytes) — the shuffle never
+  * carries raw text, and the key is 4x narrower than the md5 hex
+  * string it replaces. Distinctness is computed on the raw window
+  * STRINGS before hashing (per-doc array_distinct), so the only
+  * collision exposure is cross-window: with N total windows the
+  * expected colliding pairs are ~N²/2^65 — zero for any realistic
+  * load below ~10^9 windows; at the extreme 100 TB tail (~10^12
+  * windows) a few thousand of them may each nudge one doc's fraction
+  * by 1/m, noise of ~1e-8 relative for a quality-score signal. A
+  * caller needing bit-exactness at that scale can swap the key expr
+  * for unhex(md5(...)) (16-byte binary) without touching the algebra.
+  * Both operators are explode + aggregate: sub-quadratic, no window
   * functions, no driver state; both declared queries are exact and
-  * DuckDB-hash-checked.
+  * DuckDB-hash-checked (the oracle recomputes fractions from its own
+  * md5 windows — only (doc_id, frac) is compared, so the internal key
+  * is free to differ).
   */
 object Contamination {
   type Q = (SparkSession, String) => DataFrame
@@ -30,7 +41,7 @@ object Contamination {
   /** Window size of the declared queries (tokens per window). */
   private val K = 5
 
-  /** (id, w): md5 of each DISTINCT k-token window per document. A
+  /** (id, w): xxhash64 of each DISTINCT k-token window per document. A
     * document shorter than k tokens contributes its whole token list as
     * one short window (the shingle-family convention, so no document
     * silently drops out of the relation).
@@ -39,7 +50,7 @@ object Contamination {
                    k: Int): DataFrame =
     docs.select(col(idCol).as("id"),
         explode(array_distinct(windowGrams(tokens(col(textCol)), k))).as("win"))
-      .select(col("id"), md5(col("win")).as("w"))
+      .select(col("id"), xxhash64(col("win")).as("w"))
 
   /** (id, dup_win_frac) over a prebuilt window relation — the window
     * table feeds BOTH sides of the frequency join, so callers pass a
@@ -47,13 +58,29 @@ object Contamination {
     * the declared queries share [[windowsMemo]]).
     */
   def dupWindowFracFromWindows(w: DataFrame): DataFrame = {
-    // (id, w) pairs are unique by construction (per-doc array_distinct),
-    // so docs-per-window is a plain count — no distinct-aggregate pass
-    val ndocs = w.groupBy(col("w")).agg(count(lit(1)).as("ndocs"))
-    w.join(ndocs, "w")
-      .groupBy(col("id"))
-      .agg(round(avg(when(col("ndocs") > 1, 1.0).otherwise(0.0)), 6)
-        .as("dup_win_frac"))
+    // (id, w) pairs are unique by construction (per-doc array_distinct
+    // BEFORE hashing), so docs-per-window is a plain row count — no
+    // distinct-aggregate pass. The duplicated fraction is computed
+    // WITHOUT joining docs-per-window back onto the (id, w) relation:
+    //   dup_win_frac = (ntot - nuniq) / ntot
+    // where a singleton window (ndocs = 1) carries its sole owner id
+    // out of the per-window aggregation via min(id) (exact for
+    // singleton groups — the only place owner is read). This removes
+    // both the family's largest shuffle join AND its stop-window hot
+    // key: a boilerplate window occurring in millions of docs would
+    // have funneled all its (id, w) rows into one join task; here
+    // every aggregation is map-side-combinable (a hot window reaches
+    // the reducer as at most one partial row per map task) and the
+    // only join keys on doc id — one row per doc on each side.
+    val perWin = w.groupBy(col("w"))
+      .agg(count(lit(1)).as("ndocs"), min(col("id")).as("owner"))
+    val uniqPerDoc = perWin.filter(col("ndocs") === 1)
+      .groupBy(col("owner").as("id")).agg(count(lit(1)).as("nuniq"))
+    val totPerDoc = w.groupBy(col("id")).agg(count(lit(1)).as("ntot"))
+    totPerDoc.join(uniqPerDoc, Seq("id"), "left")
+      .select(col("id"),
+        round((col("ntot") - coalesce(col("nuniq"), lit(0L))) / col("ntot"), 6)
+          .as("dup_win_frac"))
   }
 
   /** (id, dup_win_frac): fraction of the document's distinct windows
@@ -76,7 +103,10 @@ object Contamination {
       tokenWindows(ExtensionQueries.rebalanced(trainDocs), idCol, textCol, k))
 
   /** Same, over prebuilt window relations (shared via [[windowsMemo]]
-    * in the declared queries).
+    * in the declared queries). The membership join is 1-to-at-most-1
+    * (the train side is distinct on w), so a corpus-wide stop window
+    * cannot amplify rows — the worst case is placement skew of the
+    * eval side's rows for one key, which AQE's skew split re-balances.
     */
   def decontaminationFromWindows(evalW: DataFrame, trainW: DataFrame): DataFrame =
     evalW.join(

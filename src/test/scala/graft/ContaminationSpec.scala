@@ -39,10 +39,40 @@ class ContaminationSpec extends SparkSpecBase {
     assert(r(22L) === 0.5)
   }
 
+  test("stop-window skew: a window shared by EVERY doc neither breaks " +
+      "values nor plans a join keyed on the window hash") {
+    // 200 docs, each carrying the same boilerplate phrase (the corpus-wide
+    // hot key) plus a unique tail — the shape that used to funnel every
+    // (id, w) row of the hot window into a single join task
+    val boiler = (1 to 5).map(i => s"b$i").mkString(" ")
+    val docs = (1L to 200L).map(i =>
+      (i, s"$boiler u${i}a u${i}b u${i}c u${i}d u${i}e")).toDF("doc_id", "text")
+    val q = Contamination.dupWindowFrac(docs, "doc_id", "text", k = 5)
+    // every doc: 6 distinct windows, exactly 1 (the pure boilerplate
+    // window) shared; the 5 windows straddling boiler+unique tail are
+    // unique to the doc
+    val r = q.as[(Long, Double)].collect().toMap
+    assert(r.size === 200 && r.values.forall(v => math.abs(v - 1.0 / 6) < 1e-6))
+    // the physical plan's only join keys on doc id (long ids here): no
+    // join may reference the window-hash column — the hot key must be
+    // consumed by map-side-combinable aggregation only
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec, BroadcastHashJoinExec}
+    val joins = q.queryExecution.sparkPlan.collect {
+      case j: SortMergeJoinExec => j.leftKeys
+      case j: ShuffledHashJoinExec => j.leftKeys
+      case j: BroadcastHashJoinExec => j.leftKeys
+    }
+    assert(joins.nonEmpty)
+    joins.foreach { keys =>
+      assert(!keys.exists(_.references.exists(_.name == "w")),
+        s"join keyed on window hash:\n${q.queryExecution.sparkPlan}")
+    }
+  }
+
   test("short documents form one whole-doc window and join the relation") {
     val docs = Seq((1L, "just three words"), (2L, "just three words")).toDF("doc_id", "text")
     val w = Contamination.tokenWindows(docs, "doc_id", "text", k = 5)
-      .as[(Long, String)].collect().toSeq
+      .as[(Long, Long)].collect().toSeq
     assert(w.length === 2 && w.map(_._2).distinct.size === 1)
     val r = Contamination.dupWindowFrac(docs, "doc_id", "text", k = 5)
       .as[(Long, Double)].collect().toMap
