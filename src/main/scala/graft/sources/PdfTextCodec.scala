@@ -14,13 +14,20 @@ import graft.sources.AdaptiveTable.Word
   * extract_words + explicit-vertical-lines table extraction) runs on real
   * bytes end to end.
   *
-  * Scope (documented): classic cross-reference layout (objects scannable
-  * in the byte stream; PDF 1.5 object streams and encryption are out —
-  * [[parse]] returns None and callers fall back), FlateDecode or
-  * uncompressed streams, simple fonts with /Widths (+ ToUnicode when
-  * present; Type0 fonts get 2-byte code splitting and ToUnicode but
-  * default advance widths). Everything here is a pure function of the
-  * bytes and runs executor-side.
+  * Scope (documented): object DISCOVERY is a whole-byte-stream scan
+  * (resilient to broken xref offsets, like pdfplumber's repair path),
+  * extended with PDF 1.5 support — /Type /ObjStm compressed object
+  * streams are unpacked, with /Type /XRef cross-reference-stream
+  * directives (type-2 entries) deciding which member generation wins.
+  * Stream filters: FlateDecode/LZWDecode with PNG/TIFF predictors,
+  * ASCII85/ASCIIHex, RunLength ([[PdfStreamFilters]]). Encrypted
+  * documents with an EMPTY user password decrypt transparently
+  * (RC4 40-128 and AES-128, [[PdfCrypto]]); password-protected files
+  * fail parse and take the caller's corrupt/DLQ path. Fonts: simple
+  * fonts with /Widths (+ ToUnicode when present; Type0 fonts get
+  * 2-byte code splitting and ToUnicode but default advance widths).
+  * Everything here is a pure function of the bytes and runs
+  * executor-side.
   */
 object PdfTextCodec {
 
@@ -163,11 +170,66 @@ object PdfTextCodec {
     out.toByteArray
   }
 
-  /** Decoded stream bytes of one object: FlateDecode inflated, raw
-    * otherwise; trimmed to /Length when it is resolvable (the endstream
-    * scan can overshoot by the EOL before the keyword).
+  /** /Filter chain of a stream dict, in application order, each with
+    * the raw text of its matching /DecodeParms (or /DP) dict ("" when
+    * absent/null). Array-form parms align by position; indirect parm
+    * dicts resolve through `objs`.
+    */
+  private[sources] def filterChain(objs: Map[Int, PdfObj],
+                                   dict: String): Seq[(String, String)] = {
+    val names: Seq[String] =
+      (quoted("/Filter") + """\s*\[([^\]]*)\]""").r.findFirstMatchIn(dict)
+        .map(m => """/(\w+)""".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
+        .orElse((quoted("/Filter") + """\s*/(\w+)""").r
+          .findFirstMatchIn(dict).map(m => Seq(m.group(1))))
+        .getOrElse(Nil)
+    if (names.isEmpty) return Nil
+    def parmsAt(key: String): Seq[String] =
+      (quoted(key) + """\s*""").r.findFirstMatchIn(dict).map { m =>
+        val i = m.end
+        if (dict.startsWith("<<", i)) Seq(dictSpan(dict, i))
+        else if (dict.startsWith("[", i)) {
+          // walk the array: dicts, nulls, indirect refs — one slot per filter
+          val out = Seq.newBuilder[String]
+          var p = i + 1
+          var stop = false
+          while (p < dict.length && !stop) {
+            val c = dict.charAt(p)
+            if (c.isWhitespace) p += 1
+            else if (c == ']') stop = true
+            else if (dict.startsWith("<<", p)) {
+              val span = dictSpan(dict, p); out += span; p += span.length
+            } else if (dict.startsWith("null", p)) { out += ""; p += 4 }
+            else {
+              """^(\d+)\s+0\s+R""".r.findFirstMatchIn(dict.substring(p)) match {
+                case Some(r) =>
+                  out += objs.get(r.group(1).toInt).map(_.dict).getOrElse("")
+                  p += r.end
+                case None => stop = true // malformed — stop aligning
+              }
+            }
+          }
+          out.result()
+        } else ref(dict, key).flatMap(objs.get).map(o => Seq(o.dict)).getOrElse(Nil)
+      }.getOrElse(Nil)
+    val parms = {
+      val p = parmsAt("/DecodeParms")
+      if (p.nonEmpty) p else parmsAt("/DP")
+    }
+    names.zipWithIndex.map { case (n, i) => n -> parms.lift(i).getOrElse("") }
+  }
+
+  /** Decoded stream bytes of one object: trimmed to /Length when it is
+    * resolvable (the endstream scan can overshoot by the EOL before the
+    * keyword), decrypted when the document is encrypted, then run
+    * through the declared /Filter chain (Flate/LZW with predictors,
+    * ASCII85/Hex, RunLength — [[PdfStreamFilters]]).
     */
   def streamData(objs: Map[Int, PdfObj], o: PdfObj): Option[Array[Byte]] =
+    streamData(objs, o, None)
+
+  def streamData(objs: Map[Int, PdfObj], o: PdfObj,
+                 dec: Option[PdfCrypto.Decryptor]): Option[Array[Byte]] =
     o.streamRaw.map { raw0 =>
       val raw = streamLength(objs, o.dict).filter(_ <= raw0.length)
         .map(raw0.take).getOrElse {
@@ -176,8 +238,139 @@ object PdfTextCodec {
           while (n > 0 && (raw0(n - 1) == '\n' || raw0(n - 1) == '\r')) n -= 1
           raw0.take(n)
         }
-      if (o.dict.contains("/FlateDecode")) inflate(raw) else raw
+      val clear = dec.map(_.decrypt(o.num, raw)).getOrElse(raw)
+      filterChain(objs, o.dict).foldLeft(clear) { case (d, (name, parms)) =>
+        PdfStreamFilters.decode(name, d, parms)
+      }
     }
+
+  // ------------------------------------------- PDF 1.5 object/xref streams
+
+  /** `obj num -> container ObjStm num` directives from the NEWEST
+    * cross-reference stream chain (`startxref` -> /Type /XRef object ->
+    * /Prev …): type-2 entries say which compressed object stream holds
+    * the current generation of an object. W-field triplets are
+    * big-endian; the stream itself is typically FlateDecode with PNG-Up
+    * (/Predictor 12), which [[PdfStreamFilters.unpredict]] reverses.
+    * Empty when the file ends in a classic xref table (the byte scan
+    * already covers those) or the chain is unparseable — directives
+    * refine precedence, they are not required for object discovery.
+    */
+  private def xrefStmDirectives(s: String, objs: Map[Int, PdfObj]): Map[Int, Int] = {
+    val out = collection.mutable.Map.empty[Int, Int]
+    try {
+      val sx = s.lastIndexOf("startxref")
+      if (sx < 0) return Map.empty
+      var offset = """\d+""".r
+        .findFirstIn(s.substring(sx + 9, math.min(s.length, sx + 40)))
+        .flatMap(_.toIntOption).getOrElse(-1)
+      val seen = collection.mutable.Set.empty[Int]
+      while (offset >= 0 && offset < s.length && seen.add(offset)) {
+        val head = s.substring(offset, math.min(s.length, offset + 64))
+        """^\s*(\d+)\s+\d+\s+obj""".r.findFirstMatchIn(head)
+          .flatMap(m => objs.get(m.group(1).toInt))
+          .filter(o => """/Type\s*/XRef""".r.findFirstIn(o.dict).isDefined) match {
+          case Some(o) =>
+            val data = streamData(objs, o, None).getOrElse(Array.emptyByteArray)
+            val w = numArray(o.dict, "/W").getOrElse(Nil).map(_.toInt)
+            if (w.length >= 3 && w.sum > 0) {
+              val size = int(o.dict, "/Size").getOrElse(0)
+              val index = numArray(o.dict, "/Index").map(_.map(_.toInt))
+                .getOrElse(Seq(0, size))
+              val entryLen = w.sum
+              var pos = 0
+              index.grouped(2).foreach {
+                case Seq(start, count) =>
+                  var k = 0
+                  while (k < count && pos + entryLen <= data.length) {
+                    def field(off: Int, len: Int): Long = {
+                      var v = 0L; var j = 0
+                      while (j < len) { v = (v << 8) | (data(pos + off + j) & 0xFF); j += 1 }
+                      v
+                    }
+                    // omitted type field defaults to 1 (uncompressed)
+                    val t = if (w(0) == 0) 1L else field(0, w(0))
+                    if (t == 2L) {
+                      val num = start + k
+                      // first writer wins: the chain walks newest-first
+                      if (!out.contains(num)) out(num) = field(w(0), w(1)).toInt
+                    }
+                    pos += entryLen
+                    k += 1
+                  }
+                case _ =>
+              }
+            }
+            offset = int(o.dict, "/Prev").getOrElse(-1)
+          case None => offset = -1 // classic table or unparseable: stop
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => }
+    out.toMap
+  }
+
+  /** Unpack one /Type /ObjStm: header is /N (num, offset) integer pairs;
+    * member i's body spans [/First+off_i, /First+off_{i+1}). Members are
+    * direct objects (dict/array/number bodies, never streams).
+    */
+  private def objStmMembers(objs: Map[Int, PdfObj], o: PdfObj,
+                            dec: Option[PdfCrypto.Decryptor]): Seq[(Int, String)] =
+    (for {
+      data <- streamData(objs, o, dec)
+      n <- int(o.dict, "/N")
+      first <- int(o.dict, "/First")
+    } yield {
+      val s = new String(data, "ISO-8859-1")
+      val header = s.substring(0, math.min(math.max(first, 0), s.length))
+      val nums = """\d+""".r.findAllIn(header).flatMap(_.toIntOption).toSeq
+      val pairs = nums.grouped(2).collect { case Seq(a, b) => (a, b) }.toSeq.take(n)
+      pairs.zipWithIndex.map { case ((num, off), i) =>
+        val start = math.min(first + off, s.length)
+        val end = pairs.lift(i + 1)
+          .map(p => math.min(first + p._2, s.length)).getOrElse(s.length)
+        num -> s.substring(start, math.max(start, end))
+      }
+    }).getOrElse(Nil)
+
+  /** The COMPLETE object map of a document plus its decryptor: classic
+    * byte scan, encryption probe (throws on a non-empty user password),
+    * per-object string decryption of top-level dicts, and /Type /ObjStm
+    * member expansion. Precedence: xref-stream directives (newest
+    * chain) > top-level scanned objects > remaining ObjStm members
+    * (later containers win) — so an incremental update is honored
+    * whichever side of the compression boundary it lands on.
+    */
+  private[sources] def load(bytes: Array[Byte]): (Map[Int, PdfObj], Option[PdfCrypto.Decryptor]) = {
+    val s = new String(bytes, "ISO-8859-1")
+    val base = objects(bytes)
+    val dec = PdfCrypto.forDocument(s, base)
+    // the /Encrypt dictionary's own strings (O, U) are stored clear
+    val encNum = """/Encrypt\s+(\d+)\s+0\s+R""".r
+      .findAllMatchIn(s).toSeq.lastOption.map(_.group(1).toInt)
+    val top = dec match {
+      case Some(d) => base.map { case (n, o) =>
+        if (encNum.contains(n)) n -> o
+        else n -> o.copy(dict = PdfCrypto.decryptDictStrings(o.dict, n, d))
+      }
+      case None => base
+    }
+    val containers = top.values
+      .filter(o => """/Type\s*/ObjStm""".r.findFirstIn(o.dict).isDefined)
+      .toSeq.sortBy(_.num)
+    val members: Seq[(Int, Int, String)] = containers.flatMap(o =>
+      objStmMembers(top, o, dec).map { case (num, body) => (num, o.num, body) })
+    val directed = {
+      val directives = xrefStmDirectives(s, base)
+      members.collect {
+        case (n, c, b) if directives.get(n).contains(c) => n -> PdfObj(n, b, None)
+      }.toMap
+    }
+    val fill = members.collect {
+      case (n, _, b) if !top.contains(n) && !directed.contains(n) =>
+        n -> PdfObj(n, b, None)
+    }.toMap
+    (fill ++ top ++ directed, dec)
+  }
 
   // ------------------------------------------------------------------ fonts
 
@@ -239,7 +432,8 @@ object PdfTextCodec {
     out.result()
   }
 
-  private def loadFont(objs: Map[Int, PdfObj], fontDict: String): Font = {
+  private def loadFont(objs: Map[Int, PdfObj], fontDict: String,
+                       dec: Option[PdfCrypto.Decryptor]): Font = {
     val twoByte = fontDict.contains("/Type0")
     val firstChar = int(fontDict, "/FirstChar").getOrElse(0)
     // indirect /Widths: the referenced object's BODY is the array
@@ -258,7 +452,7 @@ object PdfTextCodec {
       })
       .getOrElse(Seq.empty).map(_.toInt).toArray
     val toUni = ref(fontDict, "/ToUnicode").flatMap(objs.get)
-      .flatMap(o => streamData(objs, o))
+      .flatMap(o => streamData(objs, o, dec))
       .map(b => parseCMap(new String(b, "ISO-8859-1")))
       .getOrElse(Map.empty)
     Font(firstChar, widths, toUni, twoByte)
@@ -583,7 +777,7 @@ object PdfTextCodec {
   def parse(bytes: Array[Byte]): Option[PdfDoc] =
     try {
       if (!RealPdfMeta.isPdf(bytes)) return None
-      val objs = objects(bytes)
+      val (objs, dec) = load(bytes)
       if (objs.isEmpty) return None
       // page tree walk: catalog -> /Pages -> /Kids (ordering!), falling
       // back to document-order /Type /Page objects when the tree is odd
@@ -631,7 +825,7 @@ object PdfTextCodec {
             .orElse(ref(pg.dict, "/Contents").map(Seq(_)))
             .getOrElse(Nil)
         val content = contentRefs.flatMap(objs.get)
-          .flatMap(o => streamData(objs, o))
+          .flatMap(o => streamData(objs, o, dec))
           .map(b => new String(b, "ISO-8859-1")).mkString("\n")
         // fonts from /Resources /Font
         val fonts: Map[String, Font] = (for {
@@ -639,7 +833,8 @@ object PdfTextCodec {
           fd <- subDict(objs, res, "/Font")
         } yield {
           """/(\w+)\s+(\d+)\s+0\s+R""".r.findAllMatchIn(fd).flatMap { m =>
-            objs.get(m.group(2).toInt).map(fo => m.group(1) -> loadFont(objs, fo.dict))
+            objs.get(m.group(2).toInt).map(fo =>
+              m.group(1) -> loadFont(objs, fo.dict, dec))
           }.toMap
         }).getOrElse(Map.empty)
         val glyphs = interpret(tokenize(content), fonts)

@@ -8,12 +8,12 @@ import graft.sources.PdfTableSource.PdfMeta
   * the Info dictionary and the page count
   * (reference: src/infrastructure/adapters/pdf_parser.py:23-36).
   *
-  * Scope (documented, not hidden): object streams (PDF 1.5+ compressed
-  * metadata) and encrypted files are out — the scanner returns None and
-  * callers fall back. Page COUNT comes from counting leaf `/Type /Page`
-  * objects, which is dictionary-order-independent; table EXTRACTION
-  * still requires content-stream decoding and stays with the stub
-  * codec.
+  * Object streams (PDF 1.5+ compressed metadata) and empty-password
+  * encrypted files are covered via [[PdfTextCodec.load]]: the scan runs
+  * over the EXPANDED object map (ObjStm members unpacked, dict strings
+  * decrypted), falling back to the raw byte scan when expansion fails.
+  * Page COUNT comes from counting leaf `/Type /Page` objects, which is
+  * dictionary-order-independent.
   */
 object RealPdfMeta {
 
@@ -48,6 +48,15 @@ object RealPdfMeta {
   // nodes; order-independent unlike pairing /Type with /Count
   private val LeafPage = """/Type\s*/Page(?!s)""".r
 
+  /** Expanded object map (ObjStm members + decrypted dict strings);
+    * raw-scan fallback when expansion fails. A wrong-password document
+    * yields the raw scan — whose encrypted strings then scan to
+    * nothing, so callers reach their corrupt/DLQ path via parse().
+    */
+  private def scanObjects(bytes: Array[Byte]): Map[Int, PdfTextCodec.PdfObj] =
+    try PdfTextCodec.load(bytes)._1
+    catch { case scala.util.control.NonFatal(_) => PdfTextCodec.objects(bytes) }
+
   def pageCount(bytes: Array[Byte]): Option[Int] =
     if (!isPdf(bytes)) None
     else {
@@ -55,7 +64,7 @@ object RealPdfMeta {
       // an incremental update leaves every generation of a rewritten
       // page object in the byte stream and a whole-file scan counts
       // each of them
-      val objs = PdfTextCodec.objects(bytes)
+      val objs = scanObjects(bytes)
       val n =
         if (objs.nonEmpty)
           objs.values.count(o => LeafPage.findFirstMatchIn(o.dict).isDefined)
@@ -67,7 +76,11 @@ object RealPdfMeta {
   def metadata(doc: String, bytes: Array[Byte]): Option[PdfMeta] =
     if (!isPdf(bytes)) None
     else {
-      val s = text(bytes)
+      // raw text first, expanded dicts appended: "last occurrence wins"
+      // prefers the decrypted/unpacked Info of a modern or encrypted
+      // file and the newest generation of an incrementally-updated one
+      val s = text(bytes) + "\n" + scanObjects(bytes).values.toSeq
+        .sortBy(_.num).map(_.dict).mkString("\n")
       for {
         created <- dictDate(s, "/CreationDate")
         pages <- pageCount(bytes)
