@@ -326,6 +326,92 @@ class EtlPipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("flagship e2e on an all-real PDF corpus: classic + ObjStm + encrypted, no stub") {
+    import graft.sources.{BlobFetcher, PdfTableSource, RealPdfCodec}
+    import RealPdfFixtures._
+
+    // the inner codec must never be consulted: every corpus member is a
+    // genuine PDF, and a silent stub fallback would hide a codec gap
+    object ThrowingStub extends PdfTableSource.TableExtractor {
+      private def fail: Nothing = throw new IllegalStateException(
+        "stub consulted for a real-PDF corpus")
+      override def extract(doc: String, bytes: Array[Byte],
+                           startPage: Int, endPage: Int) = fail
+      override def pageCount(bytes: Array[Byte]) = fail
+      override def metadata(doc: String, bytes: Array[Byte]) = fail
+    }
+
+    val workDir = Files.createTempDirectory("etlrealflag").toString
+    val blobDir = s"$workDir/blobs"
+    val pipe = new EtlPipeline(spark, workDir, batchSize = 10)
+    val codec = RealPdfCodec(ThrowingStub)
+
+    // three layouts, one corpus: multi-page classic Flate, PDF 1.5
+    // object streams (+xref stream), RC4-encrypted empty-password
+    val classicBytes = classicPdf(Seq(
+      headerWords() ++ rowWords(Seq("NCA-21", "Regular", "1/15/2023", "DepEd",
+        "AgA", "OU1", "100.00", "Books"), 660),
+      rowWords(Seq("NCA-22", "Special", "2/1/2023", "DOH",
+        "AgB", "OU2", "50.25", "Meds"), 660)),
+      created = "D:20230115090000Z")
+    val objStmBytes = objStmPdf(
+      headerWords() ++ rowWords(Seq("NCA-23", "Regular", "3/1/2024", "DepEd",
+        "AgC", "OU3", "200.00", "Desks"), 660),
+      created = "D:20240301090000Z")
+    val encryptedBytes = encryptedPdf(
+      headerWords() ++ rowWords(Seq("NCA-24", "Special", "4/1/2025", "DOTr",
+        "AgD", "OU4", "75.50", "Rails"), 660),
+      created = "D:20250401090000Z")
+
+    val listing =
+      """<html><body>
+        |<a href="/files/NCA_2023.pdf">NCA 2023</a>
+        |<a href="/files/NCA_2024.pdf">NCA 2024</a>
+        |<a href="/files/NCA_2025.pdf">NCA 2025</a>
+        |</body></html>""".stripMargin
+    val fetch: BlobFetcher.Fetch = {
+      case "https://host/releases" => (200, listing.getBytes("UTF-8"))
+      case u if u.endsWith("NCA_2023.pdf") => (200, classicBytes)
+      case u if u.endsWith("NCA_2024.pdf") => (200, objStmBytes)
+      case u if u.endsWith("NCA_2025.pdf") => (200, encryptedBytes)
+      case _ => (404, Array.emptyByteArray)
+    }
+
+    val queued = pipe.scrapeFromUrl("https://host/releases", "https://host",
+      oldestYear = 2020, nowYear = 2026, fetch, blobDir, codec)
+    assert(queued.count() === 3)
+    // release metadata came from each document's REAL bytes — including
+    // the compressed ObjStm Info and the RC4-encrypted date string
+    val rels = TableStore.read(spark, pipe.releaseTable).get
+      .select("id", "file_meta_created_at", "page_count")
+      .as[(String, String, Int)].collect()
+      .map { case (id, created, pages) => id -> ((created, pages)) }.toMap
+    assert(rels("id_2023") === ("2023-01-15T09:00:00", 2))
+    assert(rels("id_2024") === ("2024-03-01T09:00:00", 1))
+    assert(rels("id_2025") === ("2025-04-01T09:00:00", 1))
+
+    pipe.orchestrate(); pipe.work(blobDir, codec)
+    assert(!Files.exists(Paths.get(pipe.quarantine)),
+      "no corpus member may dead-letter")
+    val recs = pipe.records.get.select("nca_number", "release_id")
+      .as[(String, String)].collect().toSeq.sorted
+    assert(recs === Seq(("NCA-21", "id_2023"), ("NCA-22", "id_2023"),
+      ("NCA-23", "id_2024"), ("NCA-24", "id_2025")))
+
+    // the flagship question — total allocation per department — over the
+    // co-bucketed publish join
+    try {
+      val joined = pipe.publishCoLocated(prefix = "realflag").get
+      val sums = joined.groupBy("department")
+        .agg(round(sum("amount"), 2).as("total"))
+        .as[(String, Double)].collect().toMap
+      assert(sums === Map("DepEd" -> 300.00, "DOH" -> 50.25, "DOTr" -> 75.50))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS realflag_record_nca")
+      spark.sql("DROP TABLE IF EXISTS realflag_allocation_nca")
+    }
+  }
+
   test("a blob corrupted after scrape quarantines its batch; healthy batches load") {
     val workDir = Files.createTempDirectory("etlpoison").toString
     val blobDir = s"$workDir/blobs"

@@ -1,0 +1,164 @@
+package graft
+
+import java.util.zip.Deflater
+
+import graft.sources.PdfCrypto
+
+/** Authoring factory for GENUINE table-bearing PDFs in the three layouts
+  * the codec supports — classic multi-page Flate, PDF 1.5 object
+  * streams (+ /Type /XRef), and standard-security empty-password
+  * encryption — so e2e specs can run the real extraction path over a
+  * corpus with zero stub members. Word layout mirrors the NCA artifact:
+  * header phrases split into words on a 100pt column grid, data cells
+  * left-aligned on the same grid.
+  */
+object RealPdfFixtures {
+
+  val Phrases = Seq("nca_number", "nca_type", "released_date", "department",
+    "agency", "operating_unit", "amount", "purpose")
+
+  def headerWords(y: Int = 700): Seq[(String, Int, Int)] =
+    Phrases.zipWithIndex.flatMap { case (p, i) =>
+      p.split("_").zipWithIndex.map { case (t, j) => (t, 20 + i * 100 + j * 45, y) }
+    }
+
+  def rowWords(cells: Seq[String], y: Int): Seq[(String, Int, Int)] =
+    cells.zipWithIndex.map { case (t, i) => (t, 20 + i * 100, y) }
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new Deflater()
+    d.setInput(data); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  private def latin1(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
+  private def hex(b: Array[Byte]): String = b.map("%02X".format(_)).mkString
+
+  private def contentOf(words: Seq[(String, Int, Int)]): String =
+    words.map { case (t, x, y) => s"BT /F1 10 Tf $x $y Td ($t) Tj ET" }
+      .mkString(" ")
+
+  /** Classic layout: one Flate content stream per page, shared font,
+    * Info dict with the given creation date.
+    */
+  def classicPdf(pages: Seq[Seq[(String, Int, Int)]], created: String): Array[Byte] = {
+    val n = pages.length
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(latin1(s))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    val kids = (1 to n).map(i => s"${2 + i} 0 R").mkString(" ")
+    w(s"2 0 obj << /Type /Pages /Kids [$kids] /Count $n >> endobj\n")
+    pages.indices.foreach { i =>
+      w(s"${3 + i} 0 obj << /Type /Page /Parent 2 0 R " +
+        s"/MediaBox [0 0 850 792] /Resources << /Font << /F1 ${3 + 2 * n} 0 R >> >> " +
+        s"/Contents ${3 + n + i} 0 R >> endobj\n")
+    }
+    pages.zipWithIndex.foreach { case (words, i) =>
+      val c = deflate(latin1(contentOf(words)))
+      w(s"${3 + n + i} 0 obj << /Length ${c.length} /Filter /FlateDecode >> stream\n")
+      out.write(c)
+      w("\nendstream endobj\n")
+    }
+    w(s"${3 + 2 * n} 0 obj << /Type /Font /Subtype /TrueType /BaseFont /Helvetica >> endobj\n")
+    w(s"${4 + 2 * n} 0 obj << /Producer (fixtures) /CreationDate ($created) >> endobj\n")
+    w(s"trailer << /Root 1 0 R /Info ${4 + 2 * n} 0 R >>\n%%EOF")
+    out.toByteArray
+  }
+
+  /** PDF 1.5 layout: catalog/pages/page/font/Info compressed inside a
+    * /Type /ObjStm, content stream top-level, /Type /XRef stream
+    * (FlateDecode + PNG-Up predictor) carrying the type-2 directives.
+    * Single page.
+    */
+  def objStmPdf(words: Seq[(String, Int, Int)], created: String): Array[Byte] = {
+    val members = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      3 -> ("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 850 792] " +
+        "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"),
+      5 -> "<< /Type /Font /Subtype /TrueType /BaseFont /Helvetica >>",
+      6 -> s"<< /Producer (fixtures) /CreationDate ($created) >>")
+    val bodies = members.map(_._2)
+    val offs = bodies.scanLeft(0)((a, b) => a + b.length + 1).init
+    val header = members.map(_._1).zip(offs)
+      .map { case (n, o) => s"$n $o" }.mkString(" ") + "\n"
+    val objStm = deflate(latin1(header + bodies.mkString("\n")))
+    val content = deflate(latin1(contentOf(words)))
+
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(latin1(s))
+    w("%PDF-1.5\n")
+    val off4 = out.size()
+    w(s"4 0 obj << /Length ${content.length} /Filter /FlateDecode >> stream\n")
+    out.write(content)
+    w("\nendstream endobj\n")
+    val off7 = out.size()
+    w(s"7 0 obj << /Type /ObjStm /N ${members.length} /First ${header.length} " +
+      s"/Length ${objStm.length} /Filter /FlateDecode >> stream\n")
+    out.write(objStm)
+    w("\nendstream endobj\n")
+    val off8 = out.size()
+    def row(t: Int, f2: Int, f3: Int) =
+      Array[Byte](t.toByte, ((f2 >> 8) & 0xFF).toByte, (f2 & 0xFF).toByte, f3.toByte)
+    val stmIdx = members.map(_._1).zipWithIndex.toMap
+    val rows = (0 to 8).map {
+      case 0 => row(0, 0, 255)
+      case 4 => row(1, off4, 0)
+      case 7 => row(1, off7, 0)
+      case 8 => row(1, off8, 0)
+      case n => row(2, 7, stmIdx(n))
+    }
+    val pred = {
+      val b = new java.io.ByteArrayOutputStream()
+      var prev = new Array[Byte](4)
+      rows.foreach { r =>
+        b.write(2) // PNG Up
+        for (i <- 0 until 4) b.write((r(i) - prev(i)) & 0xFF)
+        prev = r
+      }
+      deflate(b.toByteArray)
+    }
+    w(s"8 0 obj << /Type /XRef /Size 9 /Root 1 0 R /Info 6 0 R " +
+      s"/W [1 2 1] /Index [0 9] /Length ${pred.length} /Filter /FlateDecode " +
+      s"/DecodeParms << /Predictor 12 /Columns 4 >> >> stream\n")
+    out.write(pred)
+    w("\nendstream endobj\n")
+    w(s"startxref\n$off8\n%%EOF")
+    out.toByteArray
+  }
+
+  /** Classic single-page layout encrypted by the standard handler
+    * (RC4-128, V2 R3) with an empty user password: content stream and
+    * Info strings independently encrypted per object.
+    */
+  def encryptedPdf(words: Seq[(String, Int, Int)], created: String): Array[Byte] = {
+    val id0 = latin1("real-pdf-fixture")
+    val o32 = PdfCrypto.ownerEntry(Array.emptyByteArray, Array.emptyByteArray, 3, 128)
+    val key = PdfCrypto.fileKey(o32, -44, id0, 3, 128, encryptMetadata = true)
+    val u = PdfCrypto.expectedU(key, id0, 3) ++ Array.fill(16)(0.toByte)
+    val dec = PdfCrypto.Decryptor(key, aes = false)
+    val content = dec.encrypt(4, deflate(latin1(contentOf(words))))
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(latin1(s))
+    w("%PDF-1.6\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 850 792] " +
+      "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >> endobj\n")
+    w(s"4 0 obj << /Length ${content.length} /Filter /FlateDecode >> stream\n")
+    out.write(content)
+    w("\nendstream endobj\n")
+    w("5 0 obj << /Type /Font /Subtype /TrueType /BaseFont /Helvetica >> endobj\n")
+    w(s"6 0 obj << /CreationDate <${hex(dec.encrypt(6, latin1(created)))}> >> endobj\n")
+    w(s"9 0 obj << /Filter /Standard /V 2 /R 3 /Length 128 /P -44 " +
+      s"/O <${hex(o32)}> /U <${hex(u)}> >> endobj\n")
+    w(s"trailer << /Root 1 0 R /Info 6 0 R /Encrypt 9 0 R " +
+      s"/ID [<${hex(id0)}> <${hex(id0)}>] >>\n%%EOF")
+    out.toByteArray
+  }
+}
