@@ -28,6 +28,7 @@ object SparkEntry {
       PackingQueries.queries ++
       Quantize.queries ++
       Contamination.queries ++
+      PiiQueries.queries ++
       OlapQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -44,5 +45,6 @@ object SparkEntry {
       PackingQueries.oracleSql ++
       Quantize.oracleSql ++
       Contamination.oracleSql ++
+      PiiQueries.oracleSql ++
       OlapQueries.oracleSql
 }

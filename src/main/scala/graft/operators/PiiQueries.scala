@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.GraftFunctions.tokens
+
+/** Corpus-hygiene operators for training-data pipelines (public-recipe
+  * family: C4/RefinedWeb-style PII handling, Gopher-style rare-token
+  * quality signals):
+  *
+  *  - [[piiCounts]] / [[redact]]: per-document counts of
+  *    email/IPv4/phone matches and a redaction rewrite. Pure
+  *    scan-project regex expressions (codegen'd, zero shuffle at any
+  *    scale). Patterns are dialect-neutral (no backrefs/lookarounds) so
+  *    the Java-regex engine side and the RE2 DuckDB oracle agree
+  *    match-for-match.
+  *  - [[rareTokenRatio]]: fraction of a document's token OCCURRENCES
+  *    whose corpus frequency is below the mean token frequency — the
+  *    "too many rare tokens" low-quality signal. The rare predicate is
+  *    integer-exact (`c * V < N`, all bigints — no float threshold to
+  *    disagree across engines).
+  *
+  * The synthetic `documents` text contains no natural PII, so the
+  * declared PII queries deterministically AUGMENT each document from
+  * its doc_id (same expression in the DuckDB oracle) — counts then
+  * vary per document and the hash check is meaningful rather than
+  * all-zeros.
+  */
+object PiiQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Dialect-neutral PII patterns (identical semantics in Java regex and
+    * RE2): no backreferences, no lookaround, ASCII classes only.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}-\\d{4}-\\d{4}\\b"
+
+  /** (id, n_email, n_ipv4, n_phone, n_pii) — one scan, no shuffle. */
+  def piiCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val e = regexp_count(t, lit(EmailRe))
+    val i = regexp_count(t, lit(Ipv4Re))
+    val p = regexp_count(t, lit(PhoneRe))
+    docs.select(col(idCol), e.as("n_email"), i.as("n_ipv4"), p.as("n_phone"),
+      (e + i + p).as("n_pii"))
+  }
+
+  /** Redaction rewrite: emails, then IPv4s, then phones, to typed
+    * placeholder tags. The patterns are mutually non-overlapping by
+    * construction (emails carry '@', phones carry '-' groups IPv4
+    * lacks), so application order cannot change the result.
+    */
+  def redact(textCol: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(textCol, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** (id, rare_ratio): per document, the fraction of token occurrences
+    * whose corpus frequency c is below the mean frequency (c * V < N in
+    * exact integers; V = vocab size, N = total occurrences).
+    *
+    * Shape at 100 TB: both aggregations are map-side-combinable (a
+    * corpus-wide stop token reaches each reducer as one partial row per
+    * map task). The frequency join keys on token with per-doc
+    * pre-aggregation on the probe side, so a stop token contributes ONE
+    * row per containing document and the join output is 1:1 —
+    * placement skew only, which AQE's skew split re-balances (the
+    * head-of-Zipf vocabulary is also small enough to broadcast as an
+    * alternative). N and V are two driver-side longs (bounded control
+    * path) rather than a 1-row broadcast, keeping nested-loop shapes
+    * out of the plan.
+    */
+  def rareTokenRatio(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val perDoc = docs
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("c_local"))
+    // vocab-sized; checkpointed because the totals read and the join
+    // both consume it — one aggregation pass, not two
+    val freq = perDoc.groupBy(col("tok")).agg(sum(col("c_local")).as("c"))
+      .localCheckpoint(true)
+    val totals = freq.agg(sum(col("c")).as("n"), count(lit(1)).as("v")).head()
+    val n = totals.getLong(0)
+    val v = totals.getLong(1)
+    perDoc.join(freq, "tok")
+      .groupBy(col("id"))
+      .agg(round(
+        sum(when(col("c") * lit(v) < lit(n), col("c_local")).otherwise(lit(0L)))
+          .cast("double") /
+          sum(col("c_local")).cast("double"), 6).as("rare_ratio"))
+  }
+
+  /** Deterministic PII augmentation of the synthetic corpus: always an
+    * email, an IPv4 on even ids, a phone on ids divisible by 3 — the
+    * SAME expression the DuckDB oracle builds, so counts vary per doc.
+    */
+  private def augmented(docs: DataFrame): DataFrame =
+    docs.withColumn("text", concat(
+      col("text"),
+      lit(" contact u"), col("doc_id").cast("string"), lit("@example.com"),
+      when(col("doc_id") % 2 === 0, concat(
+        lit(" from 10."), (col("doc_id") % 256).cast("string"),
+        lit(".0."), ((col("doc_id") * 7) % 256).cast("string")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 3 === 0, lit(" call 555-0123-4567"))
+        .otherwise(lit(""))))
+
+  val queries: Map[String, Q] = Map(
+    "x35_pii_scan" -> ((s, d) =>
+      piiCounts(augmented(Tables(s, d, "documents")), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    "x36_pii_redact" -> ((s, d) =>
+      augmented(Tables(s, d, "documents"))
+        .select(col("doc_id"), md5(redact(col("text"))).as("redacted_md5"))
+        .orderBy(col("doc_id"))),
+
+    "x37_rare_token_ratio" -> ((s, d) =>
+      rareTokenRatio(Tables(s, d, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id")))
+  )
+
+  // shared augmentation SQL fragment (DuckDB string concat)
+  private val Aug =
+    """text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com' ||
+      |  CASE WHEN doc_id % 2 = 0
+      |       THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+      |            CAST((doc_id * 7) % 256 AS VARCHAR)
+      |       ELSE '' END ||
+      |  CASE WHEN doc_id % 3 = 0 THEN ' call 555-0123-4567' ELSE '' END""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "x35_pii_scan" ->
+      s"""WITH aug AS (SELECT doc_id, $Aug AS text FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+         |  len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ipv4,
+         |  len(regexp_extract_all(text, '\\b\\d{3}-\\d{4}-\\d{4}\\b')) AS n_phone,
+         |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+         |    + len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+         |    + len(regexp_extract_all(text, '\\b\\d{3}-\\d{4}-\\d{4}\\b')) AS n_pii
+         |FROM aug ORDER BY doc_id""".stripMargin,
+
+    "x36_pii_redact" ->
+      s"""WITH aug AS (SELECT doc_id, $Aug AS text FROM documents)
+         |SELECT doc_id,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+         |    '\\b\\d{3}-\\d{4}-\\d{4}\\b', '<PHONE>', 'g')) AS redacted_md5
+         |FROM aug ORDER BY doc_id""".stripMargin,
+
+    "x37_rare_token_ratio" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), x -> x != '')) AS tok
+        |  FROM documents
+        |),
+        |pd AS (SELECT doc_id, tok, count(*) AS c_local FROM tok GROUP BY 1, 2),
+        |freq AS (SELECT tok, sum(c_local) AS c FROM pd GROUP BY 1),
+        |tot AS (SELECT sum(c) AS n, count(*) AS v FROM freq)
+        |SELECT doc_id,
+        |  round(CAST(sum(CASE WHEN c * v < n THEN c_local ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(c_local) AS DOUBLE), 6) AS rare_ratio
+        |FROM pd JOIN freq USING (tok), tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  )
+}
