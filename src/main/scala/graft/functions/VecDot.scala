@@ -116,7 +116,7 @@ case class VecDot(left: Expression, right: Expression)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftExtensions.vecDotDescriptor)
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
@@ -129,14 +129,54 @@ object GraftExtensions {
       VecDot(args(0), args(1))
     })
 
+  // Spark ships a production Bloom filter pair for its runtime-filter
+  // rewrite (BloomFilterAggregate / BloomFilterMightContain) but does
+  // NOT register them as SQL-callable functions — surface the existing
+  // battle-tested implementation through the public extensions API
+  // instead of re-implementing a sketch.
+  private val bloomAggDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_bloom_agg"),
+    new ExpressionInfo(
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+      "graft_bloom_agg"),
+    (args: Seq[Expression]) => {
+      require(args.length == 3,
+        "graft_bloom_agg(value, estimatedItems, numBits) takes exactly 3 arguments")
+      org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(args(0), args(1), args(2), 0, 0)
+    })
+
+  private val mightContainDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_might_contain"),
+    new ExpressionInfo(
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+      "graft_might_contain"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2,
+        "graft_might_contain(bloom, value) takes exactly 2 arguments")
+      org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(args(0), args(1))
+    })
+
+  private[functions] val descriptors =
+    Seq(vecDotDescriptor, bloomAggDescriptor, mightContainDescriptor)
+
   /** Idempotent registration on a live session (for sessions not built
     * with spark.sql.extensions).
     */
-  def register(spark: SparkSession): Unit = {
-    val (id, info, builder) = vecDotDescriptor
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
-  }
+  def register(spark: SparkSession): Unit =
+    descriptors.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 
   /** Column-level API once registered. */
   def vecDot(a: Column, b: Column): Column = call_function("graft_vec_dot", a, b)
+
+  def bloomAgg(value: Column, estimatedItems: Column, numBits: Column): Column =
+    call_function("graft_bloom_agg", value, estimatedItems, numBits)
+
+  def mightContain(bloom: Column, value: Column): Column =
+    call_function("graft_might_contain", bloom, value)
 }

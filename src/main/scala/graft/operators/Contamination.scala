@@ -116,6 +116,39 @@ object Contamination {
       .agg(round(avg(when(col("hit").isNotNull, 1.0).otherwise(0.0)), 6)
         .as("contam_frac"))
 
+  /** Decontamination via a broadcast Bloom sketch instead of the
+    * membership join — the 100 TB scale path: a train corpus of 10^9
+    * distinct windows compresses to a ~1.2 GB bit array (10 bits/item,
+    * ~1% false-positive rate) that ships to executors ONCE, where the
+    * exact join would shuffle every eval window against the full train
+    * relation on every run. False NEGATIVES are impossible (Bloom
+    * guarantee), so the fraction is a certified upper bound on the
+    * exact contamination — the x38g gate pins both directions.
+    *
+    * Uses Spark's own BloomFilterAggregate/BloomFilterMightContain
+    * (the runtime-filter machinery) surfaced through
+    * [[graft.functions.GraftExtensions]]. The aggregation is
+    * map-side-combinable (partial blooms OR together); the collected
+    * sketch is numBits/8 bytes of driver traffic — bounded by
+    * construction, and the whole point of the operator.
+    */
+  def decontaminationBloomFrac(evalW: DataFrame, trainW: DataFrame,
+                               bitsPerItem: Int = 10): DataFrame = {
+    val spark = trainW.sparkSession
+    graft.functions.GraftExtensions.register(spark)
+    val items = math.max(trainW.count(), 1L)
+    // 10 bits/item ~ 1% fpp at k = 7; capped by Spark's aggregate limit
+    val numBits = math.min(math.max(items * bitsPerItem, 64L), 64L << 20)
+    val bloom = trainW.agg(
+      graft.functions.GraftExtensions.bloomAgg(
+        col("w"), lit(items), lit(numBits)).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    evalW.groupBy(col("id"))
+      .agg(round(avg(
+        when(graft.functions.GraftExtensions.mightContain(lit(bloom), col("w")),
+          1.0).otherwise(0.0)), 6).as("bloom_frac"))
+  }
+
   /** One window relation per (session, dir), shared by x32 and x33 —
     * the expensive tokenize+explode+md5 expansion runs once, with the
     * split slices filtered AFTER materialization (same memo discipline
@@ -155,6 +188,31 @@ object Contamination {
       decontaminationFromWindows(winSplit(w, train = false), winSplit(w, train = true))
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
+    }),
+
+    // broadcast-Bloom variant of x33 (rows-only: the sketch's bit layout
+    // is engine-specific; certified by the x38g gate below)
+    "x38_decontam_bloom" -> ((s, d) => {
+      val w = windowsMemo(s, d)
+      decontaminationBloomFrac(winSplit(w, train = false), winSplit(w, train = true))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // gate: bloom_frac must dominate the exact fraction (no false
+    // negatives, per Bloom guarantee) and overshoot it by at most 0.2
+    // (far above the ~1% fpp the sizing targets) — violators emitted,
+    // provably none, empty-set oracle
+    "x38g_decontam_bloom_gate" -> ((s, d) => {
+      val w = windowsMemo(s, d)
+      val ev = winSplit(w, train = false)
+      val tr = winSplit(w, train = true)
+      decontaminationFromWindows(ev, tr)
+        .join(decontaminationBloomFrac(ev, tr), "id")
+        .filter(col("bloom_frac") < col("contam_frac") - 1e-9 ||
+          col("bloom_frac") > col("contam_frac") + 0.2)
+        .select(col("id").as("doc_id"), col("contam_frac"), col("bloom_frac"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -193,6 +251,12 @@ object Contamination {
          |  round(avg(CASE WHEN train.w IS NOT NULL THEN 1.0 ELSE 0.0 END), 6)
          |    AS contam_frac
          |FROM test LEFT JOIN train ON test.w = train.w
-         |GROUP BY id ORDER BY doc_id""".stripMargin
+         |GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "x38g_decontam_bloom_gate" ->
+      """SELECT CAST(NULL AS BIGINT) AS doc_id,
+        |  CAST(NULL AS DOUBLE) AS contam_frac,
+        |  CAST(NULL AS DOUBLE) AS bloom_frac
+        |WHERE false""".stripMargin
   )
 }

@@ -69,6 +69,32 @@ class ContaminationSpec extends SparkSpecBase {
     }
   }
 
+  test("bloom decontamination dominates the exact fraction and hits full recall") {
+    val train = Seq((10L, (1 to 30).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val eval_ = Seq(
+      (20L, (1 to 10).map(i => s"w$i").mkString(" ")),  // fully in train
+      (21L, "completely novel words that the train corpus never saw"),
+      (22L, (25 to 35).map(i => s"w$i").mkString(" "))  // partially in train
+    ).toDF("doc_id", "text")
+    val evW = Contamination.tokenWindows(eval_, "doc_id", "text", k = 5)
+    val trW = Contamination.tokenWindows(train, "doc_id", "text", k = 5)
+    val exact = Contamination.decontaminationFromWindows(evW, trW)
+      .as[(Long, Double)].collect().toMap
+    val bloom = Contamination.decontaminationBloomFrac(evW, trW)
+      .as[(Long, Double)].collect().toMap
+    // Bloom guarantee: no false negatives -> bloom_frac >= exact, and a
+    // fully-contained doc must read 1.0 regardless of false positives
+    assert(bloom.keySet === exact.keySet)
+    exact.foreach { case (id, e) =>
+      assert(bloom(id) >= e - 1e-9, s"doc $id: bloom ${bloom(id)} < exact $e")
+    }
+    assert(bloom(20L) === 1.0)
+    // at 10 bits/item on a tiny corpus, false positives are ~impossible:
+    // the clean doc must read ~0
+    assert(bloom(21L) <= 0.2)
+  }
+
   test("short documents form one whole-doc window and join the relation") {
     val docs = Seq((1L, "just three words"), (2L, "just three words")).toDF("doc_id", "text")
     val w = Contamination.tokenWindows(docs, "doc_id", "text", k = 5)

@@ -24,7 +24,8 @@ class QueriesSmokeSpec extends SparkSpecBase {
     "x31g_quantize_gate",
     "x17g_approx_distinct_gate",
     "x18g_approx_median_gate",
-    "x26g_heavy_hitters_recall")
+    "x26g_heavy_hitters_recall",
+    "x38g_decontam_bloom_gate")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs and yields rows") {
