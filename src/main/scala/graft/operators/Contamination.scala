@@ -137,8 +137,20 @@ object Contamination {
     val spark = trainW.sparkSession
     graft.functions.GraftExtensions.register(spark)
     val items = math.max(trainW.count(), 1L)
-    // 10 bits/item ~ 1% fpp at k = 7; capped by Spark's aggregate limit
-    val numBits = math.min(math.max(items * bitsPerItem, 64L), 64L << 20)
+    // 10 bits/item ~ 1% fpp at k = 7. Spark's aggregate enforces
+    // spark.sql.optimizer.runtime.bloomFilter.maxNumBits (64M default):
+    // FAIL LOUDLY rather than silently clamp into a useless
+    // everything-matches filter — past the cap the caller must raise
+    // the conf (the sketch still beats the shuffle join by orders of
+    // magnitude) or partition the corpus into per-shard blooms
+    val maxBits = spark.conf
+      .getOption("spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
+      .flatMap(_.toLongOption).getOrElse(64L << 20)
+    val numBits = math.max(items * bitsPerItem, 64L)
+    require(numBits <= maxBits,
+      s"bloom sizing: $items train windows need $numBits bits " +
+        s"($bitsPerItem/item) but spark.sql.optimizer.runtime.bloomFilter." +
+        s"maxNumBits=$maxBits — raise the conf or shard the bloom")
     val bloom = trainW.agg(
       graft.functions.GraftExtensions.bloomAgg(
         col("w"), lit(items), lit(numBits)).as("bf"))
@@ -150,7 +162,7 @@ object Contamination {
   }
 
   /** One window relation per (session, dir), shared by x32 and x33 —
-    * the expensive tokenize+explode+md5 expansion runs once, with the
+    * the expensive tokenize+explode+xxhash64 expansion runs once, with the
     * split slices filtered AFTER materialization (same memo discipline
     * as ExtensionQueries; Bench clears it between repeat passes).
     */

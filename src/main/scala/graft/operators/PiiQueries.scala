@@ -18,8 +18,9 @@ import graft.functions.GraftFunctions.tokens
   *  - [[rareTokenRatio]]: fraction of a document's token OCCURRENCES
   *    whose corpus frequency is below the mean token frequency — the
   *    "too many rare tokens" low-quality signal. The rare predicate is
-  *    integer-exact (`c * V < N`, all bigints — no float threshold to
-  *    disagree across engines).
+  *    integer-exact (`c * V < N` in exact decimal/hugeint arithmetic —
+  *    no float threshold to disagree across engines, no Long overflow
+  *    at web-scale corpus sizes).
   *
   * The synthetic `documents` text contains no natural PII, so the
   * declared PII queries deterministically AUGMENT each document from
@@ -75,21 +76,25 @@ object PiiQueries {
     * out of the plan.
     */
   def rareTokenRatio(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // checkpoint the EXPLODED aggregation: it feeds both the frequency
+    // build and the join probe, and the full-corpus tokenize+explode is
+    // the expensive pass that must run once, not twice
     val perDoc = docs
       .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
       .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("c_local"))
-    // vocab-sized; checkpointed because the totals read and the join
-    // both consume it — one aggregation pass, not two
-    val freq = perDoc.groupBy(col("tok")).agg(sum(col("c_local")).as("c"))
       .localCheckpoint(true)
+    val freq = perDoc.groupBy(col("tok")).agg(sum(col("c_local")).as("c"))
     val totals = freq.agg(sum(col("c")).as("n"), count(lit(1)).as("v")).head()
     val n = totals.getLong(0)
     val v = totals.getLong(1)
+    // decimal(38,0) product: exact (like the bigints it replaces) and
+    // overflow-proof — c up to ~1e13 times v up to ~1e9 exceeds Long
+    // range at web scale, and ANSI mode would kill the query
+    val rare = col("c").cast("decimal(38,0)") * lit(v) < lit(n)
     perDoc.join(freq, "tok")
       .groupBy(col("id"))
       .agg(round(
-        sum(when(col("c") * lit(v) < lit(n), col("c_local")).otherwise(lit(0L)))
-          .cast("double") /
+        sum(when(rare, col("c_local")).otherwise(lit(0L))).cast("double") /
           sum(col("c_local")).cast("double"), 6).as("rare_ratio"))
   }
 
@@ -164,7 +169,7 @@ object PiiQueries {
         |freq AS (SELECT tok, sum(c_local) AS c FROM pd GROUP BY 1),
         |tot AS (SELECT sum(c) AS n, count(*) AS v FROM freq)
         |SELECT doc_id,
-        |  round(CAST(sum(CASE WHEN c * v < n THEN c_local ELSE 0 END) AS DOUBLE)
+        |  round(CAST(sum(CASE WHEN CAST(c AS HUGEINT) * v < n THEN c_local ELSE 0 END) AS DOUBLE)
         |    / CAST(sum(c_local) AS DOUBLE), 6) AS rare_ratio
         |FROM pd JOIN freq USING (tok), tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin

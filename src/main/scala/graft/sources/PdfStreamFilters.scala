@@ -152,9 +152,13 @@ object PdfStreamFilters {
         prev = null
       } else {
         val entry =
-          if (code < table.length && (code < 256 || code > 257)) table(code)
-          else if (prev != null) prev :+ prev(0) // KwKwK case
-          else throw new java.io.IOException(s"LZW: bad first code $code")
+          if (code < table.length) table(code)
+          // KwKwK: ONLY the next-to-be-assigned code is legal; anything
+          // further out is corruption and must throw so the caller
+          // dead-letters instead of extracting fabricated text
+          else if (code == table.length && prev != null) prev :+ prev(0)
+          else throw new java.io.IOException(
+            s"LZW: invalid code $code with table size ${table.length}")
         out.write(entry, 0, entry.length)
         if (prev != null) table += (prev :+ entry(0))
         prev = entry

@@ -258,6 +258,10 @@ object PdfTextCodec {
     */
   private def xrefStmDirectives(s: String, objs: Map[Int, PdfObj]): Map[Int, Int] = {
     val out = collection.mutable.Map.empty[Int, Int]
+    // every object number DECIDED by a newer section — any entry type.
+    // A newer type-1 (top-level rewrite) must shadow an older type-2
+    // directive, not just newer type-2s shadowing older ones.
+    val decided = collection.mutable.Set.empty[Int]
     try {
       val sx = s.lastIndexOf("startxref")
       if (sx < 0) return Map.empty
@@ -290,11 +294,12 @@ object PdfTextCodec {
                     }
                     // omitted type field defaults to 1 (uncompressed)
                     val t = if (w(0) == 0) 1L else field(0, w(0))
-                    if (t == 2L) {
-                      val num = start + k
-                      // first writer wins: the chain walks newest-first
-                      if (!out.contains(num)) out(num) = field(w(0), w(1)).toInt
-                    }
+                    val num = start + k
+                    // first writer wins ACROSS types: the chain walks
+                    // newest-first, and whichever section mentions the
+                    // object first decides whether it is compressed
+                    if (decided.add(num) && t == 2L)
+                      out(num) = field(w(0), w(1)).toInt
                     pos += entryLen
                     k += 1
                   }

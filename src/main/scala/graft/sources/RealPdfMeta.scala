@@ -72,23 +72,33 @@ object RealPdfMeta {
       Some(n).filter(_ > 0)
     }
 
-  /** Full OP-04 metadata when `bytes` is a scannable real PDF. */
+  /** Full OP-04 metadata when `bytes` is a scannable real PDF. One
+    * load pass serves both the date scan and the page count. The date
+    * preference order is recency-correct: (1) the object the LAST
+    * trailer /Info reference names (the authoritative pointer — object
+    * NUMBERS carry no recency, so sorting expanded dicts cannot), then
+    * (2) the raw byte stream, whose append order IS recency for
+    * classic incremental updates.
+    */
   def metadata(doc: String, bytes: Array[Byte]): Option[PdfMeta] =
     if (!isPdf(bytes)) None
     else {
-      // raw text first, expanded dicts appended: "last occurrence wins"
-      // prefers the decrypted/unpacked Info of a modern or encrypted
-      // file and the newest generation of an incrementally-updated one
-      val s = text(bytes) + "\n" + scanObjects(bytes).values.toSeq
-        .sortBy(_.num).map(_.dict).mkString("\n")
+      val s = text(bytes)
+      val objs = scanObjects(bytes)
+      val infoDict = """/Info\s+(\d+)\s+0\s+R""".r.findAllMatchIn(s)
+        .toSeq.lastOption.map(_.group(1).toInt).flatMap(objs.get).map(_.dict)
+      def date(key: String): Option[String] =
+        infoDict.flatMap(d => dictDate(d, key)).orElse(dictDate(s, key))
+      val pages = Some(objs.values.count(o =>
+        LeafPage.findFirstMatchIn(o.dict).isDefined)).filter(_ > 0)
       for {
-        created <- dictDate(s, "/CreationDate")
-        pages <- pageCount(bytes)
+        created <- date("/CreationDate")
+        n <- pages
       } yield PdfMeta(doc,
         created_at = created,
         // reference tolerates absent ModDate (meta.get) — mirror that
-        modified_at = dictDate(s, "/ModDate").getOrElse(created),
-        page_count = pages)
+        modified_at = date("/ModDate").getOrElse(created),
+        page_count = n)
     }
 
 }

@@ -4,7 +4,7 @@ import java.util.zip.Deflater
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.sources.{PdfCrypto, PdfStreamFilters, PdfTextCodec, RealPdfCodec}
+import graft.sources.{PdfStreamFilters, PdfTextCodec, RealPdfCodec}
 import graft.sources.PdfTableSource.StubPdfFormat
 
 /** PDF 1.5+ layouts and the stream-filter matrix: predictors
@@ -28,7 +28,6 @@ class PdfAdvancedSpec extends AnyFunSuite {
   }
 
   private def latin1(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
-  private def hex(b: Array[Byte]): String = b.map("%02X".format(_)).mkString
 
   // ------------------------------------------------------------- predictors
 
@@ -134,6 +133,29 @@ class PdfAdvancedSpec extends AnyFunSuite {
     assert(PdfStreamFilters.lzw(lzwEncode(rep), 1).toSeq === rep.toSeq)
   }
 
+  test("LZW rejects out-of-range codes instead of fabricating output") {
+    // 9-bit stream [256 clear, 65 'A', 400] — 400 is far beyond the
+    // table (259 entries after one code): corruption must throw so the
+    // document dead-letters rather than extract invented text
+    def pack(codes: Seq[Int]): Array[Byte] = {
+      var acc = 0L; var bits = 0
+      val out = new java.io.ByteArrayOutputStream()
+      codes.foreach { c =>
+        acc = (acc << 9) | c; bits += 9
+        while (bits >= 8) { out.write(((acc >> (bits - 8)) & 0xFF).toInt); bits -= 8 }
+      }
+      if (bits > 0) out.write(((acc << (8 - bits)) & 0xFF).toInt)
+      out.toByteArray
+    }
+    intercept[java.io.IOException] {
+      PdfStreamFilters.lzw(pack(Seq(256, 65, 400)), 1)
+    }
+    // the KwKwK boundary code (== table size) remains legal:
+    // [256, 65, 258] decodes to "A" + "AA"
+    assert(PdfStreamFilters.lzw(pack(Seq(256, 65, 258, 257)), 1).toSeq ===
+      latin1("AAA").toSeq)
+  }
+
   // -------------------------------------------------- ASCII85 / Hex / RL
 
   private def a85Encode(data: Array[Byte]): Array[Byte] = {
@@ -181,80 +203,14 @@ class PdfAdvancedSpec extends AnyFunSuite {
 
   // --------------------------------------------------------- object streams
 
-  /** PDF 1.5 fixture: catalog/pages/page/font/Info live inside a
-    * compressed /Type /ObjStm; the content stream stays top-level; a
-    * /Type /XRef stream (FlateDecode + PNG-Up predictor 12) carries the
-    * type-2 directives. `staleInfo` additionally plants an OLD
-    * top-level Info object that only the xref directive can dethrone.
-    */
-  private def objStmPdf(withXref: Boolean, staleInfo: Boolean): Array[Byte] = {
-    val members = Seq(
-      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
-      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
-      3 -> ("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
-        "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"),
-      5 -> "<< /Type /Font /Subtype /TrueType /BaseFont /Helvetica >>",
-      6 -> "<< /Producer (spec) /CreationDate (D:20260301120000Z) >>")
-    val bodies = members.map(_._2)
-    val offs = bodies.scanLeft(0)((a, b) => a + b.length + 1).init
-    val header = members.map(_._1).zip(offs)
-      .map { case (n, o) => s"$n $o" }.mkString(" ") + "\n"
-    val payload = latin1(header + bodies.mkString("\n"))
-    val objStm = deflate(payload)
-    val content = deflate(latin1("BT /F1 10 Tf 72 700 Td (MODERN LAYOUT) Tj ET"))
-
-    val out = new java.io.ByteArrayOutputStream()
-    def w(s: String): Unit = out.write(latin1(s))
-    w("%PDF-1.5\n")
-    if (staleInfo)
-      w("6 0 obj << /Producer (old) /CreationDate (D:20200101000000Z) >> endobj\n")
-    val off4 = out.size()
-    w(s"4 0 obj << /Length ${content.length} /Filter /FlateDecode >> stream\n")
-    out.write(content)
-    w("\nendstream endobj\n")
-    val off7 = out.size()
-    w(s"7 0 obj << /Type /ObjStm /N ${members.length} /First ${header.length} " +
-      s"/Length ${objStm.length} /Filter /FlateDecode >> stream\n")
-    out.write(objStm)
-    w("\nendstream endobj\n")
-    val off8 = out.size()
-    if (withXref) {
-      // entries for objects 0..8: W = [1 2 1]
-      def row(t: Int, f2: Int, f3: Int) =
-        Array[Byte](t.toByte, ((f2 >> 8) & 0xFF).toByte, (f2 & 0xFF).toByte, f3.toByte)
-      val stmIdx = members.map(_._1).zipWithIndex.toMap
-      val rows = (0 to 8).map {
-        case 0 => row(0, 0, 255)
-        case 4 => row(1, off4, 0)
-        case 7 => row(1, off7, 0)
-        case 8 => row(1, off8, 0)
-        case n => row(2, 7, stmIdx(n)) // in ObjStm 7 at member index
-      }
-      // PNG-Up (tag 2) forward prediction, then Flate — the layout every
-      // real writer emits for xref streams
-      val cols = 4
-      val pred = {
-        val b = new java.io.ByteArrayOutputStream()
-        var prev = new Array[Byte](cols)
-        rows.foreach { r =>
-          b.write(2)
-          for (i <- 0 until cols) b.write((r(i) - prev(i)) & 0xFF)
-          prev = r
-        }
-        deflate(b.toByteArray)
-      }
-      w(s"8 0 obj << /Type /XRef /Size 9 /Root 1 0 R /Info 6 0 R " +
-        s"/W [1 2 1] /Index [0 9] /Length ${pred.length} /Filter /FlateDecode " +
-        s"/DecodeParms << /Predictor 12 /Colors 1 /BitsPerComponent 8 /Columns 4 >> " +
-        s">> stream\n")
-      out.write(pred)
-      w("\nendstream endobj\n")
-      w(s"startxref\n$off8\n%%EOF")
-    } else {
-      w("trailer << /Root 1 0 R /Info 6 0 R >>\n%%EOF")
-    }
-    out.toByteArray
-  }
+  // shared builders (RealPdfFixtures) so the byte layouts the ETL e2e
+  // runs over are the SAME bytes unit-tested here
+  private def objStmPdf(withXref: Boolean, staleInfo: Boolean): Array[Byte] =
+    RealPdfFixtures.objStmPdf(
+      Seq(("MODERN", 72, 700), ("LAYOUT", 150, 700)),
+      created = "D:20260301120000Z",
+      withXref = withXref,
+      staleInfoDate = if (staleInfo) Some("D:20200101000000Z") else None)
 
   test("object-stream PDF parses: words, page count, metadata from ObjStm") {
     val pdf = objStmPdf(withXref = true, staleInfo = false)
@@ -274,6 +230,36 @@ class PdfAdvancedSpec extends AnyFunSuite {
     assert(doc.pages.head.words.map(_.text) === Seq("MODERN", "LAYOUT"))
   }
 
+  test("a NEWER xref section's type-1 entry dethrones an older type-2 directive") {
+    // incremental update of an ObjStm file: the original xref says
+    // Info 6 lives in ObjStm 7 (type-2); the appended update writes a
+    // new TOP-LEVEL object 6 and a newer xref stream whose type-1
+    // entry for 6 must shadow the old directive — decided-across-types,
+    // not just type-2 vs type-2
+    val base = objStmPdf(withXref = true, staleInfo = false) // ObjStm date 2026-03-01
+    val baseStr = new String(base, "ISO-8859-1")
+    val sx = baseStr.lastIndexOf("startxref")
+    val prevOff = """\d+""".r.findFirstIn(baseStr.substring(sx)).get.toInt
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(base, 0, sx)
+    def w(s: String): Unit = out.write(latin1(s))
+    val off6 = out.size()
+    w("6 0 obj << /Producer (update) /CreationDate (D:20270101000000Z) >> endobj\n")
+    val off10 = out.size()
+    def row(t: Int, f2: Int, f3: Int) =
+      Array[Byte](t.toByte, ((f2 >> 8) & 0xFF).toByte, (f2 & 0xFF).toByte, f3.toByte)
+    val pred = deflate(pngPredict(row(1, off6, 0) ++ row(1, off10, 0), 2, 4))
+    w(s"10 0 obj << /Type /XRef /Size 11 /Root 1 0 R /Info 6 0 R " +
+      s"/Prev $prevOff /W [1 2 1] /Index [6 1 10 1] /Length ${pred.length} " +
+      s"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 4 >> >> stream\n")
+    out.write(pred)
+    w("\nendstream endobj\n")
+    w(s"startxref\n$off10\n%%EOF")
+    val m = RealPdfCodec(StubPdfFormat).metadata("inc.pdf", out.toByteArray)
+    assert(m.created_at === "2027-01-01T00:00:00",
+      "the newest xref section's type-1 entry must win over the stale ObjStm directive")
+  }
+
   test("xref-stream directive dethrones a stale top-level object") {
     // with the directive: ObjStm member 6 (new date) wins over the
     // stale top-level Info 6
@@ -289,50 +275,10 @@ class PdfAdvancedSpec extends AnyFunSuite {
 
   // -------------------------------------------------------------- encryption
 
-  /** Classic-layout fixture encrypted with the standard handler and an
-    * empty user password: RC4-128 (V2 R3) or AES-128 (V4 R4 /AESV2).
-    * Streams and dict strings are independently encrypted per object,
-    * exactly as a conforming writer does. `mangleU` flips the /U entry
-    * so the empty-password check must fail.
-    */
-  private def encryptedPdf(aes: Boolean, mangleU: Boolean = false): Array[Byte] = {
-    val id0 = latin1("fixture-doc-id-1")
-    val r = if (aes) 4 else 3
-    val v = if (aes) 4 else 2
-    val p = -44
-    val o32 = PdfCrypto.ownerEntry(Array.emptyByteArray, Array.emptyByteArray, r, 128)
-    val key = PdfCrypto.fileKey(o32, p, id0, r, 128, encryptMetadata = true)
-    val u = PdfCrypto.expectedU(key, id0, r) ++ Array.fill(16)(0.toByte)
-    if (mangleU) u(0) = (u(0) ^ 0x5A).toByte
-    val dec = PdfCrypto.Decryptor(key, aes)
-
-    val content = dec.encrypt(4, deflate(latin1(
-      "BT /F1 10 Tf 72 700 Td (CLASSIFIED WORDS) Tj ET")))
-    val date = dec.encrypt(6, latin1("D:20260401150000Z"))
-    val cf =
-      if (aes) "/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen >> >> " +
-        "/StmF /StdCF /StrF /StdCF "
-      else ""
-
-    val out = new java.io.ByteArrayOutputStream()
-    def w(s: String): Unit = out.write(latin1(s))
-    w("%PDF-1.6\n")
-    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
-    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
-    w("3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
-      "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >> endobj\n")
-    w(s"4 0 obj << /Length ${content.length} /Filter /FlateDecode >> stream\n")
-    out.write(content)
-    w("\nendstream endobj\n")
-    w("5 0 obj << /Type /Font /Subtype /TrueType /BaseFont /Helvetica >> endobj\n")
-    w(s"6 0 obj << /Producer <${hex(dec.encrypt(6, latin1("spec")))}> " +
-      s"/CreationDate <${hex(date)}> >> endobj\n")
-    w(s"9 0 obj << /Filter /Standard /V $v /R $r /Length 128 /P $p " +
-      s"$cf/O <${hex(o32)}> /U <${hex(u)}> >> endobj\n")
-    w(s"trailer << /Root 1 0 R /Info 6 0 R /Encrypt 9 0 R " +
-      s"/ID [<${hex(id0)}> <${hex(id0)}>] >>\n%%EOF")
-    out.toByteArray
-  }
+  private def encryptedPdf(aes: Boolean, mangleU: Boolean = false): Array[Byte] =
+    RealPdfFixtures.encryptedPdf(
+      Seq(("CLASSIFIED", 72, 700), ("WORDS", 160, 700)),
+      created = "D:20260401150000Z", aes = aes, mangleU = mangleU)
 
   test("RC4-128 empty-password PDF decrypts: words and metadata") {
     val pdf = encryptedPdf(aes = false)

@@ -73,9 +73,13 @@ object RealPdfFixtures {
   /** PDF 1.5 layout: catalog/pages/page/font/Info compressed inside a
     * /Type /ObjStm, content stream top-level, /Type /XRef stream
     * (FlateDecode + PNG-Up predictor) carrying the type-2 directives.
-    * Single page.
+    * Single page. `withXref=false` drops the xref stream (scan-fallback
+    * layout); `staleInfoDate` additionally plants an OLD top-level Info
+    * object 6 that only an xref directive can dethrone.
     */
-  def objStmPdf(words: Seq[(String, Int, Int)], created: String): Array[Byte] = {
+  def objStmPdf(words: Seq[(String, Int, Int)], created: String,
+                withXref: Boolean = true,
+                staleInfoDate: Option[String] = None): Array[Byte] = {
     val members = Seq(
       1 -> "<< /Type /Catalog /Pages 2 0 R >>",
       2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
@@ -93,6 +97,9 @@ object RealPdfFixtures {
     val out = new java.io.ByteArrayOutputStream()
     def w(s: String): Unit = out.write(latin1(s))
     w("%PDF-1.5\n")
+    staleInfoDate.foreach { old =>
+      w(s"6 0 obj << /Producer (old) /CreationDate ($old) >> endobj\n")
+    }
     val off4 = out.size()
     w(s"4 0 obj << /Length ${content.length} /Filter /FlateDecode >> stream\n")
     out.write(content)
@@ -103,46 +110,60 @@ object RealPdfFixtures {
     out.write(objStm)
     w("\nendstream endobj\n")
     val off8 = out.size()
-    def row(t: Int, f2: Int, f3: Int) =
-      Array[Byte](t.toByte, ((f2 >> 8) & 0xFF).toByte, (f2 & 0xFF).toByte, f3.toByte)
-    val stmIdx = members.map(_._1).zipWithIndex.toMap
-    val rows = (0 to 8).map {
-      case 0 => row(0, 0, 255)
-      case 4 => row(1, off4, 0)
-      case 7 => row(1, off7, 0)
-      case 8 => row(1, off8, 0)
-      case n => row(2, 7, stmIdx(n))
-    }
-    val pred = {
-      val b = new java.io.ByteArrayOutputStream()
-      var prev = new Array[Byte](4)
-      rows.foreach { r =>
-        b.write(2) // PNG Up
-        for (i <- 0 until 4) b.write((r(i) - prev(i)) & 0xFF)
-        prev = r
+    if (withXref) {
+      def row(t: Int, f2: Int, f3: Int) =
+        Array[Byte](t.toByte, ((f2 >> 8) & 0xFF).toByte, (f2 & 0xFF).toByte, f3.toByte)
+      val stmIdx = members.map(_._1).zipWithIndex.toMap
+      val rows = (0 to 8).map {
+        case 0 => row(0, 0, 255)
+        case 4 => row(1, off4, 0)
+        case 7 => row(1, off7, 0)
+        case 8 => row(1, off8, 0)
+        case n => row(2, 7, stmIdx(n))
       }
-      deflate(b.toByteArray)
+      val pred = {
+        val b = new java.io.ByteArrayOutputStream()
+        var prev = new Array[Byte](4)
+        rows.foreach { r =>
+          b.write(2) // PNG Up
+          for (i <- 0 until 4) b.write((r(i) - prev(i)) & 0xFF)
+          prev = r
+        }
+        deflate(b.toByteArray)
+      }
+      w(s"8 0 obj << /Type /XRef /Size 9 /Root 1 0 R /Info 6 0 R " +
+        s"/W [1 2 1] /Index [0 9] /Length ${pred.length} /Filter /FlateDecode " +
+        s"/DecodeParms << /Predictor 12 /Columns 4 >> >> stream\n")
+      out.write(pred)
+      w("\nendstream endobj\n")
+      w(s"startxref\n$off8\n%%EOF")
+    } else {
+      w("trailer << /Root 1 0 R /Info 6 0 R >>\n%%EOF")
     }
-    w(s"8 0 obj << /Type /XRef /Size 9 /Root 1 0 R /Info 6 0 R " +
-      s"/W [1 2 1] /Index [0 9] /Length ${pred.length} /Filter /FlateDecode " +
-      s"/DecodeParms << /Predictor 12 /Columns 4 >> >> stream\n")
-    out.write(pred)
-    w("\nendstream endobj\n")
-    w(s"startxref\n$off8\n%%EOF")
     out.toByteArray
   }
 
-  /** Classic single-page layout encrypted by the standard handler
-    * (RC4-128, V2 R3) with an empty user password: content stream and
-    * Info strings independently encrypted per object.
+  /** Classic single-page layout encrypted by the standard handler with
+    * an empty user password — RC4-128 (V2 R3) or AES-128 (V4 R4
+    * /AESV2): content stream and Info strings independently encrypted
+    * per object. `mangleU` flips a byte of /U so the empty-password
+    * check must fail.
     */
-  def encryptedPdf(words: Seq[(String, Int, Int)], created: String): Array[Byte] = {
+  def encryptedPdf(words: Seq[(String, Int, Int)], created: String,
+                   aes: Boolean = false, mangleU: Boolean = false): Array[Byte] = {
     val id0 = latin1("real-pdf-fixture")
-    val o32 = PdfCrypto.ownerEntry(Array.emptyByteArray, Array.emptyByteArray, 3, 128)
-    val key = PdfCrypto.fileKey(o32, -44, id0, 3, 128, encryptMetadata = true)
-    val u = PdfCrypto.expectedU(key, id0, 3) ++ Array.fill(16)(0.toByte)
-    val dec = PdfCrypto.Decryptor(key, aes = false)
+    val r = if (aes) 4 else 3
+    val v = if (aes) 4 else 2
+    val o32 = PdfCrypto.ownerEntry(Array.emptyByteArray, Array.emptyByteArray, r, 128)
+    val key = PdfCrypto.fileKey(o32, -44, id0, r, 128, encryptMetadata = true)
+    val u = PdfCrypto.expectedU(key, id0, r) ++ Array.fill(16)(0.toByte)
+    if (mangleU) u(0) = (u(0) ^ 0x5A).toByte
+    val dec = PdfCrypto.Decryptor(key, aes)
     val content = dec.encrypt(4, deflate(latin1(contentOf(words))))
+    val cf =
+      if (aes) "/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen >> >> " +
+        "/StmF /StdCF /StrF /StdCF "
+      else ""
     val out = new java.io.ByteArrayOutputStream()
     def w(s: String): Unit = out.write(latin1(s))
     w("%PDF-1.6\n")
@@ -154,9 +175,10 @@ object RealPdfFixtures {
     out.write(content)
     w("\nendstream endobj\n")
     w("5 0 obj << /Type /Font /Subtype /TrueType /BaseFont /Helvetica >> endobj\n")
-    w(s"6 0 obj << /CreationDate <${hex(dec.encrypt(6, latin1(created)))}> >> endobj\n")
-    w(s"9 0 obj << /Filter /Standard /V 2 /R 3 /Length 128 /P -44 " +
-      s"/O <${hex(o32)}> /U <${hex(u)}> >> endobj\n")
+    w(s"6 0 obj << /Producer <${hex(dec.encrypt(6, latin1("spec")))}> " +
+      s"/CreationDate <${hex(dec.encrypt(6, latin1(created)))}> >> endobj\n")
+    w(s"9 0 obj << /Filter /Standard /V $v /R $r /Length 128 /P -44 " +
+      s"$cf/O <${hex(o32)}> /U <${hex(u)}> >> endobj\n")
     w(s"trailer << /Root 1 0 R /Info 6 0 R /Encrypt 9 0 R " +
       s"/ID [<${hex(id0)}> <${hex(id0)}>] >>\n%%EOF")
     out.toByteArray
