@@ -22,11 +22,19 @@ object Similarity {
 
   private def dot(a: Column, b: Column): Column = GraftExtensions.vecDot(a, b)
 
-  /** (id, vec, nrm) projection with the L2 norm precomputed once. */
+  /** (id, vec, nrm) projection with the L2 norm precomputed once.
+    * Zero-norm vectors (padding rows, failed embeddings) are EXCLUDED:
+    * cosine against them is 0/0 = NaN, and Spark orders NaN above every
+    * real number — one zero vector would out-rank the true #1 neighbor
+    * in every top-k and pass every >= threshold filter. A directionless
+    * vector has no legitimate cosine neighbors, so dropping it is the
+    * well-defined semantic.
+    */
   private def withNorm(vecs: DataFrame, idCol: String, vecCol: String): DataFrame = {
     GraftExtensions.register(vecs.sparkSession)
     vecs.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("nrm", sqrt(dot(col("vec"), col("vec"))))
+      .filter(col("nrm") > 0)
   }
 
   /** Pairwise cosine >= threshold between all vectors (a < b). Exact but
@@ -55,9 +63,18 @@ object Similarity {
   def cosinePairsBucketed(vecs: DataFrame, idCol: String, vecCol: String,
                           threshold: Double, nbits: Int = 8,
                           tables: Int = 8): DataFrame = {
+    require(tables >= 1, "tables must be >= 1")
     val v = withNorm(vecs, idCol, vecCol)
-    val b = lshBucketsMulti(vecs, idCol, vecCol, nbits, tables)
-      .select(col("id"), col("table"), col("bucket"))
+    // one dim probe + one sign collect, shared by bucketing (the
+    // per-input duplicate driver round-trips were pure waste); buckets
+    // derive from the already-filtered normed frame
+    val b = dimOf(v) match {
+      case None => v.select(col("id"), lit(0).as("table"), lit(0L).as("bucket")).limit(0)
+      case Some(dim) =>
+        val signs = hyperplaneSigns(vecs.sparkSession, dim, 0 until tables * nbits)
+        bucketsFromSigns(v, signs, nbits, tables)
+          .select(col("id"), col("table"), col("bucket"))
+    }
     val candidates = b.as("x").join(b.as("y"),
         col("x.table") === col("y.table") && col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))
@@ -147,6 +164,29 @@ object Similarity {
     }
   }
 
+  /** Per-table bucket signatures over a (id, vec, ...) frame with the
+    * sign maps already in hand — the single implementation every
+    * multi-table caller shares, so the dim probe and the driver-side
+    * sign collect run ONCE per operator, not once per input.
+    */
+  private def bucketsFromSigns(v: DataFrame, signs: Map[Int, Seq[Double]],
+                               nbits: Int, tables: Int): DataFrame = {
+    def bucketFor(t: Int) = {
+      val bits = (0 until nbits).map { p =>
+        val dotp = dot(col("vec"), typedlit(signs(t * nbits + p)))
+        when(dotp > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+      }
+      bits.foldLeft(lit(0L))((a, b) => a.bitwiseOR(b))
+    }
+    // posexplode_outer + not-null (see Dedup.shingleTable): the inner
+    // form would infer a size(...)>0 filter inlining all tables*nbits
+    // VecDot bucket computations below any upstream exchange
+    v.select(col("id"), col("vec"),
+        posexplode_outer(array((0 until tables).map(bucketFor): _*)))
+      .filter(col("pos").isNotNull)
+      .select(col("id"), col("vec"), col("pos").as("table"), col("col").as("bucket"))
+  }
+
   /** L independent LSH tables in one frame: (id, table, bucket) — one
     * row per (vector, table). OR-amplification across tables: a pair is
     * a candidate when it collides in ANY table. The per-table signatures
@@ -161,22 +201,8 @@ object Similarity {
       case None =>
         v.select(col("id"), col("vec"), lit(0).as("table"), lit(0L).as("bucket")).limit(0)
       case Some(dim) =>
-        val seeds = (0 until tables * nbits)
-        val signs = hyperplaneSigns(vecs.sparkSession, dim, seeds)
-        def bucketFor(t: Int) = {
-          val bits = (0 until nbits).map { p =>
-            val dotp = dot(col("vec"), typedlit(signs(t * nbits + p)))
-            when(dotp > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-          }
-          bits.foldLeft(lit(0L))((a, b) => a.bitwiseOR(b))
-        }
-        // posexplode_outer + not-null (see Dedup.shingleTable): the inner
-        // form would infer a size(...)>0 filter inlining all tables*nbits
-        // VecDot bucket computations below any upstream exchange
-        v.select(col("id"), col("vec"),
-            posexplode_outer(array((0 until tables).map(bucketFor): _*)))
-          .filter(col("pos").isNotNull)
-          .select(col("id"), col("vec"), col("pos").as("table"), col("col").as("bucket"))
+        val signs = hyperplaneSigns(vecs.sparkSession, dim, 0 until tables * nbits)
+        bucketsFromSigns(v, signs, nbits, tables)
     }
   }
 
@@ -245,15 +271,30 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame,
               idCol: String, vecCol: String, k: Int, nbits: Int,
               tables: Int = 1): DataFrame = {
+    require(tables >= 1, "tables must be >= 1")
     GraftExtensions.register(queries.sparkSession)
     val q = withNorm(queries, idCol, vecCol)
       .select(col("id").as("qid"), col("vec").as("qvec"), col("nrm").as("qnrm"))
     val c = withNorm(corpus, idCol, vecCol)
       .select(col("id").as("nid"), col("vec").as("nvec"), col("nrm").as("nnrm"))
-    val qb = lshBucketsMulti(queries, idCol, vecCol, nbits, tables)
-      .select(col("id").as("qid"), col("table"), col("bucket"))
-    val cb = lshBucketsMulti(corpus, idCol, vecCol, nbits, tables)
-      .select(col("id").as("nid"), col("table"), col("bucket"))
+    // ONE dim probe + ONE sign collect serve both sides: the seeds are
+    // identical by construction, so the per-input duplicates were two
+    // wasted driver round-trips on the hot ANN path
+    val signs = dimOf(c.select(col("nid").as("id"), col("nvec").as("vec")))
+      .orElse(dimOf(q.select(col("qid").as("id"), col("qvec").as("vec"))))
+      .map(dim => hyperplaneSigns(queries.sparkSession, dim, 0 until tables * nbits))
+    val (qb, cb) = signs match {
+      case Some(sg) => (
+        bucketsFromSigns(queries.select(col(idCol).as("id"), col(vecCol).as("vec")),
+            sg, nbits, tables)
+          .select(col("id").as("qid"), col("table"), col("bucket")),
+        bucketsFromSigns(corpus.select(col(idCol).as("id"), col(vecCol).as("vec")),
+            sg, nbits, tables)
+          .select(col("id").as("nid"), col("table"), col("bucket")))
+      case None => (
+        q.select(col("qid"), lit(0).as("table"), lit(0L).as("bucket")).limit(0),
+        c.select(col("nid"), lit(0).as("table"), lit(0L).as("bucket")).limit(0))
+    }
     val candidates = qb.join(cb, Seq("table", "bucket"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"))

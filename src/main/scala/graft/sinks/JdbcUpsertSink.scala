@@ -127,14 +127,32 @@ object JdbcUpsertSink {
     TableStore.requireNonEmpty(batch, s"jdbc upsert into $table")
     val deduped = TableStore.dedupeKeepLast(batch, key)
     val schema = deduped.schema
-    deduped.foreachPartition { rows: Iterator[Row] =>
+    val ki = schema.fieldIndex(key)
+    deduped.foreachPartition { rows0: Iterator[Row] =>
+      // a null key can never match `WHERE key = ?` / `ON CONFLICT`, so
+      // the row would re-INSERT on every replay — refuse loudly instead
+      // of quietly growing duplicates
+      val rows = rows0.map { r =>
+        if (r.isNullAt(ki)) throw new IllegalArgumentException(
+          s"jdbc upsert into $table: null $key cannot upsert idempotently")
+        r
+      }
       if (rows.hasNext) {
         val conn = DriverManager.getConnection(url)
         try {
           conn.setAutoCommit(false)
-          rows.grouped(chunkSize).foreach { chunk =>
-            dialect.writeChunk(conn, table, schema, key, chunk)
-            conn.commit()
+          try {
+            rows.grouped(chunkSize).foreach { chunk =>
+              dialect.writeChunk(conn, table, schema, key, chunk)
+              conn.commit()
+            }
+          } catch {
+            case e: Throwable =>
+              // explicit rollback of the trailing partial chunk:
+              // close-with-open-transaction is driver-defined and an
+              // implicit COMMIT on some (e.g. Oracle)
+              try conn.rollback() catch { case _: java.sql.SQLException => }
+              throw e
           }
         } finally conn.close()
       }
@@ -189,6 +207,14 @@ object JdbcUpsertSink {
             // commit and task-success reporting remains — inherent to
             // keyless JDBC sinks; the keyed upsert has no such window.)
             conn.commit()
+          } catch {
+            case e: Throwable =>
+              // EXPLICIT rollback: relying on close() to discard the
+              // open transaction is driver-defined — an implicit COMMIT
+              // on some drivers (e.g. Oracle), which would persist the
+              // uncommitted chunks and double them on task retry
+              try conn.rollback() catch { case _: java.sql.SQLException => }
+              throw e
           } finally ps.close()
         } finally conn.close()
       }

@@ -173,9 +173,21 @@ object TableStore {
     * containing batch keys are rewritten; a legacy flat layout (from
     * `append`) is folded into buckets on the way through.
     */
+  /** Working column names the store claims for itself: a user column
+    * with one of these names would be silently overwritten (and, for
+    * __b, stripped by partitionBy) — refuse up front instead.
+    */
+  private val Reserved = Set("__b", "__k", "__rn")
+  private def requireUnreserved(df: DataFrame, op: String): Unit = {
+    val clash = df.columns.filter(Reserved)
+    require(clash.isEmpty,
+      s"$op: column name(s) ${clash.mkString(", ")} are reserved by TableStore")
+  }
+
   def upsert(batch: DataFrame, path: String, key: String,
              numBuckets: Int = DefaultBuckets): Unit = {
     val spark = batch.sparkSession
+    requireUnreserved(batch, "upsert")
     recover(path)
     val n = declaredBuckets(path).getOrElse(numBuckets)
     val deduped = dedupeKeepLast(batch, key).localCheckpoint(true)
@@ -190,10 +202,13 @@ object TableStore {
     val existingParts =
       affected.map(b => new File(path, bucketName(b))).filter(_.exists()).map(_.getPath) ++
         flat.map(_.getPath)
+    // null-safe key equality: with plain ===, an existing null-key row
+    // never matches the anti-join and a new null-key row is APPENDED on
+    // every upsert — unbounded duplicates instead of replacement
     val keep = if (existingParts.isEmpty) withB.limit(0) else
       spark.read.parquet(existingParts: _*)
         .join(broadcast(deduped.select(col(key).as("__k"))),
-          col(key) === col("__k"), "left_anti")
+          col(key) <=> col("__k"), "left_anti")
         .withColumn("__b", bucketExpr(key, n))
 
     // ONE job writes every affected bucket via partitionBy, then each
@@ -264,6 +279,7 @@ object TableStore {
     * supabase_repository.py:67-71 + constants.py:56); 0 = no bound.
     */
   def append(batch: DataFrame, path: String, chunkRows: Int = 0): Unit = {
+    requireUnreserved(batch, "append")
     val w = if (chunkRows > 0)
       batch.write.option("maxRecordsPerFile", chunkRows.toLong)
     else batch.write
@@ -292,7 +308,13 @@ object TableStore {
     // very tables being rewritten — without materialization, the second
     // table's anti-join would recompute keys against already-swapped files
     val k = keys.select(col(keyCol).as("__k")).distinct().localCheckpoint(true)
-    (parent +: children).foreach { case (path, fk) =>
+    // CHILDREN FIRST (reverse FK order, like SQL cascades): a crash
+    // between tables then leaves the parent row in place, so the
+    // caller's retry re-detects the condition and re-runs the cascade.
+    // Parent-first would strand orphaned child rows forever — with the
+    // parent gone, CDC classifies the release as "new" and the cascade
+    // never re-fires.
+    (children :+ parent).foreach { case (path, fk) =>
       recover(path)
       val dirs = bucketDirs(path)
       if (dirs.nonEmpty) {

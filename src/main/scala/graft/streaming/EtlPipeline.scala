@@ -43,19 +43,45 @@ final class EtlPipeline(spark: SparkSession, workDir: String,
     .add("end_page_num", "int").add("release", releaseSchema)
 
   /** Stage A (reference handlers/scraper.py): CDC-filter candidates,
-    * delete stale changed rows (cascade), upsert the release table, and
-    * enqueue new/changed releases. Returns the enqueued releases.
+    * delete stale rows (cascade), enqueue, and upsert the release
+    * table. Returns the enqueued releases.
     */
-  def scrape(candidates: DataFrame, storedFiles: DataFrame): DataFrame = {
+  def scrape(candidates: DataFrame, storedFiles: DataFrame): DataFrame =
+    scrapeCommit(classify(candidates, storedFiles))
+
+  /** CDC classification against the release table + stored-blob
+    * listing, eagerly materialized — callers may act on it (save blobs)
+    * BEFORE [[scrapeCommit]] mutates any state.
+    */
+  private def classify(candidates: DataFrame, storedFiles: DataFrame): DataFrame = {
     val db = TableStore.read(spark, releaseTable)
       .getOrElse(spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], releaseSchema))
-    // eager localCheckpoint, not cache: scrape mutates the release table
-    // below, and a partially-cached plan would recompute against swapped
+    // eager localCheckpoint, not cache: scrapeCommit mutates the release
+    // table, and a partially-cached plan would recompute against swapped
     // files; checkpointing materializes + cuts the lineage to the table
-    val proceed = ChangeDetector.newOrUpdated(candidates, db, storedFiles)
+    ChangeDetector.newOrUpdated(candidates, db, storedFiles)
       .localCheckpoint(true)
-    val changed = proceed.filter(col("change_status") === "changed").select("id")
+  }
+
+  /** Cascade stale rows, ENQUEUE, then upsert — in that order. The
+    * queue write precedes the release-table upsert deliberately: a
+    * crash in between re-runs as "changed" (db metadata still old) and
+    * re-enqueues — a duplicate message the idempotent downstream sinks
+    * absorb. The reverse order would mark the release current with
+    * nothing queued, and CDC would classify the retry "unchanged"
+    * forever: a silent drop, with the cascade having already deleted
+    * the old records.
+    */
+  private def scrapeCommit(proceed: DataFrame): DataFrame = {
+    // stale-row cascade for every re-queued release that EXISTS in the
+    // db — "changed" metadata, and "missing_file" too (its document may
+    // ALSO have changed; re-extraction re-creates whatever still holds,
+    // so over-cascading converges while skipping would strand rows
+    // whose nca_numbers left the new document version)
+    val changed = proceed
+      .filter(col("change_status").isin("changed", "missing_file"))
+      .select("id")
     if (!changed.isEmpty) {
       // reference deletes stale rows then re-inserts (releases_scraper.py:119);
       // the schema cascade is TWO levels (supabase_schema.sql:29,40):
@@ -65,18 +91,18 @@ final class EtlPipeline(spark: SparkSession, workDir: String,
         _.join(broadcast(changed.select(col("id").as("__rid"))),
             col("release_id") === col("__rid"), "left_semi")
           .select("nca_number").localCheckpoint(true))
-      TableStore.deleteCascade(spark, changed, "id",
-        parent = (releaseTable, "id"),
-        children = Seq((recordTable, "release_id")))
       deadNcas.filter(!_.isEmpty).foreach { k =>
         TableStore.deleteCascade(spark, k, "nca_number",
           parent = (allocationTable, "nca_number"))
       }
+      TableStore.deleteCascade(spark, changed, "id",
+        parent = (releaseTable, "id"),
+        children = Seq((recordTable, "release_id")))
     }
     val toQueue = proceed.drop("change_status")
     if (!toQueue.isEmpty) {
-      TableStore.upsert(toQueue, releaseTable, "id")
       QueuePipeline.enqueue(toQueue, releaseQueue)
+      TableStore.upsert(toQueue, releaseTable, "id")
     }
     toQueue
   }
@@ -90,10 +116,11 @@ final class EtlPipeline(spark: SparkSession, workDir: String,
     * bytes (OP-04/05, pdf_parser.py:23-36), CDC classifies against the
     * release table and the stored-blob listing, and only PROCEEDING
     * releases get their blob saved (releases_scraper.py:128-136
-    * _save_release). The save runs AFTER the upsert + enqueue (the
-    * proceeding set IS the scrape's output); a crash in between leaves
-    * a queued message without its blob, which `work` then fails into
-    * the quarantine for operator redelivery — never a silent drop.
+    * _save_release). The save runs BEFORE the enqueue + upsert: a crash
+    * after the save re-runs as "changed" (db metadata still old) and
+    * converges, whereas saving last could commit a changed release
+    * whose OLD blob still sits on disk — work() would then load stale
+    * bytes with nothing quarantined, and CDC would never retry it.
     */
   def scrapeWeb(candidates: DataFrame, fetch: BlobFetcher.Fetch, blobDir: String,
                 extractor: PdfTableSource.TableExtractor): DataFrame = {
@@ -112,11 +139,13 @@ final class EtlPipeline(spark: SparkSession, workDir: String,
       .select(col("id"), col("title"), col("filename"), col("url"), col("year"))
       .join(meta, Seq("filename"))
       .select(releaseSchema.fieldNames.map(col).toIndexedSeq: _*)
-    val queued = scrape(enriched, BlobFetcher.listBlobs(spark, blobDir))
+    // classification reads the PRE-save blob listing, so saving blobs
+    // cannot flip their own change_status before the commit phase
+    val proceed = classify(enriched, BlobFetcher.listBlobs(spark, blobDir))
     val save = blobs.join(
-      broadcast(queued.select("filename")), Seq("filename"), "left_semi")
+      broadcast(proceed.select("filename")), Seq("filename"), "left_semi")
     if (!save.isEmpty) BlobFetcher.saveBlobs(save, blobDir)
-    queued
+    scrapeCommit(proceed)
   }
 
   /** Stage A from the LISTING URL — the reference's true entry point
@@ -171,14 +200,21 @@ final class EtlPipeline(spark: SparkSession, workDir: String,
       // subdirectories would collapse into one doc and interleave their
       // ord keys through the cleaner — refuse the ambiguity up front
       locally {
-        def files(f: java.io.File): Seq[java.io.File] =
-          if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(files)
-          else Seq(f)
-        val dups = files(new java.io.File(blobDir)).groupBy(_.getName)
-          .filter(_._2.size > 1).keys.toSeq.sorted
-        if (dups.nonEmpty)
-          throw new java.io.IOException(
-            s"ambiguous blob basenames in $blobDir: ${dups.mkString(", ")}")
+        // Hadoop FS, not java.io.File: on hdfs://, s3a:// etc. a local
+        // File walk silently finds nothing and the guard would no-op —
+        // while readBlobs happily reads both same-named blobs
+        val path = new org.apache.hadoop.fs.Path(blobDir)
+        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(path)) {
+          val names = Seq.newBuilder[String]
+          val it = fs.listFiles(path, true)
+          while (it.hasNext) names += it.next().getPath.getName
+          val dups = names.result().groupBy(identity)
+            .filter(_._2.size > 1).keys.toSeq.sorted
+          if (dups.nonEmpty)
+            throw new java.io.IOException(
+              s"ambiguous blob basenames in $blobDir: ${dups.mkString(", ")}")
+        }
       }
       val blobs = PdfTableSource.readBlobs(spark, blobDir)
         .select(element_at(split(col("path"), "/"), -1).as("filename"),

@@ -87,6 +87,27 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("a zero-norm vector neither ranks in top-k nor emits NaN pairs") {
+    val withZero = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)),
+      (99L, Array(0.0f, 0.0f)) // padding row / failed embedding
+    ).toDF("vec_id", "embedding")
+    // NaN > any double in Spark's ordering: an unguarded zero vector
+    // would out-rank the true neighbor and pass every threshold
+    val topk = Similarity.bruteForceTopK(
+        withZero.filter($"vec_id" === 1L), withZero, "vec_id", "embedding", k = 2)
+      .select("rank", "nid", "sim").as[(Int, Long, Double)].collect().toSeq
+    assert(topk.map(_._2) === Seq(2L, 3L), s"got $topk")
+    assert(topk.forall(!_._3.isNaN))
+    val pairs = Similarity.cosinePairs(withZero, "vec_id", "embedding", 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs.forall(p => p._1 != 99L && p._2 != 99L && !p._3.isNaN))
+    // zero-norm QUERY likewise yields no neighbors instead of NaN rows
+    assert(Similarity.bruteForceTopK(
+      withZero.filter($"vec_id" === 99L), withZero, "vec_id", "embedding", k = 2).isEmpty)
+  }
+
   test("bruteForceTopK ranks the closest neighbor first") {
     val topk = Similarity.bruteForceTopK(
         vecs.filter($"vec_id" === 1L), vecs, "vec_id", "embedding", k = 2)

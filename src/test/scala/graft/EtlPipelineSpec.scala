@@ -118,6 +118,34 @@ class EtlPipelineSpec extends SparkSpecBase {
     assert(pipe.allocations.get.count() === 1) // restored, not duplicated
   }
 
+  test("a missing-blob release with CHANGED content still cascades stale rows") {
+    val workDir = Files.createTempDirectory("etlmiss2").toString
+    val blobDir = s"$workDir/blobs"
+    writeBlob(blobDir, "NCA_2024.pdf", Seq(page(
+      Seq("NCA-old", "Regular", "2024-01-01", "DBM", "AgO", "OU1", "10.00", "Old"))))
+    val pipe = new EtlPipeline(spark, workDir, batchSize = 10)
+    pipe.scrape(candidatesDf(workDir, 1), Seq("NCA_2024.pdf").toDF("filename"))
+    pipe.orchestrate(); pipe.work(blobDir)
+    assert(pipe.records.get.select("nca_number").as[String].collect().toSeq
+      === Seq("NCA-old"))
+
+    // the blob is lost AND the upstream document changed: the new
+    // version drops NCA-old entirely. classify() reports missing_file
+    // (checked before changed) — the cascade must STILL fire, or
+    // NCA-old's rows would survive re-extraction forever
+    writeBlob(blobDir, "NCA_2024.pdf", Seq(page(
+      Seq("NCA-new", "Special", "2024-02-01", "DBM", "AgO", "OU1", "20.00", "New"))))
+    val changed = candidatesDf(workDir, 1)
+      .withColumn("file_meta_modified_at", lit("m9"))
+    // empty stored listing -> missing_file classification
+    val q = pipe.scrape(changed, Seq.empty[String].toDF("filename"))
+    assert(q.count() === 1)
+    assert(pipe.records.forall(_.isEmpty), "stale records must cascade")
+    pipe.orchestrate(); pipe.work(blobDir)
+    assert(pipe.records.get.select("nca_number").as[String].collect().toSeq
+      === Seq("NCA-new"), "only the new document's rows may remain")
+  }
+
   test("scrapeWeb: fetched blobs drive CDC via extractor metadata (OP-02/04)") {
     import graft.sources.{BlobFetcher, PositionedStubPdfFormat}
     import graft.sources.AdaptiveTable.Word

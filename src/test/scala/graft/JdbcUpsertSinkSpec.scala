@@ -63,6 +63,21 @@ class JdbcUpsertSinkSpec extends SparkSpecBase {
     }
   }
 
+  test("a null key fails the upsert loudly instead of duplicating on replay") {
+    withTable("CREATE TABLE reln (id VARCHAR(32), yr INT)", "reln") {
+      // UPDATE ... WHERE id = NULL matches nothing, so a null-key row
+      // would INSERT again on every replay — the sink must refuse it
+      val batch = Seq((Some("a"), 1), (None, 2)).toDF("id", "yr")
+      val e = intercept[org.apache.spark.SparkException] {
+        JdbcUpsertSink.upsert(batch, url, "reln", "id")
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(_.contains("null id")), messages(e).mkString("\n"))
+    }
+  }
+
   test("GenericDialect resolves SUCCESS_NO_INFO batch results per-row") {
     // Derby reports real update counts, so the -2 path never fires
     // naturally: proxy the connection so the UPDATE batch claims

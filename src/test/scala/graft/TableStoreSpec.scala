@@ -27,6 +27,33 @@ class TableStoreSpec extends SparkSpecBase {
       === Set((1, "y")))
   }
 
+  test("a null-key row is REPLACED on re-upsert, not appended forever") {
+    val dir = Files.createTempDirectory("tsnull").toString + "/t"
+    val rows1 = Seq((Some(1), "a"), (None, "n1"))
+      .toDF("k", "v").select($"k".cast("int").as("k"), $"v")
+    TableStore.upsert(rows1, dir, "k")
+    val rows2 = Seq((Some(1), "a2"), (None, "n2"))
+      .toDF("k", "v").select($"k".cast("int").as("k"), $"v")
+    TableStore.upsert(rows2, dir, "k")
+    // plain === key equality would never match the existing null row:
+    // every upsert would append another one
+    val state = TableStore.read(spark, dir).get
+      .as[(Option[Int], String)].collect().toSet
+    assert(state === Set((Some(1), "a2"), (None, "n2")))
+  }
+
+  test("reserved working column names are refused up front") {
+    val dir = Files.createTempDirectory("tsres").toString + "/t"
+    val bad = Seq((1, 2)).toDF("k", "__b")
+    val e = intercept[IllegalArgumentException] {
+      TableStore.upsert(bad, dir, "k")
+    }
+    assert(e.getMessage.contains("__b"))
+    intercept[IllegalArgumentException] {
+      TableStore.append(Seq((1, 2)).toDF("k", "__rn"), dir)
+    }
+  }
+
   test("upsert rewrites only buckets containing batch keys (others byte-identical)") {
     val dir = Files.createTempDirectory("ts4").toString + "/t"
     // many keys spread over all buckets
