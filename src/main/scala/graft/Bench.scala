@@ -63,6 +63,7 @@ object Bench {
         if (p > 1) {
           graft.operators.ExtensionQueries.clearMemo()
           graft.operators.Contamination.clearMemo()
+          graft.operators.SketchQueries.clearMemo()
           spark.catalog.clearCache()
         }
         selected.map { case (name, fn) =>

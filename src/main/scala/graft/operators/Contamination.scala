@@ -172,6 +172,9 @@ object Contamination {
   private def windowsMemo(s: SparkSession, d: String): DataFrame = {
     val key = (s, d)
     Option(shared.get(key)).getOrElse {
+      MemoEviction.register(s, "contam") { () =>
+        shared.keySet.removeIf(_._1 eq s)
+      }
       val v = tokenWindows(
           ExtensionQueries.rebalanced(Tables(s, d, "documents")),
           "doc_id", "text", K)

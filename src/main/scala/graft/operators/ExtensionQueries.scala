@@ -48,6 +48,10 @@ object ExtensionQueries {
   private def once(s: SparkSession, d: String, name: String)(f: => DataFrame): DataFrame = {
     val k = (s, d, name)
     Option(shared.get(k)).getOrElse {
+      // stopped sessions must not stay pinned by their memo entries
+      MemoEviction.register(s, "ext") { () =>
+        shared.keySet.removeIf(_._1 eq s)
+      }
       val v = f.localCheckpoint(true)
       Option(shared.putIfAbsent(k, v)).getOrElse(v)
     }
@@ -115,6 +119,17 @@ object ExtensionQueries {
     }
 
   /** LSH ANN top-k (qid, rank, nid, sim) — consumed by x07 and x07p. */
+  /** Exhaustively-scored ANN reference relation (rank over EVERY
+    * neighbor) — x06's top-5 and both precision gates slice it, so the
+    * full query-by-corpus scoring pass runs once per (session, dir).
+    */
+  private def annExhaustive(s: SparkSession, d: String): DataFrame =
+    once(s, d, "ann_exhaustive") {
+      val e = rebalanced(Tables(s, d, "embeddings"))
+      Similarity.bruteForceTopK(
+        e.filter(col("vec_id") < 10), e, "vec_id", "embedding", k = Int.MaxValue)
+    }
+
   private def annLsh(s: SparkSession, d: String): DataFrame =
     once(s, d, "ann_lsh") {
       val e = rebalanced(Tables(s, d, "embeddings"))
@@ -242,12 +257,12 @@ object ExtensionQueries {
         .orderBy(col("a"), col("b"))),
 
     // --- similarity search ------------------------------------------------
-    "x06_ann_brute_topk" -> ((s, d) => {
-      val e = rebalanced(Tables(s, d, "embeddings"))
-      Similarity.bruteForceTopK(
-          e.filter(col("vec_id") < 10), e, "vec_id", "embedding", k = 5)
-        .orderBy(col("qid"), col("rank"))
-    }),
+    // x06 and both precision gates derive from ONE memoized exhaustive
+    // scoring relation — the full query-by-corpus pass is the family's
+    // expensive stage and used to run three times
+    "x06_ann_brute_topk" -> ((s, d) =>
+      annExhaustive(s, d).filter(col("rank") <= 5)
+        .orderBy(col("qid"), col("rank"))),
 
     "x07_ann_lsh_topk" -> ((s, d) =>
       annLsh(s, d).orderBy(col("qid"), col("rank"))),
@@ -255,16 +270,11 @@ object ExtensionQueries {
     // precision gate: every (qid, nid, sim) the LSH path emits must
     // appear, score-identical, in the exhaustively-scored relation —
     // anti-join => provably-empty oracle.
-    "x07p_ann_lsh_precision" -> ((s, d) => {
-      val e = rebalanced(Tables(s, d, "embeddings"))
-      val q = e.filter(col("vec_id") < 10)
-      val exhaustive = Similarity.bruteForceTopK(q, e, "vec_id", "embedding",
-        k = Int.MaxValue)
+    "x07p_ann_lsh_precision" -> ((s, d) =>
       annLsh(s, d).select("qid", "nid", "sim")
-        .join(exhaustive.select("qid", "nid", "sim"),
+        .join(annExhaustive(s, d).select("qid", "nid", "sim"),
           Seq("qid", "nid", "sim"), "left_anti")
-        .orderBy(col("qid"), col("nid"))
-    }),
+        .orderBy(col("qid"), col("nid"))),
 
     // IVF: the data-adaptive ANN scale path (coarse-quantize the corpus,
     // probe nearest cells). Approximate -> rows-only; its precision gate
@@ -273,16 +283,11 @@ object ExtensionQueries {
     "x16_ann_ivf_topk" -> ((s, d) =>
       annIvf(s, d).orderBy(col("qid"), col("rank"))),
 
-    "x16p_ann_ivf_precision" -> ((s, d) => {
-      val e = rebalanced(Tables(s, d, "embeddings"))
-      val q = e.filter(col("vec_id") < 10)
-      val exhaustive = Similarity.bruteForceTopK(q, e, "vec_id", "embedding",
-        k = Int.MaxValue)
+    "x16p_ann_ivf_precision" -> ((s, d) =>
       annIvf(s, d).select("qid", "nid", "sim")
-        .join(exhaustive.select("qid", "nid", "sim"),
+        .join(annExhaustive(s, d).select("qid", "nid", "sim"),
           Seq("qid", "nid", "sim"), "left_anti")
-        .orderBy(col("qid"), col("nid"))
-    }),
+        .orderBy(col("qid"), col("nid"))),
 
     // --- skew handling ----------------------------------------------------
     // salted shuffle join: identical relation to the plain join (the

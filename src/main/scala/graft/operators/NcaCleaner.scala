@@ -68,11 +68,27 @@ object NcaCleaner {
     // try_element_at, not element_at: real PDFs emit ragged rows (fewer
     // cells than the header), and ANSI element_at would throw
     // INVALID_ARRAY_INDEX_IN_ELEMENT_AT on them; a missing cell is null.
-    val projected = ValidColumns.foldLeft(withHdr) { (df, c) =>
+    val projected0 = ValidColumns.foldLeft(withHdr) { (df, c) =>
       val pos = array_position(col("hdr"), lit(c))
       df.withColumn(c,
         when(pos > 0, try_element_at(col("cells"), pos.cast("int"))))
-    }.select((Seq("doc", "ord") ++ ValidColumns).map(col): _*)
+    }
+    // A header MISSING any valid column raises (matching the reference's
+    // pandas KeyError from df[valid_columns], pd_data_cleaner.py:67 —
+    // the batch dead-letters); silently nulling the column would drop
+    // the whole document with no signal. The check rides on nca_number —
+    // the group key EVERY output consumes — so column pruning cannot
+    // optimize it away the way a per-column raise would be for columns
+    // a given consumer never reads.
+    val missingCols = concat_ws(", ", ValidColumns.map(c =>
+      when(array_position(col("hdr"), lit(c)) === 0, lit(c))): _*)
+    val projected = projected0
+      .withColumn("nca_number",
+        when(missingCols === "", col("nca_number"))
+          .otherwise(raise_error(concat(
+            lit("header missing required column(s) "), missingCols,
+            lit(" in doc "), col("doc")))))
+      .select((Seq("doc", "ord") ++ ValidColumns).map(col): _*)
 
     // --- spacer insertion (OP-36, first call) ---------------------------
     // Instead of imperatively rebuilding the frame, flag rows that need a
@@ -113,7 +129,12 @@ object NcaCleaner {
         takeWhileJoin(collect_list(struct(col("ord").as("ord"), col(c).as("v")))).as(c)) ++
       ListColumns.map(c =>
         array_sort(collect_list(struct(col("ord").as("ord"),
-          coalesce(col(c), lit("")).as("v")))).as(s"${c}_list"))
+          coalesce(col(c), lit("")).as("v")))).as(s"${c}_list")) :+
+      // each group's first-row position: the keep-first dedup below must
+      // order by DOCUMENT order (pandas keep='first'), not by the
+      // partition key itself (constant within the partition, i.e. an
+      // arbitrary winner whenever two raw keys collapse after trim)
+      min(col("ord")).as("__ord")
     val grouped = filled
       .groupBy(col("doc"), col("nca_number"))
       .agg(aggs.head, aggs.tail: _*)
@@ -130,7 +151,7 @@ object NcaCleaner {
       date_format(ts, "yyyy-MM-dd'T'HH:mm:ss")
     }
     val wDedup = Window.partitionBy(col("doc"), col("nca_number"))
-      .orderBy(col("nca_number"))
+      .orderBy(col("__ord"))
     val records = grouped
       .withColumn("nca_number", trim(col("nca_number")))
       .withColumn("released_date", parsedDate)

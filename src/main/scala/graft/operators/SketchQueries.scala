@@ -77,7 +77,11 @@ object SketchQueries {
     // "fraction <=" test is NOT empty-by-construction for small or tied
     // groups). The join is per-group (5 groups), never a cross.
     "x18g_approx_median_gate" -> ((s, d) => {
-      val fr = events(s, d).join(approxMedian(s, d), "event_type")
+      // non-null values only: approx_percentile ignores nulls, so a
+      // null-bearing column would deflate the fractions (null < median
+      // is null -> counted 0) and fire the gate on a CORRECT sketch
+      val fr = events(s, d).filter(col("value").isNotNull)
+        .join(approxMedian(s, d), "event_type")
         .groupBy(col("event_type"))
         .agg(avg(when(col("value") < col("approx_median"), 1.0).otherwise(0.0))
             .as("frac_lt"),
@@ -108,9 +112,27 @@ object SketchQueries {
     */
   private val Support = 0.005
 
-  private def hhCandidates(s: SparkSession, d: String): DataFrame =
-    events(s, d).stat.freqItems(Array("user_id"), Support)
-      .select(explode(col("user_id_freqItems")).as("user_id"))
+  // freqItems is EAGER (it runs the Misra-Gries pass and wraps the
+  // collected result in a local frame), so x26 and x26g would each pay
+  // the full scan — memoize per (session, dir); Bench clears between
+  // repeat passes like the other operator memos
+  private val hhShared =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  def clearMemo(): Unit = hhShared.clear()
+
+  private def hhCandidates(s: SparkSession, d: String): DataFrame = {
+    val k = (s, d)
+    Option(hhShared.get(k)).getOrElse {
+      MemoEviction.register(s, "sketch") { () =>
+        hhShared.keySet.removeIf(_._1 eq s)
+      }
+      val v = events(s, d).stat.freqItems(Array("user_id"), Support)
+        .select(explode(col("user_id_freqItems")).as("user_id"))
+        .localCheckpoint(true)
+      Option(hhShared.putIfAbsent(k, v)).getOrElse(v)
+    }
+  }
 
   private lazy val heavyHitters: Map[String, Q] = Map(
     // approximate output -> rows-only; the gate below is the oracle

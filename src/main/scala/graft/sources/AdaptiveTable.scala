@@ -141,19 +141,33 @@ object PositionedStubPdfFormat extends TableExtractor {
   private final case class Doc(pages: IndexedSeq[Seq[Word]], created: String,
                                modified: String, width: Double)
 
+  /** Decode failures throw IOException with the offending line — a
+    * corrupted blob must fail its task with a diagnosable error (the
+    * caller's DLQ path), not a bare MatchError/NumberFormatException.
+    */
   private def decode(bytes: Array[Byte]): Doc = {
+    def bad(what: String): Nothing =
+      throw new java.io.IOException(s"stub codec: $what")
     val s = new String(bytes, "UTF-8")
     val (meta, body) =
       if (s.startsWith("#meta\t")) {
         val nl = s.indexOf('\n')
+        if (nl < 0) bad("truncated #meta header (no newline)")
         (s.substring(0, nl).split("\t", -1), s.substring(nl + 1))
       } else (Array("#meta", "", "", DefaultWidth.toString), s)
+    if (meta.length < 4) bad(s"malformed #meta header (${meta.length} fields)")
     val pages = body.split("\f", -1).toIndexedSeq.map(_.split("\n", -1).toSeq
       .filter(_.nonEmpty).map { line =>
-        val Array(x0, top, text) = line.split("\t", 3)
-        Word(text, x0.toDouble, top.toDouble)
+        line.split("\t", 3) match {
+          case Array(x0, top, text) =>
+            (for { x <- x0.toDoubleOption; t <- top.toDoubleOption }
+              yield Word(text, x, t))
+              .getOrElse(bad(s"non-numeric word position: $line"))
+          case _ => bad(s"malformed word line: $line")
+        }
       })
-    Doc(pages, meta(1), meta(2), meta(3).toDouble)
+    Doc(pages, meta(1), meta(2),
+      meta(3).toDoubleOption.getOrElse(bad(s"non-numeric width: ${meta(3)}")))
   }
 
   override def pageCount(bytes: Array[Byte]): Int = decode(bytes).pages.length

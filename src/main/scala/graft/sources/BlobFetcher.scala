@@ -28,13 +28,22 @@ object BlobFetcher {
 
   /** One HTTP client per executor JVM (lazily built on first use, after
     * deserialization) — per-row clients would cold-handshake every fetch
-    * and allocate a pool per document.
+    * and allocate a pool per document. Redirects FOLLOW (the JDK default
+    * is NEVER, which would fail every 301/302 — http->https upgrades and
+    * CDN moves are routine on scraped government links — where the
+    * reference's requests.get follows them); timeouts bound a hung
+    * server instead of blocking the executor task forever.
     */
-  @transient private lazy val sharedClient = java.net.http.HttpClient.newHttpClient()
+  @transient private lazy val sharedClient = java.net.http.HttpClient.newBuilder()
+    .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+    .connectTimeout(java.time.Duration.ofSeconds(20))
+    .build()
 
   /** Production transport: blocking GET via java.net.http. */
   def httpFetch: Fetch = { url =>
-    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url)).GET().build()
+    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+      .timeout(java.time.Duration.ofMinutes(2))
+      .GET().build()
     val res = sharedClient.send(req, java.net.http.HttpResponse.BodyHandlers.ofByteArray())
     (res.statusCode(), res.body())
   }
@@ -79,11 +88,22 @@ object BlobFetcher {
   def saveBlobs(blobs: DataFrame, dir: String): Unit = {
     val spark = blobs.sparkSession
     import spark.implicits._
-    new File(dir).mkdirs()
     blobs.select("filename", "content").as[(String, Array[Byte])]
       .foreachPartition { it: Iterator[(String, Array[Byte])] =>
+        // executor-side mkdirs (idempotent): on a real cluster the
+        // driver's filesystem is not the executors' — a driver-only
+        // mkdirs would leave every task failing NoSuchFileException
+        new File(dir).mkdirs()
+        val root = Paths.get(dir).normalize()
         it.foreach { case (filename, content) =>
-          Files.write(Paths.get(dir, filename), content)
+          // filenames originate in scraped listing pages — REMOTE
+          // content: one carrying a separator or traversal ("../x")
+          // must not escape the blob directory
+          val p = Paths.get(dir, filename).normalize()
+          if (filename.contains("/") || filename.contains("\\") ||
+              !p.startsWith(root) || p == root)
+            throw new java.io.IOException(s"unsafe blob filename: $filename")
+          Files.write(p, content)
         }
       }
   }

@@ -59,6 +59,54 @@ class NcaCleanerSpec extends SparkSpecBase {
     assert(a.allocations.collect().toSet === cleaned.allocations.collect().toSet)
   }
 
+  test("a header missing a valid column raises (pandas KeyError parity), not silent drop") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc", StringType), StructField("ord", LongType),
+      StructField("cells", ArrayType(StringType))))
+    // header lacks AMOUNT: the reference's df[valid_columns] raises
+    // KeyError and the batch dead-letters — silently nulling the column
+    // would drop the document with no signal
+    val grid = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("d", 0L, Seq("NCA NUMBER", "NCA TYPE", "RELEASED DATE",
+          "DEPARTMENT", "AGENCY", "OPERATING UNIT", "PURPOSE")),
+        Row("d", 1L, Seq("NCA-1", "Regular", "2024-01-01", "DBM", "AgA",
+          "OU1", "Stuff")))),
+      schema)
+    val e = intercept[Exception] {
+      NcaCleaner.clean(grid, org.apache.spark.sql.functions.lit("x"))
+        .records.collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("header missing required column(s) amount")),
+      msgs(e).mkString("\n"))
+  }
+
+  test("keys collapsing after trim keep the FIRST group in document order") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc", StringType), StructField("ord", LongType),
+      StructField("cells", ArrayType(StringType))))
+    def row(ord: Long, cells: Seq[String]) = Row("d", ord, cells)
+    val hdr = Seq("NCA NUMBER", "NCA TYPE", "RELEASED DATE", "DEPARTMENT",
+      "AGENCY", "OPERATING UNIT", "AMOUNT", "PURPOSE")
+    // "NCA-9 " (trailing space) appears FIRST, raw "NCA-9" second: after
+    // the trim both collapse to "NCA-9" and pandas keep='first' retains
+    // the document-order-first group — the window must order by group
+    // position, not by the (constant) partition key
+    val grid = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      row(0L, hdr),
+      row(1L, Seq("NCA-9 ", "First", "2024-01-01", "DBM", "AgA", "OU1", "10.00", "P1")),
+      row(2L, Seq("NCA-9", "Second", "2024-02-02", "DOH", "AgB", "OU2", "20.00", "P2")))),
+      schema)
+    val recs = NcaCleaner.clean(grid, org.apache.spark.sql.functions.lit("x"))
+      .records.select("nca_number", "nca_type").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(recs === Seq(("NCA-9", "First")))
+  }
+
   test("grid with only a header yields empty outputs") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(

@@ -97,6 +97,43 @@ class SourcesSpec extends SparkSpecBase {
     assert(meta.getAs[String]("created_at").startsWith("2024-01-"))
   }
 
+  test("saveBlobs refuses filenames that would escape the blob directory") {
+    import graft.sources.BlobFetcher
+    val dir = Files.createTempDirectory("blobsafe").toString
+    // scraped filenames are remote content: separators/traversal must throw
+    for (bad <- Seq("../evil.bin", "a/b.pdf", "..")) {
+      val df = Seq((bad, Array[Byte](1, 2))).toDF("filename", "content")
+      val e = intercept[org.apache.spark.SparkException] {
+        BlobFetcher.saveBlobs(df, dir)
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(_.contains("unsafe blob filename")), s"$bad: ${msgs(e)}")
+    }
+    // a plain name still saves
+    BlobFetcher.saveBlobs(Seq(("ok.pdf", Array[Byte](7))).toDF("filename", "content"), dir)
+    assert(java.nio.file.Files.exists(Paths.get(dir, "ok.pdf")))
+  }
+
+  test("positioned stub codec fails corrupt blobs with a diagnosable IOException") {
+    import graft.sources.PositionedStubPdfFormat
+    // malformed word line (one tab)
+    val e1 = intercept[java.io.IOException] {
+      PositionedStubPdfFormat.pageCount("#meta\t\t\t100.0\n12.5\t30.0".getBytes("UTF-8"))
+    }
+    assert(e1.getMessage.contains("malformed word line"))
+    // #meta header with no newline
+    val e2 = intercept[java.io.IOException] {
+      PositionedStubPdfFormat.pageCount("#meta\ta\tb\t100.0".getBytes("UTF-8"))
+    }
+    assert(e2.getMessage.contains("truncated"))
+    // non-numeric position
+    val e3 = intercept[java.io.IOException] {
+      PositionedStubPdfFormat.pageCount("#meta\t\t\t100.0\nxx\t30.0\tword".getBytes("UTF-8"))
+    }
+    assert(e3.getMessage.contains("non-numeric"))
+  }
+
   test("Batcher.pageRanges matches the reference batching arithmetic (OP-43)") {
     val releases = Seq(("r1", 95), ("r2", 10), ("r3", 1)).toDF("id", "page_count")
     val batches = Batcher.pageRanges(releases, 10)
