@@ -29,7 +29,10 @@ object Multimodal {
     docs.select(col(idCol).as("doc_id"),
       col(textCol).cast("binary").as("content"),
       struct(lit("application/octet-stream").as("mime"),
-        length(col(textCol)).as("n_bytes")).as("media_meta"))
+        // BYTE length of the content, not the character count: they
+        // diverge on any non-ASCII text (length(string) counts chars),
+        // and n_bytes must agree with the decoder's bytes.length
+        length(col(textCol).cast("binary")).as("n_bytes")).as("media_meta"))
 
   /** DETERMINISTIC FAKE decoder — stands in for e.g. an image header
     * parse. Pure function of the bytes, so re-runs and retries agree.
@@ -155,6 +158,10 @@ object Multimodal {
     * shape a real frame sampler would produce.
     */
   def sampleFrames(spark: SparkSession, blobs: DataFrame, stride: Int): DataFrame = {
+    // fail at the call site: stride=0 would throw "step cannot be 0"
+    // per-row inside executor tasks; negative strides silently emit
+    // nothing for every document
+    require(stride > 0, s"stride must be > 0, got $stride")
     import spark.implicits._
     blobs.select(col("doc_id"), col("content"))
       .as[(Long, Array[Byte])]

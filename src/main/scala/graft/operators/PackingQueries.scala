@@ -64,12 +64,16 @@ object PackingQueries {
     */
   def chunkOverlap(docs: DataFrame, idCol: String, textCol: String,
                    width: Int, stride: Int): DataFrame = {
+    // fail fast: stride=0 surfaces as an executor-side sequence-step
+    // error, width<=0 silently produces all-empty chunks
+    require(stride > 0 && width > 0,
+      s"width and stride must be > 0, got width=$width stride=$stride")
     val ts = tokens(col(textCol))
     docs.select(col(idCol), ts.as("__ts"))
       .filter(size(col("__ts")) > 0)
+      // size-1 needs no floor guard: the filter above ensures size >= 1
       .select(col(idCol),
-        explode(sequence(lit(0), greatest(size(col("__ts")) - 1, lit(0)),
-          lit(stride))).as("__st"),
+        explode(sequence(lit(0), size(col("__ts")) - 1, lit(stride))).as("__st"),
         col("__ts"))
       .select(col(idCol),
         (col("__st") / stride).cast("int").as("chunk_id"),

@@ -40,10 +40,15 @@ object RelationalQueries {
           lower(regexp_replace(col("c_mktsegment"), " ", "_")).as("seg"))
         .orderBy(col("c_custkey")).limit(20)),
 
-    // OP-17: column pruning — ReadSchema must show only the two columns.
+    // OP-17: column pruning — ReadSchema must show only the needed
+    // columns. l_quantity joins the sort key: testdata lineitem has
+    // DUPLICATE (l_orderkey, l_linenumber) pairs, and ties straddling
+    // the LIMIT boundary would let the two engines return different row
+    // SETS (the canonicalizer sorts rows, so only set differences —
+    // exactly what a non-total order + limit produces — break the hash)
     "q17_projection" -> ((s, d) =>
       Tables(s, d, "lineitem")
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
         .select(col("l_orderkey"), col("l_quantity"))
         .limit(50)),
 
@@ -171,7 +176,7 @@ object RelationalQueries {
     "q16_norm_rename" ->
       "SELECT c_custkey, lower(replace(c_mktsegment, ' ', '_')) AS seg FROM customer ORDER BY c_custkey LIMIT 20",
     "q17_projection" ->
-      "SELECT l_orderkey, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 50",
+      "SELECT l_orderkey, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity LIMIT 50",
     "q18_computed_pred" ->
       "SELECT * FROM nation WHERE lower(replace(n_name, ' ', '_')) <> 'united_states' ORDER BY n_nationkey",
     "q19_year_filter" ->
