@@ -38,6 +38,16 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a failure BEFORE the overwrite executes leaves a previous
+        // run's parquet in place — the driver would score stale results
+        // as this run's output (false green). Remove the directory so
+        // the failure is visible as NO OUTPUT.
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).toSeq.flatten.foreach(rm)
+          val _ = f.delete()
+        }
+        val dir = new java.io.File(s"$outDir/$name")
+        if (dir.exists()) rm(dir)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -18,10 +18,15 @@ object Dedup {
     */
   def exactKeepFirst(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = Window.partitionBy(col("content_hash")).orderBy(col(idCol))
-    docs.withColumn("content_hash", md5(lower(trim(col(textCol)))))
+    val deduped = docs.filter(col(textCol).isNotNull)
+      .withColumn("content_hash", md5(lower(trim(col(textCol)))))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .drop("rn", "content_hash")
+    // null text is ABSENCE of content, not equal content: such rows
+    // pass through untouched — md5(null) is null, and one shared null
+    // partition would silently discard all but one of them
+    deduped.unionByName(docs.filter(col(textCol).isNull))
   }
 
   /** (id, sz, shingle) triples — distinct word n-gram shingles per
@@ -92,8 +97,11 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double): DataFrame =
+    // eager localCheckpoint, not cache: per-call cached relations are
+    // never unpersisted and would pin executor storage for the
+    // session's lifetime (see incrementalMinhashLshPairs)
     ngramJaccardPairsFromShingles(
-      shingleTable(docs, idCol, textCol, n).cache(), threshold)
+      shingleTable(docs, idCol, textCol, n).localCheckpoint(true), threshold)
 
   /** PPJoin over a prebuilt (id, sz, shingle) relation — callers that
     * run several dedup algorithms over one corpus materialize the
@@ -157,7 +165,8 @@ object Dedup {
                       n: Int, numPerm: Int, bands: Int,
                       threshold: Double): DataFrame =
     minhashLshPairsFromShingles(
-      shingleTable(docs, idCol, textCol, n).cache(), numPerm, bands, threshold)
+      shingleTable(docs, idCol, textCol, n).localCheckpoint(true),
+      numPerm, bands, threshold)
 
   /** (id, band, bucket) LSH band table — the PERSISTABLE dedup index: a
     * production pipeline stores this relation and appends each load's
@@ -278,11 +287,15 @@ object Dedup {
   /** SimHash near-dup pairs with Hamming distance <= maxDist. For corpus-
     * scale use, candidates are restricted by 16-bit block collision
     * (pigeonhole: dist<=3 over 4 blocks guarantees one equal block) —
-    * avoiding the quadratic all-pairs comparison.
+    * avoiding the quadratic all-pairs comparison. maxDist is therefore
+    * CAPPED at 3: a larger radius would need more blocks, and silently
+    * missing pairs beats nothing but an error never would.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxDist: Int): DataFrame = {
-    val sig = simhash(docs, idCol, textCol).cache()
+    require(maxDist >= 0 && maxDist <= 3,
+      s"maxDist must be in [0, 3] (4-block pigeonhole bound), got $maxDist")
+    val sig = simhash(docs, idCol, textCol).localCheckpoint(true)
     // block index: 4 blocks of 16 bits
     val blocked = sig.select(col("id"), col("simhash"),
         posexplode(array((0 until 4).map(b =>

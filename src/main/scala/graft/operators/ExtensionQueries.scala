@@ -351,8 +351,10 @@ object ExtensionQueries {
       s"""WITH $docsWithDupsSql
          |SELECT id FROM (
          |  SELECT id, row_number() OVER (PARTITION BY md5(lower(trim(text))) ORDER BY id) AS rn
-         |  FROM docs
-         |) WHERE rn = 1 ORDER BY id""".stripMargin,
+         |  FROM docs WHERE text IS NOT NULL
+         |) WHERE rn = 1
+         |UNION ALL SELECT id FROM docs WHERE text IS NULL
+         |ORDER BY id""".stripMargin,
 
     "x02_dedup_ngram_jaccard" ->
       s"""WITH $docsWithDupsSql,

@@ -79,8 +79,13 @@ object PiiQueries {
     // checkpoint the EXPLODED aggregation: it feeds both the frequency
     // build and the join probe, and the full-corpus tokenize+explode is
     // the expensive pass that must run once, not twice
+    // explode_outer + not-null, NOT inner explode: the inner form lets
+    // InferFiltersFromGenerate push a size(tokens(text)) > 0 predicate
+    // to the scan, evaluating the tokenize expression TWICE per row
+    // (the Dedup.shingleTable convention)
     val perDoc = docs
-      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
+      .select(col(idCol).as("id"), explode_outer(tokens(col(textCol))).as("tok"))
+      .filter(col("tok").isNotNull)
       .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("c_local"))
       .localCheckpoint(true)
     val freq = perDoc.groupBy(col("tok")).agg(sum(col("c_local")).as("c"))

@@ -30,8 +30,14 @@ object Skew {
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
                  nSalt: Int): DataFrame = {
     require(nSalt >= 1, "nSalt must be >= 1")
+    // salt by ROW POSITION, not row content: a hot key whose probe rows
+    // are IDENTICAL (repeated events, low-cardinality payloads) would
+    // content-hash to one salt and re-concentrate in a single partition.
+    // The salt only decides shuffle placement — the join OUTPUT is
+    // invariant to it — so a position-derived value is safe, and
+    // consecutive ids round-robin duplicates across all nSalt buckets.
     val salted = probe.withColumn("__salt",
-      pmod(xxhash64(struct(probe.columns.map(col): _*)), lit(nSalt)).cast("int"))
+      pmod(monotonically_increasing_id(), lit(nSalt)).cast("int"))
     val replicated = build.withColumn("__salt",
       explode(sequence(lit(0), lit(nSalt - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

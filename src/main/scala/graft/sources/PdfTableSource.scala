@@ -53,9 +53,12 @@ object PdfTableSource {
 
     // split with limit -1 so trailing empty cells/rows survive: an
     // all-"" row like "|||||||" must decode to 8 empty cells, not 0 —
-    // the cleaner's spacer semantics depend on it.
+    // the cleaner's spacer semantics depend on it. A ZERO-byte blob is
+    // zero pages (split of "" returns [""], which would phantom a
+    // 1-page document with one empty row).
     private def decodePages(bytes: Array[Byte]): Array[Array[Array[String]]] =
-      new String(bytes, "UTF-8").split("\f", -1).map(_.split("\n", -1)
+      if (bytes.isEmpty) Array.empty
+      else new String(bytes, "UTF-8").split("\f", -1).map(_.split("\n", -1)
         .map(_.split("\\|", -1).map(c => if (c == NullCell) null else c)))
 
     override def pageCount(bytes: Array[Byte]): Int = decodePages(bytes).length

@@ -55,8 +55,13 @@ object QueuePipeline {
     var batches = 0L
     // from_json in permissive mode yields an all-null struct (NOT a null
     // struct) for malformed input — an explicit corrupt-record column is
-    // the only reliable malformed-detection signal.
-    val corruptCol = "__corrupt"
+    // the only reliable malformed-detection signal. The name is chosen
+    // to be collision-improbable (a payload KEY with this exact name
+    // would land in the corrupt column and dead-letter a valid
+    // message); a schema that declares it is refused outright.
+    val corruptCol = "__graft_corrupt_rec"
+    require(!schema.fieldNames.contains(corruptCol),
+      s"message schema may not declare reserved column $corruptCol")
     val schemaWithCorrupt = schema.add(corruptCol, "string")
     val q = spark.readStream
       .schema(new StructType().add("value", "string"))

@@ -24,6 +24,22 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(kept.toSeq === Seq(1L, 3L, 4L))
   }
 
+  test("null-text documents pass through exactKeepFirst, never collapse together") {
+    val withNulls = Seq((1L, Some("same text")), (2L, Some("same text")),
+      (3L, None), (4L, None)).toDF("id", "text")
+    val kept = Dedup.exactKeepFirst(withNulls, "id", "text")
+      .select("id").as[Long].collect().sorted.toSeq
+    // 2 dedups against 1; the two null-text docs BOTH survive (absence
+    // of content is not content equality)
+    assert(kept === Seq(1L, 3L, 4L))
+  }
+
+  test("simhashPairs refuses a radius beyond the 4-block pigeonhole bound") {
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(docs, "id", "text", maxDist = 4)
+    }
+  }
+
   test("ngramJaccardPairs finds the dup cluster, not the unrelated doc") {
     val pairs = Dedup.ngramJaccardPairs(docs, "id", "text", n = 3, threshold = 0.5)
       .select("a", "b").as[(Long, Long)].collect().toSet

@@ -134,6 +134,11 @@ class SourcesSpec extends SparkSpecBase {
     assert(e3.getMessage.contains("non-numeric"))
   }
 
+  test("a zero-byte blob decodes to zero pages, not a phantom empty row") {
+    assert(StubPdfFormat.pageCount(Array.emptyByteArray) === 0)
+    assert(StubPdfFormat.extract("d", Array.emptyByteArray, 1, 99).isEmpty)
+  }
+
   test("Batcher.pageRanges matches the reference batching arithmetic (OP-43)") {
     val releases = Seq(("r1", 95), ("r2", 10), ("r3", 1)).toDF("id", "page_count")
     val batches = Batcher.pageRanges(releases, 10)
