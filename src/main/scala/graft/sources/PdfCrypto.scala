@@ -33,6 +33,52 @@ object PdfCrypto {
     d.digest()
   }
 
+  def sha(alg: String, parts: Array[Byte]*): Array[Byte] = {
+    val d = MessageDigest.getInstance(alg)
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  /** Raw AES-CBC (no IV prefix, no padding handling) — the V5 key-wrap
+    * primitive (/UE decrypts with a ZERO IV) and the 2.B hash rounds.
+    */
+  def aesCbcRaw(key: Array[Byte], iv: Array[Byte], data: Array[Byte],
+                encrypt: Boolean): Array[Byte] = {
+    val c = Cipher.getInstance("AES/CBC/NoPadding")
+    c.init(if (encrypt) Cipher.ENCRYPT_MODE else Cipher.DECRYPT_MODE,
+      new SecretKeySpec(key, "AES"), new IvParameterSpec(iv))
+    c.doFinal(data)
+  }
+
+  /** ISO 32000-2 Algorithm 2.B hardened hash (R6): iterated
+    * SHA-256/384/512 selected by an AES-128-CBC round over 64
+    * repetitions of (password ++ K ++ udata), at least 64 rounds, until
+    * the round's last cipher byte is <= round - 32.
+    */
+  def hash2B(password: Array[Byte], salt: Array[Byte],
+             udata: Array[Byte]): Array[Byte] = {
+    var k = sha("SHA-256", password, salt, udata)
+    var e = Array.emptyByteArray
+    var round = 0
+    while (round < 64 || (e(e.length - 1) & 0xFF) > round - 32) {
+      val one = password ++ k ++ udata
+      val k1 = new Array[Byte](one.length * 64)
+      var i = 0
+      while (i < 64) { System.arraycopy(one, 0, k1, i * one.length, one.length); i += 1 }
+      e = aesCbcRaw(k.take(16), k.slice(16, 32), k1, encrypt = true)
+      k = ((e(0) & 0xFF) + (e(1) & 0xFF) + (e(2) & 0xFF) + (e(3) & 0xFF) +
+        (e(4) & 0xFF) + (e(5) & 0xFF) + (e(6) & 0xFF) + (e(7) & 0xFF) +
+        (e(8) & 0xFF) + (e(9) & 0xFF) + (e(10) & 0xFF) + (e(11) & 0xFF) +
+        (e(12) & 0xFF) + (e(13) & 0xFF) + (e(14) & 0xFF) + (e(15) & 0xFF)) % 3 match {
+        case 0 => sha("SHA-256", e)
+        case 1 => sha("SHA-384", e)
+        case 2 => sha("SHA-512", e)
+      }
+      round += 1
+    }
+    k.take(32)
+  }
+
   /** RC4 (symmetric: encrypts and decrypts). */
   def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
     val s = Array.tabulate(256)(_.toByte)
@@ -161,10 +207,14 @@ object PdfCrypto {
   // ------------------------------------------------------------- decryptor
 
   /** Per-document decryption state. `keyBytes` is the file key
-    * (Algorithm 2); object keys derive per §7.6.2.
+    * (Algorithm 2 for V<=4; the /UE-unwrapped AES-256 key for V5);
+    * V<=4 derives a per-object key (§7.6.2), V5 (`perObjectKey=false`)
+    * applies the file key directly.
     */
-  final case class Decryptor(keyBytes: Array[Byte], aes: Boolean) {
+  final case class Decryptor(keyBytes: Array[Byte], aes: Boolean,
+                             perObjectKey: Boolean = true) {
     private def objectKey(num: Int): Array[Byte] = {
+      if (!perObjectKey) return keyBytes
       val ext = Array[Byte](
         (num & 0xFF).toByte, ((num >> 8) & 0xFF).toByte,
         ((num >> 16) & 0xFF).toByte, 0, 0) // generation always 0 here
@@ -250,37 +300,67 @@ object PdfCrypto {
         throw new SecurityException("unsupported PDF security handler")
       val v = PdfTextCodec.int(enc, "/V").getOrElse(0)
       val r = PdfTextCodec.int(enc, "/R").getOrElse(2)
-      if (v > 4 || r > 4)
-        throw new SecurityException(s"unsupported PDF encryption V=$v R=$r")
-      val o32 = strValue(enc, "/O")
-        .getOrElse(throw new SecurityException("PDF /Encrypt missing /O"))
-      val u = strValue(enc, "/U")
-        .getOrElse(throw new SecurityException("PDF /Encrypt missing /U"))
-      val p = PdfTextCodec.int(enc, "/P").getOrElse(-1)
-      val lengthBits = PdfTextCodec.int(enc, "/Length").getOrElse(40)
-      val encryptMetadata = !enc.contains("/EncryptMetadata false")
-      // AES vs RC4: V4 consults the /StdCF crypt filter
-      val aes = v == 4 && {
-        val cf = PdfTextCodec.subDict(objs, enc, "/StdCF")
-          .orElse(PdfTextCodec.subDict(objs, enc, "/CF")
-            .flatMap(c => PdfTextCodec.subDict(objs, c, "/StdCF")))
-        cf.exists(_.contains("/AESV2"))
+      if (v == 5 && (r == 5 || r == 6)) forV5(enc, r)
+      else {
+        if (v > 4 || r > 4)
+          throw new SecurityException(s"unsupported PDF encryption V=$v R=$r")
+        val o32 = strValue(enc, "/O")
+          .getOrElse(throw new SecurityException("PDF /Encrypt missing /O"))
+        val u = strValue(enc, "/U")
+          .getOrElse(throw new SecurityException("PDF /Encrypt missing /U"))
+        val p = PdfTextCodec.int(enc, "/P").getOrElse(-1)
+        val lengthBits = PdfTextCodec.int(enc, "/Length").getOrElse(40)
+        val encryptMetadata = !enc.contains("/EncryptMetadata false")
+        // AES vs RC4: V4 consults the /StdCF crypt filter
+        val aes = v == 4 && {
+          val cf = PdfTextCodec.subDict(objs, enc, "/StdCF")
+            .orElse(PdfTextCodec.subDict(objs, enc, "/CF")
+              .flatMap(c => PdfTextCodec.subDict(objs, c, "/StdCF")))
+          cf.exists(_.contains("/AESV2"))
+        }
+        // /ID first element: scan from the end (newest trailer wins);
+        // validate by shape so binary false positives are skipped
+        val id0 = """/ID(?![A-Za-z0-9])\s*\[\s*""".r
+          .findAllMatchIn(fileText).toSeq.reverseIterator
+          .flatMap(m => parseStringAt(fileText, m.end).map(_._1))
+          .nextOption().getOrElse(Array.emptyByteArray)
+        val key = fileKey(o32.take(32), p, id0, r, lengthBits, encryptMetadata)
+        val want = expectedU(key, id0, r)
+        val ok =
+          if (r == 2) java.util.Arrays.equals(want, u.take(32))
+          else want.take(16).sameElements(u.take(16))
+        if (!ok)
+          throw new SecurityException("PDF requires a non-empty user password")
+        Decryptor(key, aes)
       }
-      // /ID first element: scan from the end (newest trailer wins);
-      // validate by shape so binary false positives are skipped
-      val id0 = """/ID(?![A-Za-z0-9])\s*\[\s*""".r
-        .findAllMatchIn(fileText).toSeq.reverseIterator
-        .flatMap(m => parseStringAt(fileText, m.end).map(_._1))
-        .nextOption().getOrElse(Array.emptyByteArray)
-      val key = fileKey(o32.take(32), p, id0, r, lengthBits, encryptMetadata)
-      val want = expectedU(key, id0, r)
-      val ok =
-        if (r == 2) java.util.Arrays.equals(want, u.take(32))
-        else want.take(16).sameElements(u.take(16))
-      if (!ok)
-        throw new SecurityException("PDF requires a non-empty user password")
-      Decryptor(key, aes)
     }
+  }
+
+  /** AES-256 standard handler (V5: R5 = the deprecated Adobe extension,
+    * R6 = ISO 32000-2) with an EMPTY user password: /U is 48 bytes —
+    * 32-byte verification hash, 8-byte validation salt, 8-byte key
+    * salt; the file key unwraps from /UE with AES-256-CBC under a zero
+    * IV. V5 applies the file key to streams/strings DIRECTLY (no
+    * per-object derivation), AES-256-CBC with the leading-IV layout.
+    */
+  private def forV5(enc: String, r: Int): Decryptor = {
+    val u = strValue(enc, "/U")
+      .getOrElse(throw new SecurityException("PDF /Encrypt missing /U"))
+    val ue = strValue(enc, "/UE")
+      .getOrElse(throw new SecurityException("PDF /Encrypt missing /UE"))
+    if (u.length < 48 || ue.length < 32)
+      throw new SecurityException("malformed V5 /U or /UE entry")
+    val vSalt = u.slice(32, 40)
+    val kSalt = u.slice(40, 48)
+    val pwd = Array.emptyByteArray
+    def h(salt: Array[Byte]): Array[Byte] =
+      if (r == 6) hash2B(pwd, salt, Array.emptyByteArray)
+      else sha("SHA-256", pwd, salt)
+    if (!h(vSalt).take(32).sameElements(u.take(32)))
+      throw new SecurityException("PDF requires a non-empty user password")
+    val fileKey = aesCbcRaw(h(kSalt), new Array[Byte](16), ue.take(32),
+      encrypt = false)
+    Decryptor(fileKey, aes = true, perObjectKey = false)
   }
 
   /** Rewrite every string inside a top-level object DICT to its

@@ -297,6 +297,33 @@ class PdfAdvancedSpec extends AnyFunSuite {
     assert(m.created_at === "2026-04-01T15:00:00")
   }
 
+  test("AES-256 V5 R6 empty-password PDF decrypts: words and metadata") {
+    val pdf = RealPdfFixtures.encryptedPdfV5(
+      Seq(("MODERN", 72, 700), ("CRYPTO", 160, 700)),
+      created = "D:20260501120000Z")
+    val doc = PdfTextCodec.parse(pdf).get
+    assert(doc.pages.head.words.map(_.text) === Seq("MODERN", "CRYPTO"))
+    val m = RealPdfCodec(StubPdfFormat).metadata("v5.pdf", pdf)
+    assert(m.created_at === "2026-05-01T12:00:00")
+  }
+
+  test("AES-256 V5 R5 (simple hash) variant decrypts") {
+    val pdf = RealPdfFixtures.encryptedPdfV5(
+      Seq(("LEGACY", 72, 700), ("FIVE", 150, 700)),
+      created = "D:20260502120000Z", r6 = false)
+    assert(PdfTextCodec.parse(pdf).get.pages.head.words.map(_.text) ===
+      Seq("LEGACY", "FIVE"))
+  }
+
+  test("wrong-password V5 PDF fails parse into the DLQ path") {
+    val pdf = RealPdfFixtures.encryptedPdfV5(
+      Seq(("X", 72, 700)), created = "D:20260501120000Z", mangleU = true)
+    assert(PdfTextCodec.parse(pdf).isEmpty)
+    intercept[java.io.IOException] {
+      RealPdfCodec(StubPdfFormat).extract("locked.pdf", pdf, 1, 1).toSeq
+    }
+  }
+
   test("wrong-password PDF fails parse and takes the corrupt/DLQ path") {
     val pdf = encryptedPdf(aes = false, mangleU = true)
     assert(PdfTextCodec.parse(pdf).isEmpty)

@@ -143,6 +143,47 @@ object RealPdfFixtures {
     out.toByteArray
   }
 
+  /** AES-256 (V5) variant: R6 = ISO 32000-2 hardened hash, R5 = the
+    * deprecated simple-SHA-256 extension. /U carries hash + validation
+    * salt + key salt; /UE wraps a random-but-fixed 32-byte file key.
+    */
+  def encryptedPdfV5(words: Seq[(String, Int, Int)], created: String,
+                     r6: Boolean = true, mangleU: Boolean = false): Array[Byte] = {
+    val pwd = Array.emptyByteArray
+    val vSalt = latin1("vsalt-08")
+    val kSalt = latin1("ksalt-08")
+    def h(salt: Array[Byte]): Array[Byte] =
+      if (r6) PdfCrypto.hash2B(pwd, salt, Array.emptyByteArray)
+      else PdfCrypto.sha("SHA-256", pwd, salt)
+    val fileKey = PdfCrypto.sha("SHA-256", latin1("fixture-v5-file-key"))
+    val u0 = h(vSalt).take(32)
+    if (mangleU) u0(0) = (u0(0) ^ 0x5A).toByte
+    val u = u0 ++ vSalt ++ kSalt
+    val ue = PdfCrypto.aesCbcRaw(h(kSalt), new Array[Byte](16), fileKey,
+      encrypt = true)
+    val dec = PdfCrypto.Decryptor(fileKey, aes = true, perObjectKey = false)
+    val content = dec.encrypt(4, deflate(latin1(contentOf(words))))
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(latin1(s))
+    w("%PDF-1.7\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 850 792] " +
+      "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >> endobj\n")
+    w(s"4 0 obj << /Length ${content.length} /Filter /FlateDecode >> stream\n")
+    out.write(content)
+    w("\nendstream endobj\n")
+    w("5 0 obj << /Type /Font /Subtype /TrueType /BaseFont /Helvetica >> endobj\n")
+    w(s"6 0 obj << /CreationDate <${hex(dec.encrypt(6, latin1(created)))}> >> endobj\n")
+    w(s"9 0 obj << /Filter /Standard /V 5 /R ${if (r6) 6 else 5} /Length 256 " +
+      s"/P -44 /CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen >> >> " +
+      s"/StmF /StdCF /StrF /StdCF " +
+      s"/O <${hex(Array.fill[Byte](48)(0x11))}> /OE <${hex(Array.fill[Byte](32)(0x22))}> " +
+      s"/U <${hex(u)}> /UE <${hex(ue)}> >> endobj\n")
+    w("trailer << /Root 1 0 R /Info 6 0 R /Encrypt 9 0 R >>\n%%EOF")
+    out.toByteArray
+  }
+
   /** Classic single-page layout encrypted by the standard handler with
     * an empty user password — RC4-128 (V2 R3) or AES-128 (V4 R4
     * /AESV2): content stream and Info strings independently encrypted
