@@ -102,13 +102,17 @@ object PdfCrypto {
     out
   }
 
-  /** AES-128-CBC with the spec's leading 16-byte IV; PKCS#5 padding
+  /** AES-CBC with the spec's leading 16-byte IV; PKCS#5 padding
     * stripped when well-formed (tolerated otherwise — a lenient tail
-    * beats refusing a decodable stream).
+    * beats refusing a decodable stream). A malformed LENGTH throws:
+    * silently returning empty would erase a stream/string with no
+    * signal, where the module's contract routes corruption to the
+    * caller's DLQ.
     */
   def aesDecrypt(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
     if (data.length < 32 || (data.length - 16) % 16 != 0)
-      return Array.emptyByteArray
+      throw new java.io.IOException(
+        s"AES stream length ${data.length} is not IV + 16n ciphertext")
     val c = Cipher.getInstance("AES/CBC/NoPadding")
     c.init(Cipher.DECRYPT_MODE, new SecretKeySpec(key, "AES"),
       new IvParameterSpec(java.util.Arrays.copyOfRange(data, 0, 16)))
@@ -286,21 +290,40 @@ object PdfCrypto {
     * handler accepts the EMPTY user password; throws when a real
     * password (or an unsupported handler/cipher) blocks decryption.
     */
+  /** Object number of the newest trailer's /Encrypt reference — ONE
+    * definition shared by forDocument and load()'s skip-the-Encrypt-
+    * dict logic.
+    */
+  def encryptRef(fileText: String): Option[Int] =
+    """/Encrypt\s+(\d+)\s+0\s+R""".r
+      .findAllMatchIn(fileText).toSeq.lastOption.map(_.group(1).toInt)
+
   def forDocument(fileText: String,
                   objs: Map[Int, PdfTextCodec.PdfObj]): Option[Decryptor] = {
-    val encRef = """/Encrypt\s+(\d+)\s+0\s+R""".r
-      .findAllMatchIn(fileText).toSeq.lastOption.map(_.group(1).toInt)
-    val encDict = encRef.flatMap(objs.get).map(_.dict).orElse {
+    val encDict = encryptRef(fileText).flatMap(objs.get).map(_.dict).orElse {
       // inline trailer form: trailer << … /Encrypt << … >> … >>
       """/Encrypt\s*(?=<<)""".r.findAllMatchIn(fileText).toSeq.lastOption
         .map(m => PdfTextCodec.dictSpan(fileText, m.end))
     }
-    encDict.map { enc =>
+    encDict.flatMap { enc =>
       if (!enc.contains("/Standard"))
         throw new SecurityException("unsupported PDF security handler")
       val v = PdfTextCodec.int(enc, "/V").getOrElse(0)
       val r = PdfTextCodec.int(enc, "/R").getOrElse(2)
-      if (v == 5 && (r == 5 || r == 6)) forV5(enc, r)
+      // V4/V5 route streams/strings through named crypt filters: both
+      // /Identity means the document body is NOT encrypted (e.g.
+      // attachments-only encryption) — decrypting plaintext would
+      // corrupt it. Mixed configurations are refused loudly.
+      def cfName(key: String): String =
+        (java.util.regex.Pattern.quote(key) + """(?![A-Za-z0-9])\s*/(\w+)""").r
+          .findFirstMatchIn(enc).map(_.group(1)).getOrElse("StdCF")
+      val (stmF, strF) = if (v >= 4) (cfName("/StmF"), cfName("/StrF"))
+        else ("StdCF", "StdCF")
+      if (stmF == "Identity" && strF == "Identity") None
+      else if (stmF != strF)
+        throw new SecurityException(
+          s"unsupported mixed crypt filters StmF=$stmF StrF=$strF")
+      else if (v == 5 && (r == 5 || r == 6)) Some(forV5(enc, r))
       else {
         if (v > 4 || r > 4)
           throw new SecurityException(s"unsupported PDF encryption V=$v R=$r")
@@ -308,9 +331,15 @@ object PdfCrypto {
           .getOrElse(throw new SecurityException("PDF /Encrypt missing /O"))
         val u = strValue(enc, "/U")
           .getOrElse(throw new SecurityException("PDF /Encrypt missing /U"))
-        val p = PdfTextCodec.int(enc, "/P").getOrElse(-1)
+        // via Long: some producers render /P as its unsigned 32-bit
+        // value (e.g. 4294963392 for -3904), which Int parsing rejects
+        val p = """/P(?![A-Za-z0-9])\s*(-?\d+)""".r.findFirstMatchIn(enc)
+          .map(_.group(1).toLong.toInt).getOrElse(-1)
         val lengthBits = PdfTextCodec.int(enc, "/Length").getOrElse(40)
-        val encryptMetadata = !enc.contains("/EncryptMetadata false")
+        // regex, not substring: '/EncryptMetadata   false' and newline
+        // separations are legal token splits
+        val encryptMetadata =
+          """/EncryptMetadata\s+false""".r.findFirstIn(enc).isEmpty
         // AES vs RC4: V4 consults the /StdCF crypt filter
         val aes = v == 4 && {
           val cf = PdfTextCodec.subDict(objs, enc, "/StdCF")
@@ -331,7 +360,7 @@ object PdfCrypto {
           else want.take(16).sameElements(u.take(16))
         if (!ok)
           throw new SecurityException("PDF requires a non-empty user password")
-        Decryptor(key, aes)
+        Some(Decryptor(key, aes))
       }
     }
   }
@@ -379,7 +408,13 @@ object PdfCrypto {
       else if (c == '(' || c == '<') {
         parseStringAt(dict, i) match {
           case Some((bytes, end)) =>
-            sb ++= literal(dec.decrypt(num, bytes))
+            // lenient per-string: a stray PLAINTEXT string in a dict of
+            // an otherwise-encrypted file (nonconforming but seen in
+            // the wild, e.g. an empty `()`) keeps its original text
+            // rather than failing the whole document — stream bodies
+            // stay strict
+            sb ++= (try literal(dec.decrypt(num, bytes))
+              catch { case _: java.io.IOException => dict.substring(i, end) })
             i = end
           case None => sb += c; i += 1
         }

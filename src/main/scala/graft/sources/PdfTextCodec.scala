@@ -182,6 +182,15 @@ object PdfTextCodec {
         .map(m => """/(\w+)""".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
         .orElse((quoted("/Filter") + """\s*/(\w+)""").r
           .findFirstMatchIn(dict).map(m => Seq(m.group(1))))
+        // indirect /Filter (legal for any dict value): resolve the
+        // referenced object's body as name-or-array — yielding Nil here
+        // would hand still-compressed bytes onward as "decoded"
+        .orElse(ref(dict, "/Filter").flatMap(objs.get).map { o =>
+          val body = o.dict
+          """\[([^\]]*)\]""".r.findFirstMatchIn(body)
+            .map(m => """/(\w+)""".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
+            .getOrElse("""/(\w+)""".r.findAllMatchIn(body).map(_.group(1)).toSeq)
+        })
         .getOrElse(Nil)
     if (names.isEmpty) return Nil
     def parmsAt(key: String): Seq[String] =
@@ -350,8 +359,7 @@ object PdfTextCodec {
     val base = objects(bytes)
     val dec = PdfCrypto.forDocument(s, base)
     // the /Encrypt dictionary's own strings (O, U) are stored clear
-    val encNum = """/Encrypt\s+(\d+)\s+0\s+R""".r
-      .findAllMatchIn(s).toSeq.lastOption.map(_.group(1).toInt)
+    val encNum = PdfCrypto.encryptRef(s)
     val top = dec match {
       case Some(d) => base.map { case (n, o) =>
         if (encNum.contains(n)) n -> o
@@ -491,34 +499,16 @@ object PdfTextCodec {
       if (c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '\f' || c == 0) i += 1
       else if (c == '%') { while (i < n && s.charAt(i) != '\n' && s.charAt(i) != '\r') i += 1 }
       else if (c == '(') {
-        val codes = collection.mutable.ArrayBuffer.empty[Int]
-        var depth = 1; i += 1
-        while (i < n && depth > 0) {
-          val ch = s.charAt(i)
-          if (ch == '\\' && i + 1 < n) {
-            val e = s.charAt(i + 1)
-            e match {
-              case 'n' => codes += '\n'; i += 2
-              case 'r' => codes += '\r'; i += 2
-              case 't' => codes += '\t'; i += 2
-              case 'b' => codes += '\b'; i += 2
-              case 'f' => codes += '\f'; i += 2
-              case '\n' => i += 2 // line continuation
-              case '\r' => i += 2; if (i < n && s.charAt(i) == '\n') i += 1
-              case d if d >= '0' && d <= '7' =>
-                var v = 0; var k = 0; i += 1
-                while (k < 3 && i < n && s.charAt(i) >= '0' && s.charAt(i) <= '7') {
-                  v = v * 8 + (s.charAt(i) - '0'); i += 1; k += 1
-                }
-                codes += v
-              case other => codes += other.toInt; i += 2
-            }
-          } else if (ch == '(') { depth += 1; codes += ch.toInt; i += 1 }
-          else if (ch == ')') {
-            depth -= 1; if (depth > 0) codes += ch.toInt; i += 1
-          } else { codes += ch.toInt; i += 1 }
+        // ONE literal-string grammar for the whole codec: the crypto
+        // layer's parseStringAt (escapes, octal, balanced parens) is
+        // the single implementation — a divergent copy here would let
+        // an escape-handling fix silently miss one of the two
+        PdfCrypto.parseStringAt(s, i) match {
+          case Some((bytes, end)) =>
+            emit(TStr(bytes.map(_ & 0xFF)))
+            i = end
+          case None => i += 1
         }
-        emit(TStr(codes.toArray))
       }
       else if (c == '<' && i + 1 < n && s.charAt(i + 1) == '<') {
         // inline dict (BDC properties etc.) — skip balanced

@@ -49,22 +49,26 @@ object RealPdfMeta {
   private val LeafPage = """/Type\s*/Page(?!s)""".r
 
   /** Expanded object map (ObjStm members + decrypted dict strings);
-    * raw-scan fallback when expansion fails. A wrong-password document
-    * yields the raw scan — whose encrypted strings then scan to
-    * nothing, so callers reach their corrupt/DLQ path via parse().
+    * raw-scan fallback when expansion fails for STRUCTURAL reasons. A
+    * password-protected document (SecurityException) yields None —
+    * page-object names ARE visible in the raw bytes, but reporting a
+    * count for a document whose extraction is guaranteed to dead-letter
+    * would schedule doomed work (PyPDF2 likewise raises on page access).
     */
-  private def scanObjects(bytes: Array[Byte]): Map[Int, PdfTextCodec.PdfObj] =
-    try PdfTextCodec.load(bytes)._1
-    catch { case scala.util.control.NonFatal(_) => PdfTextCodec.objects(bytes) }
+  private def scanObjects(bytes: Array[Byte]): Option[Map[Int, PdfTextCodec.PdfObj]] =
+    try Some(PdfTextCodec.load(bytes)._1)
+    catch {
+      case _: SecurityException => None
+      case scala.util.control.NonFatal(_) => Some(PdfTextCodec.objects(bytes))
+    }
 
   def pageCount(bytes: Array[Byte]): Option[Int] =
     if (!isPdf(bytes)) None
-    else {
+    else scanObjects(bytes).flatMap { objs =>
       // count leaf pages among DISTINCT objects (last generation wins):
       // an incremental update leaves every generation of a rewritten
       // page object in the byte stream and a whole-file scan counts
       // each of them
-      val objs = scanObjects(bytes)
       val n =
         if (objs.nonEmpty)
           objs.values.count(o => LeafPage.findFirstMatchIn(o.dict).isDefined)
@@ -82,9 +86,8 @@ object RealPdfMeta {
     */
   def metadata(doc: String, bytes: Array[Byte]): Option[PdfMeta] =
     if (!isPdf(bytes)) None
-    else {
+    else scanObjects(bytes).flatMap { objs =>
       val s = text(bytes)
-      val objs = scanObjects(bytes)
       val infoDict = """/Info\s+(\d+)\s+0\s+R""".r.findAllMatchIn(s)
         .toSeq.lastOption.map(_.group(1).toInt).flatMap(objs.get).map(_.dict)
       def date(key: String): Option[String] =

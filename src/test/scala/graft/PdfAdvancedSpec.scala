@@ -333,6 +333,56 @@ class PdfAdvancedSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unparseable PDF"))
   }
 
+  test("Identity crypt filters mean a PLAINTEXT body: no decryption applied") {
+    // attachments-only encryption: /Encrypt present but StmF/StrF are
+    // /Identity — decrypting the plaintext streams would corrupt them
+    val content = deflate(latin1("BT /F1 10 Tf 72 700 Td (PLAIN BODY) Tj ET"))
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(latin1(s))
+    w("%PDF-1.6\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >> endobj\n")
+    w(s"4 0 obj << /Length ${content.length} /Filter /FlateDecode >> stream\n")
+    out.write(content)
+    w("\nendstream endobj\n")
+    w("5 0 obj << /Type /Font /Subtype /TrueType /BaseFont /Helvetica >> endobj\n")
+    w("9 0 obj << /Filter /Standard /V 4 /R 4 /Length 128 /P -44 " +
+      "/CF << /StdCF << /CFM /AESV2 >> >> /StmF /Identity /StrF /Identity " +
+      "/O <00> /U <00> >> endobj\n")
+    w("trailer << /Root 1 0 R /Encrypt 9 0 R >>\n%%EOF")
+    val doc = PdfTextCodec.parse(out.toByteArray).get
+    assert(doc.pages.head.words.map(_.text) === Seq("PLAIN", "BODY"))
+  }
+
+  test("password-protected PDF reports NO page count (doomed work is not scheduled)") {
+    val locked = encryptedPdf(aes = false, mangleU = true)
+    assert(graft.sources.RealPdfMeta.pageCount(locked).isEmpty)
+    intercept[java.io.IOException] {
+      RealPdfCodec(StubPdfFormat).pageCount(locked)
+    }
+  }
+
+  test("an INDIRECT /Filter reference resolves instead of skipping decode") {
+    val content = deflate(latin1("BT /F1 10 Tf 72 700 Td (INDIRECT) Tj ET"))
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(latin1(s))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >> endobj\n")
+    w(s"4 0 obj << /Length ${content.length} /Filter 12 0 R >> stream\n")
+    out.write(content)
+    w("\nendstream endobj\n")
+    w("5 0 obj << /Type /Font /Subtype /TrueType /BaseFont /Helvetica >> endobj\n")
+    w("12 0 obj /FlateDecode endobj\n")
+    w("trailer << /Root 1 0 R >>\n%%EOF")
+    val doc = PdfTextCodec.parse(out.toByteArray).get
+    assert(doc.pages.head.words.map(_.text) === Seq("INDIRECT"))
+  }
+
   test("decrypted date strings survive re-escaping of delimiters") {
     // RC4 ciphertext may contain bytes that LOOK like ')' — the string
     // rewrite must parse the hex form and re-emit a balanced literal
