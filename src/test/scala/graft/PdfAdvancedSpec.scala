@@ -383,6 +383,36 @@ class PdfAdvancedSpec extends AnyFunSuite {
     assert(doc.pages.head.words.map(_.text) === Seq("INDIRECT"))
   }
 
+  test("corrupting ObjStm/encrypted/V5 fixtures never throws from parse") {
+    // the classic-layout corruption battery (PdfTextCodecSpec) extended
+    // to the round's new layouts: byte flips, truncations, splices over
+    // object-stream, RC4, AES-128 and AES-256 documents must yield None
+    // or a valid doc — an uncaught exception would kill executor tasks
+    // instead of dead-lettering the document (OP-61/62)
+    val fixtures = Seq(
+      objStmPdf(withXref = true, staleInfo = false),
+      encryptedPdf(aes = false),
+      encryptedPdf(aes = true),
+      RealPdfFixtures.encryptedPdfV5(Seq(("F", 72, 700)), "D:20260101000000Z"))
+    val rnd = new scala.util.Random(77)
+    for (base <- fixtures; trial <- 1 to 24) {
+      val b = base.clone()
+      trial % 3 match {
+        case 0 =>
+          (1 to 8).foreach(_ => b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte)
+          assert(PdfTextCodec.parse(b).fold(true)(_.pages.nonEmpty))
+        case 1 =>
+          val cut = 1 + rnd.nextInt(b.length - 1)
+          assert(PdfTextCodec.parse(b.take(cut)).fold(true)(_.pages.nonEmpty))
+        case 2 =>
+          val at = rnd.nextInt(math.max(b.length - 64, 1))
+          (at until math.min(at + 64, b.length)).foreach(i =>
+            b(i) = rnd.nextInt(256).toByte)
+          assert(PdfTextCodec.parse(b).fold(true)(_.pages.nonEmpty))
+      }
+    }
+  }
+
   test("decrypted date strings survive re-escaping of delimiters") {
     // RC4 ciphertext may contain bytes that LOOK like ')' — the string
     // rewrite must parse the hex form and re-emit a balanced literal
