@@ -131,6 +131,23 @@ object PiiQueries {
     "x37_rare_token_ratio" -> ((s, d) =>
       rareTokenRatio(Tables(s, d, "documents"), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))),
+
+    // HTML-to-text extraction (the WARC/CommonCrawl reduction): each
+    // document is wrapped in deterministic HTML noise — script/style
+    // blocks, a comment, entities — on BOTH engines, then reduced back
+    // to text; md5 of the extraction is hash-checked
+    "x39_html_extract" -> ((s, d) =>
+      Tables(s, d, "documents")
+        .select(col("doc_id"), concat(
+          lit("<html><head><style>p{color:red}</style>" +
+            "<script>var x=1;</script></head><body><h1>Doc "),
+          col("doc_id").cast("string"),
+          lit("</h1><p>"), col("text"),
+          lit("</p><!-- hidden --> &amp; &lt;tail&gt;</body></html>"))
+          .as("html"))
+        .select(col("doc_id"),
+          md5(TextAnalysis.htmlToText(col("html"))).as("text_md5"))
         .orderBy(col("doc_id")))
   )
 
@@ -162,6 +179,27 @@ object PiiQueries {
          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
          |    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
          |    '\\b\\d{3}-\\d{4}-\\d{4}\\b', '<PHONE>', 'g')) AS redacted_md5
+         |FROM aug ORDER BY doc_id""".stripMargin,
+
+    "x39_html_extract" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |    '<html><head><style>p{color:red}</style>' ||
+         |    '<script>var x=1;</script></head><body><h1>Doc ' ||
+         |    CAST(doc_id AS VARCHAR) || '</h1><p>' || text ||
+         |    '</p><!-- hidden --> &amp; &lt;tail&gt;</body></html>' AS html
+         |  FROM documents
+         |)
+         |SELECT doc_id, md5(trim(regexp_replace(
+         |  replace(replace(replace(replace(replace(replace(
+         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+         |      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+         |      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+         |      '(?s)<!--.*?-->', ' ', 'g'),
+         |      '(?s)<[^>]*>', ' ', 'g'),
+         |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+         |    '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+         |  '\\s+', ' ', 'g'))) AS text_md5
          |FROM aug ORDER BY doc_id""".stripMargin,
 
     "x37_rare_token_ratio" ->

@@ -80,4 +80,28 @@ object TextAnalysis {
     */
   def fingerprint(textCol: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(textCol))), " "))
+
+  /** HTML -> text, the C4/CommonCrawl-style reduction: script/style
+    * blocks go WITH their content, then comments, then every remaining
+    * tag, then the common entities, then whitespace collapse. A chain
+    * of dialect-neutral rewrites — no backreferences, inline (?is)
+    * flags only — so the RE2 DuckDB oracle mirrors it 1:1, and every
+    * step is a codegen'd scan-project expression (zero shuffle at any
+    * corpus size).
+    */
+  def htmlToText(html: Column): Column = {
+    val stripped = Seq(
+      "(?is)<script[^>]*>.*?</script>",
+      "(?is)<style[^>]*>.*?</style>",
+      "(?s)<!--.*?-->",
+      "(?s)<[^>]*>")
+      .foldLeft(html)((c, p) => regexp_replace(c, p, " "))
+    // literal entity decodes; &amp; LAST so "&amp;lt;" renders "&lt;",
+    // not a double-decoded "<"
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(stripped) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
 }
