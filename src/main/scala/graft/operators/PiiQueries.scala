@@ -192,11 +192,14 @@ object PiiQueries {
          |)
          |SELECT doc_id, md5(trim(regexp_replace(
          |  replace(replace(replace(replace(replace(replace(
-         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
-         |      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
-         |      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |    regexp_replace(regexp_replace(html,
+         |      '(?is)<script[^>]*>.*?</script\\s*>', ' ', 'g'),
+         |      '(?is)<style[^>]*>.*?</style\\s*>', ' ', 'g'),
+         |      '(?is)<script[^>]*>.*', ' ', 'g'),
+         |      '(?is)<style[^>]*>.*', ' ', 'g'),
          |      '(?s)<!--.*?-->', ' ', 'g'),
-         |      '(?s)<[^>]*>', ' ', 'g'),
+         |      '(?s)<[a-zA-Z/!][^>]*>', ' ', 'g'),
          |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
          |    '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
          |  '\\s+', ' ', 'g'))) AS text_md5

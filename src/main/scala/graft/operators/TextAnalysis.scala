@@ -91,10 +91,17 @@ object TextAnalysis {
     */
   def htmlToText(html: Column): Column = {
     val stripped = Seq(
-      "(?is)<script[^>]*>.*?</script>",
-      "(?is)<style[^>]*>.*?</style>",
+      // closed script/style blocks (whitespace-tolerant closers), then
+      // UNCLOSED ones to end-of-input — truncated fetches are routine
+      // in web archives and must not leak raw JS/CSS into the corpus
+      "(?is)<script[^>]*>.*?</script\\s*>",
+      "(?is)<style[^>]*>.*?</style\\s*>",
+      "(?is)<script[^>]*>.*",
+      "(?is)<style[^>]*>.*",
       "(?s)<!--.*?-->",
-      "(?s)<[^>]*>")
+      // tags must START like one ([a-zA-Z/!]): the unanchored <[^>]*>
+      // would eat legitimate prose between comparisons ("x < y ... >")
+      "(?s)<[a-zA-Z/!][^>]*>")
       .foldLeft(html)((c, p) => regexp_replace(c, p, " "))
     // literal entity decodes; &amp; LAST so "&amp;lt;" renders "&lt;",
     // not a double-decoded "<"
