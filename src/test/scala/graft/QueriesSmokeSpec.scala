@@ -27,6 +27,25 @@ class QueriesSmokeSpec extends SparkSpecBase {
     "x26g_heavy_hitters_recall",
     "x38g_decontam_bloom_gate")
 
+  test("every declared query emits SCALAR columns only (driver pandas-sort compat)") {
+    // the driver's correctness harness canonicalizes with a pandas
+    // sort_values, which dies on array/struct/map cells ('unhashable
+    // type: numpy.ndarray' — the x31 round-7 crash class). Declared
+    // outputs must stringify complex values (array_join etc.); the
+    // raw-typed APIs stay available to engine callers.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        fn(spark, sfDir).schema.fields.collect {
+          case f if f.dataType.isInstanceOf[ArrayType] ||
+            f.dataType.isInstanceOf[MapType] ||
+            f.dataType.isInstanceOf[StructType] => s"$name.${f.name}: ${f.dataType.simpleString}"
+        }
+    }
+    assert(offenders.isEmpty,
+      s"non-scalar declared columns crash the driver harness:\n${offenders.mkString("\n")}")
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs and yields rows") {
       val df = fn(spark, sfDir)
