@@ -95,7 +95,12 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v, _, _) => jstr(k) + ":" + v }
+    // stdout medians round to 4 decimals: the driver keeps only a
+    // bounded log tail, so the printed line must stay compact enough to
+    // survive truncation intact (sub-0.1ms digits carry no signal anyway)
+    def jnum(v: Double): String = BigDecimal(v)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
+    val qs = results.map { case (k, v, _, _) => jstr(k) + ":" + jnum(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e), _) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
@@ -104,23 +109,26 @@ object Bench {
     val raw =
       if (repeat > 1)
         "," + "\"raw\":" + results.map { case (k, _, _, ps) =>
-          jstr(k) + ":" + ps.mkString("[", ",", "]")
+          jstr(k) + ":" + ps.map(jnum).mkString("[", ",", "]")
         }.mkString("{", ",", "}")
       else ""
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","passes":$repeat,"queries":$qs,"errors":$errs$raw,"sf":"$sfDir"}"""
-    println(line)
-    // durable copy: the driver captures stdout, but local iteration loses
-    // it — target/bench.json always holds the last completed run.
-    // Best-effort: a read-only working dir must not fail a bench whose
-    // results already reached stdout.
+    def lineWith(extra: String): String =
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","passes":$repeat,"queries":$qs,"errors":$errs$extra,"sf":"$sfDir"}"""
+    // durable copy FIRST (full line incl. raw passes): the driver
+    // captures stdout, but local iteration loses it — target/bench.json
+    // always holds the last completed run. Best-effort: a read-only
+    // working dir must not fail a bench whose results reach stdout.
     try {
       Files.createDirectories(Paths.get("target"))
-      Files.writeString(Paths.get("target/bench.json"), line + "\n")
+      Files.writeString(Paths.get("target/bench.json"), lineWith(raw) + "\n")
     } catch {
       case e: java.io.IOException =>
         System.err.println(s"[bench] WARNING: durable write failed: ${e.getMessage}")
     }
+    // the parseable artifact line goes LAST on stdout, without the raw
+    // blob — ~4 KB, inside any sane tail window
+    println(lineWith(""))
     spark.stop()
   }
 }

@@ -151,9 +151,16 @@ object Contamination {
       s"bloom sizing: $items train windows need $numBits bits " +
         s"($bitsPerItem/item) but spark.sql.optimizer.runtime.bloomFilter." +
         s"maxNumBits=$maxBits — raise the conf or shard the bloom")
+    // BloomFilterAggregate separately enforces ...bloomFilter.maxNumItems
+    // (4M default) on the estimatedItems argument. numBits alone fixes
+    // the fpp once both are passed, so CLAMP items to the conf rather
+    // than failing a 4M–6.4M-window corpus that the bits guard accepts.
+    val maxItems = spark.conf
+      .getOption("spark.sql.optimizer.runtime.bloomFilter.maxNumItems")
+      .flatMap(_.toLongOption).getOrElse(4000000L)
     val bloom = trainW.agg(
       graft.functions.GraftExtensions.bloomAgg(
-        col("w"), lit(items), lit(numBits)).as("bf"))
+        col("w"), lit(math.min(items, maxItems)), lit(numBits)).as("bf"))
       .head().getAs[Array[Byte]](0)
     evalW.groupBy(col("id"))
       .agg(round(avg(

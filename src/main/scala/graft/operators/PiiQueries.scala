@@ -90,6 +90,10 @@ object PiiQueries {
       .localCheckpoint(true)
     val freq = perDoc.groupBy(col("tok")).agg(sum(col("c_local")).as("c"))
     val totals = freq.agg(sum(col("c")).as("n"), count(lit(1)).as("v")).head()
+    // sum() over zero rows is NULL: an empty (or all-null-text) corpus
+    // has no ratios to report — return the empty frame, not an NPE
+    if (totals.isNullAt(0))
+      return perDoc.select(col("id"), lit(0.0).as("rare_ratio")).limit(0)
     val n = totals.getLong(0)
     val v = totals.getLong(1)
     // decimal(38,0) product: exact (like the bigints it replaces) and

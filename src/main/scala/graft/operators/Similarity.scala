@@ -34,7 +34,11 @@ object Similarity {
     GraftExtensions.register(vecs.sparkSession)
     vecs.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("nrm", sqrt(dot(col("vec"), col("vec"))))
-      .filter(col("nrm") > 0)
+      // NaN components (failed embeddings) make the norm NaN, and Spark
+      // orders NaN ABOVE every number — `> 0` alone would let a NaN
+      // cosine out-rank every true neighbor. Exclude both degenerate
+      // shapes here, once, for every caller.
+      .filter(col("nrm") > 0 && !isnan(col("nrm")))
   }
 
   /** Pairwise cosine >= threshold between all vectors (a < b). Exact but

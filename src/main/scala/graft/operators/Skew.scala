@@ -30,14 +30,17 @@ object Skew {
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
                  nSalt: Int): DataFrame = {
     require(nSalt >= 1, "nSalt must be >= 1")
-    // salt by ROW POSITION, not row content: a hot key whose probe rows
-    // are IDENTICAL (repeated events, low-cardinality payloads) would
-    // content-hash to one salt and re-concentrate in a single partition.
-    // The salt only decides shuffle placement — the join OUTPUT is
-    // invariant to it — so a position-derived value is safe, and
-    // consecutive ids round-robin duplicates across all nSalt buckets.
+    // salt by CONTENT HASH of the whole row, never by position:
+    // monotonically_increasing_id/spark_partition_id are
+    // non-deterministic across partial map-stage recomputation, so a
+    // fetch-failure retry could re-salt rows into different buckets
+    // than the original run and silently drop/duplicate join output
+    // (the SPARK-23207 failure class). A whole-row hash is stable under
+    // any recomputation. Rows identical in EVERY column do share a salt,
+    // but such rows are literal duplicates — if a corpus is dominated by
+    // them, dedup-count first; that is a data bug, not a skew shape.
     val salted = probe.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(nSalt)).cast("int"))
+      pmod(xxhash64(probe.columns.map(col): _*), lit(nSalt)).cast("int"))
     val replicated = build.withColumn("__salt",
       explode(sequence(lit(0), lit(nSalt - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
