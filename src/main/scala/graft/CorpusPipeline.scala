@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Components, Contamination, Dedup, PackingQueries,
+  PiiQueries, TextAnalysis}
+import graft.sources.WarcCodec
+
+/** The composed training-data pipeline — the corpus-side flagship, the
+  * way `streaming/EtlPipeline.work` is the document-ETL flagship (and
+  * the reference's whole identity is the composed chain of
+  * `main.py:86-225`). One call takes a directory of WARC blobs to
+  * packed training sequences:
+  *
+  *   WARC -> htmlToText -> language filter -> quality gates
+  *   (score / repetition / length) -> PII redaction -> exact dedup ->
+  *   near-dup keep-canonical (MinHash-LSH + connected components) ->
+  *   decontamination vs a held-out eval split (broadcast Bloom) ->
+  *   sequence packing
+  *
+  * Every stage is one of the individually-declared operators (x39, x08,
+  * x09/x30, x35/x36, x01, x03/x24, x38, x28) — this job only composes
+  * them, so the correctness of each stage is already oracle-checked;
+  * the e2e spec asserts the corpus-level counts of the composition.
+  *
+  * Scale posture: each stage is a declarative DataFrame program whose
+  * shuffles key on content hashes (never full text), the
+  * decontamination probe ships a Bloom sketch of the SMALL held-out
+  * side once instead of shuffling the train corpus, and packing runs
+  * per-shard. Stage boundaries localCheckpoint the surviving relation
+  * so the report's stage counts (and the multi-consumer fan-outs) do
+  * not replay the WARC scan or the LSH join.
+  */
+object CorpusPipeline {
+
+  /** Curation thresholds. Defaults are the C4/Gopher-family shapes
+    * scaled to the synthetic corpus; every knob is a pure filter bound.
+    */
+  final case class Config(
+      languages: Set[String] = Set("en"),
+      minTokens: Int = 5,
+      minQuality: Double = 0.3,
+      maxRepetition: Double = 0.5,
+      shingleN: Int = 3,
+      numPerm: Int = 32,
+      bands: Int = 16,
+      nearDupThreshold: Double = 0.7,
+      contamWindow: Int = 5,
+      maxContamFrac: Double = 0.2,
+      packBudget: Int = 512,
+      packShards: Int = 8)
+
+  /** Per-stage surviving-document counts — the corpus ledger a real
+    * curation run reports (what was dropped, where, and why).
+    */
+  final case class Report(
+      ingested: Long, quarantinedBlobs: Long, keptLanguage: Long,
+      keptQuality: Long, afterExactDedup: Long, afterNearDedup: Long,
+      afterDecontamination: Long, packs: Long, packedTokens: Long)
+
+  final case class Result(
+      documents: DataFrame, quarantined: DataFrame, curated: DataFrame,
+      packed: DataFrame, report: Report)
+
+  /** Run the full chain. `heldOut` is the eval split to decontaminate
+    * against — a (doc_id, text) frame (extra columns ignored).
+    */
+  def run(spark: SparkSession, warcDir: String,
+          heldOut: DataFrame, cfg: Config = Config()): Result = {
+    // 1. ingest: streaming WARC scan with the DLQ channel; materialized
+    // once — every later stage and count derives from this relation
+    val raw = WarcCodec.rawDocuments(spark, warcDir).toDF().localCheckpoint(true)
+    val quarantined = raw.filter(col("blob_error").isNotNull)
+      .select(col("path"), col("blob_error"))
+    val docs = WarcCodec.documentsFromRaw(raw)
+
+    // 2. language filter (x08)
+    val langKept = docs
+      .withColumn("lang", TextAnalysis.languageId(col("text")))
+      .filter(col("lang").isInCollection(cfg.languages))
+      .drop("lang")
+
+    // 3. quality gates (x09 score, x30 repetition, length floor)
+    val feats = TextAnalysis.qualityFeatures(langKept, "doc_id", "text")
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+    val rep = PackingQueries.repetitionRatio(langKept, "doc_id", "text")
+    val qualKept = langKept.join(feats, "doc_id").join(rep, "doc_id")
+      .filter(col("n_tokens") >= cfg.minTokens &&
+        col("quality") >= cfg.minQuality &&
+        col("rep_ratio") <= cfg.maxRepetition)
+      .select(col("doc_id"), col("url"), col("date"), col("text"))
+
+    // 4. PII redaction (x36) BEFORE dedup: redaction canonicalizes text,
+    // so two docs differing only in a contact line dedup together
+    val redacted = qualKept.select(col("doc_id"), col("url"), col("date"),
+      PiiQueries.redact(col("text")).as("text"))
+
+    // 5. exact dedup keep-first (x01)
+    val exact = Dedup.exactKeepFirst(redacted, "doc_id", "text")
+      .localCheckpoint(true)
+
+    // 6. near-dup keep-canonical (x03 pairs -> x24 canonical member)
+    val pairs = Dedup.minhashLshPairs(exact, "doc_id", "text",
+      cfg.shingleN, cfg.numPerm, cfg.bands, cfg.nearDupThreshold)
+    val canonical = Components.keepCanonical(exact, "doc_id",
+      pairs.select(col("a"), col("b"))).localCheckpoint(true)
+
+    // 7. decontamination (x38 shape): the held-out split is the SMALL
+    // side — its window Bloom ships to executors once and the train
+    // corpus probes it in the scan; bloom_frac upper-bounds the exact
+    // contamination (no false negatives), so dropping by it can only
+    // over-drop marginal docs, never leak eval text through
+    val trainW = Contamination.tokenWindows(canonical, "doc_id", "text",
+      cfg.contamWindow)
+    val evalW = Contamination.tokenWindows(heldOut, "doc_id", "text",
+      cfg.contamWindow)
+    val contaminated = Contamination.decontaminationBloomFrac(trainW, evalW)
+      .filter(col("bloom_frac") > cfg.maxContamFrac)
+      .select(col("id").as("doc_id"))
+    val curated = canonical.join(contaminated, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+
+    // 8. sequence packing (x28, keyed variant for the md5 doc ids)
+    val packed = PackingQueries.packSequencesKeyed(curated, "doc_id", "text",
+      cfg.packBudget, cfg.packShards).localCheckpoint(true)
+    val packStats = packed
+      .agg(count_distinct(col("shard"), col("bin")).as("packs"),
+        coalesce(sum(col("n_tok")), lit(0L)).as("tokens")).head()
+
+    Result(docs, quarantined, curated, packed,
+      Report(
+        ingested = docs.count(),
+        quarantinedBlobs = quarantined.count(),
+        keptLanguage = langKept.count(),
+        keptQuality = qualKept.count(),
+        afterExactDedup = exact.count(),
+        afterNearDedup = canonical.count(),
+        afterDecontamination = curated.count(),
+        packs = packStats.getLong(0),
+        packedTokens = packStats.getLong(1)))
+  }
+}

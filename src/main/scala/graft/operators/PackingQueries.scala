@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -47,11 +47,26 @@ object PackingQueries {
     * fixed window over the shard's concatenated token stream.
     */
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
-                    budget: Int, shards: Int): DataFrame = {
+                    budget: Int, shards: Int): DataFrame =
+    packCore(docs, idCol, textCol, budget,
+      pmod(col(idCol), lit(shards.toLong)))
+
+  /** [[packSequences]] for NON-numeric ids (content-hash doc ids):
+    * shard = pmod(xxhash64(id), shards), deterministic order within a
+    * shard by the id itself — same plan shape, no numeric surrogate
+    * key or join-back needed.
+    */
+  def packSequencesKeyed(docs: DataFrame, idCol: String, textCol: String,
+                         budget: Int, shards: Int): DataFrame =
+    packCore(docs, idCol, textCol, budget,
+      pmod(xxhash64(col(idCol)), lit(shards.toLong)))
+
+  private def packCore(docs: DataFrame, idCol: String, textCol: String,
+                       budget: Int, shardExpr: Column): DataFrame = {
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs.select(col(idCol), TA.tokenCount(col(textCol)).as("n_tok"),
-        pmod(col(idCol), lit(shards.toLong)).as("shard"))
+        shardExpr.as("shard"))
       .withColumn("cum", sum(col("n_tok")).over(w))
       .select(col(idCol), col("n_tok"), col("shard"),
         floor((col("cum") - col("n_tok")) / lit(budget.toDouble)).as("bin"),

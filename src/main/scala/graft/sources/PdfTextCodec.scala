@@ -389,17 +389,169 @@ object PdfTextCodec {
 
   /** What the interpreter needs from one font resource. `code` is a font
     * byte (or 2-byte code for Type0); widths in glyph space (1/1000 em).
+    * `encoding` is the simple-font code->unicode table derived from
+    * /Encoding (base encoding + /Differences) — consulted when the font
+    * carries no ToUnicode CMap entry for the code.
     */
   final case class Font(firstChar: Int, widths: Array[Int],
-                        toUnicode: Map[Int, String], twoByte: Boolean) {
+                        toUnicode: Map[Int, String], twoByte: Boolean,
+                        encoding: Map[Int, String] = Map.empty) {
     def width(code: Int): Int = {
       val i = code - firstChar
       if (i >= 0 && i < widths.length) widths(i) else 500
     }
     def uni(code: Int): String =
       toUnicode.getOrElse(code,
-        // no ToUnicode: printable-ASCII identity (Standard/WinAnsi overlap)
-        if (code >= 32 && code <= 126 && !twoByte) code.toChar.toString else "")
+        encoding.getOrElse(code,
+          // last resort: printable-ASCII identity (the overlap of every
+          // standard simple-font encoding)
+          if (code >= 32 && code <= 126 && !twoByte) code.toChar.toString else ""))
+  }
+
+  // ------------------------------------------------- simple-font encodings
+
+  /** Adobe Glyph List subset covering the glyph names the standard base
+    * encodings and real-world /Differences arrays use: ASCII symbol
+    * names, Latin-1 letters, and the CP1252 typographic extras. Names
+    * outside the table resolve algorithmically (uniXXXX / uXXXX[XX]).
+    */
+  private val GlyphNames: Map[String, String] = {
+    val ascii = Map(
+      "space" -> " ", "exclam" -> "!", "quotedbl" -> "\"", "numbersign" -> "#",
+      "dollar" -> "$", "percent" -> "%", "ampersand" -> "&", "quotesingle" -> "'",
+      "parenleft" -> "(", "parenright" -> ")", "asterisk" -> "*", "plus" -> "+",
+      "comma" -> ",", "hyphen" -> "-", "period" -> ".", "slash" -> "/",
+      "zero" -> "0", "one" -> "1", "two" -> "2", "three" -> "3", "four" -> "4",
+      "five" -> "5", "six" -> "6", "seven" -> "7", "eight" -> "8", "nine" -> "9",
+      "colon" -> ":", "semicolon" -> ";", "less" -> "<", "equal" -> "=",
+      "greater" -> ">", "question" -> "?", "at" -> "@", "bracketleft" -> "[",
+      "backslash" -> "\\", "bracketright" -> "]", "asciicircum" -> "^",
+      "underscore" -> "_", "grave" -> "`", "braceleft" -> "{", "bar" -> "|",
+      "braceright" -> "}", "asciitilde" -> "~")
+    val letters = (('A' to 'Z') ++ ('a' to 'z')).map(c => c.toString -> c.toString)
+    // Latin-1 supplement by AGL name, in code order 0xA1..0xFF
+    val latin1 = Seq(
+      "exclamdown", "cent", "sterling", "currency", "yen", "brokenbar",
+      "section", "dieresis", "copyright", "ordfeminine", "guillemotleft",
+      "logicalnot", "softhyphen", "registered", "macron", "degree",
+      "plusminus", "twosuperior", "threesuperior", "acute", "mu",
+      "paragraph", "periodcentered", "cedilla", "onesuperior",
+      "ordmasculine", "guillemotright", "onequarter", "onehalf",
+      "threequarters", "questiondown", "Agrave", "Aacute", "Acircumflex",
+      "Atilde", "Adieresis", "Aring", "AE", "Ccedilla", "Egrave", "Eacute",
+      "Ecircumflex", "Edieresis", "Igrave", "Iacute", "Icircumflex",
+      "Idieresis", "Eth", "Ntilde", "Ograve", "Oacute", "Ocircumflex",
+      "Otilde", "Odieresis", "multiply", "Oslash", "Ugrave", "Uacute",
+      "Ucircumflex", "Udieresis", "Yacute", "Thorn", "germandbls",
+      "agrave", "aacute", "acircumflex", "atilde", "adieresis", "aring",
+      "ae", "ccedilla", "egrave", "eacute", "ecircumflex", "edieresis",
+      "igrave", "iacute", "icircumflex", "idieresis", "eth", "ntilde",
+      "ograve", "oacute", "ocircumflex", "otilde", "odieresis", "divide",
+      "oslash", "ugrave", "uacute", "ucircumflex", "udieresis", "yacute",
+      "thorn", "ydieresis")
+      .zipWithIndex.map { case (nm, i) => nm -> (0xA1 + i).toChar.toString }
+    val extras = Map(
+      "Euro" -> "€", "quotesinglbase" -> "‚", "florin" -> "ƒ",
+      "quotedblbase" -> "„", "ellipsis" -> "…", "dagger" -> "†",
+      "daggerdbl" -> "‡", "circumflex" -> "ˆ",
+      "perthousand" -> "‰", "Scaron" -> "Š",
+      "guilsinglleft" -> "‹", "OE" -> "Œ", "Zcaron" -> "Ž",
+      "quoteleft" -> "‘", "quoteright" -> "’",
+      "quotedblleft" -> "“", "quotedblright" -> "”",
+      "bullet" -> "•", "endash" -> "–", "emdash" -> "—",
+      "tilde" -> "˜", "trademark" -> "™", "scaron" -> "š",
+      "guilsinglright" -> "›", "oe" -> "œ", "zcaron" -> "ž",
+      "Ydieresis" -> "Ÿ", "nbspace" -> " ", "minus" -> "−",
+      "fi" -> "ﬁ", "fl" -> "ﬂ", "dotlessi" -> "ı",
+      "fraction" -> "⁄", "currency1" -> "¤")
+    ascii ++ letters ++ latin1.toMap ++ extras
+  }
+
+  /** Glyph name -> unicode: table first, then the algorithmic AGL forms
+    * (uniXXXX[XXXX…], uXXXX..XXXXXX); unknown names contribute nothing.
+    */
+  private[sources] def glyphToUni(name: String): String =
+    GlyphNames.getOrElse(name, {
+      if (name.startsWith("uni") && name.length >= 7 &&
+        (name.length - 3) % 4 == 0)
+        scala.util.Try(name.drop(3).grouped(4)
+          .map(h => Integer.parseInt(h, 16).toChar).mkString).getOrElse("")
+      else if (name.startsWith("u") && name.length >= 5 && name.length <= 7)
+        scala.util.Try(
+          new String(Character.toChars(Integer.parseInt(name.drop(1), 16))))
+          .getOrElse("")
+      else ""
+    })
+
+  /** Code->unicode for one of the named base encodings, derived from the
+    * JDK charsets (WinAnsiEncoding IS windows-1252; MacRomanEncoding is
+    * x-MacRoman). Codes the encoding leaves undefined map to nothing.
+    * Only the high range is tabulated — 32..126 is ASCII identity in
+    * every standard simple-font encoding and handled by the fallback.
+    */
+  private def charsetTable(charsetName: String): Map[Int, String] =
+    scala.util.Try(java.nio.charset.Charset.forName(charsetName)).toOption
+      .map { cs =>
+        (128 to 255).flatMap { code =>
+          val s = new String(Array(code.toByte), cs)
+          val c = if (s.length == 1) s.charAt(0) else '�'
+          if (c == '�' || Character.isISOControl(c)) None
+          else Some(code -> c.toString)
+        }.toMap
+      }.getOrElse(Map.empty)
+
+  private lazy val WinAnsiTable = charsetTable("windows-1252")
+  private lazy val MacRomanTable = charsetTable("x-MacRoman")
+
+  private def baseEncodingTable(nm: String): Map[Int, String] = nm match {
+    case "WinAnsiEncoding"  => WinAnsiTable
+    case "MacRomanEncoding" => MacRomanTable
+    // StandardEncoding (and PDFDocEncoding) high ranges are rare in the
+    // wild for text fonts; ASCII identity covers their shared low range
+    case _ => Map.empty
+  }
+
+  private val DifferencesRe = """/Differences\s*\[([^\]]*)\]""".r
+  private val DiffItemRe = """/([^\s/\[\]<>()]+)|(-?\d+)""".r
+
+  /** /Differences [ c1 /name /name c2 /name … ]: each number resets the
+    * current code, each name maps the current code then increments it.
+    */
+  private[sources] def parseDifferences(encDict: String): Map[Int, String] = {
+    DifferencesRe.findFirstMatchIn(encDict).map { m =>
+      val out = Map.newBuilder[Int, String]
+      var code = 0
+      DiffItemRe.findAllMatchIn(m.group(1)).foreach { it =>
+        if (it.group(2) != null) code = it.group(2).toInt
+        else {
+          val u = glyphToUni(it.group(1))
+          if (u.nonEmpty) out += code -> u
+          code += 1
+        }
+      }
+      out.result()
+    }.getOrElse(Map.empty)
+  }
+
+  /** The /Encoding-derived code map of a simple font: a bare encoding
+    * name, or a dict (inline or referenced) with optional /BaseEncoding
+    * and /Differences overriding it (PDF 32000 §9.6.6). This is what
+    * recovers "Peñafrancia"-class accented text from fonts that carry
+    * no ToUnicode CMap (the pdfplumber behavior on the reference corpus,
+    * `pdf_parser.py:52-96`).
+    */
+  private def encodingMap(objs: Map[Int, PdfObj], fontDict: String): Map[Int, String] = {
+    val nameRe = (quoted("/Encoding") + """\s*/([A-Za-z0-9.-]+)""").r
+    nameRe.findFirstMatchIn(fontDict).map(_.group(1)) match {
+      case Some(nm) => baseEncodingTable(nm)
+      case None =>
+        subDict(objs, fontDict, "/Encoding").map { ed =>
+          val base = """/BaseEncoding\s*/([A-Za-z0-9.-]+)""".r
+            .findFirstMatchIn(ed).map(m => baseEncodingTable(m.group(1)))
+            .getOrElse(Map.empty)
+          base ++ parseDifferences(ed)
+        }.getOrElse(Map.empty)
+    }
   }
 
   private val BfChar = """<([0-9a-fA-F]+)>\s*<([0-9a-fA-F]+)>""".r
@@ -468,7 +620,10 @@ object PdfTextCodec {
       .flatMap(o => streamData(objs, o, dec))
       .map(b => parseCMap(new String(b, "ISO-8859-1")))
       .getOrElse(Map.empty)
-    Font(firstChar, widths, toUni, twoByte)
+    // /Encoding only applies to simple fonts; a Type0 code is a CID,
+    // decodable only through its ToUnicode CMap
+    val enc = if (twoByte) Map.empty[Int, String] else encodingMap(objs, fontDict)
+    Font(firstChar, widths, toUni, twoByte, enc)
   }
 
   // ------------------------------------------------- content-stream tokens

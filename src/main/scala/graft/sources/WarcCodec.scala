@@ -456,7 +456,11 @@ object WarcCodec {
       }
   }
 
-  private def docsFromRaw(raw: Dataset[RawDoc]): DataFrame =
+  /** [[documents]] over an already-materialized raw relation — lets a
+    * composed job ([[graft.CorpusPipeline]]) scan the WARC blobs once
+    * and derive both the document and dead-letter sides from it.
+    */
+  def documentsFromRaw(raw: DataFrame): DataFrame =
     raw.filter(col("blob_error").isNull)
       .select(
         md5(concat_ws("", col("url"), col("date"), col("html"))).as("doc_id"),
@@ -474,7 +478,7 @@ object WarcCodec {
     * [[quarantined]].
     */
   def documents(spark: SparkSession, dir: String): DataFrame =
-    docsFromRaw(rawDocuments(spark, dir))
+    documentsFromRaw(rawDocuments(spark, dir).toDF())
 
   /** The dead-letter relation: (path, blob_error), one row per blob
     * whose stream failed mid-read. A poisoned blob costs its own
@@ -518,7 +522,7 @@ object WarcCodec {
         blobDocs(p, () => recordsInRange(() => openPath(p, conf), s, e))
       }
     }
-    docsFromRaw(raw)
+    documentsFromRaw(raw.toDF())
   }
 
   private def splitRanges(path: String, flen: Long, target: Long,

@@ -1,0 +1,86 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import java.nio.file.{Files, Paths}
+import java.util.zip.GZIPOutputStream
+
+/** End-to-end spec of the composed corpus pipeline: a WARC directory
+  * with one representative document per curation rule (plus a poisoned
+  * blob) flows through the full chain, and the corpus-level ledger is
+  * asserted stage by stage — the training-data mirror of how
+  * EtlPipelineSpec asserts department sums for the document-ETL chain.
+  */
+class CorpusPipelineSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def recBytes(uri: String, text: String): Array[Byte] = {
+    val payload = text.getBytes("ISO-8859-1")
+    (s"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: $uri\r\n" +
+      s"WARC-Date: 2026-01-01T00:00:00Z\r\nContent-Length: ${payload.length}\r\n\r\n")
+      .getBytes("ISO-8859-1") ++ payload ++ "\r\n\r\n".getBytes("ISO-8859-1")
+  }
+
+  private def memberOf(b: Array[Byte]): Array[Byte] = {
+    val o = new ByteArrayOutputStream()
+    val g = new GZIPOutputStream(o)
+    g.write(b); g.close()
+    o.toByteArray
+  }
+
+  test("WARC directory to packed training sequences, ledger asserted per stage") {
+    val dir = Files.createTempDirectory("corpus").toString
+    val evalText = "the secret eval benchmark answer is forty two exactly"
+    val d1 = "the quick brown fox jumps over the lazy dog and runs in the park"
+    val d2 = "the weather report says rain is coming and the wind is strong today"
+    val d4 = "the weather report says rain is coming and the wind is strong tonight"
+    val d8 = "please contact us at alice@example.com for more info about the " +
+      "new program and its launch"
+    val docs = Seq(
+      "http://a/1" -> d1,
+      "http://a/2" -> d2,
+      "http://a/3" -> d1, // exact duplicate of d1 under a different URL
+      "http://a/4" -> d4, // near duplicate of d2 (one trailing word)
+      "http://a/5" -> (evalText + " plus more training words here"), // contaminated
+      "http://a/6" -> "el perro grande corre en la casa y de que es muy bonito",
+      "http://a/7" -> "$$$ ### !!!",
+      "http://a/8" -> d8)
+    Files.write(Paths.get(dir, "corpus.warc"),
+      docs.map { case (u, t) => recBytes(u, t) }.reduce(_ ++ _))
+    // poisoned blob: one big parseable record (repetitive filler, > one
+    // 64 KiB header window so it is emitted before the reader touches
+    // the poison), then a member with a corrupted deflate body
+    val m1 = memberOf(recBytes("http://bad/partial",
+      "the archive keeps repeating this exact phrase " * 2000))
+    val m2 = memberOf(recBytes("http://bad/lost", "never seen"))
+    (10 until m2.length - 8).foreach(i => m2(i) = 0x55.toByte)
+    Files.write(Paths.get(dir, "bad.warc.gz"), m1 ++ m2)
+
+    val heldOut = Seq(("e1", evalText)).toDF("doc_id", "text")
+    val r = CorpusPipeline.run(spark, dir, heldOut)
+
+    assert(r.report.ingested === 9, "8 corpus docs + the pre-poison record")
+    assert(r.report.quarantinedBlobs === 1)
+    assert(r.quarantined.select("path").as[String].head().endsWith("bad.warc.gz"))
+    // language: the Spanish doc and the all-punctuation doc ("und") drop
+    assert(r.report.keptLanguage === 7)
+    // quality: the repetitive filler doc drops on rep_ratio
+    assert(r.report.keptQuality === 6)
+    assert(r.report.afterExactDedup === 5, "d1's verbatim copy collapses")
+    assert(r.report.afterNearDedup === 4, "d2's one-word variant collapses")
+    assert(r.report.afterDecontamination === 3, "the eval-bearing doc drops")
+
+    val curatedTexts = r.curated.select("text").as[String].collect().toSeq
+    assert(curatedTexts.exists(_.contains("<EMAIL>")) &&
+      !curatedTexts.exists(_.contains("alice@example.com")),
+      "PII must be redacted in the curated corpus")
+    assert(!curatedTexts.exists(_.contains("secret eval benchmark")),
+      "no curated document may carry held-out eval text")
+
+    // packing: all three survivors fit in bin 0 of their shard, and the
+    // token ledger is exact (redaction is token-count-neutral here)
+    assert(r.report.packedTokens === 14 + 13 + 15)
+    assert(r.report.packs >= 1 && r.report.packs <= 3)
+    val packed = r.packed.select("doc_id", "n_tok", "bin").as[(String, Int, Long)].collect()
+    assert(packed.length === 3 && packed.forall(_._3 === 0L))
+  }
+}
