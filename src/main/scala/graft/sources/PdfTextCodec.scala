@@ -470,7 +470,7 @@ object PdfTextCodec {
   /** Glyph name -> unicode: table first, then the algorithmic AGL forms
     * (uniXXXX[XXXX…], uXXXX..XXXXXX); unknown names contribute nothing.
     */
-  private[sources] def glyphToUni(name: String): String =
+  def glyphToUni(name: String): String =
     GlyphNames.getOrElse(name, {
       if (name.startsWith("uni") && name.length >= 7 &&
         (name.length - 3) % 4 == 0)

@@ -506,6 +506,44 @@ class EtlPipelineSpec extends SparkSpecBase {
       "the missing-blob batch message must quarantine")
   }
 
+  test("work() recovers WinAnsi//Differences accented text (no ToUnicode) e2e") {
+    import graft.sources.{BlobFetcher, PdfTableSource, RealPdfCodec}
+    import RealPdfFixtures._
+    object ThrowingStub extends PdfTableSource.TableExtractor {
+      private def fail: Nothing = throw new IllegalStateException(
+        "stub consulted for a real-PDF corpus")
+      override def extract(doc: String, bytes: Array[Byte],
+                           startPage: Int, endPage: Int) = fail
+      override def pageCount(bytes: Array[Byte]) = fail
+      override def metadata(doc: String, bytes: Array[Byte]) = fail
+    }
+    val workDir = Files.createTempDirectory("etlenc").toString
+    val blobDir = s"$workDir/blobs"
+    val pipe = new EtlPipeline(spark, workDir, batchSize = 10)
+    val codec = RealPdfCodec(ThrowingStub)
+    // the reference corpus' "Peñafrancia"-class names: byte F1 through
+    // the WinAnsi base, byte C8 (È) remapped to /eacute by /Differences
+    val bytes = classicPdf(Seq(
+      headerWords() ++ rowWords(Seq("NCA-31", "Regular", "1/15/2024",
+        "Peñafrancia", "AgÈ", "OU1", "10.00", "Fiesta"), 660)),
+      created = "D:20240115090000Z",
+      fontExtra = "/Encoding << /BaseEncoding /WinAnsiEncoding " +
+        "/Differences [200 /eacute] >>")
+    val candidates = Seq(("id_enc", "NCA enc", "NCA_ENC.pdf",
+      "https://x/NCA_ENC.pdf", 2024)).toDF("id", "title", "filename", "url", "year")
+    val fetch: BlobFetcher.Fetch = _ => (200, bytes)
+    pipe.scrapeWeb(candidates, fetch, blobDir, codec)
+    pipe.orchestrate(); pipe.work(blobDir, codec)
+    val recs = pipe.records.get.select("nca_number", "department")
+      .as[(String, String)].collect().toSeq
+    assert(recs === Seq(("NCA-31", "Peñafrancia")),
+      "accented glyphs must survive extraction and cleaning end to end")
+    val allocs = pipe.allocations.get.select("nca_number", "agency")
+      .as[(String, String)].collect().toSeq
+    assert(allocs === Seq(("NCA-31", "Agé")),
+      "the /Differences-remapped byte must survive into allocations")
+  }
+
   test("per-message isolation: one poison well-formed message quarantines, rest process") {
     import org.apache.spark.sql.types.StructType
     import graft.streaming.QueuePipeline

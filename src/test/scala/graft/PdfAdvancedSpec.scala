@@ -201,6 +201,38 @@ class PdfAdvancedSpec extends AnyFunSuite {
     assert(PdfTextCodec.streamData(objs, o).get.toSeq === content.toSeq)
   }
 
+  // ------------------------------------------------------- simple-font /Encoding
+
+  test("WinAnsi base + /Differences recover accented text without ToUnicode") {
+    // WinAnsi byte 0xF1 is ñ via the base table; /Differences remaps
+    // 0xC8 (È in WinAnsi) to /eacute — the override must beat the base
+    val pdf = RealPdfFixtures.classicPdf(
+      Seq(Seq(("Peñafrancia", 72, 700), ("cafÈ", 250, 700))),
+      created = "D:20260101000000Z",
+      fontExtra = "/Encoding << /BaseEncoding /WinAnsiEncoding " +
+        "/Differences [200 /eacute] >>")
+    val words = PdfTextCodec.parse(pdf).get.pages.head.words.map(_.text)
+    assert(words === Seq("Peñafrancia", "café"))
+  }
+
+  test("bare /Encoding /MacRomanEncoding decodes the Mac high range") {
+    // MacRoman byte 0x96 is ñ
+    val pdf = RealPdfFixtures.classicPdf(
+      Seq(Seq(("Pea", 72, 700))),
+      created = "D:20260101000000Z",
+      fontExtra = "/Encoding /MacRomanEncoding")
+    val words = PdfTextCodec.parse(pdf).get.pages.head.words.map(_.text)
+    assert(words === Seq("Peña"))
+  }
+
+  test("glyph-name resolution: AGL table, uniXXXX and uXXXX forms") {
+    assert(PdfTextCodec.glyphToUni("ntilde") === "ñ")
+    assert(PdfTextCodec.glyphToUni("Euro") === "€")
+    assert(PdfTextCodec.glyphToUni("uni00F10041") === "ñA")
+    assert(PdfTextCodec.glyphToUni("u00F1") === "ñ")
+    assert(PdfTextCodec.glyphToUni("glyph999") === "")
+  }
+
   // --------------------------------------------------------- object streams
 
   // shared builders (RealPdfFixtures) so the byte layouts the ETL e2e

@@ -45,7 +45,8 @@ object RealPdfFixtures {
   /** Classic layout: one Flate content stream per page, shared font,
     * Info dict with the given creation date.
     */
-  def classicPdf(pages: Seq[Seq[(String, Int, Int)]], created: String): Array[Byte] = {
+  def classicPdf(pages: Seq[Seq[(String, Int, Int)]], created: String,
+                 fontExtra: String = ""): Array[Byte] = {
     val n = pages.length
     val out = new java.io.ByteArrayOutputStream()
     def w(s: String): Unit = out.write(latin1(s))
@@ -64,7 +65,7 @@ object RealPdfFixtures {
       out.write(c)
       w("\nendstream endobj\n")
     }
-    w(s"${3 + 2 * n} 0 obj << /Type /Font /Subtype /TrueType /BaseFont /Helvetica >> endobj\n")
+    w(s"${3 + 2 * n} 0 obj << /Type /Font /Subtype /TrueType /BaseFont /Helvetica $fontExtra >> endobj\n")
     w(s"${4 + 2 * n} 0 obj << /Producer (fixtures) /CreationDate ($created) >> endobj\n")
     w(s"trailer << /Root 1 0 R /Info ${4 + 2 * n} 0 R >>\n%%EOF")
     out.toByteArray
