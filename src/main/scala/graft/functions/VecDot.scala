@@ -160,8 +160,20 @@ object GraftExtensions {
         .BloomFilterMightContain(args(0), args(1))
     })
 
+  private val sortedIntersectDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_sorted_intersect_count"),
+    new ExpressionInfo(classOf[SortedLongIntersectCount].getName,
+      "graft_sorted_intersect_count"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2,
+        "graft_sorted_intersect_count takes exactly 2 arguments")
+      SortedLongIntersectCount(args(0), args(1))
+    })
+
   private[functions] val descriptors =
-    Seq(vecDotDescriptor, bloomAggDescriptor, mightContainDescriptor)
+    Seq(vecDotDescriptor, bloomAggDescriptor, mightContainDescriptor,
+      sortedIntersectDescriptor)
 
   /** Idempotent registration on a live session (for sessions not built
     * with spark.sql.extensions).
@@ -179,4 +191,7 @@ object GraftExtensions {
 
   def mightContain(bloom: Column, value: Column): Column =
     call_function("graft_might_contain", bloom, value)
+
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    call_function("graft_sorted_intersect_count", a, b)
 }

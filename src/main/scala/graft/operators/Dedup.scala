@@ -60,20 +60,26 @@ object Dedup {
       .select(col("id"), col("sz"), xxhash64(col("sh_str")).as("shingle"))
 
   /** Exact intersection/Jaccard verification of candidate (a, b, na, nb)
-    * pairs against the shingle relation: candidates ⋈ sh_a ⋈ sh_b on
-    * shingle, grouped. Set sizes ride along with the candidates — no
-    * extra aggregation or join for sizes. Only candidate pairs' shingles
-    * are ever joined — the cost scales with |candidates|, not with the
-    * corpus cross product.
+    * pairs against the shingle relation. The shingle rows fold into ONE
+    * sorted array<bigint> per document (one corpus-wide shuffle), each
+    * candidate picks up its two arrays by id join, and |A ∩ B| is a
+    * codegen'd two-pointer merge ([[graft.functions.SortedLongIntersectCount]]).
+    * The prior shape — candidates ⋈ sh_a ⋈ sh_b on shingle + group —
+    * shuffled the shingle relation twice and materialized
+    * |candidates|·|doc| intermediate rows; this shuffles the relation
+    * once and keeps the per-candidate cost a linear scan of two arrays.
+    * Set sizes ride along with the candidates — no extra aggregation.
     */
   private def jaccardVerify(candidates: DataFrame, sh: DataFrame,
                             threshold: Double): DataFrame = {
-    val inter = candidates
-      .join(sh.select(col("id").as("a"), col("shingle")), Seq("a"))
-      .join(sh.select(col("id").as("b"), col("shingle")), Seq("b", "shingle"))
-      .groupBy(col("a"), col("b"), col("na"), col("nb"))
-      .agg(count(lit(1)).as("inter"))
-    inter
+    graft.functions.GraftExtensions.register(sh.sparkSession)
+    val arr = sh.groupBy(col("id"))
+      .agg(sort_array(collect_list(col("shingle"))).as("arr"))
+    candidates
+      .join(arr.select(col("id").as("a"), col("arr").as("arr_a")), Seq("a"))
+      .join(arr.select(col("id").as("b"), col("arr").as("arr_b")), Seq("b"))
+      .withColumn("inter", graft.functions.GraftExtensions
+        .sortedIntersectCount(col("arr_a"), col("arr_b")))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
