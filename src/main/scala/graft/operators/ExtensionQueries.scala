@@ -160,6 +160,23 @@ object ExtensionQueries {
           concat(col("text"), lit(" zz ww qq")).as("text")))
   }
 
+  /** documents with a deterministic per-source 8-token header prepended
+    * — the boilerplate fixture: the header is identical across a
+    * source's docs (the site-chrome shape), the bodies are not. SQL
+    * twin: docsWithBoilerSql.
+    */
+  private def docsWithBoiler(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "documents").select(col("doc_id").as("id"), col("source"),
+      concat(array_join(array_repeat(col("source"), 8), " "),
+        lit(" "), col("text")).as("text"))
+
+  private val docsWithBoilerSql =
+    """docs AS (
+      |  SELECT doc_id AS id, source,
+      |    repeat(source || ' ', 8) || text AS text
+      |  FROM documents
+      |)""".stripMargin
+
   private val docsWithDupsSql =
     """docs AS (
       |  SELECT doc_id AS id, text FROM documents
@@ -343,7 +360,24 @@ object ExtensionQueries {
       Multimodal.metaMismatches(
           Multimodal.decodeMeta(s, blobs), Multimodal.expectedMeta(blobs))
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // --- paragraph hygiene (FineWeb/C4 passes) ----------------------------
+    // corpus-frequency paragraph dedup over the dup-synthesized corpus:
+    // exact-copy docs lose every paragraph, tail-modified copies keep
+    // only their divergent tail chunk
+    "x40_para_dedup" -> ((s, d) =>
+      ParagraphOps.paragraphDedup(rebalanced(docsWithDups(s, d)), "id", "text",
+          width = 8, maxDf = 1)
+        .orderBy(col("id"))),
+
+    // per-source boilerplate strip: the synthetic 8-token source header
+    // (present in 100% of a source's docs) must vanish, the body chunks
+    // (each in ~1 doc, far under the 50% bar) must all survive
+    "x41_boilerplate_strip" -> ((s, d) =>
+      ParagraphOps.boilerplateStrip(rebalanced(docsWithBoiler(s, d)),
+          "id", "text", "source", width = 8, minFrac = 0.5)
+        .orderBy(col("id")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -586,6 +620,69 @@ object ExtensionQueries {
     "x11_fingerprint" ->
       """SELECT doc_id,
         |  md5(array_to_string(list_sort(list_distinct(string_split_regex(lower(trim(text)), '\s+'))), ' ')) AS fp
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x40_para_dedup" ->
+      s"""WITH $docsWithDupsSql,
+         |tok AS (SELECT id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS ts FROM docs),
+         |para AS (
+         |  SELECT id, CAST(st // 8 AS INT) AS pid,
+         |    array_to_string(ts[st + 1 : st + 8], ' ') AS chunk
+         |  FROM tok, unnest(generate_series(0, greatest(len(ts) - 1, 0), 8)) AS u(st)
+         |  WHERE len(ts) > 0
+         |),
+         |freq AS (SELECT chunk, count(DISTINCT id) AS df FROM para GROUP BY chunk),
+         |kept AS (
+         |  SELECT p.id, p.pid, p.chunk FROM para p
+         |  JOIN freq f ON p.chunk = f.chunk WHERE f.df <= 1
+         |),
+         |tot AS (SELECT id, count(*) AS tot FROM para GROUP BY id),
+         |re AS (
+         |  SELECT id, string_agg(chunk, ' ' ORDER BY pid) AS clean_text,
+         |    count(*) AS n_kept
+         |  FROM kept GROUP BY id
+         |)
+         |SELECT d.id, coalesce(re.clean_text, '') AS clean_text,
+         |  CAST(coalesce(re.n_kept, 0) AS BIGINT) AS n_kept,
+         |  CAST(coalesce(t.tot, 0) - coalesce(re.n_kept, 0) AS BIGINT) AS n_dropped
+         |FROM docs d
+         |LEFT JOIN tot t ON d.id = t.id
+         |LEFT JOIN re ON d.id = re.id
+         |ORDER BY d.id""".stripMargin,
+
+    "x41_boilerplate_strip" ->
+      s"""WITH $docsWithBoilerSql,
+         |tok AS (SELECT id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS ts FROM docs),
+         |para AS (
+         |  SELECT id, CAST(st // 8 AS INT) AS pid,
+         |    array_to_string(ts[st + 1 : st + 8], ' ') AS chunk
+         |  FROM tok, unnest(generate_series(0, greatest(len(ts) - 1, 0), 8)) AS u(st)
+         |  WHERE len(ts) > 0
+         |),
+         |paras AS (SELECT p.id, p.pid, p.chunk, d.source FROM para p JOIN docs d ON p.id = d.id),
+         |srcn AS (SELECT source, count(*) AS ns FROM docs GROUP BY source),
+         |freq AS (SELECT source, chunk, count(DISTINCT id) AS nd FROM paras GROUP BY 1, 2),
+         |keepk AS (
+         |  SELECT f.source, f.chunk FROM freq f
+         |  JOIN srcn s ON f.source = s.source
+         |  WHERE f.nd * 1000000 < 500000 * s.ns
+         |),
+         |kept AS (
+         |  SELECT p.id, p.pid, p.chunk FROM paras p
+         |  JOIN keepk k ON p.source = k.source AND p.chunk = k.chunk
+         |),
+         |tot AS (SELECT id, count(*) AS tot FROM para GROUP BY id),
+         |re AS (
+         |  SELECT id, string_agg(chunk, ' ' ORDER BY pid) AS clean_text,
+         |    count(*) AS n_kept
+         |  FROM kept GROUP BY id
+         |)
+         |SELECT d.id, coalesce(re.clean_text, '') AS clean_text,
+         |  CAST(coalesce(re.n_kept, 0) AS BIGINT) AS n_kept,
+         |  CAST(coalesce(t.tot, 0) - coalesce(re.n_kept, 0) AS BIGINT) AS n_dropped
+         |FROM docs d
+         |LEFT JOIN tot t ON d.id = t.id
+         |LEFT JOIN re ON d.id = re.id
+         |ORDER BY d.id""".stripMargin
   )
 }
