@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Components, Contamination, Dedup, PackingQueries,
-  PiiQueries, TextAnalysis}
+  ParagraphOps, PiiQueries, TextAnalysis}
 import graft.sources.WarcCodec
 
 /** The composed training-data pipeline — the corpus-side flagship, the
@@ -16,11 +16,11 @@ import graft.sources.WarcCodec
   *   WARC -> htmlToText -> language filter -> quality gates
   *   (score / repetition / length) -> PII redaction -> exact dedup ->
   *   near-dup keep-canonical (MinHash-LSH + connected components) ->
-  *   decontamination vs a held-out eval split (broadcast Bloom) ->
-  *   sequence packing
+  *   paragraph-frequency dedup -> decontamination vs a held-out eval
+  *   split (broadcast Bloom) -> sequence packing
   *
   * Every stage is one of the individually-declared operators (x39, x08,
-  * x09/x30, x35/x36, x01, x03/x24, x38, x28) — this job only composes
+  * x09/x30, x35/x36, x01, x03/x24, x40, x38, x28) — this job only composes
   * them, so the correctness of each stage is already oracle-checked;
   * the e2e spec asserts the corpus-level counts of the composition.
   *
@@ -46,6 +46,8 @@ object CorpusPipeline {
       numPerm: Int = 32,
       bands: Int = 16,
       nearDupThreshold: Double = 0.7,
+      paraWidth: Int = 8,
+      paraMaxDf: Int = 1,
       contamWindow: Int = 5,
       maxContamFrac: Double = 0.2,
       packBudget: Int = 512,
@@ -57,11 +59,36 @@ object CorpusPipeline {
   final case class Report(
       ingested: Long, quarantinedBlobs: Long, keptLanguage: Long,
       keptQuality: Long, afterExactDedup: Long, afterNearDedup: Long,
-      afterDecontamination: Long, packs: Long, packedTokens: Long)
+      afterParaDedup: Long, afterDecontamination: Long,
+      packs: Long, packedTokens: Long)
 
   final case class Result(
       documents: DataFrame, quarantined: DataFrame, curated: DataFrame,
       packed: DataFrame, report: Report)
+
+  /** Stages 2-4 as reusable single-batch transforms — the streaming
+    * ingest ([[graft.streaming.CorpusStream]]) runs the same curation
+    * chain per micro-batch, so batch and stream cannot drift.
+    */
+  private[graft] def languageFilter(docs: DataFrame, cfg: Config): DataFrame =
+    docs.withColumn("lang", TextAnalysis.languageId(col("text")))
+      .filter(col("lang").isInCollection(cfg.languages))
+      .drop("lang")
+
+  private[graft] def qualityFilter(docs: DataFrame, cfg: Config): DataFrame = {
+    val feats = TextAnalysis.qualityFeatures(docs, "doc_id", "text")
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+    val rep = PackingQueries.repetitionRatio(docs, "doc_id", "text")
+    docs.join(feats, "doc_id").join(rep, "doc_id")
+      .filter(col("n_tokens") >= cfg.minTokens &&
+        col("quality") >= cfg.minQuality &&
+        col("rep_ratio") <= cfg.maxRepetition)
+      .select(col("doc_id"), col("url"), col("date"), col("text"))
+  }
+
+  private[graft] def redactPii(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("url"), col("date"),
+      PiiQueries.redact(col("text")).as("text"))
 
   /** Run the full chain. `heldOut` is the eval split to decontaminate
     * against — a (doc_id, text) frame (extra columns ignored).
@@ -76,25 +103,14 @@ object CorpusPipeline {
     val docs = WarcCodec.documentsFromRaw(raw)
 
     // 2. language filter (x08)
-    val langKept = docs
-      .withColumn("lang", TextAnalysis.languageId(col("text")))
-      .filter(col("lang").isInCollection(cfg.languages))
-      .drop("lang")
+    val langKept = languageFilter(docs, cfg)
 
     // 3. quality gates (x09 score, x30 repetition, length floor)
-    val feats = TextAnalysis.qualityFeatures(langKept, "doc_id", "text")
-      .select(col("doc_id"), col("n_tokens"), col("quality"))
-    val rep = PackingQueries.repetitionRatio(langKept, "doc_id", "text")
-    val qualKept = langKept.join(feats, "doc_id").join(rep, "doc_id")
-      .filter(col("n_tokens") >= cfg.minTokens &&
-        col("quality") >= cfg.minQuality &&
-        col("rep_ratio") <= cfg.maxRepetition)
-      .select(col("doc_id"), col("url"), col("date"), col("text"))
+    val qualKept = qualityFilter(langKept, cfg)
 
     // 4. PII redaction (x36) BEFORE dedup: redaction canonicalizes text,
     // so two docs differing only in a contact line dedup together
-    val redacted = qualKept.select(col("doc_id"), col("url"), col("date"),
-      PiiQueries.redact(col("text")).as("text"))
+    val redacted = redactPii(qualKept)
 
     // 5. exact dedup keep-first (x01)
     val exact = Dedup.exactKeepFirst(redacted, "doc_id", "text")
@@ -106,22 +122,36 @@ object CorpusPipeline {
     val canonical = Components.keepCanonical(exact, "doc_id",
       pairs.select(col("a"), col("b"))).localCheckpoint(true)
 
-    // 7. decontamination (x38 shape): the held-out split is the SMALL
+    // 7. paragraph-level corpus dedup (x40, the FineWeb pass): a
+    // paragraph recurring across the SURVIVING documents is
+    // corpus-level boilerplate the doc-level dedup cannot see (the
+    // carrying documents differ); drop it from every doc, keep the
+    // survivors' remaining paragraphs in order, and remove docs
+    // hollowed out entirely
+    val paraKept = canonical.select(col("doc_id"), col("url"), col("date"))
+      .join(ParagraphOps.paragraphDedup(canonical, "doc_id", "text",
+            cfg.paraWidth, cfg.paraMaxDf)
+          .filter(col("n_kept") > 0)
+          .select(col("doc_id"), col("clean_text").as("text")),
+        Seq("doc_id"))
+      .localCheckpoint(true)
+
+    // 8. decontamination (x38 shape): the held-out split is the SMALL
     // side — its window Bloom ships to executors once and the train
     // corpus probes it in the scan; bloom_frac upper-bounds the exact
     // contamination (no false negatives), so dropping by it can only
     // over-drop marginal docs, never leak eval text through
-    val trainW = Contamination.tokenWindows(canonical, "doc_id", "text",
+    val trainW = Contamination.tokenWindows(paraKept, "doc_id", "text",
       cfg.contamWindow)
     val evalW = Contamination.tokenWindows(heldOut, "doc_id", "text",
       cfg.contamWindow)
     val contaminated = Contamination.decontaminationBloomFrac(trainW, evalW)
       .filter(col("bloom_frac") > cfg.maxContamFrac)
       .select(col("id").as("doc_id"))
-    val curated = canonical.join(contaminated, Seq("doc_id"), "left_anti")
+    val curated = paraKept.join(contaminated, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
 
-    // 8. sequence packing (x28, keyed variant for the md5 doc ids)
+    // 9. sequence packing (x28, keyed variant for the md5 doc ids)
     val packed = PackingQueries.packSequencesKeyed(curated, "doc_id", "text",
       cfg.packBudget, cfg.packShards).localCheckpoint(true)
     val packStats = packed
@@ -136,6 +166,7 @@ object CorpusPipeline {
         keptQuality = qualKept.count(),
         afterExactDedup = exact.count(),
         afterNearDedup = canonical.count(),
+        afterParaDedup = paraKept.count(),
         afterDecontamination = curated.count(),
         packs = packStats.getLong(0),
         packedTokens = packStats.getLong(1)))

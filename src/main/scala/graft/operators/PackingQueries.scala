@@ -78,12 +78,20 @@ object PackingQueries {
     * 0, stride, 2*stride, ... while they fall inside the document.
     */
   def chunkOverlap(docs: DataFrame, idCol: String, textCol: String,
-                   width: Int, stride: Int): DataFrame = {
+                   width: Int, stride: Int): DataFrame =
+    chunkOverlapOf(docs, idCol, tokens(col(textCol)), width, stride)
+
+  /** Same grid over a caller-supplied token-array expression — the
+    * paragraph family chunks RAW (case-preserving) tokens through the
+    * one grid definition so the two conventions cannot drift.
+    */
+  def chunkOverlapOf(docs: DataFrame, idCol: String, tokensExpr: Column,
+                     width: Int, stride: Int): DataFrame = {
     // fail fast: stride=0 surfaces as an executor-side sequence-step
     // error, width<=0 silently produces all-empty chunks
     require(stride > 0 && width > 0,
       s"width and stride must be > 0, got width=$width stride=$stride")
-    val ts = tokens(col(textCol))
+    val ts = tokensExpr
     docs.select(col(idCol), ts.as("__ts"))
       .filter(size(col("__ts")) > 0)
       // size-1 needs no floor guard: the filter above ensures size >= 1

@@ -21,16 +21,24 @@ import org.apache.spark.sql.functions._
   */
 object ParagraphOps {
 
-  /** Non-overlapping paragraph grid (id, pid, chunk, h) — h is the
-    * 64-bit chunk hash every shuffle in this family keys on (the
-    * shingle-table convention: join/aggregate on 8 bytes, not on a
-    * ~400-byte string; a 2^-64 collision merges two frequency counts).
+  /** Non-overlapping paragraph grid (id, pid, chunk, h). Chunks are
+    * built from RAW whitespace tokens — reassembled text keeps the
+    * document's casing (lowercasing a training corpus would be
+    * destructive) — while h, the 64-bit hash every shuffle in this
+    * family keys on, is taken over the LOWERCASED chunk so frequency
+    * counting is case-insensitive (the tokens() convention; the
+    * all-lowercase oracle corpus makes the two views coincide). The
+    * shingle-table convention applies: join/aggregate on 8 bytes, not
+    * on a ~400-byte string; a 2^-64 collision merges two counts.
     */
   private def paragraphs(docs: DataFrame, idCol: String, textCol: String,
-                         width: Int): DataFrame =
-    PackingQueries.chunkOverlap(docs, idCol, textCol, width, stride = width)
+                         width: Int): DataFrame = {
+    val rawTokens =
+      filter(split(trim(col(textCol)), "\\s+"), t => t =!= "")
+    PackingQueries.chunkOverlapOf(docs, idCol, rawTokens, width, stride = width)
       .select(col(idCol), col("chunk_id").as("pid"), col("chunk"),
-        xxhash64(col("chunk")).as("h"))
+        xxhash64(lower(col("chunk"))).as("h"))
+  }
 
   /** Corpus-frequency paragraph dedup (the FineWeb pass): drop every
     * paragraph that occurs in more than `maxDf` distinct documents,

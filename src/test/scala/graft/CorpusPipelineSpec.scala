@@ -35,6 +35,13 @@ class CorpusPipelineSpec extends SparkSpecBase {
     val d4 = "the weather report says rain is coming and the wind is strong tonight"
     val d8 = "please contact us at alice@example.com for more info about the " +
       "new program and its launch"
+    // d9a/d9b: share their first 8-token paragraph (corpus boilerplate)
+    // but diverge after — jaccard ≈ 0.37, far below the 0.7 near-dup
+    // bar, so BOTH survive document dedup and only the paragraph pass
+    // can deduplicate the shared opening
+    val para0 = "the alpha beta gamma delta epsilon zeta eta"
+    val d9a = s"$para0 the red green blue yellow purple orange pink"
+    val d9b = s"$para0 the one two three four five six seven"
     val docs = Seq(
       "http://a/1" -> d1,
       "http://a/2" -> d2,
@@ -43,7 +50,9 @@ class CorpusPipelineSpec extends SparkSpecBase {
       "http://a/5" -> (evalText + " plus more training words here"), // contaminated
       "http://a/6" -> "el perro grande corre en la casa y de que es muy bonito",
       "http://a/7" -> "$$$ ### !!!",
-      "http://a/8" -> d8)
+      "http://a/8" -> d8,
+      "http://a/9a" -> d9a,
+      "http://a/9b" -> d9b)
     Files.write(Paths.get(dir, "corpus.warc"),
       docs.map { case (u, t) => recBytes(u, t) }.reduce(_ ++ _))
     // poisoned blob: one big parseable record (repetitive filler, > one
@@ -58,16 +67,19 @@ class CorpusPipelineSpec extends SparkSpecBase {
     val heldOut = Seq(("e1", evalText)).toDF("doc_id", "text")
     val r = CorpusPipeline.run(spark, dir, heldOut)
 
-    assert(r.report.ingested === 9, "8 corpus docs + the pre-poison record")
+    assert(r.report.ingested === 11, "10 corpus docs + the pre-poison record")
     assert(r.report.quarantinedBlobs === 1)
     assert(r.quarantined.select("path").as[String].head().endsWith("bad.warc.gz"))
     // language: the Spanish doc and the all-punctuation doc ("und") drop
-    assert(r.report.keptLanguage === 7)
+    assert(r.report.keptLanguage === 9)
     // quality: the repetitive filler doc drops on rep_ratio
-    assert(r.report.keptQuality === 6)
-    assert(r.report.afterExactDedup === 5, "d1's verbatim copy collapses")
-    assert(r.report.afterNearDedup === 4, "d2's one-word variant collapses")
-    assert(r.report.afterDecontamination === 3, "the eval-bearing doc drops")
+    assert(r.report.keptQuality === 8)
+    assert(r.report.afterExactDedup === 7, "d1's verbatim copy collapses")
+    assert(r.report.afterNearDedup === 6, "d2's one-word variant collapses")
+    // the shared opening paragraph drops from BOTH d9 docs, but neither
+    // document hollows out — the doc count is unchanged
+    assert(r.report.afterParaDedup === 6)
+    assert(r.report.afterDecontamination === 5, "the eval-bearing doc drops")
 
     val curatedTexts = r.curated.select("text").as[String].collect().toSeq
     assert(curatedTexts.exists(_.contains("<EMAIL>")) &&
@@ -75,12 +87,19 @@ class CorpusPipelineSpec extends SparkSpecBase {
       "PII must be redacted in the curated corpus")
     assert(!curatedTexts.exists(_.contains("secret eval benchmark")),
       "no curated document may carry held-out eval text")
+    // paragraph dedup removed the shared opening from both d9 docs and
+    // kept each doc's unique tail in order
+    assert(!curatedTexts.exists(_.contains("alpha beta")),
+      "the corpus-duplicated paragraph must be gone from every document")
+    assert(curatedTexts.contains("the red green blue yellow purple orange pink") &&
+      curatedTexts.contains("the one two three four five six seven"))
 
-    // packing: all three survivors fit in bin 0 of their shard, and the
-    // token ledger is exact (redaction is token-count-neutral here)
-    assert(r.report.packedTokens === 14 + 13 + 15)
-    assert(r.report.packs >= 1 && r.report.packs <= 3)
+    // packing: every survivor fits in bin 0 of its shard, and the
+    // token ledger is exact (redaction is token-count-neutral here;
+    // the d9 docs pack their 8-token surviving tails)
+    assert(r.report.packedTokens === 14 + 13 + 15 + 8 + 8)
+    assert(r.report.packs >= 1 && r.report.packs <= 5)
     val packed = r.packed.select("doc_id", "n_tok", "bin").as[(String, Int, Long)].collect()
-    assert(packed.length === 3 && packed.forall(_._3 === 0L))
+    assert(packed.length === 5 && packed.forall(_._3 === 0L))
   }
 }

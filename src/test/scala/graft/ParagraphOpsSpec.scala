@@ -55,6 +55,13 @@ class ParagraphOpsSpec extends SparkSpecBase {
     assert(r2.map(_._2) === Seq("a b", "a b"))
   }
 
+  test("case is PRESERVED in output but IGNORED for frequency counting") {
+    // "A B" and "a b" are the same paragraph for dedup purposes (both
+    // drop), yet the surviving text keeps its original casing
+    val r = dedup(Seq((1L, "A B c D"), (2L, "a b x y")))
+    assert(r === Seq((1L, "c D", 1L, 1L), (2L, "x y", 1L, 1L)))
+  }
+
   test("reassembly preserves document order of the surviving paragraphs") {
     // drop the middle paragraph ("m m", shared with doc 2)
     val r = dedup(Seq((1L, "a b m m c d"), (2L, "m m")))
