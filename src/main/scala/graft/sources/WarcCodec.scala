@@ -446,14 +446,23 @@ object WarcCodec {
     */
   def rawDocuments(spark: SparkSession, dir: String): Dataset[RawDoc] = {
     import spark.implicits._
+    rawDocumentsForPaths(spark,
+      spark.read.format("binaryFile").load(dir).select(col("path")).as[String])
+  }
+
+  /** Same, over an explicit path relation — the streaming ingest hands
+    * each micro-batch's newly-arrived blob paths here, so batch and
+    * stream share one record-extraction code path.
+    */
+  def rawDocumentsForPaths(spark: SparkSession,
+                           paths: Dataset[String]): Dataset[RawDoc] = {
+    import spark.implicits._
     val bc = spark.sparkContext.broadcast(hadoopConfEntries(spark))
-    spark.read.format("binaryFile").load(dir)
-      .select(col("path")).as[String]
-      .mapPartitions { paths =>
-        val conf = confFrom(bc.value)
-        paths.flatMap(p =>
-          blobDocs(p, () => new RecordIterator(openPath(p, conf))))
-      }
+    paths.mapPartitions { ps =>
+      val conf = confFrom(bc.value)
+      ps.flatMap(p =>
+        blobDocs(p, () => new RecordIterator(openPath(p, conf))))
+    }
   }
 
   /** [[documents]] over an already-materialized raw relation — lets a

@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.streaming.CorpusStream
+
+/** Incremental corpus ingestion e2e: two ingest runs over a growing
+  * WARC directory. The second run must process ONLY the new blob (file
+  * checkpoint), dedup its docs against the PERSISTED corpus state —
+  * exact-hash store and LSH shingle index — and canonicalize in-batch
+  * near-dups, with the per-batch ledger accounting for every drop.
+  */
+class CorpusStreamSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def recBytes(uri: String, text: String): Array[Byte] = {
+    val payload = text.getBytes("ISO-8859-1")
+    (s"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: $uri\r\n" +
+      s"WARC-Date: 2026-01-01T00:00:00Z\r\nContent-Length: ${payload.length}\r\n\r\n")
+      .getBytes("ISO-8859-1") ++ payload ++ "\r\n\r\n".getBytes("ISO-8859-1")
+  }
+
+  private def writeWarc(dir: String, name: String, docs: Seq[(String, String)]): Unit =
+    Files.write(Paths.get(dir, name),
+      docs.map { case (u, t) => recBytes(u, t) }.reduce(_ ++ _))
+
+  test("growing corpus: second run ingests only new blobs, dedups vs state") {
+    val warcDir = Files.createTempDirectory("cswarc").toString
+    val workDir = Files.createTempDirectory("cswork").toString
+    val d1 = "the quick brown fox jumps over the lazy dog and runs in the park"
+    val d2 = "the weather report says rain is coming and the wind is strong today"
+
+    writeWarc(warcDir, "a.warc", Seq("http://a/1" -> d1, "http://a/2" -> d2))
+    val s1 = new CorpusStream(spark, workDir)
+    s1.ingest(warcDir).awaitTermination()
+    assert(s1.curated.count() === 2)
+    val led1 = s1.ledger.orderBy("batch_id")
+      .select("ingested", "curated_in", "exact_dropped", "near_dropped", "accepted")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(led1.map(_._5).sum === 2 && led1.map(_._1).sum === 2)
+
+    // second blob: an exact copy of d1 under a new URL, a near-dup of
+    // d2 (one word), one genuinely new doc, and an in-batch near-dup
+    // pair (f/f') with no counterpart in the store
+    val d2near = "the weather report says rain is coming and the wind is strong tonight"
+    val e = "the children play games in the garden while the sun is warm and bright"
+    val f = "the library keeps many old books about the history of the ancient city walls"
+    val fNear = "the library keeps many old books about the history of the ancient city gates"
+    writeWarc(warcDir, "b.warc", Seq(
+      "http://b/1" -> d1, "http://b/2" -> d2near, "http://b/3" -> e,
+      "http://b/4" -> f, "http://b/5" -> fNear))
+
+    // a FRESH CorpusStream over the same workDir: state and checkpoint
+    // both persist across restarts
+    val s2 = new CorpusStream(spark, workDir)
+    s2.ingest(warcDir).awaitTermination()
+
+    val texts = s2.curated.select("text").as[String].collect().toSeq
+    assert(s2.curated.count() === 4, s"curated corpus: $texts")
+    assert(texts.contains(d1) && texts.contains(d2) && texts.contains(e))
+    // d1's copy and d2's near-dup lost to the persisted state
+    assert(texts.count(_.startsWith("the weather report")) === 1)
+    assert(texts.count(_ === d1) === 1)
+    // exactly ONE of the in-batch near-dup pair survives
+    assert(texts.count(_.startsWith("the library keeps")) === 1)
+
+    val led2 = s2.ledger.orderBy("batch_id")
+      .select("ingested", "curated_in", "exact_dropped", "near_dropped", "accepted")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(led2.map(_._1).sum === 7, "both runs' ingested docs ledgered")
+    assert(led2.map(_._3).sum === 1, "one exact drop (d1's copy)")
+    assert(led2.map(_._4).sum === 2, "two near drops (d2near + one of f/f')")
+    assert(led2.map(_._5).sum === 4)
+
+    // the shingle index grew only by the ACCEPTED docs' shingles: e and
+    // the f-pair survivor from run 2
+    val idxIds = spark.read.parquet(s"$workDir/shingles")
+      .select("id").distinct().count()
+    assert(idxIds === 4, "index holds exactly the accepted docs")
+
+    // third run with nothing new: a no-op batch (or none at all), state
+    // unchanged — the restart-safety floor
+    val s3 = new CorpusStream(spark, workDir)
+    s3.ingest(warcDir).awaitTermination()
+    assert(s3.curated.count() === 4)
+  }
+}
