@@ -26,7 +26,8 @@ import graft.sources.WarcCodec
   * State layout under `workDir`: `curated/batch=N` (accepted documents
   * + content_hash), `shingles/batch=N` (their shingle rows — the
   * persisted LSH index substrate), `ledger/batch=N` (per-batch counts),
-  * `chk/` (the file-source checkpoint). Every batch directory is
+  * `quarantine/batch=N` (failed-blob dead letters), `chk/` (the
+  * file-source checkpoint). Every batch directory is
   * written with mode=overwrite keyed by the foreachBatch batchId, so a
   * crash-replayed batch REWRITES its own output instead of doubling it
   * — idempotent without a MERGE, the Delta-style exactly-once recipe on
@@ -46,6 +47,7 @@ class CorpusStream(spark: SparkSession, workDir: String,
   private val curatedPath = s"$workDir/curated"
   private val shinglePath = s"$workDir/shingles"
   private val ledgerPath = s"$workDir/ledger"
+  private val dlqPath = s"$workDir/quarantine"
 
   // binaryFile's fixed schema — file streams require it explicitly
   private val binSchema = new StructType()
@@ -84,6 +86,13 @@ class CorpusStream(spark: SparkSession, workDir: String,
     Seq.empty[(Long, Long, Long, Long, Long, Long)]
       .toDF("batch_id", "ingested", "curated_in", "exact_dropped",
         "near_dropped", "accepted"))
+
+  /** The dead-letter relation (path, blob_error): a poisoned blob costs
+    * its own remaining records and lands here — the QueuePipeline DLQ
+    * convention applied to the corpus path.
+    */
+  def quarantined: DataFrame = readOr(dlqPath,
+    Seq.empty[(String, String)].toDF("path", "blob_error"))
 
   /** Drain every unseen WARC blob (Trigger.AvailableNow), processing
     * each through [[processBatch]]. Call repeatedly as new blobs land —
@@ -158,6 +167,8 @@ class CorpusStream(spark: SparkSession, workDir: String,
       .localCheckpoint(true)
 
     // batch-atomic state append: overwrite-by-batchId = replay-idempotent
+    overwriteBatch(raw.filter(col("blob_error").isNotNull)
+      .select(col("path"), col("blob_error")), dlqPath, batchId)
     overwriteBatch(accepted, curatedPath, batchId)
     overwriteBatch(
       newSh.join(accepted.select(col("doc_id").as("id")), Seq("id"), "left_semi"),

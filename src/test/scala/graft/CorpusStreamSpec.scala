@@ -49,6 +49,11 @@ class CorpusStreamSpec extends SparkSpecBase {
     writeWarc(warcDir, "b.warc", Seq(
       "http://b/1" -> d1, "http://b/2" -> d2near, "http://b/3" -> e,
       "http://b/4" -> f, "http://b/5" -> fNear))
+    // plus a poisoned blob: valid gzip magic, garbage deflate body — it
+    // must dead-letter without costing b.warc's records
+    Files.write(Paths.get(warcDir, "c.warc.gz"),
+      Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0) ++
+        Array.fill[Byte](64)(0x55))
 
     // a FRESH CorpusStream over the same workDir: state and checkpoint
     // both persist across restarts
@@ -63,6 +68,10 @@ class CorpusStreamSpec extends SparkSpecBase {
     assert(texts.count(_ === d1) === 1)
     // exactly ONE of the in-batch near-dup pair survives
     assert(texts.count(_.startsWith("the library keeps")) === 1)
+
+    val q = s2.quarantined.select("path").as[String].collect().toSeq
+    assert(q.length === 1 && q.head.endsWith("c.warc.gz"),
+      "the poisoned blob dead-letters without costing the good blob")
 
     val led2 = s2.ledger.orderBy("batch_id")
       .select("ingested", "curated_in", "exact_dropped", "near_dropped", "accepted")
