@@ -48,13 +48,25 @@ object ScaleCheck {
         df.withColumn("text", regexp_replace(col("text"), "(\\S+)", s"c$i$$1"))
       }
 
+    // median of 3 passes: single-pass numbers at the 16x scale swing
+    // >2x run-to-run (GC + lingering checkpoint blocks) — the same
+    // measurement policy Bench adopted. Rows come from the last pass.
     def time(f: => Long): (Double, Long) = {
-      val t0 = System.nanoTime()
-      val rows = f
-      ((System.nanoTime() - t0) / 1e9, rows)
+      val samples = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        val rows = f
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      (samples.map(_._1).sorted.apply(1), samples.last._2)
     }
 
+    // localCheckpoint blocks are NOT dropped by clearCache; stale
+    // scale-k corpora would pressure the 16x pass into GC churn
+    def dropCheckpoints(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+
     for (k <- Seq(1, 4, 16)) {
+      dropCheckpoints()
       val docs = corpus(k)
       val ops: Seq[(String, () => Long)] = Seq(
         "exact" -> (() => Dedup.exactKeepFirst(docs, "id", "text").count()),
