@@ -377,6 +377,11 @@ object ExtensionQueries {
     "x41_boilerplate_strip" -> ((s, d) =>
       ParagraphOps.boilerplateStrip(rebalanced(docsWithBoiler(s, d)),
           "id", "text", "source", width = 8, minFrac = 0.5)
+        .orderBy(col("id"))),
+
+    // corpus-trained bigram LM score (CCNet-style perplexity filter)
+    "x42_bigram_logprob" -> ((s, d) =>
+      TA.bigramLogProb(Tables(s, d, "documents"), "doc_id", "text")
         .orderBy(col("id")))
   )
 
@@ -683,6 +688,30 @@ object ExtensionQueries {
          |FROM docs d
          |LEFT JOIN tot t ON d.id = t.id
          |LEFT JOIN re ON d.id = re.id
-         |ORDER BY d.id""".stripMargin
+         |ORDER BY d.id""".stripMargin,
+
+    "x42_bigram_logprob" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ts
+        |  FROM documents
+        |),
+        |t AS (SELECT doc_id, unnest(ts) AS w FROM tok),
+        |uni AS (SELECT w, count(*) AS c1 FROM t GROUP BY w),
+        |v AS (SELECT count(*) AS vv FROM uni),
+        |bg AS (
+        |  SELECT doc_id, ts[i] AS w1, array_to_string(ts[i : i + 1], ' ') AS g
+        |  FROM tok, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+        |  WHERE len(ts) >= 2
+        |),
+        |bgc AS (SELECT g, count(*) AS c12 FROM bg GROUP BY g),
+        |sc AS (
+        |  SELECT doc_id,
+        |    round(avg(ln((c12 + 1.0) / (c1 + vv))), 6) AS lm_logprob
+        |  FROM bg JOIN bgc USING (g) JOIN uni ON bg.w1 = uni.w CROSS JOIN v
+        |  GROUP BY doc_id
+        |)
+        |SELECT d.doc_id AS id, sc.lm_logprob
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |ORDER BY id""".stripMargin
   )
 }

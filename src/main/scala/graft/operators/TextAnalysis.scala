@@ -81,6 +81,55 @@ object TextAnalysis {
   def fingerprint(textCol: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(textCol))), " "))
 
+  /** Corpus-trained bigram language-model score per document — the
+    * CCNet/KenLM-style perplexity filter reduced to its Spark shape:
+    * train add-one-smoothed bigram counts on the corpus itself, then
+    * score each document by its mean ln P(w2 | w1) (higher = more
+    * corpus-typical; gibberish and boilerplate outliers score low).
+    *
+    *   P(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V),  V = |vocabulary|
+    *
+    * Scale shape: two corpus-wide map-side-combinable counts (unigram,
+    * bigram), two joins back keyed on xxhash64 of the gram — 8-byte
+    * shuffle keys, never gram strings (the shingle convention; a 2^-64
+    * collision merges two counts) — and one scalar V on the driver.
+    * Documents with fewer than two tokens (or null text) have no
+    * bigrams: they surface with a NULL score, the caller's policy line.
+    */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ts = tokens(col(textCol))
+    // explode_outer + not-null: the inner form would re-evaluate the
+    // tokenizer through an inferred size()>0 scan predicate (the
+    // shingleTable convention)
+    val toks = docs
+      .select(col(idCol).as("id"), explode_outer(ts).as("tok"))
+      .filter(col("tok").isNotNull)
+    val uni = toks.groupBy(xxhash64(col("tok")).as("h1"))
+      .agg(count(lit(1)).as("c1"))
+      .localCheckpoint(true)
+    // V is exact and scalar — same driver-collect shape as the
+    // rare-token totals (PiiQueries.rareTokenRatio)
+    val vocab = uni.count().toDouble
+    val bg = docs
+      .select(col(idCol).as("id"), ts.as("__ts"))
+      .filter(size(col("__ts")) >= 2)
+      .select(col("id"), explode(zip_with(
+        slice(col("__ts"), lit(1), size(col("__ts")) - 1),
+        slice(col("__ts"), lit(2), size(col("__ts")) - 1),
+        (a, b) => struct(a.as("w1"), concat(a, lit(" "), b).as("g")))).as("p"))
+      .select(col("id"),
+        xxhash64(col("p.w1")).as("h1"), xxhash64(col("p.g")).as("h2"))
+    val bgc = bg.groupBy(col("h2")).agg(count(lit(1)).as("c12"))
+    val scored = bg.join(bgc, "h2").join(uni, "h1")
+      .groupBy(col("id"))
+      .agg(round(avg(log(
+        (col("c12").cast("double") + 1.0) /
+          (col("c1").cast("double") + vocab))), 6).as("lm_logprob"))
+    docs.select(col(idCol).as("id"))
+      .join(scored, Seq("id"), "left")
+      .select(col("id"), col("lm_logprob"))
+  }
+
   /** HTML -> text, the C4/CommonCrawl-style reduction: script/style
     * blocks go WITH their content, then comments, then every remaining
     * tag, then the common entities, then whitespace collapse. A chain

@@ -56,6 +56,28 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(Set("png", "jpeg").contains(m1(0).getAs[String]("format")))
   }
 
+  test("bigramLogProb: corpus-typical text outscores gibberish; short docs null") {
+    // repeated bigrams ("the cat sat") train the LM; the gibberish doc's
+    // bigrams appear once each, so its smoothed probabilities are lower
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the rug"),
+      (3L, "the cat sat on the mat again"),
+      (4L, "zyx qwv plk mnb vcx"),
+      (5L, "single"),
+      (6L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val r = TA.bigramLogProb(docs, "doc_id", "text")
+      .orderBy("id").collect()
+    val scores = r.map(row =>
+      if (row.isNullAt(1)) None else Some(row.getDouble(1)))
+    // the three corpus-typical docs each beat the gibberish doc
+    for (i <- 0 to 2)
+      assert(scores(i).get > scores(3).get,
+        s"doc ${i + 1} (${scores(i)}) must outscore gibberish (${scores(3)})")
+    // no bigrams -> no score, not a fabricated number
+    assert(scores(4).isEmpty && scores(5).isEmpty)
+  }
+
   test("multimodal meta gate: decode and Catalyst recompute agree on non-ASCII UTF-8") {
     // multi-byte UTF-8 exercises the signed-byte path (bytes >= 0x80)
     val docs = Seq((1L, "héllo wörld"), (2L, "日本語テキスト"),
