@@ -84,8 +84,50 @@ object SamplingQueries {
     "x27s_class_sizes" -> ((s, d) =>
       queries("x27_stratified_sample")(s, d)
         .groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
-        .orderBy(col("lang")))
+        .orderBy(col("lang"))),
+
+    // training-mix: even-numbered sources at 96/256 = 37.5%, odd at
+    // 32/256 = 12.5% — the per-source weighting a dataset-mixing
+    // config prescribes, as one deterministic scan predicate
+    "x43_source_mix" -> ((s, d) =>
+      sourceMix(Tables(s, d, "documents"), "doc_id", "source", MixWeights)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))),
+
+    "x43s_mix_sizes" -> ((s, d) =>
+      sourceMix(Tables(s, d, "documents"), "doc_id", "source", MixWeights)
+        .groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("source")))
   )
+
+  /** The declared x43 mix: srcN keeps 37.5% when N is even, 12.5% when
+    * odd (weights chosen to be exact in 256ths).
+    */
+  private val MixWeights: Map[String, Double] =
+    (0 until 20).map(i => s"src$i" -> (if (i % 2 == 0) 0.375 else 0.125)).toMap
+
+  /** Deterministic dataset mixing: per-source keep fractions (a
+    * training-mix config) as ONE hash-prefix scan predicate. A source
+    * absent from `weights` contributes nothing; weight w keeps the
+    * first round(w*256) of the 256 md5 buckets, so membership has the
+    * x21/x27 properties — reproducible across runs, engines and
+    * partitionings, stable under corpus growth, zero shuffle.
+    */
+  def sourceMix(docs: DataFrame, idCol: String, srcCol: String,
+                weights: Map[String, Double]): DataFrame = {
+    require(weights.values.forall(w => w >= 0.0 && w <= 1.0),
+      s"weights must be in [0,1]: $weights")
+    // per-source inclusive upper bucket, "" for weight 0 (matches no
+    // prefix — every md5 prefix is >= "00" > ""); sorted fold for a
+    // deterministic CASE chain
+    val bound = weights.toSeq.sortBy(_._1).foldLeft(lit("")) {
+      case (acc, (s, w)) =>
+        val k = math.round(w * 256).toInt
+        when(col(srcCol) === s, lit(if (k <= 0) "" else f"${k - 1}%02x"))
+          .otherwise(acc)
+    }
+    docs.filter(hashPrefix(col(idCol)) <= bound)
+  }
 
   val oracleSql: Map[String, String] = Map(
     "x21_hash_sample" ->
@@ -116,6 +158,18 @@ object SamplingQueries {
     "x27s_class_sizes" ->
       """SELECT lang, count(*) AS cnt FROM documents
         |WHERE lang <> 'en' OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '55'
-        |GROUP BY lang ORDER BY lang""".stripMargin
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "x43_source_mix" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <=
+        |  CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN '5f' ELSE '1f' END
+        |ORDER BY doc_id""".stripMargin,
+
+    "x43s_mix_sizes" ->
+      """SELECT source, count(*) AS cnt FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <=
+        |  CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN '5f' ELSE '1f' END
+        |GROUP BY source ORDER BY source""".stripMargin
   )
 }

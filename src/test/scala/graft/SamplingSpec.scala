@@ -49,4 +49,23 @@ class SamplingSpec extends SparkSpecBase {
     }
     assert(half.nonEmpty)
   }
+
+  test("sourceMix: weight 1 keeps all, weight 0 and absent sources keep none") {
+    val rows = (0L until 256L).flatMap(i =>
+      Seq((i, "all"), (i + 1000, "none"), (i + 2000, "unlisted")))
+      .toDF("id", "src")
+    val kept = SamplingQueries.sourceMix(rows, "id", "src",
+        Map("all" -> 1.0, "none" -> 0.0))
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(kept === Map("all" -> 256L),
+      "weight-1 keeps every row; weight-0 and unlisted sources keep none")
+  }
+
+  test("sourceMix fraction tracks the weight on uniformly-spread keys") {
+    val rows = (0L until 4096L).map(i => (i, "s")).toDF("id", "src")
+    val n = SamplingQueries.sourceMix(rows, "id", "src", Map("s" -> 0.25))
+      .count()
+    // 64/256 buckets of a uniform hash: binomial around 1024
+    assert(n > 850 && n < 1200, s"expected ~1024 of 4096, got $n")
+  }
 }
