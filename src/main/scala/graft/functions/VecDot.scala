@@ -171,9 +171,26 @@ object GraftExtensions {
       SortedLongIntersectCount(args(0), args(1))
     })
 
+  private val unicodeNormalizeDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_unicode_normalize"),
+    new ExpressionInfo(classOf[UnicodeNormalize].getName,
+      "graft_unicode_normalize"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2,
+        "graft_unicode_normalize(str, form) takes exactly 2 arguments")
+      val form = args(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v, _) if v != null =>
+          v.toString
+        case other => throw new IllegalArgumentException(
+          s"form must be a string literal, got $other")
+      }
+      UnicodeNormalize(args(0), form)
+    })
+
   private[functions] val descriptors =
     Seq(vecDotDescriptor, bloomAggDescriptor, mightContainDescriptor,
-      sortedIntersectDescriptor)
+      sortedIntersectDescriptor, unicodeNormalizeDescriptor)
 
   /** Idempotent registration on a live session (for sessions not built
     * with spark.sql.extensions).
@@ -194,4 +211,8 @@ object GraftExtensions {
 
   def sortedIntersectCount(a: Column, b: Column): Column =
     call_function("graft_sorted_intersect_count", a, b)
+
+  def unicodeNormalize(s: Column, form: String): Column =
+    call_function("graft_unicode_normalize", s,
+      org.apache.spark.sql.functions.lit(form))
 }

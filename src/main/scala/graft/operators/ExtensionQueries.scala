@@ -382,7 +382,23 @@ object ExtensionQueries {
     // corpus-trained bigram LM score (CCNet-style perplexity filter)
     "x42_bigram_logprob" -> ((s, d) =>
       TA.bigramLogProb(Tables(s, d, "documents"), "doc_id", "text")
-        .orderBy(col("id")))
+        .orderBy(col("id"))),
+
+    // NFC canonicalization (native Normalizer expression with the
+    // isNormalized fast path). The corpus is ASCII, so the declared
+    // query appends a DECOMPOSED accent (e + U+0301) from a literal on
+    // both engines — the composition to é is what the oracle checks.
+    "x44_unicode_normalize" -> ((s, d) => {
+      graft.functions.GraftExtensions.register(s)
+      val raw = concat(col("text"), lit(" cafe\u0301"))
+      Tables(s, d, "documents").select(col("doc_id").as("id"),
+        graft.functions.GraftExtensions.unicodeNormalize(raw, "NFC")
+          .as("norm_text"),
+        length(raw).as("n_raw"),
+        length(graft.functions.GraftExtensions.unicodeNormalize(raw, "NFC"))
+          .as("n_norm"))
+        .orderBy(col("id"))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -712,6 +728,13 @@ object ExtensionQueries {
         |)
         |SELECT d.doc_id AS id, sc.lm_logprob
         |FROM documents d LEFT JOIN sc USING (doc_id)
-        |ORDER BY id""".stripMargin
+        |ORDER BY id""".stripMargin,
+
+    "x44_unicode_normalize" ->
+      """SELECT doc_id AS id,
+        |  nfc_normalize(text || ' cafe' || chr(769)) AS norm_text,
+        |  CAST(length(text || ' cafe' || chr(769)) AS INT) AS n_raw,
+        |  CAST(length(nfc_normalize(text || ' cafe' || chr(769))) AS INT) AS n_norm
+        |FROM documents ORDER BY id""".stripMargin
   )
 }
