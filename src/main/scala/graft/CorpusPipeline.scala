@@ -86,9 +86,16 @@ object CorpusPipeline {
       .select(col("doc_id"), col("url"), col("date"), col("text"))
   }
 
-  private[graft] def redactPii(docs: DataFrame): DataFrame =
+  private[graft] def redactPii(docs: DataFrame): DataFrame = {
+    graft.functions.GraftExtensions.register(docs.sparkSession)
+    // NFC canonicalization rides the same projection: composed vs
+    // decomposed encodings of equal text must not dodge the content
+    // hashes every dedup stage downstream keys on (x44; isNormalized
+    // fast path makes this free on already-canonical corpora)
     docs.select(col("doc_id"), col("url"), col("date"),
-      PiiQueries.redact(col("text")).as("text"))
+      graft.functions.GraftExtensions.unicodeNormalize(
+        PiiQueries.redact(col("text")), "NFC").as("text"))
+  }
 
   /** Run the full chain. `heldOut` is the eval split to decontaminate
     * against — a (doc_id, text) frame (extra columns ignored).
