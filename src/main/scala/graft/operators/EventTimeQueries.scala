@@ -83,6 +83,22 @@ object EventTimeQueries {
         .agg(count(lit(1)).as("cnt"), cents("value").as("amount_cents"),
           min(col("event_id")).as("first_event"))
         .orderBy(col("user_id"), col("sess"))
+    }),
+
+    // Hopping (sliding) event-time window: 1-hour windows every 30
+    // minutes — each event lands in exactly size/slide = 2 windows,
+    // materialized by a 2-way explode of slide ids (the window-id
+    // arithmetic stays in exact nanos longs). One hash aggregate on
+    // (window, type); input amplification is the fixed ×2 of the
+    // overlap factor, never data-dependent.
+    "x45_hopping_window" -> ((s, d) => {
+      val slideId = call_function("div", col("ts"), lit(HalfHourNs))
+      Tables(s, d, "events")
+        .select(col("event_type"), col("value"),
+          explode(array(slideId - 1, slideId)).as("w"))
+        .groupBy(col("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), cents("value").as("amount_cents"))
+        .orderBy(col("w"), col("event_type"))
     })
   )
 
@@ -123,6 +139,16 @@ object EventTimeQueries {
         |  FROM (SELECT *, epoch_ns(ts) - lag(epoch_ns(ts))
         |          OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
         |        FROM events)
-        |) GROUP BY user_id, sess ORDER BY user_id, sess""".stripMargin
+        |) GROUP BY user_id, sess ORDER BY user_id, sess""".stripMargin,
+
+    "x45_hopping_window" ->
+      """SELECT w, event_type, count(*) AS cnt,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS amount_cents
+        |FROM (
+        |  SELECT event_type, value,
+        |    (epoch_ns(ts) // 1800000000000) + o.off AS w
+        |  FROM events, (VALUES (-1), (0)) AS o(off)
+        |)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

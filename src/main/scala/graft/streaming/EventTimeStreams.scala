@@ -31,6 +31,23 @@ object EventTimeStreams {
       .select(col("window.start").as("window_start"), col(keyCol),
         col("cnt"), col("amount_cents"))
 
+  /** Hopping (sliding) event-time window aggregation — the streaming
+    * twin of x45: each event contributes to windowLen/slide overlapping
+    * windows (Spark's window() expands them; state per open window is
+    * evicted as the watermark passes). Same append-mode once-per-window
+    * emission contract as [[tumblingAgg]].
+    */
+  def hoppingAgg(events: DataFrame, tsCol: String, keyCol: String,
+                 valueCol: String, windowLen: String, slide: String,
+                 watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowLen, slide), col(keyCol))
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col(valueCol) * 100).cast("long")).as("amount_cents"))
+      .select(col("window.start").as("window_start"), col(keyCol),
+        col("cnt"), col("amount_cents"))
+
   /** Watermarked stream-stream interval join — the streaming twin of the
     * batch range join (x13): left events matched to right events on an
     * equi key with the right timestamp inside

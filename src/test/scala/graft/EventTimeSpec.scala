@@ -50,6 +50,35 @@ class EventTimeSpec extends SparkSpecBase {
       "late row beyond the watermark must be dropped")
   }
 
+  test("streaming hopping window: each event lands in size/slide overlapping windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val agg = EventTimeStreams.hoppingAgg(
+      in.toDF().toDF("ts", "event_type", "value"),
+      "ts", "event_type", "value", windowLen = "10 minutes",
+      slide = "5 minutes", watermarkDelay = "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("ehop")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // 10:06 belongs to [10:00,10:10) and [10:05,10:15)
+      in.addData((ts("10:06"), "click", 2.0), (ts("10:02"), "click", 1.0))
+      q.processAllAvailable()
+      in.addData((ts("11:00"), "click", 8.0)) // flush via watermark
+      q.processAllAvailable()
+      in.addData((ts("11:30"), "click", 4.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val out = spark.table("ehop")
+      .select($"window_start".cast("string"), $"cnt", $"amount_cents")
+      .as[(String, Long, Long)].collect()
+      .map { case (w, c, a) => w -> ((c, a)) }.toMap
+    // 10:02 -> [09:55,10:05)+[10:00,10:10); 10:06 -> [10:00,10:10)+[10:05,10:15)
+    assert(out.get("2024-01-01 09:55:00").contains((1L, 100L)))
+    assert(out.get("2024-01-01 10:00:00").contains((2L, 300L)))
+    assert(out.get("2024-01-01 10:05:00").contains((1L, 200L)))
+  }
+
   test("stream-stream interval join: matches inside the window, evicts outside") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Long, Timestamp, String)]
