@@ -59,22 +59,30 @@ object Dedup {
       .filter(col("sh_str").isNotNull)
       .select(col("id"), col("sz"), xxhash64(col("sh_str")).as("shingle"))
 
+  /** (id, sz, arr) — one row per document with its shingle-set size and
+    * ASCENDING-sorted shingle-hash array. This is the verification-side
+    * PERSISTABLE index shape: an incremental pipeline stores one such
+    * row per accepted document instead of ~|doc| exploded shingle rows
+    * (see [[incrementalMinhashLshPairsFromIndex]]).
+    */
+  def docShingleArrays(sh: DataFrame): DataFrame =
+    sh.groupBy(col("id")).agg(first(col("sz")).as("sz"),
+      sort_array(collect_list(col("shingle"))).as("arr"))
+
   /** Exact intersection/Jaccard verification of candidate (a, b, na, nb)
-    * pairs against the shingle relation. The shingle rows fold into ONE
-    * sorted array<bigint> per document (one corpus-wide shuffle), each
+    * pairs against a per-doc sorted-array relation (id, arr): each
     * candidate picks up its two arrays by id join, and |A ∩ B| is a
     * codegen'd two-pointer merge ([[graft.functions.SortedLongIntersectCount]]).
     * The prior shape — candidates ⋈ sh_a ⋈ sh_b on shingle + group —
     * shuffled the shingle relation twice and materialized
     * |candidates|·|doc| intermediate rows; this shuffles the relation
-    * once and keeps the per-candidate cost a linear scan of two arrays.
+    * once (or zero times, when the arrays come from the stored index)
+    * and keeps the per-candidate cost a linear scan of two arrays.
     * Set sizes ride along with the candidates — no extra aggregation.
     */
-  private def jaccardVerify(candidates: DataFrame, sh: DataFrame,
-                            threshold: Double): DataFrame = {
-    graft.functions.GraftExtensions.register(sh.sparkSession)
-    val arr = sh.groupBy(col("id"))
-      .agg(sort_array(collect_list(col("shingle"))).as("arr"))
+  private def jaccardVerifyArrays(candidates: DataFrame, arr: DataFrame,
+                                  threshold: Double): DataFrame = {
+    graft.functions.GraftExtensions.register(arr.sparkSession)
     candidates
       .join(arr.select(col("id").as("a"), col("arr").as("arr_a")), Seq("a"))
       .join(arr.select(col("id").as("b"), col("arr").as("arr_b")), Seq("b"))
@@ -85,6 +93,11 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
   }
+
+  private def jaccardVerify(candidates: DataFrame, sh: DataFrame,
+                            threshold: Double): DataFrame =
+    jaccardVerifyArrays(candidates,
+      docShingleArrays(sh).select(col("id"), col("arr")), threshold)
 
   /** All-pairs n-gram Jaccard similarity >= threshold (a < b). EXACT.
     *
@@ -220,14 +233,35 @@ object Dedup {
     */
   def incrementalMinhashLshPairs(indexSh: DataFrame, newSh: DataFrame,
                                  numPerm: Int, bands: Int,
-                                 threshold: Double): DataFrame = {
+                                 threshold: Double): DataFrame =
+    incrementalMinhashLshPairsFromIndex(
+      lshBandTable(indexSh, numPerm, bands), docShingleArrays(indexSh),
+      newSh, numPerm, bands, threshold)
+
+  /** The PRODUCTION incremental shape: the index arrives as its two
+    * STORED relations — the band table (id, band, bucket) from
+    * [[lshBandTable]] and the per-doc verification arrays (id, sz, arr)
+    * from [[docShingleArrays]] — so a batch's cost involves NO
+    * recomputation over corpus history: no re-shingling, no 32-hash
+    * signature pass, just one band-bucket join against the stored bands
+    * and an id join against the stored arrays for the candidates that
+    * survive. [[graft.streaming.CorpusStream]] appends both relations
+    * per accepted batch; [[incrementalMinhashLshPairs]] is the
+    * derive-from-shingles wrapper the oracle-checked x34 runs.
+    */
+  def incrementalMinhashLshPairsFromIndex(idxBands: DataFrame,
+                                          idxDocs: DataFrame,
+                                          newSh: DataFrame,
+                                          numPerm: Int, bands: Int,
+                                          threshold: Double): DataFrame = {
     // a replayed load may re-ingest an already-indexed id: the batch
     // wins — stale index rows for those ids are dropped, or the union
     // below would double every such doc's shingles (inter = 2I makes
     // jaccard 2I/(na+nb-2I) blow past 1 or divide by zero) and the
     // cross join would emit degenerate self-pairs
-    val idxSh = indexSh.join(newSh.select("id").distinct(), Seq("id"), "left_anti")
-    val idxB = lshBandTable(idxSh, numPerm, bands)
+    val newIds = newSh.select("id").distinct().localCheckpoint(true)
+    val idxB = idxBands.join(newIds, Seq("id"), "left_anti")
+    val idxD = idxDocs.join(newIds, Seq("id"), "left_anti")
     // the batch band table feeds three join legs — eager localCheckpoint
     // (not cache) so the 32-min-aggregate signature pass runs once per
     // load AND the blocks are GC-reclaimed after the result is consumed:
@@ -242,12 +276,15 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"))
-    val sh = idxSh.unionByName(newSh)
-    val sizes = docSizes(sh)
+    // checkpoint ONLY the batch-side arrays: the index side is a stored
+    // relation whose scans are cheap — materializing the union would
+    // re-read the whole corpus history into executor memory per batch
+    val allD = docShingleArrays(newSh).localCheckpoint(true)
+      .unionByName(idxD)
     val candidates = crossCand.unionByName(innerCand).distinct()
-      .join(sizes.select(col("id").as("a"), col("sz").as("na")), "a")
-      .join(sizes.select(col("id").as("b"), col("sz").as("nb")), "b")
-    jaccardVerify(candidates, sh, threshold)
+      .join(allD.select(col("id").as("a"), col("sz").as("na")), "a")
+      .join(allD.select(col("id").as("b"), col("sz").as("nb")), "b")
+    jaccardVerifyArrays(candidates, allD.select(col("id"), col("arr")), threshold)
   }
 
   /** 64-bit SimHash over whitespace tokens: sum +1/-1 per bit weighted by

@@ -17,15 +17,17 @@ import graft.sources.WarcCodec
   *   new blobs (file-source checkpoint = each blob exactly once)
   *   -> records -> htmlToText -> language/quality gates -> PII redact
   *   -> exact dedup vs the curated store's content hashes
-  *   -> near-dup dedup vs the persisted shingle index (the x34
+  *   -> near-dup dedup vs the persisted band + array index (the x34
   *      incremental-LSH contract: new-vs-index and in-batch pairs only,
-  *      never old-vs-old — per-batch cost independent of corpus size
-  *      beyond the band-bucket join)
-  *   -> append survivors + their shingles, batch-atomically
+  *      never old-vs-old — per-batch cost involves NO recomputation
+  *      over corpus history, just scans of the stored index)
+  *   -> append survivors + their index rows, batch-atomically
   *
   * State layout under `workDir`: `curated/batch=N` (accepted documents
-  * + content_hash), `shingles/batch=N` (their shingle rows — the
-  * persisted LSH index substrate), `ledger/batch=N` (per-batch counts),
+  * + content_hash), `bands/batch=N` + `docarrs/batch=N` (the two stored
+  * halves of the near-dup index — LSH band rows for candidate
+  * generation, one sorted shingle-hash array per doc for exact
+  * verification), `ledger/batch=N` (per-batch counts),
   * `quarantine/batch=N` (failed-blob dead letters), `chk/` (the
   * file-source checkpoint). Every batch directory is
   * written with mode=overwrite keyed by the foreachBatch batchId, so a
@@ -45,7 +47,8 @@ class CorpusStream(spark: SparkSession, workDir: String,
   import spark.implicits._
 
   private val curatedPath = s"$workDir/curated"
-  private val shinglePath = s"$workDir/shingles"
+  private val bandPath = s"$workDir/bands"
+  private val docArrPath = s"$workDir/docarrs"
   private val ledgerPath = s"$workDir/ledger"
   private val dlqPath = s"$workDir/quarantine"
 
@@ -76,8 +79,15 @@ class CorpusStream(spark: SparkSession, workDir: String,
     Seq.empty[(String, String, String, String, String)]
       .toDF("doc_id", "url", "date", "text", "content_hash"))
 
-  private def shingleIndex: DataFrame = readOr(shinglePath,
-    Seq.empty[(String, Int, Long)].toDF("id", "sz", "shingle"))
+  // the two persisted halves of the near-dup index (the x34 FromIndex
+  // contract): LSH bands for candidate generation, per-doc sorted
+  // shingle arrays for exact verification — one row per doc each, no
+  // recomputation over corpus history at batch time
+  private def bandIndex: DataFrame = readOr(bandPath,
+    Seq.empty[(String, Int, Int)].toDF("id", "band", "bucket"))
+
+  private def docArrIndex: DataFrame = readOr(docArrPath,
+    Seq.empty[(String, Int, Array[Long])].toDF("id", "sz", "arr"))
 
   /** Per-batch ledger (batch_id, ingested, curatedIn, exactDropped,
     * nearDropped, accepted).
@@ -141,11 +151,14 @@ class CorpusStream(spark: SparkSession, workDir: String,
         Seq("content_hash"), "left_anti")
       .localCheckpoint(true)
 
-    // near-dup vs the persisted index (x34 shape). A new doc paired
-    // with ANY indexed doc loses (the index is canonical history);
-    // surviving in-batch pairs canonicalize by connected component.
+    // near-dup vs the persisted index (the x34 FromIndex shape: stored
+    // bands + stored verification arrays, zero recompute over corpus
+    // history). A new doc paired with ANY indexed doc loses (the index
+    // is canonical history); surviving in-batch pairs canonicalize by
+    // connected component.
     val newSh = Dedup.shingleTable(exactKept, "doc_id", "text", cfg.shingleN)
-    val pairs = Dedup.incrementalMinhashLshPairs(shingleIndex, newSh,
+    val pairs = Dedup.incrementalMinhashLshPairsFromIndex(
+      bandIndex, docArrIndex, newSh,
       cfg.numPerm, cfg.bands, cfg.nearDupThreshold)
       .localCheckpoint(true)
     val newIds = exactKept.select(col("doc_id"))
@@ -170,9 +183,12 @@ class CorpusStream(spark: SparkSession, workDir: String,
     overwriteBatch(raw.filter(col("blob_error").isNotNull)
       .select(col("path"), col("blob_error")), dlqPath, batchId)
     overwriteBatch(accepted, curatedPath, batchId)
-    overwriteBatch(
-      newSh.join(accepted.select(col("doc_id").as("id")), Seq("id"), "left_semi"),
-      shinglePath, batchId)
+    val acceptedSh = newSh
+      .join(accepted.select(col("doc_id").as("id")), Seq("id"), "left_semi")
+      .localCheckpoint(true)
+    overwriteBatch(Dedup.lshBandTable(acceptedSh, cfg.numPerm, cfg.bands),
+      bandPath, batchId)
+    overwriteBatch(Dedup.docShingleArrays(acceptedSh), docArrPath, batchId)
 
     val nDocs = docs.count()
     val nCur = cur.count()

@@ -81,11 +81,14 @@ class CorpusStreamSpec extends SparkSpecBase {
     assert(led2.map(_._4).sum === 2, "two near drops (d2near + one of f/f')")
     assert(led2.map(_._5).sum === 4)
 
-    // the shingle index grew only by the ACCEPTED docs' shingles: e and
-    // the f-pair survivor from run 2
-    val idxIds = spark.read.parquet(s"$workDir/shingles")
+    // both index halves grew only by the ACCEPTED docs: e and the
+    // f-pair survivor from run 2, on top of run 1's two
+    val bandIds = spark.read.parquet(s"$workDir/bands")
       .select("id").distinct().count()
-    assert(idxIds === 4, "index holds exactly the accepted docs")
+    val arrIds = spark.read.parquet(s"$workDir/docarrs")
+      .select("id").distinct().count()
+    assert(bandIds === 4 && arrIds === 4,
+      "index holds exactly the accepted docs")
 
     // third run with nothing new: a no-op batch (or none at all), state
     // unchanged — the restart-safety floor
