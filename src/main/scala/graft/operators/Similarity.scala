@@ -237,8 +237,23 @@ object Similarity {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               idCol: String, vecCol: String, k: Int, nlist: Int,
-              nprobe: Int): DataFrame = {
-    require(nlist >= 1 && nprobe >= 1, "nlist/nprobe must be >= 1")
+              nprobe: Int): DataFrame =
+    ivfSearch(ivfBuild(corpus, idCol, vecCol, nlist), queries,
+      idCol, vecCol, k, nprobe)
+
+  /** The two PERSISTABLE halves of an IVF index — both plain parquet
+    * shapes: `centroids` (cell, cvec, cnrm — nlist rows) and
+    * `assignments` (nid, nvec, nnrm, cell — one row per corpus vector,
+    * cell-keyed for probe-side pruning). The build-once / search-many
+    * deployment writes both and serves every later query batch from
+    * storage ([[ivfSearch]]) — the ANN mirror of the dedup family's
+    * stored band index.
+    */
+  final case class IvfIndex(centroids: DataFrame, assignments: DataFrame)
+
+  def ivfBuild(corpus: DataFrame, idCol: String, vecCol: String,
+               nlist: Int): IvfIndex = {
+    require(nlist >= 1, "nlist must be >= 1")
     val c = withNorm(corpus, idCol, vecCol)
     // nlist rows: the global window is over a bounded tiny frame
     val wSeed = Window.orderBy(xxhash64(col("id")))
@@ -248,10 +263,18 @@ object Similarity {
     val assign = ivfAssign(c, centroids, take = 1)
       .select(col("id").as("nid"), col("vec").as("nvec"),
         col("nrm").as("nnrm"), col("cell"))
-    val probes = ivfAssign(withNorm(queries, idCol, vecCol), centroids, take = nprobe)
+    IvfIndex(centroids, assign)
+  }
+
+  def ivfSearch(index: IvfIndex, queries: DataFrame,
+                idCol: String, vecCol: String, k: Int,
+                nprobe: Int): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
+    val probes = ivfAssign(withNorm(queries, idCol, vecCol),
+        index.centroids, take = nprobe)
       .select(col("id").as("qid"), col("vec").as("qvec"),
         col("nrm").as("qnrm"), col("cell"))
-    val scored = probes.join(assign, Seq("cell"))
+    val scored = probes.join(index.assignments, Seq("cell"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         round(dot(col("qvec"), col("nvec")) / (col("qnrm") * col("nnrm")), 6).as("sim"))

@@ -178,4 +178,26 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(part.nonEmpty)
     assert(part.forall(exhaustive.contains), "IVF emitted a score not in the exhaustive relation")
   }
+
+  test("IVF index round-trips through parquet: stored search == direct search") {
+    val e = graft.Tables(spark, sfDir, "embeddings")
+    val q = e.filter($"vec_id" < 5)
+    val direct = Similarity.ivfTopK(q, e, "vec_id", "embedding", k = 3,
+        nlist = 8, nprobe = 2)
+      .as[(Long, Int, Long, Double)].collect().toSet
+
+    // build once, persist both halves, serve the query batch from disk
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    val idx = Similarity.ivfBuild(e, "vec_id", "embedding", nlist = 8)
+    idx.centroids.write.parquet(s"$dir/centroids")
+    idx.assignments.write.parquet(s"$dir/assignments")
+    val stored = Similarity.IvfIndex(
+      spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/assignments"))
+    val served = Similarity.ivfSearch(stored, q, "vec_id", "embedding",
+        k = 3, nprobe = 2)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(served === direct,
+      "a search served from the stored index must match the direct search")
+  }
 }
