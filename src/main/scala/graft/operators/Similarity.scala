@@ -72,13 +72,19 @@ object Similarity {
     // one dim probe + one sign collect, shared by bucketing (the
     // per-input duplicate driver round-trips were pure waste); buckets
     // derive from the already-filtered normed frame
-    val b = dimOf(v) match {
+    // eager localCheckpoint of the BUCKET relation only (3 longs/row):
+    // it feeds both sides of the self-join below, and recomputing it
+    // means re-running tables*nbits VecDots per vector per side.
+    // The vector relation v is deliberately NOT checkpointed — at
+    // corpus scale pinning every embedding in executor storage is the
+    // failure mode; its re-scans are parallel parquet reads.
+    val b = (dimOf(v) match {
       case None => v.select(col("id"), lit(0).as("table"), lit(0L).as("bucket")).limit(0)
       case Some(dim) =>
         val signs = hyperplaneSigns(vecs.sparkSession, dim, 0 until tables * nbits)
         bucketsFromSigns(v, signs, nbits, tables)
           .select(col("id"), col("table"), col("bucket"))
-    }
+    }).localCheckpoint(true)
     val candidates = b.as("x").join(b.as("y"),
         col("x.table") === col("y.table") && col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))
