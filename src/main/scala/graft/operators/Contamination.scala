@@ -168,6 +168,63 @@ object Contamination {
           1.0).otherwise(0.0)), 6).as("bloom_frac"))
   }
 
+  /** Remove every repeated k-token span from the corpus, keeping the
+    * GLOBALLY-FIRST occurrence (Lee et al. 2021's deduplicate-text-spans,
+    * the family's rewrite form: x32 measures duplication, x33 drops whole
+    * documents, this rewrites them). An occurrence of a window is a
+    * duplicate when an earlier occurrence exists anywhere in the corpus
+    * under the total order (id, start); every token position covered by
+    * any duplicate window is dropped and the survivors reassemble in
+    * document order. Tokens keep their original case; window hashes are
+    * case-insensitive (the ParagraphOps convention).
+    *
+    * Scale shape: windows shuffle as 8-byte hashes; first-occurrence
+    * detection is one min(struct(id, st)) aggregation (map-side
+    * combinable) plus one join back on the window hash — a corpus-wide
+    * hot window (boilerplate repeated everywhere) skews that join, which
+    * is exactly the shape AQE's skew-join split handles at runtime; the
+    * aggregation side never skews. Output one row per input document:
+    * (id, clean_text, n_kept, n_dropped) in TOKENS.
+    */
+  def dropRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val rawToks = filter(split(trim(col(textCol)), "\\s+"), t => t =!= "")
+    val base = docs.select(col(idCol).as("id"), rawToks.as("ts"))
+      .filter(size(col("ts")) > 0)
+    // full k-windows only: a document shorter than k tokens has no
+    // window, is never a duplicate, and passes through whole
+    val wins = base.filter(size(col("ts")) >= k)
+      .select(col("id"), posexplode(transform(
+        sequence(lit(0), size(col("ts")) - k),
+        s => xxhash64(lower(array_join(slice(col("ts"), s + 1, lit(k)), " "))))))
+      .select(col("id"), col("pos").as("st"), col("col").as("w"))
+    val firstOcc = wins.groupBy(col("w"))
+      .agg(min(struct(col("id"), col("st"))).as("f"))
+    val dups = wins.join(firstOcc, "w")
+      .filter(struct(col("id"), col("st")) =!= col("f"))
+    val covered = dups
+      .select(col("id"), explode(sequence(col("st") + 1, col("st") + k)).as("p"))
+      .distinct()
+    val toks = base.select(col("id"), posexplode(col("ts")))
+      .select(col("id"), (col("pos") + 1).as("p"), col("col").as("tok"))
+    val kept = toks.join(covered, Seq("id", "p"), "left_anti")
+    val tot = toks.groupBy(col("id")).agg(count(lit(1)).as("tot"))
+    val re = kept.groupBy(col("id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("p"), col("tok")))),
+        s => s("tok")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    docs.select(col(idCol).as("id"))
+      .join(tot, Seq("id"), "left")
+      .join(re, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (coalesce(col("tot"), lit(0L)) - coalesce(col("n_kept"), lit(0L)))
+          .as("n_dropped"))
+  }
+
   /** One window relation per (session, dir), shared by x32 and x33 —
     * the expensive tokenize+explode+xxhash64 expansion runs once, with the
     * split slices filtered AFTER materialization (same memo discipline

@@ -384,6 +384,16 @@ object ExtensionQueries {
       TA.bigramLogProb(Tables(s, d, "documents"), "doc_id", "text")
         .orderBy(col("id"))),
 
+    // Lee et al. span-level dedup: rewrite documents by removing every
+    // repeated 5-token span (globally-first occurrence survives) — the
+    // exact-substring family's rewrite form over the dup-synthesized
+    // corpus (exact copies hollow out, tail-modified copies keep only
+    // their divergent tail tokens)
+    "x46_span_dedup" -> ((s, d) =>
+      Contamination.dropRepeatedSpans(rebalanced(docsWithDups(s, d)),
+          "id", "text", k = 5)
+        .orderBy(col("id"))),
+
     // NFC canonicalization (native Normalizer expression with the
     // isNormalized fast path). The corpus is ASCII, so the declared
     // query appends a DECOMPOSED accent (e + U+0301) from a literal on
@@ -729,6 +739,50 @@ object ExtensionQueries {
         |SELECT d.doc_id AS id, sc.lm_logprob
         |FROM documents d LEFT JOIN sc USING (doc_id)
         |ORDER BY id""".stripMargin,
+
+    "x46_span_dedup" ->
+      s"""WITH $docsWithDupsSql,
+         |tok AS (SELECT id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS ts FROM docs),
+         |t AS (
+         |  SELECT id, CAST(i AS INT) AS p, ts[i] AS tk
+         |  FROM tok, unnest(generate_series(1, len(ts))) AS u(i)
+         |  WHERE len(ts) > 0
+         |),
+         |wins AS (
+         |  SELECT id, CAST(i AS INT) AS st1,
+         |    lower(array_to_string(ts[i : i + 4], ' ')) AS w
+         |  FROM tok, unnest(generate_series(1, len(ts) - 4)) AS u(i)
+         |  WHERE len(ts) >= 5
+         |),
+         |dups AS (
+         |  SELECT id, st1 FROM (
+         |    SELECT id, st1,
+         |      row_number() OVER (PARTITION BY w ORDER BY id, st1) AS rk
+         |    FROM wins
+         |  ) WHERE rk > 1
+         |),
+         |cov AS (
+         |  SELECT DISTINCT id, st1 + o.o AS p
+         |  FROM dups, unnest(generate_series(0, 4)) AS o(o)
+         |),
+         |kept AS (
+         |  SELECT t.id, t.p, t.tk FROM t
+         |  LEFT JOIN cov ON t.id = cov.id AND t.p = cov.p
+         |  WHERE cov.p IS NULL
+         |),
+         |re AS (
+         |  SELECT id, string_agg(tk, ' ' ORDER BY p) AS clean_text,
+         |    count(*) AS n_kept
+         |  FROM kept GROUP BY id
+         |),
+         |tot AS (SELECT id, count(*) AS tot FROM t GROUP BY id)
+         |SELECT d.id, coalesce(re.clean_text, '') AS clean_text,
+         |  CAST(coalesce(re.n_kept, 0) AS BIGINT) AS n_kept,
+         |  CAST(coalesce(tot.tot, 0) - coalesce(re.n_kept, 0) AS BIGINT) AS n_dropped
+         |FROM docs d
+         |LEFT JOIN tot ON d.id = tot.id
+         |LEFT JOIN re ON d.id = re.id
+         |ORDER BY d.id""".stripMargin,
 
     "x44_unicode_normalize" ->
       """SELECT doc_id AS id,

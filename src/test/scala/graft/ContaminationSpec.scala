@@ -104,4 +104,47 @@ class ContaminationSpec extends SparkSpecBase {
       .as[(Long, Double)].collect().toMap
     assert(r === Map(1L -> 1.0, 2L -> 1.0))
   }
+
+  private def spans(rows: Seq[(Long, String)], k: Int = 3) =
+    Contamination.dropRepeatedSpans(rows.toDF("id", "text"), "id", "text", k)
+      .orderBy("id").as[(Long, String, Long, Long)].collect().toSeq
+
+  test("dropRepeatedSpans: the globally-first occurrence survives, copies hollow out") {
+    val r = spans(Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d e"),      // exact copy: every window duplicates doc 1
+      (3L, "x y z w v")))
+    assert(r === Seq(
+      (1L, "a b c d e", 5L, 0L),
+      (2L, "", 0L, 5L),
+      (3L, "x y z w v", 5L, 0L)))
+  }
+
+  test("dropRepeatedSpans removes a WITHIN-document repeat, keeping the first") {
+    // "p q r" repeats inside one doc; the second occurrence's tokens drop
+    val r = spans(Seq((1L, "p q r m n p q r"), (2L, "f g h i j")))
+    assert(r.head === ((1L, "p q r m n", 5L, 3L)))
+  }
+
+  test("dropRepeatedSpans: shorter-than-k docs pass through untouched") {
+    val r = spans(Seq((1L, "a b"), (2L, "a b")))
+    assert(r === Seq((1L, "a b", 2L, 0L), (2L, "a b", 2L, 0L)))
+  }
+
+  test("dropRepeatedSpans: case preserved in output, ignored for matching") {
+    val r = spans(Seq((1L, "A B C d"), (2L, "a b c e")))
+    // "a b c" matches case-insensitively: doc 1 (first) keeps its casing,
+    // doc 2 loses the span and keeps only its tail token
+    assert(r === Seq((1L, "A B C d", 4L, 0L), (2L, "e", 1L, 3L)))
+  }
+
+  test("dropRepeatedSpans: overlapping duplicate windows union their coverage") {
+    // doc 2 repeats doc 1's full text plus one fresh tail token; all
+    // overlapping windows are dups and their union covers the whole copy
+    val r = spans(Seq((1L, "a b c d"), (2L, "a b c d z")))
+    // windows of doc2: "a b c"(dup) "b c d"(dup) "c d z"(fresh) — tokens
+    // 1..4 covered by dups; "c d z" is NOT a dup so z survives... but c,d
+    // are already covered. Survivor = "z"
+    assert(r === Seq((1L, "a b c d", 4L, 0L), (2L, "z", 1L, 4L)))
+  }
 }
