@@ -73,6 +73,29 @@ object PackingQueries {
         ((col("cum") - col("n_tok")) % budget).as("bin_offset"))
   }
 
+  /** Deterministic seeded training order: assign each document a shard
+    * and a position within it by sorting on md5(seed || id) — the
+    * epoch-shuffle a training run needs, with the sampling family's
+    * reproducibility properties (pure function of (seed, id): identical
+    * across runs, engines, partitionings; a different seed is a fresh
+    * permutation). The ordering window is PER SHARD — shard count
+    * scales with the cluster, no global sort ever happens.
+    */
+  def shuffleOrder(docs: DataFrame, idCol: String, shards: Int,
+                   seed: Long): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val key = md5(concat(lit(seed.toString), lit(":"), col(idCol).cast("string")))
+    // shard from the key's leading 16 hash bits (engine-portable hex
+    // arithmetic — DuckDB reads the same value as ('0x'||…)::BIGINT)
+    val w = Window.partitionBy(col("shard")).orderBy(col("__k"), col(idCol))
+    docs.select(col(idCol), key.as("__k"))
+      .withColumn("shard",
+        pmod(conv(substring(col("__k"), 1, 4), 16, 10).cast("long"),
+          lit(shards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
   /** (id, chunk_id, chunk): overlapping `width`-token windows every
     * `stride` tokens (overlap = width - stride). Start positions are
     * 0, stride, 2*stride, ... while they fall inside the document.
@@ -139,7 +162,12 @@ object PackingQueries {
 
     "x30_repetition_ratio" -> ((s, d) =>
       repetitionRatio(Tables(s, d, "documents"), "doc_id", "text")
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // seeded epoch shuffle: deterministic per-shard training order
+    "x47_shuffle_order" -> ((s, d) =>
+      shuffleOrder(Tables(s, d, "documents"), "doc_id", shards = 8, seed = 42L)
+        .orderBy(col("shard"), col("pos")))
   )
 
   // list_filter mirrors Spark's tokens() empty-string filter, so an
@@ -186,6 +214,17 @@ object PackingQueries {
         |FROM tok, unnest(generate_series(0, greatest(len(ts) - 1, 0), 48)) AS u(st)
         |WHERE len(ts) > 0
         |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "x47_shuffle_order" ->
+      """SELECT doc_id, shard, CAST(row_number() OVER (
+        |    PARTITION BY shard ORDER BY k, doc_id) AS BIGINT) AS pos
+        |FROM (
+        |  SELECT doc_id,
+        |    md5('42:' || CAST(doc_id AS VARCHAR)) AS k,
+        |    ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 8 AS shard
+        |  FROM documents
+        |)
+        |ORDER BY shard, pos""".stripMargin,
 
     "x30_repetition_ratio" ->
       s"""WITH tok AS (

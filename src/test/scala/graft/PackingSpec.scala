@@ -82,4 +82,25 @@ class PackingSpec extends SparkSpecBase {
     assert(r(2L) === 0.7)
     assert(r(3L) === 0.0)
   }
+
+  test("shuffleOrder: total, per-shard positions dense, seed-stable, seed-sensitive") {
+    val docs = (0L until 200L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val a = PackingQueries.shuffleOrder(docs, "doc_id", shards = 4, seed = 1L)
+      .as[(Long, Long, Long)].collect().toSeq
+    // every doc exactly once
+    assert(a.map(_._1).sorted === (0L until 200L))
+    // positions within each shard are 1..n with no gaps
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted === (1L to rows.length))
+    }
+    // same seed -> identical assignment even under different partitioning
+    val a2 = PackingQueries.shuffleOrder(docs.repartition(7), "doc_id",
+        shards = 4, seed = 1L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(a.toSet === a2.toSet)
+    // a different seed is a genuinely different permutation
+    val b = PackingQueries.shuffleOrder(docs, "doc_id", shards = 4, seed = 2L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(a.toSet !== b.toSet)
+  }
 }
