@@ -145,10 +145,13 @@ class CorpusStream(spark: SparkSession, workDir: String,
     // hashes (id-level state probe; the store never re-shuffles itself).
     // content_hash is (re)derived AFTER exactKeepFirst — it drops its
     // internal column of the same name — with the same normalization.
+    // no distinct() on the store side: every batch admits only hashes
+    // unseen at its time, so stored content_hash values are globally
+    // unique by construction — deduplicating them again would add a
+    // full aggregation pass over corpus history per batch
     val exactKept = Dedup.exactKeepFirst(cur, "doc_id", "text")
       .withColumn("content_hash", md5(lower(trim(col("text")))))
-      .join(curated.select(col("content_hash")).distinct(),
-        Seq("content_hash"), "left_anti")
+      .join(curated.select(col("content_hash")), Seq("content_hash"), "left_anti")
       .localCheckpoint(true)
 
     // near-dup vs the persisted index (the x34 FromIndex shape: stored
