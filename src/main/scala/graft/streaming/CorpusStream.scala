@@ -33,7 +33,11 @@ import graft.sources.WarcCodec
   * written with mode=overwrite keyed by the foreachBatch batchId, so a
   * crash-replayed batch REWRITES its own output instead of doubling it
   * — idempotent without a MERGE, the Delta-style exactly-once recipe on
-  * plain parquet.
+  * plain parquet. [[compact]] folds accumulated batch dirs into one
+  * `base=<mark>` per store (the small-files remedy for a long-lived
+  * ingest); the `_compacted` high-water mark keeps replayed
+  * below-the-mark batches invisible to readers. Single writer per
+  * workDir — run one ingest() drain at a time.
   *
   * Scale posture: per batch, the only state-sized work is one
   * band-bucket join against the index (8-byte keys) and one id
@@ -58,18 +62,86 @@ class CorpusStream(spark: SparkSession, workDir: String,
     .add("length", LongType).add("content",
       org.apache.spark.sql.types.BinaryType)
 
+  /** High-water mark of [[compact]] for one state store: batch dirs at
+    * or below it are folded into the `base=<mark>` dir and IGNORED at
+    * read time — so a crash-replayed old batch that rewrites its dir
+    * cannot double its rows against the compacted base.
+    */
+  private def markOf(path: String): Long = {
+    val f = new java.io.File(path, "_compacted")
+    if (f.isFile) new String(java.nio.file.Files.readAllBytes(f.toPath)).trim.toLong
+    else -1L
+  }
+
+  private def batchId(name: String): Long = name.stripPrefix("batch=").toLong
+
   private def readOr(path: String, empty: => DataFrame): DataFrame = {
     val dir = new java.io.File(path)
-    // list the batch dirs EXPLICITLY (no glob): a glob re-resolves at
-    // every downstream job and logs spurious FileNotFoundExceptions
-    // when it races a concurrent batch write
-    val parts = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+    val mark = markOf(path)
+    // list the dirs EXPLICITLY (no glob): a glob re-resolves at every
+    // downstream job and logs spurious FileNotFoundExceptions when it
+    // races a concurrent batch write. No basePath/partition discovery:
+    // state consumers see the logical schema, not the storage layout.
+    val files = Option(dir.listFiles()).getOrElse(Array.empty)
+    val parts = files
+      .filter(f => f.isDirectory &&
+        ((f.getName.startsWith("batch=") && batchId(f.getName) > mark) ||
+          f.getName == s"base=$mark"))
       .map(_.getAbsolutePath)
     if (parts.isEmpty) empty
-    // drop the discovered partition column: state consumers see the
-    // logical schema, not the storage layout
-    else spark.read.option("basePath", path).parquet(parts.toIndexedSeq: _*).drop("batch")
+    else spark.read.parquet(parts.toIndexedSeq: _*)
+  }
+
+  /** Fold every batch directory of the three state stores into one
+    * consolidated `base=<mark>` dir each — the small-files compaction a
+    * long-lived ingest needs (thousands of per-batch dirs otherwise
+    * accumulate forever). Crash-safe ordering: the new base is fully
+    * written BEFORE the `_compacted` marker moves atomically; until the
+    * marker lands, readers keep using the old base + batch dirs, and a
+    * stale half-written base dir is simply overwritten by the next
+    * attempt. Call between [[ingest]] drains (single writer).
+    */
+  def compact(): Unit =
+    Seq(curatedPath, bandPath, docArrPath, ledgerPath, dlqPath)
+      .foreach(compactOne)
+
+  private def compactOne(path: String): Unit = {
+    val dir = new java.io.File(path)
+    if (!dir.isDirectory) return
+    val mark = markOf(path)
+    val newBatches = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=") &&
+        batchId(f.getName) > mark)
+    if (newBatches.isEmpty) return
+    val newMark = newBatches.map(f => batchId(f.getName)).max
+    // current logical view = old base + live batch dirs
+    readOr(path, null) match {
+      case null => ()
+      case view =>
+        val tmp = new java.io.File(dir, ".base_tmp")
+        if (tmp.exists()) deleteRec(tmp)
+        view.coalesce(math.max(1, spark.sparkContext.defaultParallelism / 4))
+          .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        val newBase = new java.io.File(dir, s"base=$newMark")
+        if (newBase.exists()) deleteRec(newBase)
+        require(tmp.renameTo(newBase), s"compaction rename failed: $newBase")
+        // marker write-then-move: the swap point
+        val mtmp = java.nio.file.Files.write(
+          new java.io.File(dir, "._compacted_tmp").toPath,
+          newMark.toString.getBytes)
+        java.nio.file.Files.move(mtmp, new java.io.File(dir, "_compacted").toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // now unreferenced: folded batch dirs + the previous base
+        newBatches.foreach(deleteRec)
+        val oldBase = new java.io.File(dir, s"base=$mark")
+        if (mark >= 0 && oldBase.exists()) deleteRec(oldBase)
+    }
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRec))
+    f.delete()
   }
 
   /** The accumulated curated corpus (doc_id, url, date, text,

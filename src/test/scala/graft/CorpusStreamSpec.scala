@@ -95,5 +95,32 @@ class CorpusStreamSpec extends SparkSpecBase {
     val s3 = new CorpusStream(spark, workDir)
     s3.ingest(warcDir).awaitTermination()
     assert(s3.curated.count() === 4)
+
+    // compaction folds the per-batch dirs into one base per store, the
+    // logical state is unchanged, and ingestion continues on top
+    val before = s3.curated.select("doc_id", "content_hash")
+      .as[(String, String)].collect().toSet
+    s3.compact()
+    val curDir = new java.io.File(s"$workDir/curated")
+    assert(!curDir.listFiles().exists(_.getName.startsWith("batch=")),
+      "batch dirs must fold into the base")
+    assert(curDir.listFiles().exists(_.getName.startsWith("base=")))
+    assert(s3.curated.select("doc_id", "content_hash")
+      .as[(String, String)].collect().toSet === before)
+
+    val g = "the mountain trail winds up through the forest and over the ridge line"
+    writeWarc(warcDir, "d.warc", Seq("http://d/1" -> g))
+    val s4 = new CorpusStream(spark, workDir)
+    s4.ingest(warcDir).awaitTermination()
+    assert(s4.curated.count() === 5, "post-compaction ingest merges base + new batches")
+    // and a near-dup of an OLD (pre-compaction) doc still dedups against
+    // the compacted index
+    val gNear = "the mountain trail winds up through the forest and over the ridge lines"
+    val d1near = d1.replace("park", "yard")
+    writeWarc(warcDir, "e.warc", Seq("http://e/1" -> gNear, "http://e/2" -> d1near))
+    val s5 = new CorpusStream(spark, workDir)
+    s5.ingest(warcDir).awaitTermination()
+    assert(s5.curated.count() === 5,
+      "near-dups of compacted-index docs must still be caught")
   }
 }
