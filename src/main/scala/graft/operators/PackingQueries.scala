@@ -83,7 +83,11 @@ object PackingQueries {
     */
   def shuffleOrder(docs: DataFrame, idCol: String, shards: Int,
                    seed: Long): DataFrame = {
-    require(shards >= 1, s"shards must be >= 1, got $shards")
+    // 16 hash bits drive the shard draw: past 65536 shards the
+    // distribution degenerates (and pos windows would be near-empty) —
+    // fail loudly rather than skew silently
+    require(shards >= 1 && shards <= 65536,
+      s"shards must be in [1, 65536], got $shards")
     val key = md5(concat(lit(seed.toString), lit(":"), col(idCol).cast("string")))
     // shard from the key's leading 16 hash bits (engine-portable hex
     // arithmetic — DuckDB reads the same value as ('0x'||…)::BIGINT)

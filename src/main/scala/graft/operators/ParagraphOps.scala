@@ -78,22 +78,27 @@ object ParagraphOps {
     * nd * 1e6 >= round(minFrac * 1e6) * ns — minFrac is a 6-decimal
     * policy knob and the oracle writes the SAME integer form, so there
     * is no cross-engine float-division seam at the threshold.
+    * NULL sources form their own bucket (a sentinel imputes the group
+    * key) — the bucket then behaves like any other: its documents keep
+    * what is rare WITHIN the unattributed set rather than being
+    * silently hollowed out by a never-matching null equi-join.
     */
   def boilerplateStrip(docs: DataFrame, idCol: String, textCol: String,
                        srcCol: String, width: Int, minFrac: Double): DataFrame = {
     require(width > 0 && minFrac > 0 && minFrac <= 1,
       s"width=$width minFrac=$minFrac")
     val fracPpm = math.round(minFrac * 1e6)
+    val srcKey = coalesce(col(srcCol).cast("string"), lit("\u0000"))
     val para = paragraphs(docs, idCol, textCol, width)
-      .join(docs.select(col(idCol), col(srcCol)), Seq(idCol))
-    val srcN = docs.groupBy(col(srcCol)).agg(count(lit(1)).as("ns"))
-    val freq = para.groupBy(col(srcCol), col("h"))
+      .join(docs.select(col(idCol), srcKey.as("__src")), Seq(idCol))
+    val srcN = docs.groupBy(srcKey.as("__src")).agg(count(lit(1)).as("ns"))
+    val freq = para.groupBy(col("__src"), col("h"))
       .agg(count_distinct(col(idCol)).as("nd"))
-      .join(srcN, Seq(srcCol))
+      .join(srcN, Seq("__src"))
     val keepKeys = freq
       .filter(col("nd") * lit(1000000L) < lit(fracPpm) * col("ns"))
-      .select(col(srcCol), col("h"))
-    val kept = para.join(keepKeys, Seq(srcCol, "h"))
+      .select(col("__src"), col("h"))
+    val kept = para.join(keepKeys, Seq("__src", "h"))
     val tot = para.groupBy(col(idCol)).agg(count(lit(1)).as("tot"))
     val re = kept.groupBy(col(idCol))
       .agg(

@@ -74,6 +74,22 @@ class ParagraphOpsSpec extends SparkSpecBase {
       .orderBy("id")
       .as[(Long, String, Long, Long)].collect().toSeq
 
+  test("NULL sources form their own bucket with normal strip semantics") {
+    val rows = Seq(
+      (1L, Option("A"), "h h a b"), (2L, Option("A"), "h h c d"),
+      (3L, Option.empty[String], "n n u v"), (4L, Option.empty[String], "n n w x"))
+      .toDF("id", "source", "text")
+    val r = ParagraphOps.boilerplateStrip(rows, "id", "text", "source",
+        width = 2, minFrac = 0.9)
+      .orderBy("id").as[(Long, String, Long, Long)].collect().toSeq
+    // each bucket strips ITS shared header ("h h" for A, "n n" for the
+    // null bucket) and keeps the unique bodies — the null-source docs
+    // are a bucket, not silently hollowed out
+    assert(r === Seq(
+      (1L, "a b", 1L, 1L), (2L, "c d", 1L, 1L),
+      (3L, "u v", 1L, 1L), (4L, "w x", 1L, 1L)))
+  }
+
   test("boilerplate threshold is per-source and EXACT at the boundary") {
     // "h h" in 2 of 4 src-A docs = 50%: at minFrac=0.5, nd >= frac*ns
     // holds with equality → boilerplate, stripped
