@@ -384,6 +384,19 @@ object ExtensionQueries {
       TA.bigramLogProb(Tables(s, d, "documents"), "doc_id", "text")
         .orderBy(col("id"))),
 
+    // reference-LM scoring: train the bigram LM on the x22 TRAIN split,
+    // score the held-out TEST split (the CCNet deployment — a clean
+    // reference LM judges candidate text; unseen grams take the
+    // add-one floor)
+    "x48_bigram_logprob_split" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      TA.bigramLogProbAgainst(
+          docs.filter(SamplingQueries.hashPrefix(col("doc_id")) <= SamplingQueries.TrainHi),
+          docs.filter(SamplingQueries.hashPrefix(col("doc_id")) > SamplingQueries.ValHi),
+          "doc_id", "text")
+        .orderBy(col("id"))
+    }),
+
     // Lee et al. span-level dedup: rewrite documents by removing every
     // repeated 5-token span (globally-first occurrence survives) — the
     // exact-substring family's rewrite form over the dup-synthesized
@@ -738,6 +751,40 @@ object ExtensionQueries {
         |)
         |SELECT d.doc_id AS id, sc.lm_logprob
         |FROM documents d LEFT JOIN sc USING (doc_id)
+        |ORDER BY id""".stripMargin,
+
+    "x48_bigram_logprob_split" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ts,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS pfx
+        |  FROM documents
+        |),
+        |tr AS (SELECT doc_id, ts FROM tok WHERE pfx <= 'cb'),
+        |ev AS (SELECT doc_id, ts FROM tok WHERE pfx > 'e5'),
+        |t AS (SELECT doc_id, unnest(ts) AS w FROM tr),
+        |uni AS (SELECT w, count(*) AS c1 FROM t GROUP BY w),
+        |v AS (SELECT count(*) AS vv FROM uni),
+        |bgtr AS (
+        |  SELECT doc_id, ts[i] AS w1, array_to_string(ts[i : i + 1], ' ') AS g
+        |  FROM tr, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+        |  WHERE len(ts) >= 2
+        |),
+        |bgc AS (SELECT g, count(*) AS c12 FROM bgtr GROUP BY g),
+        |bgev AS (
+        |  SELECT doc_id, ts[i] AS w1, array_to_string(ts[i : i + 1], ' ') AS g
+        |  FROM ev, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+        |  WHERE len(ts) >= 2
+        |),
+        |sc AS (
+        |  SELECT doc_id,
+        |    round(avg(ln((coalesce(c12, 0) + 1.0) / (coalesce(c1, 0) + vv))), 6)
+        |      AS lm_logprob
+        |  FROM bgev LEFT JOIN bgc USING (g) LEFT JOIN uni ON bgev.w1 = uni.w
+        |  CROSS JOIN v
+        |  GROUP BY doc_id
+        |)
+        |SELECT e.doc_id AS id, sc.lm_logprob
+        |FROM (SELECT doc_id FROM ev) e LEFT JOIN sc USING (doc_id)
         |ORDER BY id""".stripMargin,
 
     "x46_span_dedup" ->

@@ -96,12 +96,23 @@ object TextAnalysis {
     * Documents with fewer than two tokens (or null text) have no
     * bigrams: they surface with a NULL score, the caller's policy line.
     */
-  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    bigramLogProbAgainst(docs, docs, idCol, textCol)
+
+  /** [[bigramLogProb]] with a SEPARATE reference corpus: train the
+    * smoothed bigram counts on `train`, score `eval` — the real CCNet
+    * deployment (a clean reference LM judges candidate text; a
+    * self-trained LM lets a large contaminated cluster normalize its
+    * own garbage). Unseen eval unigrams take the add-one floor
+    * 1/(0 + V) via the left join's null c1/c12.
+    */
+  def bigramLogProbAgainst(train: DataFrame, eval: DataFrame,
+                           idCol: String, textCol: String): DataFrame = {
     val ts = tokens(col(textCol))
     // explode_outer + not-null: the inner form would re-evaluate the
     // tokenizer through an inferred size()>0 scan predicate (the
     // shingleTable convention)
-    val toks = docs
+    val toks = train
       .select(col(idCol).as("id"), explode_outer(ts).as("tok"))
       .filter(col("tok").isNotNull)
     val uni = toks.groupBy(xxhash64(col("tok")).as("h1"))
@@ -110,7 +121,7 @@ object TextAnalysis {
     // V is exact and scalar — same driver-collect shape as the
     // rare-token totals (PiiQueries.rareTokenRatio)
     val vocab = uni.count().toDouble
-    val bg = docs
+    def bigrams(docs: DataFrame): DataFrame = docs
       .select(col(idCol).as("id"), ts.as("__ts"))
       .filter(size(col("__ts")) >= 2)
       .select(col("id"), explode(zip_with(
@@ -119,13 +130,16 @@ object TextAnalysis {
         (a, b) => struct(a.as("w1"), concat(a, lit(" "), b).as("g")))).as("p"))
       .select(col("id"),
         xxhash64(col("p.w1")).as("h1"), xxhash64(col("p.g")).as("h2"))
-    val bgc = bg.groupBy(col("h2")).agg(count(lit(1)).as("c12"))
-    val scored = bg.join(bgc, "h2").join(uni, "h1")
+    val bgc = bigrams(train).groupBy(col("h2")).agg(count(lit(1)).as("c12"))
+    val scored = bigrams(eval)
+      .join(bgc, Seq("h2"), "left")
+      .join(uni, Seq("h1"), "left")
       .groupBy(col("id"))
       .agg(round(avg(log(
-        (col("c12").cast("double") + 1.0) /
-          (col("c1").cast("double") + vocab))), 6).as("lm_logprob"))
-    docs.select(col(idCol).as("id"))
+        (coalesce(col("c12"), lit(0L)).cast("double") + 1.0) /
+          (coalesce(col("c1"), lit(0L)).cast("double") + vocab))), 6)
+        .as("lm_logprob"))
+    eval.select(col(idCol).as("id"))
       .join(scored, Seq("id"), "left")
       .select(col("id"), col("lm_logprob"))
   }

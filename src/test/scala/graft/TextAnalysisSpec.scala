@@ -78,6 +78,21 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(scores(4).isEmpty && scores(5).isEmpty)
   }
 
+  test("bigramLogProbAgainst: unseen eval grams take the add-one floor ln(1/V)") {
+    val train = Seq((1L, "the cat sat"), (2L, "the cat ran")).toDF("doc_id", "text")
+    // vocabulary = {the, cat, sat, ran} -> V = 4
+    val eval = Seq((10L, "zz qq")).toDF("doc_id", "text")
+    val r = TA.bigramLogProbAgainst(train, eval, "doc_id", "text")
+      .collect()(0)
+    // one bigram "zz qq": c12 = 0, c1(zz) = 0 -> ln((0+1)/(0+4))
+    assert(math.abs(r.getDouble(1) - math.log(0.25)) < 1e-6)
+    // and a train-typical doc scores strictly higher
+    val r2 = TA.bigramLogProbAgainst(train,
+        Seq((11L, "the cat sat")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect()(0)
+    assert(r2.getDouble(1) > r.getDouble(1))
+  }
+
   test("multimodal meta gate: decode and Catalyst recompute agree on non-ASCII UTF-8") {
     // multi-byte UTF-8 exercises the signed-byte path (bytes >= 0x80)
     val docs = Seq((1L, "héllo wörld"), (2L, "日本語テキスト"),
