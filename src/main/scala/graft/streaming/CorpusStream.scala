@@ -109,6 +109,16 @@ class CorpusStream(spark: SparkSession, workDir: String,
     val dir = new java.io.File(path)
     if (!dir.isDirectory) return
     val mark = markOf(path)
+    // orphan sweep: a crash between the marker swap and the deletes of a
+    // PREVIOUS compaction leaves folded batch dirs (<= mark) and stale
+    // bases on disk — readers already ignore them; reclaim the space now
+    Option(dir.listFiles()).getOrElse(Array.empty).foreach { f =>
+      val orphanBatch = f.isDirectory && f.getName.startsWith("batch=") &&
+        batchId(f.getName) <= mark
+      val orphanBase = f.isDirectory && f.getName.startsWith("base=") &&
+        f.getName != s"base=$mark"
+      if (orphanBatch || orphanBase) deleteRec(f)
+    }
     val newBatches = Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("batch=") &&
         batchId(f.getName) > mark)

@@ -122,5 +122,20 @@ class CorpusStreamSpec extends SparkSpecBase {
     s5.ingest(warcDir).awaitTermination()
     assert(s5.curated.count() === 5,
       "near-dups of compacted-index docs must still be caught")
+
+    // crash-between-steps recovery: a below-the-mark batch dir left
+    // behind by an interrupted compaction is invisible to readers and
+    // reclaimed by the next compact()
+    s5.compact()
+    val curDir2 = new java.io.File(s"$workDir/curated")
+    val mark = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(curDir2, "_compacted").toPath)).trim.toLong
+    val stale = new java.io.File(curDir2, s"batch=${mark - 1}")
+    s5.curated.limit(1).write.parquet(stale.getAbsolutePath)
+    assert(s5.curated.count() === 5,
+      "a below-the-mark batch dir must stay invisible to readers")
+    s5.compact()
+    assert(!stale.exists(), "the orphan sweep must reclaim the stale dir")
+    assert(s5.curated.count() === 5)
   }
 }
