@@ -120,4 +120,47 @@ class DedupPropertySpec extends SparkSpecBase {
       assert(actual === expected, s"seed $s probes $probes builds $builds")
     }
   }
+
+  test("paragraphDedup at maxDf >= #docs is the whitespace-normalizing identity") {
+    import graft.operators.ParagraphOps
+    for (s <- 20L to 26L) {
+      val corpus = corpusGen.pureApply(Gen.Parameters.default, rng.Seed(s))
+      val ids = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val r = ParagraphOps.paragraphDedup(ids.toDF("id", "text"), "id", "text",
+          width = 3, maxDf = corpus.length)
+        .as[(Long, String, Long, Long)].collect()
+        .map { case (i, t, k, d) => i -> ((t, k, d)) }.toMap
+      ids.foreach { case (i, t) =>
+        val norm = t.trim.split("\\s+").filter(_.nonEmpty)
+        val (clean, kept, dropped) = r(i)
+        assert(clean === norm.mkString(" "), s"seed $s doc $i")
+        assert(dropped === 0L && kept === (norm.length + 2) / 3, s"seed $s doc $i")
+      }
+    }
+  }
+
+  test("dropRepeatedSpans invariants: token ledger exact, output a subsequence") {
+    import graft.operators.Contamination
+    for (s <- 30L to 36L) {
+      val corpus = corpusGen.pureApply(Gen.Parameters.default, rng.Seed(s))
+      val ids = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val r = Contamination.dropRepeatedSpans(ids.toDF("id", "text"), "id", "text",
+          k = 3)
+        .as[(Long, String, Long, Long)].collect()
+        .map { case (i, t, k2, d) => i -> ((t, k2, d)) }.toMap
+      ids.foreach { case (i, t) =>
+        val orig = t.trim.split("\\s+").filter(_.nonEmpty).toSeq
+        val (clean, kept, dropped) = r(i)
+        val out = if (clean.isEmpty) Seq.empty else clean.split(" ").toSeq
+        assert(kept + dropped === orig.length, s"seed $s doc $i ledger")
+        assert(out.length.toLong === kept, s"seed $s doc $i count")
+        // subsequence check: output tokens appear in the original, in order
+        out.foldLeft(orig) { (rem, tok) =>
+          val j = rem.indexOf(tok)
+          assert(j >= 0, s"seed $s doc $i: '$tok' not a subsequence token")
+          rem.drop(j + 1)
+        }
+      }
+    }
+  }
 }
