@@ -186,11 +186,15 @@ class CorpusStream(spark: SparkSession, workDir: String,
   def quarantined: DataFrame = readOr(dlqPath,
     Seq.empty[(String, String)].toDF("path", "blob_error"))
 
-  /** Drain every unseen WARC blob (Trigger.AvailableNow), processing
-    * each through [[processBatch]]. Call repeatedly as new blobs land —
-    * the checkpoint hands each blob to exactly one batch across runs.
+  /** Drain every unseen WARC blob, processing each through
+    * [[processBatch]]. The default Trigger.AvailableNow drains and
+    * stops — call repeatedly as new blobs land; pass
+    * Trigger.ProcessingTime(...) instead for a continuously-running
+    * ingest. Either way the checkpoint hands each blob to exactly one
+    * batch across runs.
     */
-  def ingest(warcDir: String): StreamingQuery = {
+  def ingest(warcDir: String,
+             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     // register BEFORE start: the streaming runner clones the session at
     // query start, and a clone forked earlier would lack the native
     // functions the dedup verify kernel resolves by name
@@ -199,7 +203,7 @@ class CorpusStream(spark: SparkSession, workDir: String,
       .select(col("path"))
       .writeStream
       .option("checkpointLocation", s"$workDir/chk")
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId)
       }
