@@ -11,11 +11,11 @@ import graft.Tables
   * marker sessionization (OP-37) to event time — the operators a
   * training-data pipeline runs over petabyte event logs.
   *
-  * The testdata stores TIMESTAMP(NANOS), which Spark reads as epoch-nano
-  * longs (nanosAsLong): all time arithmetic stays in exact 64-bit
-  * integers via the `div` integral division — double math would corrupt
-  * nanos above 2^53. Money aggregates leave the hashed surface as
-  * integer cents (the q37 lesson).
+  * Time arithmetic goes through `Tables.epochNs` — an exact 64-bit
+  * epoch-nano long however the parquet writer typed `ts` (nanos-as-long
+  * or TIMESTAMP_NTZ micros) — and stays integral via the `div` division:
+  * double math would corrupt nanos above 2^53. Money aggregates leave
+  * the hashed surface as integer cents (the q37 lesson).
   */
 object EventTimeQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -32,11 +32,12 @@ object EventTimeQueries {
     // as a bucket equi-join (RangeJoin), never a cross product.
     "x13_range_join" -> ((s, d) => {
       val e = Tables(s, d, "events")
+      val tsNs = Tables.epochNs(e, "ts")
       val probe = e.filter(col("user_id") < 200)
-        .select(col("event_id").as("a"), col("ts").as("t"))
+        .select(col("event_id").as("a"), tsNs.as("t"))
       val intervals = e.filter(col("event_type") === "signup" && col("user_id") < 50)
-        .select(col("event_id").as("b"), col("ts").as("start"),
-          (col("ts") + HalfHourNs).as("end"))
+        .select(col("event_id").as("b"), tsNs.as("start"),
+          (tsNs + HalfHourNs).as("end"))
       RangeJoin.pointInInterval(probe, "t", intervals, "start", "end",
           bucketWidth = HalfHourNs)
         .select(col("a"), col("b"))
@@ -47,12 +48,14 @@ object EventTimeQueries {
     // bucket is a pure projection of ts, so this is ONE hash aggregate —
     // the shuffle is (bucket, type), which scales with time span, not
     // input size.
-    "x14_tumbling_window" -> ((s, d) =>
-      Tables(s, d, "events")
-        .groupBy(call_function("div", col("ts"), lit(HourNs)).as("hour_bucket"),
+    "x14_tumbling_window" -> ((s, d) => {
+      val e = Tables(s, d, "events")
+      e.groupBy(
+          call_function("div", Tables.epochNs(e, "ts"), lit(HourNs)).as("hour_bucket"),
           col("event_type"))
         .agg(count(lit(1)).as("cnt"), cents("value").as("amount_cents"))
-        .orderBy(col("hour_bucket"), col("event_type"))),
+        .orderBy(col("hour_bucket"), col("event_type"))
+    }),
 
     // As-of join: each click enriched with the user's latest signup at
     // or before it (union+window — one shuffle, see AsOfJoin). ts stays
@@ -73,10 +76,11 @@ object EventTimeQueries {
     // session. Windows are partitioned per user — event-time order
     // within a user, never a global sort.
     "x15_session_gap" -> ((s, d) => {
-      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val e = Tables(s, d, "events")
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
       val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val gap = col("ts") - lag(col("ts"), 1).over(wOrd)
-      Tables(s, d, "events")
+      val gap = col("ts_ns") - lag(col("ts_ns"), 1).over(wOrd)
+      e.withColumn("ts_ns", Tables.epochNs(e, "ts"))
         .withColumn("new_sess", when(gap > HalfHourNs, 1).otherwise(0))
         .withColumn("sess", sum(col("new_sess")).over(wCum))
         .groupBy(col("user_id"), col("sess"))
@@ -92,9 +96,9 @@ object EventTimeQueries {
     // (window, type); input amplification is the fixed ×2 of the
     // overlap factor, never data-dependent.
     "x45_hopping_window" -> ((s, d) => {
-      val slideId = call_function("div", col("ts"), lit(HalfHourNs))
-      Tables(s, d, "events")
-        .select(col("event_type"), col("value"),
+      val e = Tables(s, d, "events")
+      val slideId = call_function("div", Tables.epochNs(e, "ts"), lit(HalfHourNs))
+      e.select(col("event_type"), col("value"),
           explode(array(slideId - 1, slideId)).as("w"))
         .groupBy(col("w"), col("event_type"))
         .agg(count(lit(1)).as("cnt"), cents("value").as("amount_cents"))

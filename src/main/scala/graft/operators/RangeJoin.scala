@@ -19,11 +19,11 @@ import org.apache.spark.sql.functions._
 object RangeJoin {
 
   /** Join `probe` rows whose `probeTime` falls in [startCol, endCol) of
-    * `intervals`. Times are NON-NEGATIVE monotone integers (epoch nanos
-    * here — the testdata's nanos-as-long timestamps join without any
-    * cast; `div` truncates, which equals floor for non-negatives and
-    * keeps the arithmetic in exact 64-bit integers — a double division
-    * would corrupt nano-precision timestamps above 2^53).
+    * `intervals`. Times are NON-NEGATIVE monotone integers — callers
+    * convert timestamps up front (`Tables.epochNs` for the testdata);
+    * `div` truncates, which equals floor for non-negatives and keeps the
+    * arithmetic in exact 64-bit integers — a double division would
+    * corrupt nano-precision timestamps above 2^53.
     * Column-name collisions are the caller's to avoid (as with any join).
     */
   def pointInInterval(probe: DataFrame, probeTime: String,
