@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Components, Contamination, Dedup, PackingQueries,
-  ParagraphOps, PiiQueries, TextAnalysis}
+import graft.operators.{Components, Contamination, CurationQueries, Dedup,
+  PackingQueries, ParagraphOps, PiiQueries, TextAnalysis}
 import graft.sources.WarcCodec
 
 /** The composed training-data pipeline — the corpus-side flagship, the
@@ -13,14 +13,16 @@ import graft.sources.WarcCodec
   * `main.py:86-225`). One call takes a directory of WARC blobs to
   * packed training sequences:
   *
-  *   WARC -> htmlToText -> language filter -> quality gates
+  *   WARC -> htmlToText -> URL canonicalize/blocklist/dedup ->
+  *   language filter -> Gopher rule gate (opt-in) -> quality gates
   *   (score / repetition / length) -> PII redaction -> exact dedup ->
   *   near-dup keep-canonical (MinHash-LSH + connected components) ->
   *   paragraph-frequency dedup -> decontamination vs a held-out eval
   *   split (broadcast Bloom) -> sequence packing
   *
-  * Every stage is one of the individually-declared operators (x39, x08,
-  * x09/x30, x35/x36, x01, x03/x24, x40, x38, x28) — this job only composes
+  * Every stage is one of the individually-declared operators (x39, x50,
+  * x08, x49, x09/x30, x35/x36, x01, x03/x24, x40, x38, x28) — this job
+  * only composes
   * them, so the correctness of each stage is already oracle-checked;
   * the e2e spec asserts the corpus-level counts of the composition.
   *
@@ -39,6 +41,8 @@ object CorpusPipeline {
     */
   final case class Config(
       languages: Set[String] = Set("en"),
+      blockedHosts: Set[String] = Set.empty,
+      gopherRules: Boolean = false,
       minTokens: Int = 5,
       minQuality: Double = 0.3,
       maxRepetition: Double = 0.5,
@@ -57,7 +61,8 @@ object CorpusPipeline {
     * curation run reports (what was dropped, where, and why).
     */
   final case class Report(
-      ingested: Long, quarantinedBlobs: Long, keptLanguage: Long,
+      ingested: Long, quarantinedBlobs: Long, keptUrl: Long,
+      keptLanguage: Long, keptGopher: Long,
       keptQuality: Long, afterExactDedup: Long, afterNearDedup: Long,
       afterParaDedup: Long, afterDecontamination: Long,
       packs: Long, packedTokens: Long)
@@ -66,10 +71,41 @@ object CorpusPipeline {
       documents: DataFrame, quarantined: DataFrame, curated: DataFrame,
       packed: DataFrame, report: Report)
 
-  /** Stages 2-4 as reusable single-batch transforms — the streaming
-    * ingest ([[graft.streaming.CorpusStream]]) runs the same curation
-    * chain per micro-batch, so batch and stream cannot drift.
+  // The curation stages below are reusable single-batch transforms — the
+  // streaming ingest (graft.streaming.CorpusStream) runs the same chain
+  // per micro-batch, so batch and stream cannot drift.
+
+  /** URL hygiene (x50, the CCNet front gate): canonicalize each doc's
+    * URL, refuse blocklisted hosts, and keep ONE doc per canonical URL
+    * (min doc_id — re-crawls of the same page differ only in tracking
+    * params/fragments). Runs FIRST: dropping a re-crawl here is far
+    * cheaper than letting it ride into tokenization and MinHash.
     */
+  private[graft] def urlFilter(docs: DataFrame, cfg: Config): DataFrame = {
+    val canon = docs.withColumn("__canon",
+      CurationQueries.canonicalizeUrl(col("url")))
+    val unblocked =
+      if (cfg.blockedHosts.isEmpty) canon
+      else canon.filter(!CurationQueries.urlHost(col("__canon"))
+        .isInCollection(cfg.blockedHosts))
+    val keeper = unblocked.groupBy(col("__canon"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    unblocked.join(keeper, Seq("__canon", "doc_id"), "left_semi")
+      .drop("__canon")
+  }
+
+  /** Gopher rule gate (x49): integer-exact rule predicates over the
+    * token counts; a doc must pass every rule. Off by default — the
+    * thresholds are tuned for web prose, and callers of the synthetic
+    * corpus opt in per run.
+    */
+  private[graft] def gopherFilter(docs: DataFrame): DataFrame =
+    docs.join(
+      CurationQueries.gopherRules(
+          CurationQueries.gopherStats(docs, "doc_id", "text"))
+        .filter(col("pass")).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+
   private[graft] def languageFilter(docs: DataFrame, cfg: Config): DataFrame =
     docs.withColumn("lang", TextAnalysis.languageId(col("text")))
       .filter(col("lang").isInCollection(cfg.languages))
@@ -109,27 +145,35 @@ object CorpusPipeline {
       .select(col("path"), col("blob_error"))
     val docs = WarcCodec.documentsFromRaw(raw)
 
-    // 2. language filter (x08)
-    val langKept = languageFilter(docs, cfg)
+    // 2. URL hygiene (x50): canonical-URL dedup + host blocklist, the
+    // cheapest drop in the chain, so it goes first
+    val urlKept = urlFilter(docs, cfg)
 
-    // 3. quality gates (x09 score, x30 repetition, length floor)
-    val qualKept = qualityFilter(langKept, cfg)
+    // 3. language filter (x08)
+    val langKept = languageFilter(urlKept, cfg)
 
-    // 4. PII redaction (x36) BEFORE dedup: redaction canonicalizes text,
+    // 4. Gopher rule gate (x49, opt-in) — after language ID (the rules
+    // assume prose in a known language), before the blended score
+    val gopherKept = if (cfg.gopherRules) gopherFilter(langKept) else langKept
+
+    // 5. quality gates (x09 score, x30 repetition, length floor)
+    val qualKept = qualityFilter(gopherKept, cfg)
+
+    // 6. PII redaction (x36) BEFORE dedup: redaction canonicalizes text,
     // so two docs differing only in a contact line dedup together
     val redacted = redactPii(qualKept)
 
-    // 5. exact dedup keep-first (x01)
+    // 7. exact dedup keep-first (x01)
     val exact = Dedup.exactKeepFirst(redacted, "doc_id", "text")
       .localCheckpoint(true)
 
-    // 6. near-dup keep-canonical (x03 pairs -> x24 canonical member)
+    // 8. near-dup keep-canonical (x03 pairs -> x24 canonical member)
     val pairs = Dedup.minhashLshPairs(exact, "doc_id", "text",
       cfg.shingleN, cfg.numPerm, cfg.bands, cfg.nearDupThreshold)
     val canonical = Components.keepCanonical(exact, "doc_id",
       pairs.select(col("a"), col("b"))).localCheckpoint(true)
 
-    // 7. paragraph-level corpus dedup (x40, the FineWeb pass): a
+    // 9. paragraph-level corpus dedup (x40, the FineWeb pass): a
     // paragraph recurring across the SURVIVING documents is
     // corpus-level boilerplate the doc-level dedup cannot see (the
     // carrying documents differ); drop it from every doc, keep the
@@ -143,7 +187,7 @@ object CorpusPipeline {
         Seq("doc_id"))
       .localCheckpoint(true)
 
-    // 8. decontamination (x38 shape): the held-out split is the SMALL
+    // 10. decontamination (x38 shape): the held-out split is the SMALL
     // side — its window Bloom ships to executors once and the train
     // corpus probes it in the scan; bloom_frac upper-bounds the exact
     // contamination (no false negatives), so dropping by it can only
@@ -158,7 +202,7 @@ object CorpusPipeline {
     val curated = paraKept.join(contaminated, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
 
-    // 9. sequence packing (x28, keyed variant for the md5 doc ids)
+    // 11. sequence packing (x28, keyed variant for the md5 doc ids)
     val packed = PackingQueries.packSequencesKeyed(curated, "doc_id", "text",
       cfg.packBudget, cfg.packShards).localCheckpoint(true)
     val packStats = packed
@@ -169,7 +213,9 @@ object CorpusPipeline {
       Report(
         ingested = docs.count(),
         quarantinedBlobs = quarantined.count(),
+        keptUrl = urlKept.count(),
         keptLanguage = langKept.count(),
+        keptGopher = gopherKept.count(),
         keptQuality = qualKept.count(),
         afterExactDedup = exact.count(),
         afterNearDedup = canonical.count(),

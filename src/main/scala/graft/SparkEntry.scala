@@ -29,7 +29,8 @@ object SparkEntry {
       Quantize.queries ++
       Contamination.queries ++
       PiiQueries.queries ++
-      OlapQueries.queries
+      OlapQueries.queries ++
+      CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -46,5 +47,6 @@ object SparkEntry {
       Quantize.oracleSql ++
       Contamination.oracleSql ++
       PiiQueries.oracleSql ++
-      OlapQueries.oracleSql
+      OlapQueries.oracleSql ++
+      CurationQueries.oracleSql
 }

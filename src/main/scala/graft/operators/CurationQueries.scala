@@ -1,0 +1,292 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.GraftFunctions.tokens
+
+/** Web-corpus curation operators (SURVEY §7.4 extension family): the
+  * C4/Gopher/RefinedWeb-style passes a training-data pipeline runs
+  * BEFORE dedup — rule-based quality gating, URL canonicalization +
+  * host blocklisting, TF-IDF keyword extraction, and length-bucketed
+  * batch packing stats.
+  *
+  * Scale shapes: x49/x52 are pure scan-project + one bounded aggregate;
+  * x50 shuffles on the canonical URL (one key per page, like x01's
+  * exact dedup); x51 is two map-side-combinable counts and a per-doc
+  * top-k window (WindowGroupLimit, the q54 shape). Rule outputs stay
+  * integer/boolean so the cross-engine hashed surface has no float
+  * seam; the one float (TF-IDF's ln) follows the x42 round-6
+  * convention.
+  */
+object CurationQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Gopher-style stopword presence lexicon (public English markers,
+    * same list as TextAnalysis.langMarkers("en")).
+    */
+  private val stopMarkers = Seq("the", "a", "of", "and", "is")
+
+  /** Per-document integer counts feeding the Gopher rules. All counts
+    * are over whitespace tokens of the lowercased text (the engine's
+    * shared tokenizer), so every rule below is an exact integer
+    * predicate — no float ratio crosses the oracle boundary.
+    */
+  def gopherStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ts = tokens(col(textCol))
+    docs.select(col(idCol),
+      size(ts).as("n_words"),
+      length(regexp_replace(col(textCol), "\\s+", "")).as("n_nonspace_chars"),
+      size(filter(ts, t => t.rlike("[a-z]"))).as("n_alpha_words"),
+      size(filter(ts, t => t.rlike("^[^a-z0-9]+$"))).as("n_symbol_words"),
+      size(array_intersect(array_distinct(ts),
+        array(stopMarkers.map(lit): _*))).as("n_stop_distinct"))
+  }
+
+  /** Gopher quality rules over the stats columns, as integer/boolean
+    * predicates (ratio thresholds cross-multiplied so the comparison is
+    * exact): word count in [10, 100k], mean word length in [3, 10],
+    * symbol-word ratio <= 0.1, alphabetic-word fraction >= 0.8, >= 2
+    * distinct stopwords present.
+    */
+  def gopherRules(stats: DataFrame): DataFrame = {
+    val rWc = col("n_words").between(10, 100000)
+    val rMwl = (lit(3) * col("n_words") <= col("n_nonspace_chars")) &&
+      (col("n_nonspace_chars") <= lit(10) * col("n_words"))
+    val rSym = lit(10) * col("n_symbol_words") <= col("n_words")
+    val rAlpha = lit(5) * col("n_alpha_words") >= lit(4) * col("n_words")
+    val rStop = col("n_stop_distinct") >= 2
+    stats.withColumn("r_word_count", rWc)
+      .withColumn("r_mean_word_len", rMwl)
+      .withColumn("r_symbol_ratio", rSym)
+      .withColumn("r_alpha_words", rAlpha)
+      .withColumn("r_stopwords", rStop)
+      .withColumn("pass", rWc && rMwl && rSym && rAlpha && rStop)
+  }
+
+  /** Canonicalize a URL for dedup keying (the C4/RefinedWeb hygiene
+    * set): strip the fragment, lowercase scheme+host, drop default
+    * ports (:80/:443), and remove tracking query params (utm_*, ref) —
+    * tidying the separators they leave behind. Path case is preserved
+    * (paths are case-sensitive on real origins). Every step is a
+    * dialect-neutral regex rewrite, mirrored 1:1 by the DuckDB oracle.
+    */
+  def canonicalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val hostPart = regexp_replace(
+      lower(regexp_extract(noFrag, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)),
+      ":(443|80)$", "")
+    val path = regexp_replace(
+      regexp_replace(
+        regexp_replace(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", ""),
+        "(utm_[a-z0-9]+|ref)=[^&]*&", ""),
+      "[?&](utm_[a-z0-9]+|ref)=[^&]*$", "")
+    concat(hostPart, path)
+  }
+
+  /** Host of an already-canonicalized URL (lowercase, port stripped). */
+  def urlHost(canon: Column): Column =
+    regexp_extract(canon, "^[a-z][a-z0-9+.-]*://([^/?#]*)", 1)
+
+  /** Deterministic synthetic URL per document — the corpus has no URL
+    * column, so (the x35 PII convention) each doc gets one derived from
+    * its id/source with mixed case, a default port, tracking params and
+    * fragments, such that canonicalization collapses doc_id classes
+    * (mod lcm(50, 20, 5) = 100) into shared canonical URLs.
+    */
+  private def syntheticUrl: Column =
+    concat(lit("HTTPS://WWW."), col("source"), lit(".Example.COM:443/Path"),
+      (col("doc_id") % 50).cast("string"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit("?utm_source=feed&id="), (col("doc_id") % 5).cast("string"),
+          lit("&ref=rss")))
+        .otherwise(concat(lit("?id="), (col("doc_id") % 5).cast("string"))),
+      when(col("doc_id") % 2 === 0,
+        concat(lit("#sec"), (col("doc_id") % 4).cast("string")))
+        .otherwise(lit("")))
+
+  /** Hosts refused outright (spam/adult-domain blocklist stand-in). */
+  val blockedHosts: Seq[String] =
+    Seq("www.src3.example.com", "www.src17.example.com")
+
+  val queries: Map[String, Q] = Map(
+    // Gopher rule gate: integer counts + per-rule booleans + the
+    // composite pass bit. A deterministic symbol-noise suffix rides on
+    // doc_id % 7 == 0 docs (the corpus itself is clean word-salad) so
+    // the symbol rule actually fires — same literal on both engines,
+    // the x44 convention.
+    "x49_gopher_rules" -> ((s, d) => {
+      val aug = Tables(s, d, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0, lit(" ### #! ##")).otherwise(lit("")))
+          .as("t"))
+      gopherRules(gopherStats(aug, "doc_id", "t")).orderBy(col("doc_id"))
+    }),
+
+    // URL canonicalize + blocklist + dedup: group by canonical URL
+    // (keep-min doc), anti-join blocked hosts via a broadcast literal
+    // relation. The shuffle key is the canonical URL — one key per
+    // page, the x01 exact-dedup shape at any corpus size.
+    "x50_url_canonicalize" -> ((s, d) => {
+      import s.implicits._
+      val canon = Tables(s, d, "documents")
+        .select(col("doc_id"), canonicalizeUrl(syntheticUrl).as("canon_url"))
+        .withColumn("host", urlHost(col("canon_url")))
+      val blocked = blockedHosts.toDF("host")
+      canon.join(broadcast(blocked), Seq("host"), "left_anti")
+        .groupBy(col("canon_url"), col("host"))
+        .agg(min(col("doc_id")).as("keeper_doc"), count(lit(1)).as("n_docs"))
+        .orderBy(col("canon_url"))
+    }),
+
+    // TF-IDF top-3 terms per document: tf and df are map-side-combinable
+    // counts; N is one driver scalar; the per-doc top-k goes through a
+    // rank<=3 filter that Catalyst rewrites to WindowGroupLimit (the q54
+    // shape — a map-side k-heap, never a full per-doc sort at scale).
+    // Score follows the x42 float convention (ln, round 6); rank ties
+    // break on term asc so ordering is deterministic cross-engine.
+    "x51_tfidf" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val n = docs.count().toDouble // one scalar, the x42 vocab shape
+      val tok = docs.select(col("doc_id"), explode_outer(tokens(col("text"))).as("w"))
+        .filter(col("w").isNotNull)
+      val tf = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val df = tok.groupBy(col("w")).agg(countDistinct(col("doc_id")).as("df"))
+      val scored = tf.join(df, Seq("w"))
+        .withColumn("score", col("tf").cast("double") * log(lit(n) / col("df").cast("double")))
+      val rk = row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("w")))
+      scored.withColumn("rank", rk).filter(col("rank") <= 3)
+        .select(col("doc_id"), col("w").as("term"), col("tf"), col("df"),
+          round(col("score"), 6).as("score"), col("rank"))
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
+    // Length-bucketed packing stats: power-of-two token buckets
+    // (16..2048, longer docs truncate into the cap) with per-bucket
+    // padding waste — the batch-shape accounting a training loader
+    // does. Bucket is a pure projection; ONE bounded hash aggregate.
+    "x52_length_buckets" -> ((s, d) => {
+      val n = graft.operators.TextAnalysis.bpeishTokenCount(col("text"))
+      val bucket = Seq(16, 32, 64, 128, 256, 512, 1024)
+        .foldRight(lit(2048): Column)((b, acc) => when(n <= b, b).otherwise(acc))
+      Tables(s, d, "documents")
+        .select(bucket.as("bucket"), n.as("n"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(least(col("n"), col("bucket")).cast("long")).as("sum_tokens"),
+          sum((col("bucket") - least(col("n"), col("bucket"))).cast("long")).as("pad_tokens"),
+          sum(when(col("n") > 2048, 1L).otherwise(0L)).as("n_truncated"))
+        .orderBy(col("bucket"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "x49_gopher_rules" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    text || CASE WHEN doc_id % 7 = 0 THEN ' ### #! ##' ELSE '' END AS t
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(t)), '\s+'), x -> x <> '') AS ts,
+        |    CAST(length(regexp_replace(t, '\s+', '', 'g')) AS INT) AS n_nonspace_chars
+        |  FROM a
+        |), m AS (
+        |  SELECT doc_id,
+        |    CAST(len(ts) AS INT) AS n_words,
+        |    n_nonspace_chars,
+        |    CAST(len(list_filter(ts, x -> regexp_matches(x, '[a-z]'))) AS INT) AS n_alpha_words,
+        |    CAST(len(list_filter(ts, x -> regexp_matches(x, '^[^a-z0-9]+$'))) AS INT) AS n_symbol_words,
+        |    CAST(len(list_intersect(list_distinct(ts), ['the','a','of','and','is'])) AS INT) AS n_stop_distinct
+        |  FROM s
+        |)
+        |SELECT doc_id, n_words, n_nonspace_chars, n_alpha_words, n_symbol_words,
+        |  n_stop_distinct,
+        |  (n_words BETWEEN 10 AND 100000) AS r_word_count,
+        |  (3 * n_words <= n_nonspace_chars AND n_nonspace_chars <= 10 * n_words) AS r_mean_word_len,
+        |  (10 * n_symbol_words <= n_words) AS r_symbol_ratio,
+        |  (5 * n_alpha_words >= 4 * n_words) AS r_alpha_words,
+        |  (n_stop_distinct >= 2) AS r_stopwords,
+        |  ((n_words BETWEEN 10 AND 100000)
+        |   AND (3 * n_words <= n_nonspace_chars AND n_nonspace_chars <= 10 * n_words)
+        |   AND (10 * n_symbol_words <= n_words)
+        |   AND (5 * n_alpha_words >= 4 * n_words)
+        |   AND (n_stop_distinct >= 2)) AS pass
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "x50_url_canonicalize" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'HTTPS://WWW.' || source || '.Example.COM:443/Path' || CAST(doc_id % 50 AS VARCHAR)
+        |    || CASE WHEN doc_id % 3 = 0
+        |            THEN '?utm_source=feed&id=' || CAST(doc_id % 5 AS VARCHAR) || '&ref=rss'
+        |            ELSE '?id=' || CAST(doc_id % 5 AS VARCHAR) END
+        |    || CASE WHEN doc_id % 2 = 0 THEN '#sec' || CAST(doc_id % 4 AS VARCHAR) ELSE '' END AS raw
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, regexp_replace(raw, '#.*$', '') AS nofrag FROM u
+        |), p AS (
+        |  SELECT doc_id,
+        |    regexp_replace(lower(regexp_extract(nofrag, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)),
+        |      ':(443|80)$', '') AS hostpart,
+        |    regexp_replace(
+        |      regexp_replace(regexp_replace(nofrag, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', ''),
+        |        '(utm_[a-z0-9]+|ref)=[^&]*&', '', 'g'),
+        |      '[?&](utm_[a-z0-9]+|ref)=[^&]*$', '') AS path
+        |  FROM c
+        |), k AS (
+        |  SELECT doc_id, hostpart || path AS canon_url,
+        |    regexp_extract(hostpart, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1) AS host
+        |  FROM p
+        |)
+        |SELECT canon_url, host, min(doc_id) AS keeper_doc,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM k
+        |WHERE host NOT IN ('www.src3.example.com', 'www.src17.example.com')
+        |GROUP BY canon_url, host
+        |ORDER BY canon_url""".stripMargin,
+
+    "x51_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS w
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2
+        |), df AS (
+        |  SELECT w, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+        |), n AS (
+        |  SELECT count(*) AS n FROM documents
+        |), sc AS (
+        |  SELECT tf.doc_id, tf.w AS term, tf.tf, df.df,
+        |    CAST(tf.tf AS DOUBLE) * ln(CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE)) AS score
+        |  FROM tf JOIN df USING (w) CROSS JOIN n
+        |), rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+        |  FROM sc
+        |)
+        |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        |  round(score, 6) AS score, CAST(rank AS INT) AS rank
+        |FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "x52_length_buckets" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id, n,
+        |    CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32 WHEN n <= 64 THEN 64
+        |         WHEN n <= 128 THEN 128 WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512
+        |         WHEN n <= 1024 THEN 1024 ELSE 2048 END AS bucket
+        |  FROM t
+        |)
+        |SELECT CAST(bucket AS INT) AS bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(least(n, bucket)) AS BIGINT) AS sum_tokens,
+        |  CAST(sum(bucket - least(n, bucket)) AS BIGINT) AS pad_tokens,
+        |  CAST(sum(CASE WHEN n > 2048 THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+  )
+}
