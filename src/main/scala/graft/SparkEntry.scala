@@ -30,7 +30,8 @@ object SparkEntry {
       Contamination.queries ++
       PiiQueries.queries ++
       OlapQueries.queries ++
-      CurationQueries.queries
+      CurationQueries.queries ++
+      ZOrder.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -48,5 +49,6 @@ object SparkEntry {
       Contamination.oracleSql ++
       PiiQueries.oracleSql ++
       OlapQueries.oracleSql ++
-      CurationQueries.oracleSql
+      CurationQueries.oracleSql ++
+      ZOrder.oracleSql
 }

@@ -152,7 +152,11 @@ object CurationQueries {
       val tok = docs.select(col("doc_id"), explode_outer(tokens(col("text"))).as("w"))
         .filter(col("w").isNotNull)
       val tf = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-      val df = tok.groupBy(col("w")).agg(countDistinct(col("doc_id")).as("df"))
+      // df rides on tf: one row per (doc, term) is already distinct, so
+      // count(*) per term IS the document frequency — no second
+      // scan+explode of the corpus, and the input to this aggregate is
+      // the (far smaller) post-combine tf relation
+      val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
       val scored = tf.join(df, Seq("w"))
         .withColumn("score", col("tf").cast("double") * log(lit(n) / col("df").cast("double")))
       val rk = row_number().over(
