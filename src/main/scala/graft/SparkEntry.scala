@@ -31,7 +31,8 @@ object SparkEntry {
       PiiQueries.queries ++
       OlapQueries.queries ++
       CurationQueries.queries ++
-      ZOrder.queries
+      ZOrder.queries ++
+      BpeQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -50,5 +51,6 @@ object SparkEntry {
       PiiQueries.oracleSql ++
       OlapQueries.oracleSql ++
       CurationQueries.oracleSql ++
-      ZOrder.oracleSql
+      ZOrder.oracleSql ++
+      BpeQueries.oracleSql
 }

@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.GraftFunctions.tokens
+
+/** BPE tokenizer learning (Sennrich et al., ACL'16) — the missing half
+  * of token counting: LEARN the subword vocabulary from the corpus.
+  *
+  * Scale shape: the iteration state is the WORD VOCABULARY relation
+  * (distinct words × symbol arrays, weighted by corpus frequency) —
+  * corpus-sized work happens exactly once (the word count); each of the
+  * `numMerges` iterations is then one map-side-combinable pair count, a
+  * 1-row argmax collect, and one narrow map applying the merge — no
+  * corpus re-scan, no shuffle of text. At 100 TB the vocab relation is
+  * millions of rows, not billions, and each iteration stays a small
+  * bounded job (production systems batch multiple merges per count;
+  * the loop here picks one per iteration for exactness).
+  *
+  * Everything is deterministic: ties in pair counts break on (left,
+  * right) lexicographic order, so the learned merge table is a pure
+  * function of the corpus.
+  */
+object BpeQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** (w, freq): corpus word vocabulary over the shared tokenizer. */
+  def wordVocab(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode_outer(tokens(col(textCol))).as("w"))
+      .filter(col("w").isNotNull)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+
+  /** Character array of a word. regexp_extract_all, NOT split(w, ""):
+    * Java regex split keeps a trailing empty string under limit -1,
+    * which the DuckDB oracle's regexp_extract_all never produces.
+    */
+  def chars(w: Column): Column = regexp_extract_all(w, lit("."), lit(0))
+
+  /** Adjacent symbol pairs of an array column as (l, r) structs —
+    * the x42 zip_with shape.
+    */
+  private def adjacentPairs(syms: Column): Column =
+    zip_with(
+      slice(syms, lit(1), size(syms) - 1),
+      slice(syms, lit(2), size(syms) - 1),
+      (a, b) => struct(a.as("l"), b.as("r")))
+
+  /** Frequency-weighted count of every adjacent symbol pair in the
+    * vocab (the quantity BPE maximizes each iteration).
+    */
+  def pairCounts(vocab: DataFrame, symsCol: String): DataFrame =
+    vocab.filter(size(col(symsCol)) >= 2)
+      .select(explode(adjacentPairs(col(symsCol))).as("p"), col("freq"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("freq")).as("cnt"))
+
+  /** One greedy left-to-right merge pass: every non-overlapping
+    * adjacent (l, r) in the symbol array becomes the fused symbol.
+    * A pure fold (HOF aggregate) — no shuffle, no UDF. Left-to-right
+    * non-overlap falls out of folding: after fusing, the new last
+    * element is the fused symbol, which no longer equals `l`, so
+    * "aaa" under (a,a) yields [aa, a], the BPE convention.
+    */
+  def applyMerge(syms: Column, l: String, r: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, s) =>
+      when(size(acc) > 0 && element_at(acc, -1) === lit(l) && s === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(s))))
+
+  /** One learned merge: its rank, the fused pair, and the weighted
+    * count at pick time.
+    */
+  final case class Merge(rank: Int, l: String, r: String, cnt: Long)
+
+  /** Learn `numMerges` merges from a (w, freq) vocabulary. Driver loop:
+    * each iteration counts pairs (one aggregate), collects the 1-row
+    * argmax, and applies the merge with a narrow map; the vocab is
+    * eagerly checkpointed per iteration so plans stay shallow (nested
+    * fold expressions would otherwise stack 10 deep in codegen).
+    * Stops early when no pair remains (every word fused to one symbol).
+    */
+  def learnMerges(vocab: DataFrame, numMerges: Int): Seq[Merge] = {
+    var v = vocab.select(col("w"), col("freq"),
+        chars(col("w")).as("syms"))
+      .localCheckpoint(true)
+    val out = Seq.newBuilder[Merge]
+    var rank = 1
+    var done = false
+    while (rank <= numMerges && !done) {
+      val top = pairCounts(v, "syms")
+        .orderBy(col("cnt").desc, col("l"), col("r")).limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        out += Merge(rank, l, r, c)
+        v = v.withColumn("syms", applyMerge(col("syms"), l, r))
+          .localCheckpoint(true)
+        rank += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Segment one text column with an already-learned merge table:
+    * per word, replay the merges in rank order. Built iteratively —
+    * callers with long merge tables should checkpoint between chunks
+    * the way [[learnMerges]] does.
+    */
+  def segment(text: Column, merges: Seq[Merge]): Column = {
+    val words = tokens(text)
+    transform(words, w => {
+      val syms = chars(w)
+      merges.foldLeft(syms: Column)((acc, m) => applyMerge(acc, m.l, m.r))
+    })
+  }
+
+  val queries: Map[String, Q] = Map(
+    // First-iteration weighted pair counts, top-20 under the total
+    // deterministic order — the exact quantity the learner maximizes,
+    // hash-checked against DuckDB's independent formulation.
+    "x54_bpe_pair_counts" -> ((s, d) => {
+      val vocab = wordVocab(Tables(s, d, "documents"), "text")
+      pairCounts(vocab.withColumn("syms", chars(col("w"))), "syms")
+        .orderBy(col("cnt").desc, col("l"), col("r")).limit(20)
+    }),
+
+    // The learned merge table (rows-only check: a 10-step driver loop
+    // is not one SQL statement) — paired with the x54g gate below.
+    "x54m_bpe_learn" -> ((s, d) => {
+      import s.implicits._
+      learnMerges(wordVocab(Tables(s, d, "documents"), "text"), 10)
+        .toDF("rank", "l", "r", "cnt").orderBy(col("rank"))
+    }),
+
+    // Gate (empty-set oracle): (1) merge counts must be non-increasing
+    // in rank — after fusing the best pair, a new pair's count is
+    // bounded by the fused pair's, and old counts only fall, so any
+    // increase proves a counting bug; (2) the rank-1 merge must equal
+    // the argmax of the INDEPENDENTLY hash-checked x54 pair counts.
+    "x54g_bpe_gate" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables(s, d, "documents")
+      val merges = learnMerges(wordVocab(docs, "text"), 10)
+      val monotone = merges.sliding(2).collect {
+        case Seq(a, b) if b.cnt > a.cnt =>
+          (b.rank, s"count rose ${a.cnt} -> ${b.cnt}")
+      }.toSeq
+      val vocab = wordVocab(docs, "text")
+      val first = pairCounts(vocab.withColumn("syms", chars(col("w"))), "syms")
+        .orderBy(col("cnt").desc, col("l"), col("r")).limit(1).collect()
+      val firstBad =
+        if (merges.isEmpty || first.isEmpty) Seq((0, "no merges learned"))
+        else {
+          val m = merges.head
+          if (first(0).getString(0) != m.l || first(0).getString(1) != m.r ||
+              first(0).getLong(2) != m.cnt)
+            Seq((1, s"rank-1 merge ${m.l}+${m.r}@${m.cnt} != independent argmax"))
+          else Seq.empty
+        }
+      (monotone ++ firstBad).toDF("rank", "violation").orderBy(col("rank"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "x54_bpe_pair_counts" ->
+      """WITH w AS (
+        |  SELECT w, count(*) AS freq FROM (
+        |    SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS w
+        |    FROM documents)
+        |  GROUP BY w
+        |), s AS (
+        |  SELECT freq, regexp_extract_all(w, '.') AS cs FROM w
+        |), p AS (
+        |  SELECT cs[i] AS l, cs[i + 1] AS r, freq
+        |  FROM s, unnest(generate_series(1, len(cs) - 1)) AS u(i)
+        |  WHERE len(cs) >= 2
+        |)
+        |SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt
+        |FROM p GROUP BY l, r
+        |ORDER BY cnt DESC, l, r LIMIT 20""".stripMargin,
+
+    "x54g_bpe_gate" ->
+      "SELECT CAST(NULL AS INT) AS rank, CAST(NULL AS VARCHAR) AS violation WHERE 1 = 0"
+  )
+}
