@@ -15,6 +15,10 @@ import graft.functions.GraftFunctions.tokens
   *    scale). Patterns are dialect-neutral (no backrefs/lookarounds) so
   *    the Java-regex engine side and the RE2 DuckDB oracle agree
   *    match-for-match.
+  *  - [[luhnValid]]: checksum-verified credit-card detection (x55) —
+  *    regex candidates filtered through the Luhn check as integer HOF
+  *    expressions, still scan-only; the checksum is what keeps a
+  *    16-digit id or timestamp from redacting as a card.
   *  - [[rareTokenRatio]]: fraction of a document's token OCCURRENCES
   *    whose corpus frequency is below the mean token frequency — the
   *    "too many rare tokens" low-quality signal. The rare predicate is
@@ -37,6 +41,39 @@ object PiiQueries {
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   val PhoneRe = "\\b\\d{3}-\\d{4}-\\d{4}\\b"
+  val CardRe = "\\b\\d{16}\\b"
+
+  /** Luhn checksum validity of a digit string — the checksum half of
+    * credit-card detection (a bare \d{16} scan false-positives on ids
+    * and timestamps; ~90% of random digit runs fail Luhn). Pure integer
+    * HOF expressions: from the RIGHT, every second digit doubles
+    * (minus 9 past 9) and the total must divide by 10.
+    */
+  def luhnValid(num: Column): Column = {
+    val ds = transform(regexp_extract_all(num, lit("."), lit(0)), (c, i) => {
+      val d = c.cast("int")
+      // 0-based i from the left; from-right position = length - i, and
+      // doubling hits even from-right positions (the 2nd, 4th, ...)
+      when((length(num) - i) % 2 === 0,
+        when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+    })
+    aggregate(ds, lit(0), (a, x) => a + x) % 10 === 0
+  }
+
+  /** Check digit completing a 15-digit payload to a Luhn-valid 16-digit
+    * number (used by the deterministic augmentation; the oracle builds
+    * the same digit independently).
+    */
+  def luhnCheckDigit(b15: Column): Column = {
+    val ds = transform(regexp_extract_all(b15, lit("."), lit(0)), (c, i) => {
+      val d = c.cast("int")
+      // digit i (0-based from left) sits at from-right position 16 - i
+      // of the final number: doubled exactly when i is even
+      when(i % 2 === 0,
+        when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+    })
+    (lit(10) - aggregate(ds, lit(0), (a, x) => a + x) % 10) % 10
+  }
 
   /** (id, n_email, n_ipv4, n_phone, n_pii) — one scan, no shuffle. */
   def piiCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -122,7 +159,35 @@ object PiiQueries {
       when(col("doc_id") % 3 === 0, lit(" call 555-0123-4567"))
         .otherwise(lit(""))))
 
+  /** Card augmentation for x55: docs with id % 5 == 0 carry a VALID
+    * Luhn 16-digit number built from the id, id % 7 == 0 an INVALID one
+    * (check digit off by one) — so the checksum, not the regex, decides.
+    */
+  private def cardAugmented(docs: DataFrame): DataFrame = {
+    val base = lpad(col("doc_id").cast("string"), 15, "4")
+    docs.withColumn("text", concat(
+      col("text"),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" card "), base, luhnCheckDigit(base).cast("string")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" ref "), base,
+          ((luhnCheckDigit(base) + 1) % 10).cast("string")))
+        .otherwise(lit(""))))
+  }
+
   val queries: Map[String, Q] = Map(
+    // Checksum-verified card scan: regex candidates, then the Luhn
+    // filter — counts per doc stay integer-exact, zero shuffle.
+    "x55_luhn_scan" -> ((s, d) => {
+      val cands = regexp_extract_all(col("text"), lit(CardRe), lit(0))
+      cardAugmented(Tables(s, d, "documents"))
+        .select(col("doc_id"),
+          size(cands).as("n_card_candidates"),
+          size(filter(cands, luhnValid(_))).as("n_luhn_valid"))
+        .orderBy(col("doc_id"))
+    }),
+
     "x35_pii_scan" -> ((s, d) =>
       piiCounts(augmented(Tables(s, d, "documents")), "doc_id", "text")
         .orderBy(col("doc_id"))),
@@ -165,6 +230,58 @@ object PiiQueries {
       |  CASE WHEN doc_id % 3 = 0 THEN ' call 555-0123-4567' ELSE '' END""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // Luhn recomputed from scratch in SQL (generate_series digit walk,
+    // no lambda-index dependence): payload digit at 1-based i sits at
+    // from-right position 17-i of the 16-digit number, so doubling
+    // lands on odd i in both the check-digit build and the validation.
+    "x55_luhn_scan" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, lpad(CAST(doc_id AS VARCHAR), 15, '4') AS b15
+        |  FROM documents
+        |), chk AS (
+        |  SELECT doc_id,
+        |    CAST((10 - sum(CASE WHEN i % 2 = 1
+        |                        THEN CASE WHEN d * 2 > 9 THEN d * 2 - 9 ELSE d * 2 END
+        |                        ELSE d END) % 10) % 10 AS INT) AS cd
+        |  FROM (
+        |    SELECT doc_id, CAST(cs[i] AS INT) AS d, i
+        |    FROM (SELECT doc_id, regexp_extract_all(b15, '.') AS cs FROM base),
+        |         unnest(generate_series(1, 15)) AS u(i)
+        |  ) GROUP BY doc_id
+        |), aug AS (
+        |  SELECT b.doc_id,
+        |    b.text ||
+        |    CASE WHEN b.doc_id % 5 = 0
+        |         THEN ' card ' || b.b15 || CAST(c.cd AS VARCHAR) ELSE '' END ||
+        |    CASE WHEN b.doc_id % 7 = 0
+        |         THEN ' ref ' || b.b15 || CAST((c.cd + 1) % 10 AS VARCHAR) ELSE '' END AS text
+        |  FROM base b JOIN chk c USING (doc_id)
+        |), cand AS (
+        |  -- the synthetic candidates within one doc are always distinct
+        |  -- (valid vs off-by-one check digit), so (doc_id, num) is a key
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '\b\d{16}\b')) AS num
+        |  FROM aug
+        |), lu AS (
+        |  SELECT doc_id, num,
+        |    (sum(CASE WHEN i % 2 = 1
+        |              THEN CASE WHEN d * 2 > 9 THEN d * 2 - 9 ELSE d * 2 END
+        |              ELSE d END) % 10 = 0) AS ok
+        |  FROM (
+        |    SELECT doc_id, num, CAST(cs[i] AS INT) AS d, i
+        |    FROM (SELECT doc_id, num, regexp_extract_all(num, '.') AS cs FROM cand),
+        |         unnest(generate_series(1, 16)) AS u(i)
+        |  ) GROUP BY doc_id, num
+        |), agg AS (
+        |  SELECT doc_id, CAST(count(*) AS INT) AS n_card_candidates,
+        |    CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS INT) AS n_luhn_valid
+        |  FROM lu GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  coalesce(a.n_card_candidates, 0) AS n_card_candidates,
+        |  coalesce(a.n_luhn_valid, 0) AS n_luhn_valid
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     "x35_pii_scan" ->
       s"""WITH aug AS (SELECT doc_id, $Aug AS text FROM documents)
          |SELECT doc_id,

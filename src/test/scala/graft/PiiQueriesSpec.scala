@@ -9,6 +9,44 @@ import graft.operators.PiiQueries
 class PiiQueriesSpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("luhnValid agrees with an independent Scala implementation") {
+    // classic Luhn reference number plus generated neighbors
+    def luhnScala(s: String): Boolean = {
+      val sum = s.reverse.zipWithIndex.map { case (c, i) =>
+        val d = c - '0'
+        if (i % 2 == 1) { val x = d * 2; if (x > 9) x - 9 else x } else d
+      }.sum
+      sum % 10 == 0
+    }
+    val nums = Seq("79927398713", "79927398714", "4444444444444448",
+      "4444444444444449", "444444444444123" + "0", "0000000000000000")
+    val got = nums.toDF("n").select($"n", PiiQueries.luhnValid($"n").as("v"))
+      .as[(String, Boolean)].collect().toMap
+    nums.foreach(n => assert(got(n) === luhnScala(n), s"luhn($n)"))
+    assert(got("79927398713"), "the canonical Luhn example must validate")
+  }
+
+  test("luhnCheckDigit completes any 15-digit payload to a valid number") {
+    val payloads = Seq("444444444444123", "000000000000001", "999999999999999")
+    val out = payloads.toDF("p")
+      .select(concat($"p", PiiQueries.luhnCheckDigit($"p").cast("string")).as("n"))
+      .select($"n", PiiQueries.luhnValid($"n").as("v"))
+      .as[(String, Boolean)].collect()
+    assert(out.forall(_._2), s"all completions must validate: ${out.toSeq}")
+  }
+
+  test("x55: checksum separates planted valid cards from off-by-one fakes") {
+    val rows = PiiQueries.queries("x55_luhn_scan")(spark, sfDir)
+      .as[(Long, Int, Int)].collect().toSeq
+    val byId = rows.map(r => r._1 -> ((r._2, r._3))).toMap
+    rows.foreach { case (id, cand, valid) =>
+      val expCand = (if (id % 5 == 0) 1 else 0) + (if (id % 7 == 0) 1 else 0)
+      assert(cand === expCand, s"doc $id candidate count")
+      assert(valid === (if (id % 5 == 0) 1 else 0), s"doc $id valid count")
+    }
+    assert(byId.nonEmpty)
+  }
+
   test("piiCounts: emails, IPv4s, phones counted independently") {
     val docs = Seq(
       (1L, "mail a@b.com and c.d+x@e.org, ip 10.0.0.1, call 555-0123-4567"),
