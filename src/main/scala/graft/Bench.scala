@@ -65,6 +65,10 @@ object Bench {
           graft.operators.Contamination.clearMemo()
           graft.operators.SketchQueries.clearMemo()
           spark.catalog.clearCache()
+          // localCheckpoint blocks (Dedup/BPE iteration state) are NOT
+          // dropped by clearCache; left in place they GC-pressure later
+          // passes (the ScaleCheck lesson)
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
         }
         selected.map { case (name, fn) =>
           val t0 = System.nanoTime()

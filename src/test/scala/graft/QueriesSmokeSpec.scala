@@ -25,7 +25,8 @@ class QueriesSmokeSpec extends SparkSpecBase {
     "x17g_approx_distinct_gate",
     "x18g_approx_median_gate",
     "x26g_heavy_hitters_recall",
-    "x38g_decontam_bloom_gate")
+    "x38g_decontam_bloom_gate",
+    "x54g_bpe_gate")
 
   test("every declared query emits SCALAR columns only (driver pandas-sort compat)") {
     // the driver's correctness harness canonicalizes with a pandas
