@@ -15,7 +15,8 @@ import graft.sources.WarcCodec
   * against the PERSISTED corpus state instead of against itself:
   *
   *   new blobs (file-source checkpoint = each blob exactly once)
-  *   -> records -> htmlToText -> language/quality gates -> PII redact
+  *   -> records -> htmlToText -> URL canonicalize/blocklist (in-batch
+  *      dedup) -> language/Gopher/quality gates -> PII redact
   *   -> exact dedup vs the curated store's content hashes
   *   -> near-dup dedup vs the persisted band + array index (the x34
   *      incremental-LSH contract: new-vs-index and in-batch pairs only,
@@ -221,10 +222,17 @@ class CorpusStream(spark: SparkSession, workDir: String,
       paths.select("path").as[String]).toDF().localCheckpoint(true)
     val docs = WarcCodec.documentsFromRaw(raw)
 
-    // curation: the SAME stage transforms the batch pipeline runs
+    // curation: the SAME stage transforms the batch pipeline runs, in
+    // the same order (URL hygiene first, opt-in Gopher gate after
+    // language ID). URL dedup here is within-batch; a re-crawl landing
+    // in a LATER batch is still caught by the content-hash anti-join
+    // against the store below.
+    val langKept = CorpusPipeline.languageFilter(
+      CorpusPipeline.urlFilter(docs, cfg), cfg)
+    val gated =
+      if (cfg.gopherRules) CorpusPipeline.gopherFilter(langKept) else langKept
     val cur = CorpusPipeline.redactPii(
-      CorpusPipeline.qualityFilter(
-        CorpusPipeline.languageFilter(docs, cfg), cfg))
+      CorpusPipeline.qualityFilter(gated, cfg))
       .localCheckpoint(true)
 
     // exact dedup: in-batch keep-first, then anti-join the store's

@@ -68,4 +68,23 @@ class PlanAuditSpec extends SparkSpecBase {
     // shuffled — losing this rewrite silently reverts to sort-everything
     assert(limits.size === 2, s"expected partial+final WindowGroupLimit, got:\n$plan")
   }
+
+  test("x51's per-doc top-k gets the same WindowGroupLimit rewrite") {
+    import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+    val plan = SparkEntry.queries("x51_tfidf")(spark, sfDir)
+      .queryExecution.sparkPlan
+    val limits = plan.collect { case w: WindowGroupLimitExec => w }
+    assert(limits.size === 2, s"expected partial+final WindowGroupLimit, got:\n$plan")
+  }
+
+  test("x50's host blocklist is a broadcast anti join, never a shuffle") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val plan = SparkEntry.queries("x50_url_canonicalize")(spark, sfDir)
+      .queryExecution.sparkPlan
+    val anti = plan.collect {
+      case j: BroadcastHashJoinExec if j.joinType.toString == "LeftAnti" => j
+    }
+    // the blocklist must ship to executors, not shuffle the corpus
+    assert(anti.size === 1, s"expected one broadcast LeftAnti, got:\n$plan")
+  }
 }
