@@ -147,6 +147,17 @@ object ExtensionQueries {
         nlist = 16, nprobe = 4)
     }
 
+  /** Lloyd-refined IVF ANN top-k — consumed by x56 and x56p. */
+  private def annIvfRefined(s: SparkSession, d: String): DataFrame =
+    once(s, d, "ann_ivf_refined") {
+      val e = rebalanced(Tables(s, d, "embeddings"))
+      Similarity.ivfSearch(
+        Similarity.ivfBuildRefined(e, "vec_id", "embedding",
+          nlist = 16, iters = 3).index,
+        e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nprobe = 4)
+    }
+
   /** documents ∪ exact copies (id+10000 for id<50) ∪ near-dup copies with
     * a 3-token tail appended (id+20000 for 50<=id<80).
     */
@@ -305,6 +316,34 @@ object ExtensionQueries {
         .join(annExhaustive(s, d).select("qid", "nid", "sim"),
           Seq("qid", "nid", "sim"), "left_anti")
         .orderBy(col("qid"), col("nid"))),
+
+    // Lloyd-refined IVF (spherical k-means centroids): same contract as
+    // x16 — rows-only result, every emitted score exact (x56p), plus
+    // the refinement-specific gate below.
+    "x56_ann_ivf_refined_topk" -> ((s, d) =>
+      annIvfRefined(s, d).orderBy(col("qid"), col("rank"))),
+
+    "x56p_ann_ivf_refined_precision" -> ((s, d) =>
+      annIvfRefined(s, d).select("qid", "nid", "sim")
+        .join(annExhaustive(s, d).select("qid", "nid", "sim"),
+          Seq("qid", "nid", "sim"), "left_anti")
+        .orderBy(col("qid"), col("nid"))),
+
+    // Gate (empty-set oracle): the spherical k-means objective (summed
+    // cosine to the assigned centroid) must be non-decreasing across
+    // rounds — normalize-then-mean makes each round a guaranteed
+    // improvement step; a drop beyond float-sum jitter proves the
+    // recompute or the assignment broke.
+    "x56g_ivf_refine_gate" -> ((s, d) => {
+      import s.implicits._
+      val e = rebalanced(Tables(s, d, "embeddings"))
+      val objs = Similarity.ivfBuildRefined(e, "vec_id", "embedding",
+        nlist = 16, iters = 3).objectives
+      objs.sliding(2).zipWithIndex.collect {
+        case (Seq(a, b), i) if b < a - 1e-6 =>
+          (i + 1, s"objective fell $a -> $b")
+      }.toSeq.toDF("round", "violation").orderBy(col("round"))
+    }),
 
     // --- skew handling ----------------------------------------------------
     // salted shuffle join: identical relation to the plain join (the
@@ -577,6 +616,14 @@ object ExtensionQueries {
     "x16p_ann_ivf_precision" ->
       """SELECT CAST(NULL AS BIGINT) AS qid, CAST(NULL AS BIGINT) AS nid,
         |  CAST(NULL AS DOUBLE) AS sim WHERE false""".stripMargin,
+
+    "x56p_ann_ivf_refined_precision" ->
+      """SELECT CAST(NULL AS BIGINT) AS qid, CAST(NULL AS BIGINT) AS nid,
+        |  CAST(NULL AS DOUBLE) AS sim WHERE false""".stripMargin,
+
+    "x56g_ivf_refine_gate" ->
+      """SELECT CAST(NULL AS INT) AS round, CAST(NULL AS VARCHAR) AS violation
+        |WHERE false""".stripMargin,
 
     "x12g_multimodal_meta_gate" ->
       """SELECT CAST(NULL AS BIGINT) AS doc_id,

@@ -272,6 +272,77 @@ object Similarity {
     IvfIndex(centroids, assign)
   }
 
+  /** A refined index plus the summed-cosine objective measured at each
+    * assignment (length iters + 1: seed assignment through final).
+    */
+  final case class IvfRefined(index: IvfIndex, objectives: Seq[Double])
+
+  /** [[ivfAssign]] take=1 with the winning cosine retained — the
+    * objective's per-vector term.
+    */
+  private def ivfAssignScored(v: DataFrame, centroids: DataFrame): DataFrame = {
+    val scored = v.crossJoin(broadcast(centroids))
+      .select(col("id"), col("vec"), col("nrm"), col("cell"),
+        (dot(col("vec"), col("cvec")) / (col("nrm") * col("cnrm"))).as("csim"))
+    val w = Window.partitionBy(col("id")).orderBy(col("csim").desc, col("cell"))
+    scored.withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= 1)
+      .select(col("id"), col("vec"), col("nrm"), col("cell"), col("csim"))
+  }
+
+  /** Lloyd-refined IVF build — spherical k-means over the hash-seeded
+    * centroids: `iters` rounds of assign → recompute, each new centroid
+    * the mean of its members' UNIT vectors (assignment sees direction
+    * only, and normalizing before the mean is what makes every round
+    * non-decreasing in summed cosine — the spherical-k-means guarantee
+    * the x56g gate checks). Scale shape per round: one broadcast
+    * assign (centroids are nlist rows), one (cell, pos)
+    * map-side-combinable average over dim×N exploded rows — the
+    * standard distributed k-means shuffle — and a 1-row objective
+    * collect. Cells that lose every member keep their previous
+    * centroid, so nlist never shrinks. Centroids are array<double>
+    * from the seed on (the mean is double anyway; vec_dot takes
+    * float/double mixes natively).
+    */
+  def ivfBuildRefined(corpus: DataFrame, idCol: String, vecCol: String,
+                      nlist: Int, iters: Int): IvfRefined = {
+    require(nlist >= 1, "nlist must be >= 1")
+    require(iters >= 0, "iters must be >= 0")
+    val c = withNorm(corpus, idCol, vecCol).localCheckpoint(true)
+    val wSeed = Window.orderBy(xxhash64(col("id")))
+    var centroids = c.orderBy(xxhash64(col("id"))).limit(nlist)
+      .withColumn("cell", row_number().over(wSeed))
+      .select(col("cell"),
+        transform(col("vec"), x => x.cast("double")).as("cvec"),
+        col("nrm").as("cnrm"))
+      .localCheckpoint(true)
+    val objs = Seq.newBuilder[Double]
+    var assign = ivfAssignScored(c, centroids).localCheckpoint(true)
+    objs += assign.agg(sum(col("csim"))).head().getDouble(0)
+    (1 to iters).foreach { _ =>
+      val means = assign
+        .select(col("cell"), posexplode(transform(col("vec"), x => x / col("nrm"))))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("ncvec"))
+        .withColumn("ncnrm", sqrt(dot(col("ncvec"), col("ncvec"))))
+        // a cell whose members cancel to ~zero has no direction: keep old
+        .filter(col("ncnrm") > 0 && !isnan(col("ncnrm")))
+      centroids = centroids.join(means, Seq("cell"), "left")
+        .select(col("cell"),
+          coalesce(col("ncvec"), col("cvec")).as("cvec"),
+          coalesce(col("ncnrm"), col("cnrm")).as("cnrm"))
+        .localCheckpoint(true)
+      assign = ivfAssignScored(c, centroids).localCheckpoint(true)
+      objs += assign.agg(sum(col("csim"))).head().getDouble(0)
+    }
+    IvfRefined(
+      IvfIndex(centroids, assign.select(col("id").as("nid"),
+        col("vec").as("nvec"), col("nrm").as("nnrm"), col("cell"))),
+      objs.result())
+  }
+
   def ivfSearch(index: IvfIndex, queries: DataFrame,
                 idCol: String, vecCol: String, k: Int,
                 nprobe: Int): DataFrame = {

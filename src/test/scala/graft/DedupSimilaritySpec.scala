@@ -179,6 +179,37 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(part.forall(exhaustive.contains), "IVF emitted a score not in the exhaustive relation")
   }
 
+  test("ivfBuildRefined: objective non-decreasing, improves on clustered data, search stays exact") {
+    // four tight direction-clusters the hash-seeded centroids won't hit
+    // cleanly: refinement must strictly raise the summed cosine
+    val base = Seq(
+      Array(1f, 0f, 0f), Array(0f, 1f, 0f), Array(0f, 0f, 1f), Array(1f, 1f, 0f))
+    val vecs = (0 until 40).map { i =>
+      val b = base(i % 4)
+      (i.toLong, b.map(v => v * (1f + (i / 4) * 0.01f) + (i % 3) * 0.001f))
+    }
+    val e = vecs.toDF("vec_id", "embedding")
+    val r = Similarity.ivfBuildRefined(e, "vec_id", "embedding",
+      nlist = 4, iters = 4)
+    assert(r.objectives.size === 5)
+    r.objectives.sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a - 1e-6, s"objective fell $a -> $b")
+    }
+    assert(r.objectives.last > r.objectives.head + 1e-3,
+      s"refinement must improve on clustered data: ${r.objectives}")
+    // the refined index still scores exactly: full-probe search over the
+    // refined cells equals brute force row-for-row
+    val q = e.filter($"vec_id" < 3)
+    val brute = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k = 3)
+      .select("qid", "rank", "nid", "sim")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val full = Similarity.ivfSearch(r.index, q, "vec_id", "embedding",
+        k = 3, nprobe = 4)
+      .select("qid", "rank", "nid", "sim")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(full === brute)
+  }
+
   test("IVF index round-trips through parquet: stored search == direct search") {
     val e = graft.Tables(spark, sfDir, "embeddings")
     val q = e.filter($"vec_id" < 5)

@@ -26,7 +26,9 @@ class QueriesSmokeSpec extends SparkSpecBase {
     "x18g_approx_median_gate",
     "x26g_heavy_hitters_recall",
     "x38g_decontam_bloom_gate",
-    "x54g_bpe_gate")
+    "x54g_bpe_gate",
+    "x56p_ann_ivf_refined_precision",
+    "x56g_ivf_refine_gate")
 
   test("every declared query emits SCALAR columns only (driver pandas-sort compat)") {
     // the driver's correctness harness canonicalizes with a pandas
