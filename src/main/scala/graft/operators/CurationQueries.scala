@@ -167,6 +167,41 @@ object CurationQueries {
         .orderBy(col("doc_id"), col("rank"))
     }),
 
+    // Per-source quantile normalization (the FineWeb practice): a raw
+    // quality proxy is comparable WITHIN a source but not across
+    // sources with different length/style distributions — replace it
+    // with its percent_rank inside the source. Exact rational
+    // (rank-1)/(n-1) on both engines; per-source windows, no global
+    // sort. Proxy = bpeish token count with doc_id tie-break, fully
+    // deterministic.
+    "x57_quantile_normalize" -> ((s, d) => {
+      val n = TextAnalysis.bpeishTokenCount(col("text"))
+      val w = Window.partitionBy(col("source")).orderBy(col("n"), col("doc_id"))
+      Tables(s, d, "documents")
+        .select(col("doc_id"), col("source"), n.as("n"))
+        .withColumn("pr", round(percent_rank().over(w), 6))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Best-first token-budget selection: fill a per-source token budget
+    // by quality order (longest-first here, doc_id tie-break) — the
+    // "fill 1T tokens from the best docs" pipeline step. The running
+    // sum is an integer per-source window cumsum; a doc is kept while
+    // the budget is not yet exhausted INCLUDING itself (so selection is
+    // a prefix of the source's quality ordering — deterministic, no
+    // knapsack). One shuffle on source, no global sort.
+    "x58_token_budget" -> ((s, d) => {
+      val n = TextAnalysis.bpeishTokenCount(col("text"))
+      val w = Window.partitionBy(col("source")).orderBy(col("n").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, d, "documents")
+        .select(col("doc_id"), col("source"), n.as("n"))
+        .withColumn("cum", sum(col("n")).over(w))
+        .filter(col("cum") <= 500)
+        .select(col("doc_id"), col("source"), col("n"), col("cum"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Length-bucketed packing stats: power-of-two token buckets
     // (16..2048, longer docs truncate into the cap) with per-bucket
     // padding waste — the batch-shape accounting a training loader
@@ -274,6 +309,30 @@ object CurationQueries {
         |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
         |  round(score, 6) AS score, CAST(rank AS INT) AS rank
         |FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "x57_quantile_normalize" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n
+        |  FROM documents
+        |)
+        |SELECT doc_id, source, n,
+        |  round(percent_rank() OVER (PARTITION BY source ORDER BY n, doc_id), 6) AS pr
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "x58_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, source, n,
+        |    sum(n) OVER (PARTITION BY source ORDER BY n DESC, doc_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t
+        |)
+        |SELECT doc_id, source, n, CAST(cum AS BIGINT) AS cum
+        |FROM c WHERE cum <= 500 ORDER BY doc_id""".stripMargin,
 
     "x52_length_buckets" ->
       """WITH t AS (
