@@ -202,6 +202,49 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Value-based quartile bucketing — the SCALE-SAFE form of q48's
+    // global-ntile window: three exact percentile boundaries collect to
+    // the driver (bounded scalars, the x42/x51 shape), and assignment
+    // is then a pure scan compare — no global sort, no single-partition
+    // window at any corpus size. Equal values always share a bucket
+    // (ntile splits ties by position — value-based is the semantics a
+    // curation threshold actually wants). At 100 TB, swap the exact
+    // percentile for the x18 quantile sketch; the assignment scan is
+    // unchanged. Both engines interpolate quantiles identically
+    // (p*(N-1) linear), so the integer bucket surface is exact.
+    "x59_value_quartiles" -> ((s, d) => {
+      val n = TextAnalysis.bpeishTokenCount(col("text"))
+      val t = Tables(s, d, "documents").select(col("doc_id"), n.as("n"))
+      val qs = t.agg(percentile(col("n"),
+          lit(Array(0.25, 0.5, 0.75))).as("qs"))
+        .head().getSeq[Double](0)
+      t.withColumn("bucket",
+          lit(1) + (col("n") > qs(0)).cast("int") +
+            (col("n") > qs(1)).cast("int") + (col("n") > qs(2)).cast("int"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic negative sampling for contrastive training: each
+    // doc gets k=3 pseudo-random partners via a Knuth multiplicative
+    // mix of (doc_id, j) mod corpus size — pure integer arithmetic,
+    // identical in both engines, self-collisions bumped to the next id.
+    // N is one driver scalar; the partner lookup is an id-keyed
+    // self-join (the q26 shape). Production with sparse ids would hash
+    // onto a rank ring instead; the mix is the dense-id fast path
+    // (driver testdata ids are 0..N-1).
+    "x60_negative_samples" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val nDocs = docs.count()
+      val raw = (col("doc_id") * 2654435761L + col("j") * 40503L) % nDocs
+      val neg = when(raw === col("doc_id"), (raw + 1) % nDocs).otherwise(raw)
+      docs.select(col("doc_id"), explode(array(lit(1), lit(2), lit(3))).as("j"))
+        .withColumn("neg_id", neg)
+        .join(docs.select(col("doc_id").as("neg_id"),
+          col("source").as("neg_source")), Seq("neg_id"))
+        .select(col("doc_id"), col("j"), col("neg_id"), col("neg_source"))
+        .orderBy(col("doc_id"), col("j"))
+    }),
+
     // Length-bucketed packing stats: power-of-two token buckets
     // (16..2048, longer docs truncate into the cap) with per-bucket
     // padding waste — the batch-shape accounting a training loader
@@ -309,6 +352,33 @@ object CurationQueries {
         |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
         |  round(score, 6) AS score, CAST(rank AS INT) AS rank
         |FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "x60_negative_samples" ->
+      """WITH n AS (SELECT count(*) AS nd FROM documents),
+        |k AS (SELECT doc_id, j FROM documents, unnest([1, 2, 3]) AS u(j)),
+        |t AS (
+        |  SELECT k.doc_id, k.j,
+        |    CASE WHEN (k.doc_id * 2654435761 + k.j * 40503) % nd = k.doc_id
+        |         THEN ((k.doc_id * 2654435761 + k.j * 40503) % nd + 1) % nd
+        |         ELSE (k.doc_id * 2654435761 + k.j * 40503) % nd END AS neg_id
+        |  FROM k, n
+        |)
+        |SELECT t.doc_id, t.j, t.neg_id, d.source AS neg_source
+        |FROM t JOIN documents d ON d.doc_id = t.neg_id
+        |ORDER BY t.doc_id, t.j""".stripMargin,
+
+    "x59_value_quartiles" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n
+        |  FROM documents
+        |), b AS (
+        |  SELECT quantile_cont(n, [0.25, 0.5, 0.75]) AS qs FROM t
+        |)
+        |SELECT doc_id, n,
+        |  1 + CAST(n > qs[1] AS INT) + CAST(n > qs[2] AS INT)
+        |    + CAST(n > qs[3] AS INT) AS bucket
+        |FROM t, b ORDER BY doc_id""".stripMargin,
 
     "x57_quantile_normalize" ->
       """WITH t AS (

@@ -133,6 +133,32 @@ class CurationSpec extends SparkSpecBase {
     assert(kept === Set("g1"))
   }
 
+  test("x58 selection is a per-source budget prefix; x60 negatives never self-pair") {
+    val sel = CurationQueries.queries("x58_token_budget")(spark, sfDir)
+      .select($"source", $"n", $"cum").as[(String, Int, Long)].collect()
+    assert(sel.nonEmpty)
+    assert(sel.forall(_._3 <= 500), "every kept doc fits the running budget")
+    // prefix property: within a source, cum is the sum of the kept n's
+    sel.groupBy(_._1).foreach { case (src, rows) =>
+      assert(rows.map(_._2.toLong).sum === rows.map(_._3).max,
+        s"source $src selection must be a contiguous budget prefix")
+    }
+    val neg = CurationQueries.queries("x60_negative_samples")(spark, sfDir)
+      .select($"doc_id", $"neg_id").as[(Long, Long)].collect()
+    assert(neg.nonEmpty)
+    assert(neg.forall { case (d, n) => d != n }, "no self-negatives")
+  }
+
+  test("x59 buckets are value-consistent: equal n never splits across buckets") {
+    val rows = CurationQueries.queries("x59_value_quartiles")(spark, sfDir)
+      .select($"n", $"bucket").as[(Int, Int)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (n, bs) =>
+      assert(bs.map(_._2).distinct.length === 1, s"n=$n split across buckets")
+    }
+    assert(rows.forall(r => r._2 >= 1 && r._2 <= 4))
+  }
+
   test("x52 buckets: boundaries land in the lower bucket, cap truncates") {
     import graft.operators.TextAnalysis
     // token counts: exactly 16 -> bucket 16; 17 -> 32; 2049 -> cap 2048
