@@ -188,9 +188,19 @@ object GraftExtensions {
       UnicodeNormalize(args(0), form)
     })
 
+  private val hilbertDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_hilbert"),
+    new ExpressionInfo(classOf[HilbertIndex].getName, "graft_hilbert"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, "graft_hilbert takes exactly 2 arguments")
+      HilbertIndex(args(0), args(1))
+    })
+
   private[functions] val descriptors =
     Seq(vecDotDescriptor, bloomAggDescriptor, mightContainDescriptor,
-      sortedIntersectDescriptor, unicodeNormalizeDescriptor)
+      sortedIntersectDescriptor, unicodeNormalizeDescriptor,
+      hilbertDescriptor)
 
   /** Idempotent registration on a live session (for sessions not built
     * with spark.sql.extensions).
@@ -202,6 +212,9 @@ object GraftExtensions {
 
   /** Column-level API once registered. */
   def vecDot(a: Column, b: Column): Column = call_function("graft_vec_dot", a, b)
+
+  def hilbert(x: Column, y: Column): Column =
+    call_function("graft_hilbert", x.cast("long"), y.cast("long"))
 
   def bloomAgg(value: Column, estimatedItems: Column, numBits: Column): Column =
     call_function("graft_bloom_agg", value, estimatedItems, numBits)

@@ -52,24 +52,92 @@ object ZOrder {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
 
-  // Declared query: the Morton code itself over events (user dimension ×
-  // hour bucket) — the layout key zorderWrite clusters on, hash-checked
-  // bit-for-bit against DuckDB's identical integer expression. Pure
-  // scan-project; the clustering EFFECT (per-file spatial locality) is
-  // asserted by ZOrderSpec, which a hash compare cannot see.
+  /** [[zorderWrite]] with the Hilbert curve as the clustering key —
+    * tighter tiles at the same file count (the Hilbert walk has no
+    * Morton-style diagonal jumps; consecutive indexes are always grid
+    * neighbors, asserted in ZOrderSpec).
+    */
+  def hilbertWrite(df: DataFrame, xCol: String, yCol: String,
+                   numFiles: Int, path: String): Unit = {
+    graft.functions.GraftExtensions.register(df.sparkSession)
+    df.withColumn("__h",
+        graft.functions.GraftExtensions.hilbert(col(xCol), col(yCol)))
+      .repartitionByRange(numFiles, col("__h"))
+      .sortWithinPartitions(col("__h"))
+      .drop("__h")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  // Declared queries: the curve codes themselves over events (user
+  // dimension × hour bucket) — the layout keys the write helpers
+  // cluster on, hash-checked bit-for-bit against DuckDB (Morton as one
+  // integer expression; Hilbert as the 16-level rotate-and-flip CTE
+  // chain, generated below). Pure scan-project; the clustering EFFECT
+  // (per-file spatial locality, walk adjacency) is asserted by
+  // ZOrderSpec, which a hash compare cannot see.
+  private def eventGrid(s: SparkSession, d: String): DataFrame = {
+    val e = Tables(s, d, "events")
+    // integral div (`/` on longs is double division in Spark SQL)
+    val hour = call_function("div", Tables.epochNs(e, "ts"), lit(3600000000000L))
+    e.select(col("event_id"),
+      (col("user_id") % 65536).as("x"),
+      (hour % 65536).as("y"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x53_zorder" -> ((s, d) => {
-      val e = Tables(s, d, "events")
-      // integral div (`/` on longs is double division in Spark SQL)
-      val hour = call_function("div", Tables.epochNs(e, "ts"), lit(3600000000000L))
-      e.select(col("event_id"),
-          (col("user_id") % 65536).as("x"),
-          (hour % 65536).as("y"))
+    "x53_zorder" -> ((s, d) =>
+      eventGrid(s, d)
         .withColumn("z", morton2(col("x"), col("y")))
-        .orderBy(col("z"), col("event_id"))
+        .orderBy(col("z"), col("event_id"))),
+
+    "x61_hilbert" -> ((s, d) => {
+      graft.functions.GraftExtensions.register(s)
+      eventGrid(s, d)
+        .withColumn("h",
+          graft.functions.GraftExtensions.hilbert(col("x"), col("y")))
+        .orderBy(col("h"), col("event_id"))
     }))
 
+  /** The Hilbert oracle: one CTE per bit level replaying the same
+    * rotate-and-flip recurrence in portable SQL (xor avoided — the
+    * quadrant digit is a 4-way CASE on (rx, ry)). Generated, not
+    * hand-written, so the 16 stages cannot drift from each other.
+    */
+  private def hilbertOracleSql: String = {
+    val levels = (0 until 16).map { i =>
+      val s = 1L << (15 - i)
+      val prev = if (i == 0) "g0" else s"l${i - 1}"
+      s"""l$i AS (
+         |  SELECT event_id, x0, y0,
+         |    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${s - 1} - y ELSE y END) ELSE x END AS x,
+         |    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${s - 1} - x ELSE x END) ELSE y END AS y,
+         |    d + ${s * s} * (CASE WHEN rx = 0 AND ry = 0 THEN 0
+         |                         WHEN rx = 0 AND ry = 1 THEN 1
+         |                         WHEN rx = 1 AND ry = 1 THEN 2
+         |                         ELSE 3 END) AS d
+         |  FROM (SELECT event_id, x0, y0, x, y, d,
+         |          CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END AS rx,
+         |          CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END AS ry
+         |        FROM $prev)
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH g0 AS (
+       |  SELECT event_id,
+       |    user_id % 65536 AS x0,
+       |    (epoch_ns(ts) // 3600000000000) % 65536 AS y0,
+       |    user_id % 65536 AS x,
+       |    (epoch_ns(ts) // 3600000000000) % 65536 AS y,
+       |    CAST(0 AS BIGINT) AS d
+       |  FROM events
+       |),
+       |$levels
+       |SELECT event_id, x0 AS x, y0 AS y, CAST(d AS BIGINT) AS h
+       |FROM l15 ORDER BY h, event_id""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "x61_hilbert" -> hilbertOracleSql,
+
     "x53_zorder" ->
       """WITH t AS (
         |  SELECT event_id,

@@ -31,6 +31,53 @@ class ZOrderSpec extends SparkSpecBase {
       "a full power-of-two grid maps onto a dense code range")
   }
 
+  test("hilbert: roundtrips against an independent inverse (d -> (x, y))") {
+    // the standard d2xy walk, written independently of the forward code
+    def d2xy(dIn: Long): (Long, Long) = {
+      var t = dIn; var x = 0L; var y = 0L; var s = 1L
+      while (s < 65536L) {
+        val rx = 1L & (t / 2)
+        val ry = 1L & (t ^ rx)
+        if (ry == 0L) {
+          if (rx == 1L) { x = s - 1 - x; y = s - 1 - y }
+          val tmp = x; x = y; y = tmp
+        }
+        x += s * rx; y += s * ry; t /= 4; s *= 2
+      }
+      (x, y)
+    }
+    val pts = for (x <- 0L until 64L; y <- 0L until 64L) yield (x * 937 % 65536, y * 1013 % 65536)
+    pts.distinct.foreach { case (x, y) =>
+      val d = graft.functions.HilbertIndex.compute(x, y)
+      assert(d2xy(d) === ((x, y)), s"roundtrip at ($x, $y)")
+    }
+  }
+
+  test("hilbert walk is grid-adjacent (no Morton diagonal jumps); codegen == interpreter") {
+    graft.functions.GraftExtensions.register(spark)
+    val n = 32
+    val grid = (0 until n).flatMap(x => (0 until n).map(y => (x.toLong, y.toLong)))
+    // through the EXPRESSION (exercises doGenCode), sorted by index
+    val walked = grid.toDF("x", "y")
+      .select($"x", $"y",
+        graft.functions.GraftExtensions.hilbert($"x", $"y").as("h"))
+      .orderBy($"h").as[(Long, Long, Long)].collect()
+    assert(walked.length === n * n)
+    // codegen output must equal the interpreted twin
+    walked.foreach { case (x, y, h) =>
+      assert(h === graft.functions.HilbertIndex.compute(x, y))
+    }
+    // consecutive indexes on a full sub-grid walk are manhattan
+    // neighbors — only true because 32 divides the 2^16 curve evenly
+    walked.sliding(2).foreach { case Array((x1, y1, h1), (x2, y2, h2)) =>
+      if (h2 === h1 + 1)
+        assert(math.abs(x2 - x1) + math.abs(y2 - y1) === 1,
+          s"jump between h=$h1 ($x1,$y1) and h=$h2 ($x2,$y2)")
+    }
+    // the sub-grid occupies the curve's dense prefix: all steps are +1
+    assert(walked.last._3 === n * n - 1)
+  }
+
   test("zorderWrite: each output file is a spatial tile, not a stripe") {
     val n = 64
     val dir = Files.createTempDirectory("zorder").toString
