@@ -88,9 +88,15 @@ object CorpusPipeline {
       if (cfg.blockedHosts.isEmpty) canon
       else canon.filter(!CurationQueries.urlHost(col("__canon"))
         .isInCollection(cfg.blockedHosts))
-    val keeper = unblocked.groupBy(col("__canon"))
+    // Docs without a URL (WARC records missing warc-target-uri) all
+    // canonicalize to "" — keep-min over that shared key would silently
+    // collapse them into one survivor, so they bypass URL dedup entirely.
+    val hasUrl = col("__canon").isNotNull && col("__canon") =!= ""
+    val withUrl = unblocked.filter(hasUrl)
+    val keeper = withUrl.groupBy(col("__canon"))
       .agg(min(col("doc_id")).as("doc_id"))
-    unblocked.join(keeper, Seq("__canon", "doc_id"), "left_semi")
+    withUrl.join(keeper, Seq("__canon", "doc_id"), "left_semi")
+      .unionByName(unblocked.filter(!hasUrl))
       .drop("__canon")
   }
 

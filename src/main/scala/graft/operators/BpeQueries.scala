@@ -94,11 +94,16 @@ object BpeQueries {
       else {
         val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         out += Merge(rank, l, r, c)
+        val prev = v
         v = v.withColumn("syms", applyMerge(col("syms"), l, r))
           .localCheckpoint(true)
+        // The new checkpoint no longer reads the old one — release it
+        // now instead of letting ~numMerges block sets pile up per call.
+        prev.unpersist(blocking = false)
         rank += 1
       }
     }
+    v.unpersist(blocking = false)
     out.result()
   }
 

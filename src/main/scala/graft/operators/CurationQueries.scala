@@ -77,11 +77,22 @@ object CurationQueries {
     val hostPart = regexp_replace(
       lower(regexp_extract(noFrag, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)),
       ":(443|80)$", "")
+    // Tracking params are stripped in four RE2-safe passes (no
+    // lookbehind, so the same regexes run verbatim in the DuckDB
+    // oracle): (1) drop `sep name=value`, keeping the separator via a
+    // capture so the param name must START at a separator (an
+    // unanchored match would eat the tail of e.g. ?href=...);
+    // (2) collapse the `&&` runs that adjacent tracking params leave;
+    // (3) `?&` -> `?`; (4) trim a trailing bare separator.
     val path = regexp_replace(
       regexp_replace(
-        regexp_replace(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", ""),
-        "(utm_[a-z0-9]+|ref)=[^&]*&", ""),
-      "[?&](utm_[a-z0-9]+|ref)=[^&]*$", "")
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", ""),
+            "([?&])(utm_[a-z0-9]+|ref)=[^&]*", "$1"),
+          "&&+", "&"),
+        "\\?&", "?"),
+      "[?&]$", "")
     concat(hostPart, path)
   }
 
@@ -314,9 +325,13 @@ object CurationQueries {
         |    regexp_replace(lower(regexp_extract(nofrag, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)),
         |      ':(443|80)$', '') AS hostpart,
         |    regexp_replace(
-        |      regexp_replace(regexp_replace(nofrag, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', ''),
-        |        '(utm_[a-z0-9]+|ref)=[^&]*&', '', 'g'),
-        |      '[?&](utm_[a-z0-9]+|ref)=[^&]*$', '') AS path
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(regexp_replace(nofrag, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', ''),
+        |            '([?&])(utm_[a-z0-9]+|ref)=[^&]*', '\1', 'g'),
+        |          '&&+', '&', 'g'),
+        |        '\?&', '?', 'g'),
+        |      '[?&]$', '') AS path
         |  FROM c
         |), k AS (
         |  SELECT doc_id, hostpart || path AS canon_url,

@@ -105,4 +105,21 @@ class CorpusPipelineSpec extends SparkSpecBase {
     val packed = r.packed.select("doc_id", "n_tok", "bin").as[(String, Int, Long)].collect()
     assert(packed.length === 5 && packed.forall(_._3 === 0L))
   }
+
+  test("urlFilter: URL-less docs bypass canonical dedup instead of collapsing") {
+    // WARC records missing warc-target-uri all surface url = "" — they
+    // share canonical key "" and a keep-min dedup would silently keep
+    // one of them. They must all pass through; real URLs still dedup.
+    val docs = Seq(
+      ("a", "http://ex.com/p?utm_a=1", "t1"),
+      ("b", "http://ex.com/p", "t2"), // canonical dup of a -> one survives
+      ("c", "", "t3"),
+      ("d", "", "t4"),
+      ("e", null, "t5")
+    ).toDF("doc_id", "url", "text")
+    val out = CorpusPipeline.urlFilter(docs, CorpusPipeline.Config())
+      .select("doc_id").as[String].collect().toSet
+    assert(out === Set("a", "c", "d", "e"),
+      s"expected the min-id URL survivor plus every URL-less doc, got $out")
+  }
 }

@@ -28,9 +28,18 @@ class CurationSpec extends SparkSpecBase {
     // mixed: tracking removed wherever it sits, real params keep order
     assert(canon("http://ex.com/a?utm_b=1&id=2&ref=r&q=3") === "http://ex.com/a?id=2&q=3")
     assert(canon("http://ex.com/a?id=2&utm_b=1") === "http://ex.com/a?id=2")
-    // a 'referrer'-like param that merely STARTS with ref is NOT dropped
-    // by the mid-string rule... but 'ref=' exactly is, anywhere
+    // 'ref=' exactly is dropped anywhere
     assert(canon("http://ex.com/a?ref=1&id=2") === "http://ex.com/a?id=2")
+    // a param whose name merely ENDS in 'ref' (href) is NOT a tracking
+    // param — the strip is anchored on the preceding [?&]
+    assert(canon("http://ex.com/a?href=x&id=2") === "http://ex.com/a?href=x&id=2")
+    assert(canon("http://ex.com/a?xref=1") === "http://ex.com/a?xref=1")
+    // consecutive tracking params all go (the && runs they leave collapse)
+    assert(canon("http://ex.com/a?utm_a=1&utm_b=2&utm_c=3&id=4") ===
+      "http://ex.com/a?id=4")
+    assert(canon("http://ex.com/a?id=1&utm_a=2&utm_b=3") === "http://ex.com/a?id=1")
+    // empty tracking value
+    assert(canon("http://ex.com/a?utm_a=&id=1") === "http://ex.com/a?id=1")
     // no query, no fragment: untouched apart from host case
     assert(canon("http://EX.com/KeepCase") === "http://ex.com/KeepCase")
     // host extraction from the canonical form
