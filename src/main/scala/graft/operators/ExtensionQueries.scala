@@ -384,24 +384,33 @@ object ExtensionQueries {
         .select(col("doc_id"), TA.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))),
 
-    // --- multimodal plumbing (stubbed decode; rows-only check) ------------
+    // --- multimodal decode (real PNG/JPEG/GIF header parse) ---------------
+    // Each doc carries a REAL image blob (ImageIO-encoded PNG/JPEG, a
+    // spec-valid handcrafted animated GIF) whose dimensions/frames are
+    // deterministic arithmetic on doc_id — so the decoded metadata has
+    // a full SQL oracle: DuckDB recomputes format/width/height/frames
+    // from doc_id alone, and a hash match proves the byte-level header
+    // parse recovered exactly what the encoders wrote.
     "x12_multimodal_meta" -> ((s, d) =>
       Multimodal.decodeMeta(s,
-          Multimodal.attachBlobs(Tables(s, d, "documents"), "doc_id", "text"))
+          Multimodal.syntheticMediaBlobs(s, Tables(s, d, "documents")))
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          col("n_frames"))
         .orderBy(col("doc_id"))),
 
-    // gate: the partition-wise JVM decoder (Multimodal.decodeMeta) must
-    // agree field-by-field with an INDEPENDENT Catalyst-expression
-    // recomputation of the same deterministic function
-    // (Multimodal.expectedMeta: per-byte polynomial checksum ->
-    // format/width/height/n_frames). Divergence in either code path
-    // emits a row => empty-set oracle. TextAnalysisSpec proves the gate
-    // has teeth (a tampered field fires it) and covers non-ASCII UTF-8.
+    // gate: the JVM header parser (MediaCodec.sniff) must agree with
+    // TWO independent decoders on the same real image bytes — (a) a
+    // pure-Catalyst fixed-offset recompute of the PNG/GIF headers and
+    // (b) a full JDK ImageIO decode (format, dimensions, GIF frame
+    // count). Divergence in any field emits a row => empty-set oracle.
+    // TextAnalysisSpec proves the gate has teeth (a tampered field
+    // fires it) and pins exact fixture dimensions.
     "x12g_multimodal_meta_gate" -> ((s, d) => {
-      val blobs = Multimodal.attachBlobs(Tables(s, d, "documents"), "doc_id", "text")
+      val blobs = Multimodal.syntheticMediaBlobs(s, Tables(s, d, "documents"))
       Multimodal.metaMismatches(
           Multimodal.decodeMeta(s, blobs), Multimodal.expectedMeta(blobs))
-        .orderBy(col("doc_id"))
+        .unionByName(Multimodal.imageIoMismatches(s, blobs))
+        .orderBy(col("doc_id"), col("chk"))
     }),
 
     // --- paragraph hygiene (FineWeb/C4 passes) ----------------------------
@@ -628,13 +637,19 @@ object ExtensionQueries {
       """SELECT CAST(NULL AS INT) AS round, CAST(NULL AS VARCHAR) AS violation
         |WHERE false""".stripMargin,
 
+    "x12_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png'
+        |       WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
+        |  CAST(16 + (doc_id % 21) * 3 AS INTEGER) AS width,
+        |  CAST(16 + (doc_id % 13) * 5 AS INTEGER) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 4 ELSE 1 END
+        |    AS INTEGER) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "x12g_multimodal_meta_gate" ->
-      """SELECT CAST(NULL AS BIGINT) AS doc_id,
-        |  CAST(NULL AS INTEGER) AS byte_len, CAST(NULL AS INTEGER) AS exp_byte_len,
-        |  CAST(NULL AS VARCHAR) AS format, CAST(NULL AS VARCHAR) AS exp_format,
-        |  CAST(NULL AS INTEGER) AS width, CAST(NULL AS INTEGER) AS exp_width,
-        |  CAST(NULL AS INTEGER) AS height, CAST(NULL AS INTEGER) AS exp_height,
-        |  CAST(NULL AS INTEGER) AS n_frames, CAST(NULL AS INTEGER) AS exp_n_frames
+      """SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS VARCHAR) AS chk,
+        |  CAST(NULL AS VARCHAR) AS got, CAST(NULL AS VARCHAR) AS exp
         |WHERE false""".stripMargin,
 
     "x05_embed_cosine_pairs" ->

@@ -1,22 +1,25 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.sources.MediaCodec
 
 /** Multimodal column handling: media as opaque binary columns with typed
   * metadata structs, decoded via a per-partition map (the Scala analog of
   * a batched Pandas UDF / mapInPandas).
   *
-  * The actual byte-level decode is STUBBED with a deterministic fake —
-  * image/audio codec libraries are not available in this environment.
-  * Everything around the stub is real and tested: schema, binary column
-  * plumbing, partition-wise batching, and the typed output Encoder. To
-  * productionize, replace [[stubDecode]]'s body with a real codec call;
-  * no plan-level change is needed.
+  * The byte-level decode is REAL: [[MediaCodec.sniff]] parses PNG IHDR
+  * (+ APNG acTL), JPEG SOFn, and GIF logical-screen-descriptor headers
+  * straight from the bytes, with no codec library. Unrecognized blobs
+  * degrade to format "bin" with zero dimensions rather than failing the
+  * task. Verification runs through two independent second opinions
+  * (the x12g gate): a pure-Catalyst fixed-offset recompute for the
+  * fixed-layout containers (PNG/GIF), and a full JDK ImageIO decode.
   */
 object Multimodal {
 
-  /** Typed decode output (what a real image decoder would yield). */
+  /** Typed decode output (what the header parse yields per blob). */
   final case class MediaMeta(
       doc_id: Long, byte_len: Int, format: String,
       width: Int, height: Int, n_frames: Int)
@@ -34,92 +37,148 @@ object Multimodal {
         // and n_bytes must agree with the decoder's bytes.length
         length(col(textCol).cast("binary")).as("n_bytes")).as("media_meta"))
 
-  /** DETERMINISTIC FAKE decoder — stands in for e.g. an image header
-    * parse. Pure function of the bytes, so re-runs and retries agree.
+  /** Deterministic real-image blob per document — the corpus fixture
+    * generator behind x12: doc_id picks the container (png/jpeg/gif
+    * round-robin), dimensions 16+(id%21)*3 × 16+(id%13)*5, and GIFs get
+    * 1+(id%4) animation frames. The bytes are REAL encoder output (JDK
+    * ImageIO for PNG/JPEG, a spec-valid handcrafted stream for GIF), so
+    * the decode path is exercised on data any image tool can read. The
+    * dimension arithmetic is SQL-expressible on purpose: it is the
+    * DuckDB oracle for the decoded metadata.
     */
-  private def stubDecode(id: Long, bytes: Array[Byte]): MediaMeta = {
-    val len = bytes.length
-    val checksum = bytes.foldLeft(0)((a, b) => (a * 31 + b) & 0x7fffffff)
-    MediaMeta(
-      doc_id = id,
-      byte_len = len,
-      format = if (checksum % 2 == 0) "png" else "jpeg",
-      width = 16 + checksum % 640,
-      height = 16 + (checksum / 7) % 480,
-      n_frames = 1 + checksum % 16)
+  def syntheticMediaBlobs(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"))
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (16 + (id % 21) * 3).toInt
+        val h = (16 + (id % 13) * 5).toInt
+        val rgb = ((id * 2654435761L) & 0xffffffL).toInt
+        val bytes = (id % 3) match {
+          case 0 => MediaCodec.encodePng(w, h, rgb)
+          case 1 => MediaCodec.encodeJpeg(w, h, rgb)
+          case _ => MediaCodec.encodeGif(w, h, (1 + id % 4).toInt)
+        }
+        val mime = (id % 3) match {
+          case 0 => "image/png"
+          case 1 => "image/jpeg"
+          case _ => "image/gif"
+        }
+        (id, bytes, mime)
+      })
+      .toDF("doc_id", "content", "mime")
+      .select(col("doc_id"), col("content"),
+        struct(col("mime"), length(col("content")).as("n_bytes"))
+          .as("media_meta"))
   }
 
   /** Decode blob metadata with a partition-wise map over the binary
-    * column — executors stream batches through the decoder; nothing is
-    * collected to the driver. This is the extension point where a real
-    * codec (or an Arrow-batched Python worker) plugs in.
+    * column — executors stream batches through the header parser;
+    * nothing is collected to the driver.
     */
   def decodeMeta(spark: SparkSession, blobs: DataFrame): DataFrame = {
     import spark.implicits._
     blobs.select(col("doc_id"), col("content"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) => stubDecode(id, bytes) })
+      .mapPartitions(_.map { case (id, bytes) =>
+        val p = MediaCodec.sniff(bytes)
+        MediaMeta(id, bytes.length, p.format, p.width, p.height, p.nFrames)
+      })
       .toDF()
   }
 
-  /** The decoder's expectation recomputed through a SECOND, independent
-    * code path — pure Catalyst expressions instead of the JVM closure —
-    * for the x12g verification gate. Bytes are read via
-    * hex(substr(content, i, 1)) and re-signed, so the recompute sees
-    * exactly the signed bytes [[stubDecode]]'s fold sees, for arbitrary
-    * (non-ASCII) UTF-8. The JVM fold's 32-bit Int wrap + positive mask
-    * is reproduced in Long arithmetic: acc stays < 2^31 after each
-    * mask, so acc*31+b never exceeds Long range and
-    * (acc*31+b) & 0x7fffffff equals the Int-wrapped-then-masked value.
+  private def byteAt(i: Column): Column =
+    conv(hex(col("content").substr(i, lit(1))), 16, 10).cast("long")
+
+  /** Fixed-offset header fields recomputed through a SECOND, independent
+    * code path — pure Catalyst expressions instead of the JVM parser.
+    * Covers the containers whose dimensions sit at fixed offsets: PNG
+    * (IHDR big-endian u32 at 17/21, 1-based) and GIF (LSD little-endian
+    * u16 at 7/9). JPEG needs a marker scan (variable offsets), so it is
+    * gated by the ImageIO path instead. Emits rows only for blobs the
+    * expressions recognize.
     */
   def expectedMeta(blobs: DataFrame): DataFrame = {
     val len = length(col("content"))
-    val signedBytes = when(len > 0,
-        transform(sequence(lit(1), len), i => {
-          val u = conv(hex(col("content").substr(i, lit(1))), 16, 10).cast("long")
-          when(u > 127, u - 256).otherwise(u)
-        }))
-      .otherwise(array().cast("array<long>"))
-    val ck = aggregate(signedBytes, lit(0L),
-      (acc, b) => (acc * 31 + b).bitwiseAND(lit(0x7fffffffL)))
-    blobs.select(col("doc_id"),
-      len.as("exp_byte_len"),
-      when(ck % 2 === 0, "png").otherwise("jpeg").as("exp_format"),
-      (ck % 640 + 16).cast("int").as("exp_width"),
-      (floor(ck / lit(7)) % 480 + 16).cast("int").as("exp_height"),
-      (ck % 16 + 1).cast("int").as("exp_n_frames"))
+    val isPng = len >= 33 &&
+      hex(col("content").substr(lit(1), lit(8))) === "89504E470D0A1A0A"
+    val isGif = len >= 13 &&
+      hex(col("content").substr(lit(1), lit(6)))
+        .isin("474946383761", "474946383961")
+    blobs.select(col("doc_id"), col("content"), len.as("exp_byte_len"),
+        when(isPng, "png").when(isGif, "gif").as("exp_format"))
+      .filter(col("exp_format").isNotNull)
+      .select(col("doc_id"), col("exp_byte_len"), col("exp_format"),
+        when(col("exp_format") === "png",
+            conv(hex(col("content").substr(lit(17), lit(4))), 16, 10))
+          .otherwise(byteAt(lit(7)) + byteAt(lit(8)) * 256)
+          .cast("int").as("exp_width"),
+        when(col("exp_format") === "png",
+            conv(hex(col("content").substr(lit(21), lit(4))), 16, 10))
+          .otherwise(byteAt(lit(9)) + byteAt(lit(10)) * 256)
+          .cast("int").as("exp_height"))
   }
 
-  /** Rows where the decoded metadata diverges from the independent
-    * recomputation — the x12g gate body; empty iff the two code paths
-    * agree on every field of every document.
+  /** Rows where the JVM header parse diverges from the Catalyst
+    * fixed-offset recompute — first half of the x12g gate; empty iff
+    * the two code paths agree on every PNG/GIF blob.
     */
   def metaMismatches(decoded: DataFrame, expected: DataFrame): DataFrame =
     decoded.join(expected, "doc_id")
       .filter(col("byte_len") =!= col("exp_byte_len") ||
         col("format") =!= col("exp_format") ||
         col("width") =!= col("exp_width") ||
-        col("height") =!= col("exp_height") ||
-        col("n_frames") =!= col("exp_n_frames"))
-      .select(col("doc_id"), col("byte_len"), col("exp_byte_len"),
-        col("format"), col("exp_format"), col("width"), col("exp_width"),
-        col("height"), col("exp_height"), col("n_frames"), col("exp_n_frames"))
+        col("height") =!= col("exp_height"))
+      .select(col("doc_id"), lit("header_recompute").as("chk"),
+        concat_ws("x", col("format"), col("width"), col("height"),
+          col("byte_len")).as("got"),
+        concat_ws("x", col("exp_format"), col("exp_width"), col("exp_height"),
+          col("exp_byte_len")).as("exp"))
+
+  /** Rows where the JVM header parse diverges from a full JDK ImageIO
+    * decode (an independent production decoder) — second half of the
+    * x12g gate. Frame count is compared for GIF only (the JDK PNG
+    * reader is not APNG-aware; JPEG is single-frame by definition).
+    */
+  def imageIoMismatches(spark: SparkSession, blobs: DataFrame): DataFrame = {
+    import spark.implicits._
+    blobs.select(col("doc_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val got = MediaCodec.sniff(bytes)
+        MediaCodec.imageIoMeta(bytes) match {
+          case None if got.format == "bin" => None
+          case None =>
+            Some((id, "imageio", s"${got.format} ${got.width}x${got.height}",
+              "unreadable by ImageIO"))
+          case Some(exp) =>
+            val framesOk = got.format != "gif" || got.nFrames == exp.nFrames
+            if (got.format == exp.format && got.width == exp.width &&
+                got.height == exp.height && framesOk) None
+            else Some((id, "imageio",
+              s"${got.format} ${got.width}x${got.height}@${got.nFrames}",
+              s"${exp.format} ${exp.width}x${exp.height}@${exp.nFrames}"))
+        }
+      })
+      .toDF("doc_id", "chk", "got", "exp")
+  }
 
   /** Resize plumbing: re-encode each blob to a target (width, height),
     * updating the metadata struct in the same pass. The byte transform
-    * is the stub (a deterministic re-slice standing in for a pixel
-    * resampler); the shape — binary in, binary + revised meta out, one
-    * partition-wise pass, no driver involvement — is the real contract.
+    * is a deterministic re-slice standing in for a pixel resampler; the
+    * shape — binary in, binary + revised meta out, one partition-wise
+    * pass, no driver involvement — is the real contract, and the source
+    * dimensions scaling the byte budget come from the real header parse.
     */
   def resize(spark: SparkSession, blobs: DataFrame, width: Int, height: Int): DataFrame = {
     import spark.implicits._
     blobs.select(col("doc_id"), col("content"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        val m = stubDecode(id, bytes)
-        // fake resample: scale the byte budget by target/source area —
-        // all in Long (an Int width*height overflows at 64k x 64k) and
-        // clamped before the narrowing
+        val m = MediaCodec.sniff(bytes)
+        // scale the byte budget by target/source area — all in Long (an
+        // Int width*height overflows at 64k x 64k) and clamped before
+        // the narrowing; non-images (0x0) fall back to the raw length
         val budget = math.max(1L, math.min(Int.MaxValue.toLong,
           bytes.length.toLong * (width.toLong * height) /
             math.max(m.width.toLong * m.height, 1L))).toInt
@@ -153,9 +212,10 @@ object Multimodal {
       .toDF("doc_id", "embedding")
   }
 
-  /** Frame sampling over a (fake) video blob: emit every `stride`-th
-    * frame index with a per-frame byte slice — exercises the explode
-    * shape a real frame sampler would produce.
+  /** Frame sampling over a video-like blob: emit every `stride`-th
+    * frame index with a per-frame byte slice. The frame count is the
+    * real one from the container header (animated GIF / APNG); stills
+    * and non-images are a single frame.
     */
   def sampleFrames(spark: SparkSession, blobs: DataFrame, stride: Int): DataFrame = {
     // fail at the call site: stride=0 would throw "step cannot be 0"
@@ -166,9 +226,9 @@ object Multimodal {
     blobs.select(col("doc_id"), col("content"))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
-        val meta = stubDecode(id, bytes)
-        (0 until meta.n_frames by stride).map { f =>
-          val sliceLen = math.max(1, bytes.length / meta.n_frames)
+        val meta = MediaCodec.sniff(bytes)
+        (0 until meta.nFrames by stride).map { f =>
+          val sliceLen = math.max(1, bytes.length / meta.nFrames)
           val start = math.min(f * sliceLen, math.max(bytes.length - 1, 0))
           (id, f, bytes.slice(start, math.min(start + sliceLen, bytes.length)))
         }

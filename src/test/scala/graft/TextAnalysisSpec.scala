@@ -46,14 +46,33 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(r.getAs[Int]("n_tokens") === 12)
   }
 
-  test("multimodal decodeMeta is deterministic and schema-typed") {
+  test("multimodal decodeMeta is deterministic; non-image bytes are bin") {
     val docs = Seq((1L, "abc"), (2L, "defgh")).toDF("doc_id", "text")
     val blobs = Multimodal.attachBlobs(docs, "doc_id", "text")
     val m1 = Multimodal.decodeMeta(spark, blobs).collect().sortBy(_.getLong(0))
     val m2 = Multimodal.decodeMeta(spark, blobs).collect().sortBy(_.getLong(0))
     assert(m1.toSeq === m2.toSeq)
     assert(m1(0).getAs[Int]("byte_len") === 3)
-    assert(Set("png", "jpeg").contains(m1(0).getAs[String]("format")))
+    // text cast to binary is not an image container: honest fallback
+    assert(m1.forall(_.getAs[String]("format") === "bin"))
+    assert(m1.forall(_.getAs[Int]("width") === 0))
+  }
+
+  test("multimodal decodeMeta recovers real encoder dimensions per format") {
+    val docs = Seq(0L, 1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val blobs = Multimodal.syntheticMediaBlobs(spark, docs)
+    val m = Multimodal.decodeMeta(spark, blobs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc_id 0 -> png 16x16; 1 -> jpeg 19x21; 2 -> gif 22x26 @3 frames
+    assert(m(0L).getAs[String]("format") === "png")
+    assert(m(0L).getAs[Int]("width") === 16 && m(0L).getAs[Int]("height") === 16)
+    assert(m(1L).getAs[String]("format") === "jpeg")
+    assert(m(1L).getAs[Int]("width") === 19 && m(1L).getAs[Int]("height") === 21)
+    assert(m(2L).getAs[String]("format") === "gif")
+    assert(m(2L).getAs[Int]("width") === 22 && m(2L).getAs[Int]("height") === 26)
+    assert(m(2L).getAs[Int]("n_frames") === 3)
+    assert(m(5L).getAs[String]("format") === "gif" &&
+      m(5L).getAs[Int]("n_frames") === 2)
   }
 
   test("bigramLogProb: corpus-typical text outscores gibberish; short docs null") {
@@ -93,23 +112,35 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(r2.getDouble(1) > r.getDouble(1))
   }
 
-  test("multimodal meta gate: decode and Catalyst recompute agree on non-ASCII UTF-8") {
-    // multi-byte UTF-8 exercises the signed-byte path (bytes >= 0x80)
-    val docs = Seq((1L, "héllo wörld"), (2L, "日本語テキスト"),
-      (3L, "emoji 😀 mix"), (4L, ""), (5L, "plain ascii")).toDF("doc_id", "text")
-    val blobs = Multimodal.attachBlobs(docs, "doc_id", "text")
+  test("multimodal meta gate: parser, Catalyst recompute, and ImageIO agree") {
+    val docs = (0L to 11L).toDF("doc_id")
+    val blobs = Multimodal.syntheticMediaBlobs(spark, docs)
     val mism = Multimodal.metaMismatches(
-      Multimodal.decodeMeta(spark, blobs), Multimodal.expectedMeta(blobs))
+        Multimodal.decodeMeta(spark, blobs), Multimodal.expectedMeta(blobs))
+      .unionByName(Multimodal.imageIoMismatches(spark, blobs))
     assert(mism.count() === 0)
+    // the Catalyst recompute actually covered the fixed-offset formats
+    // (8 of 12 docs are png or gif), not vacuously zero rows
+    assert(Multimodal.expectedMeta(blobs).count() === 8)
   }
 
   test("multimodal meta gate has teeth: a tampered field fires it") {
-    val docs = Seq((1L, "abc"), (2L, "defgh")).toDF("doc_id", "text")
-    val blobs = Multimodal.attachBlobs(docs, "doc_id", "text")
+    val docs = Seq(0L, 2L).toDF("doc_id") // one png, one gif
+    val blobs = Multimodal.syntheticMediaBlobs(spark, docs)
     val tampered = Multimodal.decodeMeta(spark, blobs)
       .withColumn("width", when($"doc_id" === 2L, $"width" + 1).otherwise($"width"))
     val mism = Multimodal.metaMismatches(tampered, Multimodal.expectedMeta(blobs))
     assert(mism.select("doc_id").as[Long].collect().toSeq === Seq(2L))
+    // the ImageIO half fires where the decoders genuinely disagree: a
+    // GIF whose last frame is a bare truncated descriptor — the
+    // structural walk counts 3 descriptors, ImageIO counts 2 complete
+    // frames
+    import graft.sources.MediaCodec
+    val hacked = MediaCodec.encodeGif(6, 4, 2).dropRight(1) ++
+      Array[Byte](0x2c, 0, 0, 0, 0, 6, 0, 4, 0, 0, 2)
+    assert(MediaCodec.sniff(hacked).nFrames === 3)
+    val blob = Seq((9L, hacked)).toDF("doc_id", "content")
+    assert(Multimodal.imageIoMismatches(spark, blob).count() === 1)
   }
 
   test("multimodal sampleFrames explodes stride-sampled frames") {
