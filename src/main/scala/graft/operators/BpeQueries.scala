@@ -73,38 +73,92 @@ object BpeQueries {
     */
   final case class Merge(rank: Int, l: String, r: String, cnt: Long)
 
-  /** Learn `numMerges` merges from a (w, freq) vocabulary. Driver loop:
-    * each iteration counts pairs (one aggregate), collects the 1-row
-    * argmax, and applies the merge with a narrow map; the vocab is
-    * eagerly checkpointed per iteration so plans stay shallow (nested
-    * fold expressions would otherwise stack 10 deep in codegen).
+  /** Learn `numMerges` merges from a (w, freq) vocabulary, BATCHED:
+    * each counting pass learns up to `batchSize` merges instead of one,
+    * cutting driver round-trips ~batchSize× (a production tokenizer is
+    * 30k-50k merges — one Spark job per merge is a driver bottleneck by
+    * construction). The result is BIT-IDENTICAL to the one-merge-per-
+    * pass greedy loop: a batch is the maximal PREFIX of the pair-count
+    * total order (cnt desc, then l, r) that is pairwise symbol-disjoint
+    * — a pair's symbol set is {l, r, l+r}, so fused-symbol interactions
+    * count — trimmed to pairs whose count strictly exceeds FOUR TIMES
+    * the count at the first interacting pair. Why this is exact:
+    *  - disjoint prefix pairs cannot change each other's counts, so
+    *    their pick-time counts and relative order equal sequential's;
+    *  - every pair a prefix merge CAN touch (sharing a raw or fused
+    *    symbol) sits at or below the stop rank, so its pre-merge count
+    *    is <= cStop;
+    *  - a merge can RAISE such a pair's count (merging (a,b) feeds
+    *    (ab,c) from (b,c) occurrences). Each gained occurrence maps to
+    *    a distinct occurrence of the OLD symbol pair at the junction;
+    *    for a riser (ab, cd) the junction pair is one of (b,c), (ab,c),
+    *    (b,cd) — at most 3 distinct parents, each interacting and so
+    *    <= cStop, and the riser's own old count (it contains a fused
+    *    symbol, hence interacting) is <= cStop too. A riser therefore
+    *    tops out at 4*cStop, and the strict 4*cStop margin keeps every
+    *    accepted pair ahead of anything a batch-mate's merge can
+    *    create. The top-1 pair is always accepted (sequential picks it
+    *    unconditionally).
     * Stops early when no pair remains (every word fused to one symbol).
     */
-  def learnMerges(vocab: DataFrame, numMerges: Int): Seq[Merge] = {
+  def learnMerges(vocab: DataFrame, numMerges: Int, batchSize: Int = 16): Seq[Merge] =
+    learnMergesWithPasses(vocab, numMerges, batchSize)._1
+
+  /** [[learnMerges]] plus the number of counting passes it took —
+    * exposed so tests can pin the batching actually batches.
+    */
+  def learnMergesWithPasses(vocab: DataFrame, numMerges: Int,
+      batchSize: Int = 16): (Seq[Merge], Int) = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
     var v = vocab.select(col("w"), col("freq"),
         chars(col("w")).as("syms"))
       .localCheckpoint(true)
     val out = Seq.newBuilder[Merge]
     var rank = 1
+    var passes = 0
     var done = false
     while (rank <= numMerges && !done) {
+      val want = math.min(batchSize, numMerges - rank + 1)
+      // collect enough rows to see past the batch to the stop pair;
+      // bounded driver data (a few hundred small rows)
+      val k = math.max(4 * batchSize, 64)
       val top = pairCounts(v, "syms")
-        .orderBy(col("cnt").desc, col("l"), col("r")).limit(1).collect()
+        .orderBy(col("cnt").desc, col("l"), col("r")).limit(k).collect()
+        .map(row => (row.getString(0), row.getString(1), row.getLong(2)))
+      passes += 1
       if (top.isEmpty) done = true
       else {
-        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        out += Merge(rank, l, r, c)
+        val seen = scala.collection.mutable.HashSet.empty[String]
+        val prefix = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var i = 0
+        var cStop = -1L
+        while (cStop < 0 && i < top.length && prefix.length < want) {
+          val (l, r, c) = top(i)
+          if (Seq(l, r, l + r).exists(seen)) cStop = c
+          else { prefix += top(i); seen += l; seen += r; seen += (l + r); i += 1 }
+        }
+        if (cStop < 0)
+          // stopped on batch size or list end: the first UNSCANNED rank
+          // bounds every interacting pair below (0 if the entire pair
+          // universe was scanned and found disjoint — nothing can rise)
+          cStop = if (i < top.length) top(i)._3
+            else if (top.length == k) top.last._3
+            else 0L
+        val batch = (prefix.take(1) ++
+          prefix.drop(1).takeWhile(_._3 > 4 * cStop)).take(want)
+        batch.foreach { case (l, r, c) => out += Merge(rank, l, r, c); rank += 1 }
+        val folded = batch.foldLeft(col("syms")) {
+          case (acc, (l, r, _)) => applyMerge(acc, l, r)
+        }
         val prev = v
-        v = v.withColumn("syms", applyMerge(col("syms"), l, r))
-          .localCheckpoint(true)
+        v = v.withColumn("syms", folded).localCheckpoint(true)
         // The new checkpoint no longer reads the old one — release it
-        // now instead of letting ~numMerges block sets pile up per call.
+        // now instead of letting one block set per pass pile up.
         prev.unpersist(blocking = false)
-        rank += 1
       }
     }
     v.unpersist(blocking = false)
-    out.result()
+    (out.result(), passes)
   }
 
   /** Segment one text column with an already-learned merge table:

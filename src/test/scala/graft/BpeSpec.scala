@@ -58,4 +58,56 @@ class BpeSpec extends SparkSpecBase {
     val out = BpeQueries.queries("x54g_bpe_gate")(spark, sfDir)
     assert(out.count() === 0)
   }
+
+  test("batched learning is bit-identical to one-merge-per-pass greedy") {
+    // the Sennrich corpus (heavy symbol sharing: es/est/lo/low chains
+    // force tiny batches) plus a riser-adversarial corpus where merging
+    // (a,b) feeds (ab,c) from (b,c) occurrences
+    val riser = Seq(
+      (1L, Seq.fill(10)("abc").mkString(" ")),
+      (2L, Seq.fill(7)("abd").mkString(" ")),
+      (3L, Seq.fill(6)("xy").mkString(" ")),
+      (4L, Seq.fill(5)("pq").mkString(" "))).toDF("doc_id", "text")
+    for (docs <- Seq(corpus, riser); n <- Seq(4, 8, 12)) {
+      val vocab = BpeQueries.wordVocab(docs, "text")
+      val sequential = BpeQueries.learnMerges(vocab, n, batchSize = 1)
+      val batched = BpeQueries.learnMerges(vocab, n, batchSize = 8)
+      assert(batched === sequential,
+        s"batched diverged from sequential at n=$n:\n $batched\n vs $sequential")
+    }
+  }
+
+  test("batched learning: random corpora agree with sequential") {
+    // pseudo-random words over a tiny alphabet maximize pair collisions
+    // and riser opportunities; fixed seed keeps the spec deterministic
+    val rnd = new scala.util.Random(42)
+    (0 until 5).foreach { trial =>
+      val words = Seq.fill(60)(
+        Seq.fill(2 + rnd.nextInt(5))("abcde" (rnd.nextInt(5))).mkString)
+      val docs = Seq((trial.toLong, words.mkString(" "))).toDF("doc_id", "text")
+      val vocab = BpeQueries.wordVocab(docs, "text")
+      val sequential = BpeQueries.learnMerges(vocab, 10, batchSize = 1)
+      val batched = BpeQueries.learnMerges(vocab, 10, batchSize = 6)
+      assert(batched === sequential, s"trial $trial diverged")
+    }
+  }
+
+  test("batching cuts counting passes: 64 disjoint merges in <= 5 passes") {
+    // 64 two-char words over 128 distinct codepoints — no shared
+    // symbols anywhere — in four frequency blocks separated by more
+    // than the 4x riser margin, so every pass accepts a full batch
+    import spark.implicits._
+    val vocab = (0 until 64).map { i =>
+      val w = "" + (1000 + 2 * i).toChar + (1001 + 2 * i).toChar
+      val freq = 1000000L / math.pow(5, i / 16).toLong
+      (w, freq)
+    }.toDF("w", "freq")
+    val (merges, passes) =
+      BpeQueries.learnMergesWithPasses(vocab, 64, batchSize = 16)
+    assert(merges.length === 64)
+    assert(passes <= 5, s"expected <= 64/16 + 1 passes, took $passes")
+    // and the result still equals the sequential order
+    val sequential = BpeQueries.learnMerges(vocab, 64, batchSize = 1)
+    assert(merges === sequential)
+  }
 }
