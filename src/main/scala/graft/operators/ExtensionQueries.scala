@@ -351,14 +351,21 @@ object ExtensionQueries {
     // --- skew handling ----------------------------------------------------
     // salted shuffle join: identical relation to the plain join (the
     // oracle IS the unsalted SQL); the salt spreads each hot orderkey
-    // across 8 shuffle partitions. Money leaves as integer cents.
+    // across 8 shuffle partitions. Hot keys come from a single-pass
+    // frequent-items sketch over the probe, so ONLY measured-hot keys
+    // replicate build rows — cold keys (salt 0, single build copy) pay
+    // nothing. Sketch false positives merely over-replicate a few keys;
+    // the result is the plain join either way. Money leaves as integer
+    // cents.
     "x20_salted_join" -> ((s, d) => {
       val probe = Tables(s, d, "lineitem").select(col("l_orderkey").as("okey"),
         col("l_linenumber"),
         round(col("l_extendedprice") * 100).cast("long").as("price_cents"))
       val build = Tables(s, d, "orders").select(col("o_orderkey").as("okey"),
         col("o_custkey"), col("o_orderstatus"))
-      Skew.saltedJoin(probe, build, "okey", nSalt = 8)
+      val hot = probe.stat.freqItems(Array("okey"), 0.001)
+        .select(explode(col("okey_freqItems")).as("okey"))
+      Skew.saltedJoinHot(probe, build, "okey", nSalt = 8, hotKeys = hot)
         .orderBy(col("okey"), col("l_linenumber"), col("price_cents"))
     }),
 
