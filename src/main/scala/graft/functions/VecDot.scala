@@ -197,10 +197,21 @@ object GraftExtensions {
       HilbertIndex(args(0), args(1))
     })
 
+  private val sortedIntersectAtLeastDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_sorted_intersect_count_at_least"),
+    new ExpressionInfo(classOf[SortedLongIntersectCountAtLeast].getName,
+      "graft_sorted_intersect_count_at_least"),
+    (args: Seq[Expression]) => {
+      require(args.length == 3,
+        "graft_sorted_intersect_count_at_least takes exactly 3 arguments")
+      SortedLongIntersectCountAtLeast(args(0), args(1), args(2))
+    })
+
   private[functions] val descriptors =
     Seq(vecDotDescriptor, bloomAggDescriptor, mightContainDescriptor,
-      sortedIntersectDescriptor, unicodeNormalizeDescriptor,
-      hilbertDescriptor)
+      sortedIntersectDescriptor, sortedIntersectAtLeastDescriptor,
+      unicodeNormalizeDescriptor, hilbertDescriptor)
 
   /** Idempotent registration on a live session (for sessions not built
     * with spark.sql.extensions).
@@ -224,6 +235,10 @@ object GraftExtensions {
 
   def sortedIntersectCount(a: Column, b: Column): Column =
     call_function("graft_sorted_intersect_count", a, b)
+
+  def sortedIntersectCountAtLeast(a: Column, b: Column, minRequired: Column): Column =
+    call_function("graft_sorted_intersect_count_at_least", a, b,
+      minRequired.cast("long"))
 
   def unicodeNormalize(s: Column, form: String): Column =
     call_function("graft_unicode_normalize", s,

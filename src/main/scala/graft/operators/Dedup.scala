@@ -83,11 +83,19 @@ object Dedup {
   private def jaccardVerifyArrays(candidates: DataFrame, arr: DataFrame,
                                   threshold: Double): DataFrame = {
     graft.functions.GraftExtensions.register(arr.sparkSession)
+    // required overlap α: jaccard >= t  <=>  |A∩B| >= t/(1+t)·(|A|+|B|).
+    // The tiny epsilon keeps double rounding from ever OVER-stating α
+    // (a weaker bound only prunes less); survivors still pass through
+    // the exact jaccard filter, so the result set is unchanged.
+    val alpha = ceil(lit(threshold / (1 + threshold)) *
+      (col("na") + col("nb")) - lit(1e-9))
     candidates
       .join(arr.select(col("id").as("a"), col("arr").as("arr_a")), Seq("a"))
       .join(arr.select(col("id").as("b"), col("arr").as("arr_b")), Seq("b"))
+      // PPJoin+ suffix-filter contract: exact count if >= α, else -1 —
+      // doomed candidates skip the full merge via a log-time bound probe
       .withColumn("inter", graft.functions.GraftExtensions
-        .sortedIntersectCount(col("arr_a"), col("arr_b")))
+        .sortedIntersectCountAtLeast(col("arr_a"), col("arr_b"), alpha))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)

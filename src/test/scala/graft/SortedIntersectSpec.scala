@@ -77,4 +77,34 @@ class SortedIntersectSpec extends SparkSpecBase {
     assert(e.getMessage.toLowerCase.contains("sorted_intersect_count") ||
       e.getMessage.toLowerCase.contains("datatype_mismatch"))
   }
+
+  test("countAtLeast: exact count when reachable, -1 when doomed (randomized)") {
+    import graft.functions.SortedIntersectKernel
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val rnd = new scala.util.Random(7)
+    (0 until 500).foreach { _ =>
+      val a = Seq.fill(rnd.nextInt(40))(rnd.nextInt(60).toLong)
+        .distinct.sorted.toArray
+      val b = Seq.fill(rnd.nextInt(40))(rnd.nextInt(60).toLong)
+        .distinct.sorted.toArray
+      val exact = a.toSet.intersect(b.toSet).size.toLong
+      val minReq = rnd.nextInt(20).toLong
+      val got = SortedIntersectKernel.countAtLeast(
+        ArrayData.toArrayData(a), ArrayData.toArrayData(b), minReq)
+      if (exact >= minReq) assert(got === exact, s"minReq=$minReq a=${a.toSeq} b=${b.toSeq}")
+      else assert(got === -1L, s"minReq=$minReq exact=$exact got=$got")
+    }
+  }
+
+  test("countAtLeast in a DataFrame: survivors exact, prunes flagged") {
+    val df = Seq(
+      (Seq(1L, 2L, 3L, 4L), Seq(2L, 3L, 4L, 5L), 3L), // exact 3 >= 3
+      (Seq(1L, 2L, 3L, 4L), Seq(2L, 3L, 4L, 5L), 4L), // exact 3 < 4
+      (Seq.empty[Long], Seq(1L), 1L)
+    ).toDF("a", "b", "m")
+      .select(GraftExtensions.sortedIntersectCountAtLeast(
+        col("a"), col("b"), col("m")).as("c"))
+      .as[Long].collect().toSeq
+    assert(df === Seq(3L, -1L, -1L))
+  }
 }
