@@ -108,6 +108,37 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e), _) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    // The driver retains only a ~2000-char stdout tail and json-parses
+    // what it finds there: with 135+ queries the full-name line is ~4 KB,
+    // so its head is truncated away and every round's artifact recorded
+    // "parsed": null. The stdout line therefore uses SHORT query keys —
+    // the id prefix before the first '_' ("x12g_multimodal_meta_gate" ->
+    // "x12g"), unique across the suite (colliding prefixes keep their
+    // full name) — and decimals shrink from 3 to 2 if the suite ever
+    // outgrows the window. Full names + raw passes stay in
+    // target/bench.json, which the builder commits as BENCH_LOCAL_r*.
+    val shortOf: Map[String, String] = {
+      val counts = results.groupBy(_._1.takeWhile(_ != '_')).map {
+        case (p, rs) => p -> rs.size
+      }
+      results.map { case (k, _, _, _) =>
+        val p = k.takeWhile(_ != '_')
+        k -> (if (counts(p) == 1) p else k)
+      }.toMap
+    }
+    def shortLine(decimals: Int): String = {
+      def snum(v: Double): String = BigDecimal(v)
+        .setScale(decimals, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
+      val sq = results.map { case (k, v, _, _) => jstr(shortOf(k)) + ":" + snum(v) }
+        .mkString("{", ",", "}")
+      // error text capped hard: one long stack message must not push the
+      // line back out of the tail window
+      val se = results.collect { case (k, _, Some(e), _) =>
+        jstr(shortOf(k)) + ":" + jstr(e.take(60))
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","passes":$repeat,"queries":$sq,"errors":$se,"sf":"$sfDir"}"""
+    }
     // raw per-pass samples (sorted) — lets a reader judge the spread that
     // the median hides; only emitted when there IS a spread to judge
     val raw =
@@ -116,7 +147,6 @@ object Bench {
           jstr(k) + ":" + ps.map(jnum).mkString("[", ",", "]")
         }.mkString("{", ",", "}")
       else ""
-    val total = results.map(_._2).sum
     def lineWith(extra: String): String =
       s"""{"metric":"total","value":${jnum(total)},"unit":"sec","passes":$repeat,"queries":$qs,"errors":$errs$extra,"sf":"$sfDir"}"""
     // durable copy FIRST (full line incl. raw passes): the driver
@@ -130,9 +160,11 @@ object Bench {
       case e: java.io.IOException =>
         System.err.println(s"[bench] WARNING: durable write failed: ${e.getMessage}")
     }
-    // the parseable artifact line goes LAST on stdout, without the raw
-    // blob — ~4 KB, inside any sane tail window
-    println(lineWith(""))
+    // the parseable artifact line goes LAST on stdout, short-keyed so
+    // the COMPLETE line sits inside the driver's tail window (~1900
+    // chars of budget after sbt's trailing [success] line)
+    val line3 = shortLine(3)
+    println(if (line3.length <= 1850) line3 else shortLine(2))
     spark.stop()
   }
 }

@@ -16,11 +16,23 @@ import graft.operators.Dedup
   * exactly what the probe is checking (a quadratic candidate blowup
   * shows up immediately as super-linear seconds).
   *
+  * MEASUREMENT ISOLATION (the round-10 lesson): each scale runs in a
+  * FRESH SparkSession with a forced GC before it. A shared session
+  * accumulates block-manager and codegen-cache state across scales, and
+  * the 16x pass then measures the prior scales' GC debt along with its
+  * own work — the headline 16x ratio swung 1.9x..9.0x between rounds on
+  * identical code. With per-scale sessions the ratio is a property of
+  * the ALGORITHM again. (JVM JIT warmup is shared across sessions —
+  * that part is deliberate: every scale sees equally-warm code, and the
+  * per-session warmup query re-primes codegen.)
+  *
   *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.ScaleCheck"
+  *   SPARK_GRAFT_SCALE_KS=1,16    # optional: scales to run
+  *   SPARK_GRAFT_SCALE_OPS=simhash,ppjoin   # optional: op filter
   */
 object ScaleCheck {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+  private def freshSession(): SparkSession = {
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -28,46 +40,54 @@ object ScaleCheck {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // session warmup: prime codegen + parquet reader so scale-1 of a
+    // fresh JVM doesn't carry startup cost the later scales skip
+    spark.range(100000).selectExpr("sum(id)").collect()
+    spark
+  }
 
-    /** k id-offset copies of `base` (offset stride 1M — well above any
-      * test corpus), each transformed by `perCopy`, rebalanced and
-      * pinned. Shared by the dedup and ANN sections.
-      */
-    def replicate(base: DataFrame, k: Int)
-                 (perCopy: (DataFrame, Int) => DataFrame): DataFrame =
-      (0 until k).map { i =>
-        perCopy(base.withColumn("id", col("id") + i * 1000000L), i)
-      }.reduce(_ unionByName _)
-        .repartition(spark.sparkContext.defaultParallelism)
-        .localCheckpoint(true)
+  /** k id-offset copies of `base` (offset stride 1M — well above any
+    * test corpus), each transformed by `perCopy`, rebalanced and
+    * pinned.
+    */
+  private def replicate(spark: SparkSession, base: DataFrame, k: Int)
+                       (perCopy: (DataFrame, Int) => DataFrame): DataFrame =
+    (0 until k).map { i =>
+      perCopy(base.withColumn("id", col("id") + i * 1000000L), i)
+    }.reduce(_ unionByName _)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .localCheckpoint(true)
 
-    def corpus(k: Int): DataFrame =
-      replicate(Tables(spark, sfDir, "documents")
+  /** Median of 3 passes: single-pass numbers at the 16x scale swing
+    * >2x run-to-run — the same measurement policy Bench adopted. Rows
+    * come from the last pass.
+    */
+  private def time(f: => Long): (Double, Long) = {
+    val samples = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      val rows = f
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+    (samples.map(_._1).sorted.apply(1), samples.last._2)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val scales = sys.env.get("SPARK_GRAFT_SCALE_KS")
+      .map(_.split(",").toSeq.map(_.trim.toInt)).getOrElse(Seq(1, 4, 16))
+    val opFilter = sys.env.get("SPARK_GRAFT_SCALE_OPS")
+      .map(_.split(",").map(_.trim).toSet)
+    def keep(name: String): Boolean = opFilter.forall(_.contains(name))
+
+    for (k <- scales) {
+      // dedup section: one isolated session per scale
+      val spark = freshSession()
+      val docs = replicate(spark,
+        Tables(spark, sfDir, "documents")
           .select(col("doc_id").as("id"), col("text")), k) { (df, i) =>
         // disjoint token spaces: copies never match each other
         df.withColumn("text", regexp_replace(col("text"), "(\\S+)", s"c$i$$1"))
       }
-
-    // median of 3 passes: single-pass numbers at the 16x scale swing
-    // >2x run-to-run (GC + lingering checkpoint blocks) — the same
-    // measurement policy Bench adopted. Rows come from the last pass.
-    def time(f: => Long): (Double, Long) = {
-      val samples = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        val rows = f
-        ((System.nanoTime() - t0) / 1e9, rows)
-      }
-      (samples.map(_._1).sorted.apply(1), samples.last._2)
-    }
-
-    // localCheckpoint blocks are NOT dropped by clearCache; stale
-    // scale-k corpora would pressure the 16x pass into GC churn
-    def dropCheckpoints(): Unit =
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-
-    for (k <- Seq(1, 4, 16)) {
-      dropCheckpoints()
-      val docs = corpus(k)
       val ops: Seq[(String, () => Long)] = Seq(
         "exact" -> (() => Dedup.exactKeepFirst(docs, "id", "text").count()),
         "ppjoin" -> (() =>
@@ -76,11 +96,16 @@ object ScaleCheck {
           Dedup.minhashLshPairs(docs, "id", "text", n = 3, numPerm = 32,
             bands = 16, threshold = 0.5).count()),
         "simhash" -> (() => Dedup.simhashPairs(docs, "id", "text", maxDist = 3).count()))
-      ops.foreach { case (name, f) =>
+      ops.filter(o => keep(o._1)).foreach { case (name, f) =>
         val (sec, rows) = time(f())
         println(f"""{"op":"$name","scale":$k,"sec":$sec%.2f,"rows":$rows}""")
         spark.catalog.clearCache()
       }
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      System.gc()
+      Thread.sleep(500)
     }
 
     // ANN corpus scaling: FIXED 10 queries against a replicated corpus
@@ -89,28 +114,30 @@ object ScaleCheck {
     // force must grow linearly in the corpus; LSH's scoring stays
     // confined to bucket collisions, so its seconds should grow slower
     // than brute's — a quadratic candidate blowup in either shows up
-    // immediately as super-linear seconds.
+    // immediately as super-linear seconds. Same per-scale isolation.
     import graft.operators.Similarity
-    def embBase: DataFrame = Tables(spark, sfDir, "embeddings")
-      .select(col("vec_id").as("id"), col("embedding").as("vec"))
-    def embCorpus(k: Int): DataFrame = replicate(embBase, k)((df, _) => df)
-    // query set straight off the base table — no full-corpus checkpoint
-    // just to take 10 rows
-    val annQueries = embBase.orderBy("id").limit(10).localCheckpoint(true)
-    for (k <- Seq(1, 4, 16)) {
-      val corpus = embCorpus(k)
+    if (keep("ann_brute") || keep("ann_lsh")) for (k <- scales) {
+      val spark = freshSession()
+      def embBase: DataFrame = Tables(spark, sfDir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val corpus = replicate(spark, embBase, k)((df, _) => df)
+      val annQueries = embBase.orderBy("id").limit(10).localCheckpoint(true)
       val anns: Seq[(String, () => Long)] = Seq(
         "ann_brute" -> (() =>
           Similarity.bruteForceTopK(annQueries, corpus, "id", "vec", k = 5).count()),
         "ann_lsh" -> (() =>
           Similarity.lshTopK(annQueries, corpus, "id", "vec", k = 5,
             nbits = 8, tables = 4).count()))
-      anns.foreach { case (name, f) =>
+      anns.filter(o => keep(o._1)).foreach { case (name, f) =>
         val (sec, rows) = time(f())
         println(f"""{"op":"$name","scale":$k,"sec":$sec%.2f,"rows":$rows}""")
         spark.catalog.clearCache()
       }
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      System.gc()
+      Thread.sleep(500)
     }
-    spark.stop()
   }
 }

@@ -437,6 +437,52 @@ object WarcCodec {
       }
     }
 
+  /** All records of one blob with mid-stream failure tolerance: records
+    * parsed before a failure survive, and the failure itself is DROPPED
+    * here — the document leg's dead-letter channel ([[blobDocs]]) owns
+    * error reporting, so a second consumer of the same blobs must not
+    * double-report it.
+    */
+  private def safeRecords(mk: () => Iterator[WarcRecord]): Iterator[WarcRecord] =
+    new Iterator[WarcRecord] {
+      private var it: Iterator[WarcRecord] = null
+      private var pending: WarcRecord = null
+      private var finished = false
+      override def hasNext: Boolean = {
+        if (pending != null) return true
+        if (finished) return false
+        try {
+          if (it == null) it = mk()
+          if (it.hasNext) pending = it.next() else finished = true
+        } catch { case NonFatal(_) => finished = true }
+        pending != null
+      }
+      override def next(): WarcRecord = {
+        if (!hasNext) throw new NoSuchElementException
+        val r = pending; pending = null; r
+      }
+    }
+
+  /** One (url, warc-date, payload bytes) row per record — the HEADER
+    * projection of a blob set, for consumers that need crawl timing and
+    * size but no payload semantics (the session leg of the streaming
+    * ingest). Every record type rides (request/response/metadata too:
+    * crawl activity is activity); payloads stream through the bounded
+    * [[RecordIterator]] without HTML extraction or charset work.
+    */
+  def fetchEventsForPaths(spark: SparkSession,
+                          paths: Dataset[String]): Dataset[(String, String, Long)] = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(hadoopConfEntries(spark))
+    paths.mapPartitions { ps =>
+      val conf = confFrom(bc.value)
+      ps.flatMap { p =>
+        safeRecords(() => new RecordIterator(openPath(p, conf)))
+          .map(r => (r.url, r.date, r.body.length.toLong))
+      }
+    }
+  }
+
   /** The raw ingestion relation over a directory of WARC blobs: one row
     * per kept record plus one error row per failed blob. Fully
     * distributed and fully streaming — the binaryFile scan reads ONLY
@@ -497,6 +543,47 @@ object WarcCodec {
     rawDocuments(spark, dir).filter(col("blob_error").isNotNull)
       .select(col("path"), col("blob_error"))
 
+  /** Range plan for one blob: one whole-file range when it's small (or
+    * unsplittable), else consecutive gzip members greedy-packed into
+    * ~target compressed bytes. A PLANNING failure — corrupt gzip during
+    * the member walk, a vanished file — falls back to ONE whole-file
+    * range, so the parse pass surfaces the real error as a dead-letter
+    * row instead of the planning task dying (the per-blob isolation
+    * contract of [[blobDocs]] extended to the fan-out planner).
+    */
+  private def planRanges(p: String, flenOpt: Option[Long], target: Long,
+                         conf: Configuration): Iterator[(String, Long, Long)] =
+    try {
+      val flen = flenOpt.getOrElse {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(conf).getFileStatus(hp).getLen
+      }
+      if (flen <= target) Iterator((p, 0L, flen))
+      else splitRanges(p, flen, target, conf)
+    } catch {
+      case NonFatal(_) => Iterator((p, 0L, Long.MaxValue))
+    }
+
+  /** Parse pass over an explicit (path, start, end) range relation:
+    * re-shuffles the ranges (the whole point of the split is that one
+    * blob's members land on MANY tasks) and drains [[recordsInRange]]
+    * per range with per-range fault isolation.
+    */
+  private def rawDocumentsForRanges(
+      spark: SparkSession, bc: org.apache.spark.broadcast.Broadcast[Array[(String, String)]],
+      ranges: Dataset[(String, Long, Long)]): Dataset[RawDoc] = {
+    import spark.implicits._
+    ranges.toDF("path", "start", "end")
+      .repartition(col("path"), col("start"))
+      .as[(String, Long, Long)]
+      .mapPartitions { rs =>
+        val conf = confFrom(bc.value)
+        rs.flatMap { case (p, s, e) =>
+          blobDocs(p, () => recordsInRange(() => openPath(p, conf), s, e))
+        }
+      }
+  }
+
   /** [[documents]] with oversized blobs SPLIT across tasks at gzip
     * member boundaries — the fan-out a 1 GB CommonCrawl member needs so
     * one task is never a straggler (the per-unit fan-out contract of
@@ -516,22 +603,30 @@ object WarcCodec {
       .mapPartitions { files =>
         val conf = confFrom(bc.value)
         files.flatMap { case (p, flen) =>
-          if (flen <= targetSplitBytes) Iterator((p, 0L, flen))
-          else splitRanges(p, flen, targetSplitBytes, conf)
+          planRanges(p, Some(flen), targetSplitBytes, conf)
         }
       }
-      .toDF("path", "start", "end")
-      // spread the ranges: the whole point of the split is that one
-      // blob's members land on MANY tasks
-      .repartition(col("path"), col("start"))
-      .as[(String, Long, Long)]
-    val raw = ranges.mapPartitions { rs =>
+    documentsFromRaw(rawDocumentsForRanges(spark, bc, ranges).toDF())
+  }
+
+  /** [[rawDocumentsForPaths]] with the same oversized-blob fan-out as
+    * [[documentsSharded]] — the streaming-ingest entry point: a
+    * micro-batch hands newly-arrived blob PATHS (the file-source
+    * projection carries no length), so pass 1 also fetches each blob's
+    * length (one filesystem status call per blob, executor side) before
+    * walking members. A blob at or under targetSplitBytes costs exactly
+    * that one status call over the unsharded path.
+    */
+  def rawDocumentsForPathsSharded(spark: SparkSession, paths: Dataset[String],
+                                  targetSplitBytes: Long = 128L << 20): Dataset[RawDoc] = {
+    import spark.implicits._
+    require(targetSplitBytes > 0, "targetSplitBytes must be positive")
+    val bc = spark.sparkContext.broadcast(hadoopConfEntries(spark))
+    val ranges = paths.mapPartitions { ps =>
       val conf = confFrom(bc.value)
-      rs.flatMap { case (p, s, e) =>
-        blobDocs(p, () => recordsInRange(() => openPath(p, conf), s, e))
-      }
+      ps.flatMap(p => planRanges(p, None, targetSplitBytes, conf))
     }
-    documentsFromRaw(raw.toDF())
+    rawDocumentsForRanges(spark, bc, ranges)
   }
 
   private def splitRanges(path: String, flen: Long, target: Long,

@@ -48,7 +48,8 @@ import graft.sources.WarcCodec
   * shuffle, no driver materialization.
   */
 class CorpusStream(spark: SparkSession, workDir: String,
-                   cfg: CorpusPipeline.Config = CorpusPipeline.Config()) {
+                   cfg: CorpusPipeline.Config = CorpusPipeline.Config(),
+                   targetSplitBytes: Long = 128L << 20) {
   import spark.implicits._
 
   private val curatedPath = s"$workDir/curated"
@@ -56,6 +57,7 @@ class CorpusStream(spark: SparkSession, workDir: String,
   private val docArrPath = s"$workDir/docarrs"
   private val ledgerPath = s"$workDir/ledger"
   private val dlqPath = s"$workDir/quarantine"
+  private val sessionsPath = s"$workDir/sessions"
 
   // binaryFile's fixed schema — file streams require it explicitly
   private val binSchema = new StructType()
@@ -211,6 +213,72 @@ class CorpusStream(spark: SparkSession, workDir: String,
       .start()
   }
 
+  /** [[ingest]] plus an event-time crawl-session leg riding the same
+    * drain: a second streaming query over the same blob directory
+    * projects each record's (host, WARC-Date, payload bytes) and runs
+    * the watermarked `flatMapGroupsWithState` sessionizer
+    * ([[EventTimeStreams.gapSessions]]), appending each CLOSED session
+    * to `workDir/sessions` exactly once (parquet sink + its own
+    * checkpoint). Sessions close only when the event-time watermark
+    * passes last+gap, so out-of-order fetches within the watermark
+    * horizon still extend or bridge an open session, and fetches
+    * arriving later than the watermark are dropped — the late-data
+    * contract of every watermarked stage in this engine.
+    *
+    * The leg keeps its own file-source checkpoint (`chk_sessions`), so
+    * each blob feeds the sessionizer exactly once across drains even
+    * though the document leg tracks the same directory independently.
+    * Scale note: the leg re-reads blob bytes but does header-only work
+    * per record (no HTML extraction, no curation) — the document leg's
+    * decode cost dominates end-to-end; per-key session state is bounded
+    * by the watermark horizon.
+    */
+  def ingestWithSessions(warcDir: String,
+                         sessionGapMs: Long = 30 * 60 * 1000L,
+                         sessionWatermark: String = "10 minutes",
+                         trigger: Trigger = Trigger.AvailableNow()): Seq[StreamingQuery] = {
+    val main = ingest(warcDir, trigger)
+    val events = WarcCodec.fetchEventsForPaths(spark,
+        spark.readStream.format("binaryFile").schema(binSchema).load(warcDir)
+          .select(col("path")).as[String])
+      .flatMap { case (url, date, bytes) =>
+        // ISO-8601 WARC-Date; a record without a parseable date has no
+        // event time and cannot ride a watermarked stream — skipped
+        val ts =
+          try Some(java.sql.Timestamp.from(java.time.Instant.parse(date)))
+          catch { case scala.util.control.NonFatal(_) => None }
+        ts.map(t => EventTimeStreams.SessionEvent(
+          CorpusStream.hostHash(CorpusStream.hostOf(url)), t, bytes))
+      }
+    val closed = EventTimeStreams.gapSessions(events, sessionGapMs, sessionWatermark)
+    val sq = closed
+      .select(col("userId").as("host_hash"),
+        col("sessionStart").as("session_start"),
+        col("sessionEnd").as("session_end"),
+        col("cnt").as("fetches"), col("amountCents").as("bytes"))
+      .writeStream.format("parquet")
+      .option("path", sessionsPath)
+      .option("checkpointLocation", s"$workDir/chk_sessions")
+      .outputMode("append")
+      .trigger(trigger)
+      .start()
+    Seq(main, sq)
+  }
+
+  /** Closed crawl sessions accumulated by [[ingestWithSessions]]:
+    * (host_hash, session_start, session_end, fetches, bytes). Empty
+    * before the first session closes.
+    */
+  def sessions: DataFrame = {
+    val d = new java.io.File(sessionsPath)
+    val hasData = d.isDirectory && Option(d.listFiles()).getOrElse(Array.empty)
+      .exists(_.getName.startsWith("part-"))
+    if (!hasData)
+      Seq.empty[(Long, java.sql.Timestamp, java.sql.Timestamp, Long, Long)]
+        .toDF("host_hash", "session_start", "session_end", "fetches", "bytes")
+    else spark.read.parquet(sessionsPath)
+  }
+
   private def overwriteBatch(df: DataFrame, path: String, batchId: Long): Unit =
     df.write.mode("overwrite").parquet(s"$path/batch=$batchId")
 
@@ -218,8 +286,14 @@ class CorpusStream(spark: SparkSession, workDir: String,
     // the micro-batch frame lives in the runner's cloned session —
     // make sure that registry has the native functions too
     graft.functions.GraftExtensions.register(paths.sparkSession)
-    val raw = WarcCodec.rawDocumentsForPaths(spark,
-      paths.select("path").as[String]).toDF().localCheckpoint(true)
+    // record-range fan-out: a batch containing one oversized blob (the
+    // 1 GB CommonCrawl member case) parses as MANY tasks over disjoint
+    // gzip-member ranges instead of one straggler task — the
+    // release_batcher-style per-unit batch expansion applied inside the
+    // micro-batch (blobs <= targetSplitBytes take the whole-file path)
+    val raw = WarcCodec.rawDocumentsForPathsSharded(spark,
+      paths.select("path").as[String], targetSplitBytes)
+      .toDF().localCheckpoint(true)
     val docs = WarcCodec.documentsFromRaw(raw)
 
     // curation: the SAME stage transforms the batch pipeline runs, in
@@ -296,5 +370,25 @@ class CorpusStream(spark: SparkSession, workDir: String,
         .toDF("batch_id", "ingested", "curated_in", "exact_dropped",
           "near_dropped", "accepted"),
       ledgerPath, batchId)
+  }
+}
+
+object CorpusStream {
+  /** Host component of a URL, "" when absent or unparsable. */
+  private[streaming] def hostOf(url: String): String =
+    try Option(new java.net.URI(url).getHost).getOrElse("")
+    catch { case scala.util.control.NonFatal(_) => "" }
+
+  /** FNV-1a 64-bit over the UTF-8 host bytes — the session key. 64 bits
+    * because web-scale host cardinality (~10^8) meets the 32-bit
+    * birthday bound; a deterministic pure function so batch replays and
+    * external joins reproduce the key.
+    */
+  private[graft] def hostHash(host: String): Long = {
+    var h = 0xcbf29ce484222325L
+    host.getBytes(java.nio.charset.StandardCharsets.UTF_8).foreach { b =>
+      h ^= (b & 0xFFL); h *= 0x100000001b3L
+    }
+    h
   }
 }

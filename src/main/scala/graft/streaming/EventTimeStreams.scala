@@ -134,8 +134,14 @@ object EventTimeStreams {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid, evs, state) =>
           val wm = state.getCurrentWatermarkMs()
-          // fold events: each merges itself plus every session in reach
-          val open = evs.foldLeft(state.getOption.map(_.open).getOrElse(Nil)) {
+          // fold events: each merges itself plus every session in reach.
+          // Events older than the watermark drop HERE, explicitly: the
+          // engine's own late filtering for flatMapGroupsWithState is an
+          // implementation detail, and an unfiltered late event would
+          // otherwise open a pre-watermark session that the expiry
+          // partition below emits in the same call — a zombie session.
+          val open = evs.filter(_.ts.getTime >= wm)
+            .foldLeft(state.getOption.map(_.open).getOrElse(Nil)) {
             (open, e) =>
               val t = e.ts.getTime
               val (reach, rest) = open.partition(s =>

@@ -138,4 +138,127 @@ class CorpusStreamSpec extends SparkSpecBase {
     assert(!stale.exists(), "the orphan sweep must reclaim the stale dir")
     assert(s5.curated.count() === 5)
   }
+
+  /** One gzip member per record — the CommonCrawl layout, which makes
+    * member boundaries safe split points.
+    */
+  private def gzMember(b: Array[Byte]): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(o)
+    g.write(b); g.close()
+    o.toByteArray
+  }
+
+  test("oversized blob fans out across record ranges inside the micro-batch") {
+    val warcDir = Files.createTempDirectory("csshardw").toString
+    val workDir = Files.createTempDirectory("csshardk").toString
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog and runs in the park",
+      "the weather report says rain is coming and the wind is strong today",
+      "the children play games in the garden while the sun is warm and bright",
+      "the library keeps many old books about the history of the ancient city",
+      "the mountain trail winds up through the forest and over the ridge line",
+      "the harbor lights glow softly while the boats rock gently on the tide")
+    // ONE blob, one gzip member per record, far above the 64-byte split
+    // target: the batch must parse it as multiple disjoint ranges
+    Files.write(Paths.get(warcDir, "big.warc.gz"),
+      texts.zipWithIndex.map { case (t, i) =>
+        gzMember(recBytes(s"http://s/$i", t))
+      }.reduce(_ ++ _))
+
+    val s = new CorpusStream(spark, workDir, targetSplitBytes = 64L)
+    s.ingest(warcDir).awaitTermination()
+    assert(s.curated.count() === texts.length,
+      "every record of the fanned-out blob must survive exactly once")
+    assert(s.curated.select("text").as[String].collect().toSet === texts.toSet)
+    val led = s.ledger.select("ingested", "accepted").as[(Long, Long)].collect()
+    assert(led.map(_._1).sum === texts.length, "ledger counts stay additive across ranges")
+    assert(led.map(_._2).sum === texts.length)
+
+    // equivalence floor: the sharded ingest admits exactly what an
+    // unsharded ingest of the same directory admits
+    val workDir2 = Files.createTempDirectory("csshardk2").toString
+    val s2 = new CorpusStream(spark, workDir2)
+    s2.ingest(warcDir).awaitTermination()
+    assert(s.curated.select("content_hash").as[String].collect().toSet ===
+      s2.curated.select("content_hash").as[String].collect().toSet)
+  }
+
+  private def recBytesAt(uri: String, date: String, text: String): Array[Byte] = {
+    val payload = text.getBytes("ISO-8859-1")
+    (s"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: $uri\r\n" +
+      s"WARC-Date: $date\r\nContent-Length: ${payload.length}\r\n\r\n")
+      .getBytes("ISO-8859-1") ++ payload ++ "\r\n\r\n".getBytes("ISO-8859-1")
+  }
+
+  test("session leg rides the ingest: out-of-order merges, watermark closes, late drops") {
+    import graft.streaming.{CorpusStream => CS}
+    val warcDir = Files.createTempDirectory("cssessw").toString
+    val workDir = Files.createTempDirectory("cssessk").toString
+    def drain(): Unit =
+      new CorpusStream(spark, workDir)
+        .ingestWithSessions(warcDir, sessionGapMs = 30 * 60 * 1000L,
+          sessionWatermark = "10 minutes")
+        .foreach(_.awaitTermination())
+
+    val tA = "the quick brown fox jumps over the lazy dog and runs in the park"
+    val tB = "the weather report says rain is coming and the wind is strong today"
+    val tC = "the children play games in the garden while the sun is warm and bright"
+    // host a: two fetches 10 min apart (one session); host b: one fetch
+    Files.write(Paths.get(warcDir, "a.warc"),
+      recBytesAt("http://a.example/1", "2026-01-01T10:00:00Z", tA) ++
+        recBytesAt("http://a.example/2", "2026-01-01T10:10:00Z", tB) ++
+        recBytesAt("http://b.example/1", "2026-01-01T10:05:00Z", tC))
+    drain()
+    // watermark after batch 1 = 10:10 - 10min = 10:00 < last+gap: open
+    val s0 = new CorpusStream(spark, workDir)
+    assert(s0.sessions.count() === 0, "no session may close before the watermark allows")
+
+    // batch 2: an OUT-OF-ORDER fetch for host a (10:05, above the 10:00
+    // watermark — must extend the open session, not start a new one) and
+    // a far-future advancer on host c
+    Files.write(Paths.get(warcDir, "b.warc"),
+      recBytesAt("http://a.example/3", "2026-01-01T10:05:00Z",
+        "the garden path curves along the stream bank under the old willow trees") ++
+        recBytesAt("http://c.example/1", "2026-01-01T13:00:00Z",
+          "the train departs the station on time and crosses the long iron bridge"))
+    drain()
+    // batch 3: another advancer so the (now 12:50) watermark's closures flush
+    Files.write(Paths.get(warcDir, "c.warc"),
+      recBytesAt("http://c.example/2", "2026-01-01T13:20:00Z",
+        "the bakery opens early and the smell of fresh bread fills the street"))
+    drain()
+
+    val s1 = new CorpusStream(spark, workDir)
+    val closed = s1.sessions
+      .select("host_hash", "session_start", "session_end", "fetches", "bytes")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long, Long)]
+      .collect().map(r => (r._1, r._2.toInstant.toString, r._3.toInstant.toString,
+        r._4)).toSet
+    assert(closed.contains((CS.hostHash("a.example"),
+      "2026-01-01T10:00:00Z", "2026-01-01T10:10:00Z", 3L)),
+      s"host a's session must merge the out-of-order fetch, got: $closed")
+    assert(closed.contains((CS.hostHash("b.example"),
+      "2026-01-01T10:05:00Z", "2026-01-01T10:05:00Z", 1L)))
+
+    // batch 4: host z fetch at 10:00 — far below the 13:10 watermark.
+    // Late data must be DROPPED, never opened as a zombie session.
+    Files.write(Paths.get(warcDir, "d.warc"),
+      recBytesAt("http://z.example/1", "2026-01-01T10:00:00Z",
+        "the lighthouse keeper climbs the spiral stairs to light the lamp at dusk") ++
+        recBytesAt("http://c.example/3", "2026-01-01T16:00:00Z",
+          "the orchard rows stretch toward the hills where the cider press waits"))
+    drain()
+    // one more advancer batch: had z opened, this would close + emit it
+    Files.write(Paths.get(warcDir, "e.warc"),
+      recBytesAt("http://c.example/4", "2026-01-01T18:00:00Z",
+        "the museum hall displays ancient maps beside the carved stone tablets"))
+    drain()
+    val s2 = new CorpusStream(spark, workDir)
+    assert(!s2.sessions.select("host_hash").as[Long].collect()
+      .contains(CS.hostHash("z.example")),
+      "a fetch older than the watermark must be dropped, not sessionized")
+    // the document leg processed every batch too: all curated docs landed
+    assert(s2.curated.count() >= 8)
+  }
 }

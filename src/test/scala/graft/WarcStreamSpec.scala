@@ -117,6 +117,35 @@ class WarcStreamSpec extends SparkSpecBase {
       "sharded ranges must cover every record exactly once")
   }
 
+  test("rawDocumentsForPathsSharded: streaming entry parses each record exactly once") {
+    val dir = Files.createTempDirectory("warcshardp").toString
+    val recs = (0 until 8).map(i =>
+      recBytes("response", s"http://p$i", http("text/html", s"<p>pdoc $i</p>")))
+    val blob = Paths.get(dir, "big.warc.gz")
+    Files.write(blob, recs.map(memberOf).reduce(_ ++ _))
+    // tiny split target: every member becomes its own range, so the one
+    // blob parses as MANY tasks; sorted-with-duplicates equality proves
+    // exactly-once coverage (disjoint ranges, full union)
+    val urls = WarcCodec.rawDocumentsForPathsSharded(spark,
+        Seq(blob.toString).toDS(), targetSplitBytes = 64L)
+      .filter(_.blob_error == null).map(_.url).collect().toSeq.sorted
+    assert(urls === (0 until 8).map(i => s"http://p$i").sorted)
+  }
+
+  test("sharded planning failure falls back to a whole-file range and dead-letters") {
+    val dir = Files.createTempDirectory("warcshardf").toString
+    // valid gzip magic, garbage deflate body: the member walk of the
+    // PLANNING pass throws — must fall back to one whole-file range
+    // whose parse surfaces the error row, never a task death
+    val bad = Paths.get(dir, "bad.warc.gz")
+    Files.write(bad, Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0) ++
+      Array.fill[Byte](64)(0x55))
+    val rows = WarcCodec.rawDocumentsForPathsSharded(spark,
+      Seq(bad.toString).toDS(), targetSplitBytes = 16L).collect()
+    assert(rows.length === 1 && rows.head.blob_error != null,
+      s"poisoned blob must yield exactly one dead-letter row, got: ${rows.toSeq}")
+  }
+
   test("poisoned blob dead-letters; its parsed records and other blobs survive") {
     val dir = Files.createTempDirectory("warcdlq").toString
     Files.write(Paths.get(dir, "good.warc"),
