@@ -32,7 +32,8 @@ object SparkEntry {
       OlapQueries.queries ++
       CurationQueries.queries ++
       ZOrder.queries ++
-      BpeQueries.queries
+      BpeQueries.queries ++
+      RetrievalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -52,5 +53,6 @@ object SparkEntry {
       OlapQueries.oracleSql ++
       CurationQueries.oracleSql ++
       ZOrder.oracleSql ++
-      BpeQueries.oracleSql
+      BpeQueries.oracleSql ++
+      RetrievalQueries.oracleSql
 }

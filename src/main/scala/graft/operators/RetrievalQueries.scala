@@ -1,0 +1,228 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.GraftFunctions.tokens
+
+/** Retrieval + data-selection operators (SURVEY §7.4 extension family):
+  * the query-side half of a training-data platform — BM25 lexical
+  * retrieval over the corpus, DSIR-style importance weighting for
+  * targeted data selection (Xie et al. 2023's hashed-n-gram importance
+  * resampling, at this corpus' vocabulary scale with exact unigram
+  * LMs), and SemDeDup-style semantic canonicalization over embedding
+  * near-dup clusters (Abbas et al. 2023).
+  *
+  * Scale shapes: BM25's per-term statistics (df, idf) are a bounded
+  * relation broadcast to the scoring join; the only corpus-sized work
+  * is one token explode + one map-side-combinable (doc, term) count,
+  * and top-k is TakeOrderedAndProject (a per-partition k-heap + driver
+  * merge, never a global sort). DSIR's vocabulary relations are
+  * token-hash keyed aggregates; the per-doc weight is one combinable
+  * sum. x64 reuses the multi-table LSH bucket candidates (never
+  * all-pairs) + the label-propagation components of x23.
+  *
+  * Float convention: ln-based scores follow x42/x51 — identical
+  * operation ORDER on both engines, round 6 at the oracle surface; BM25
+  * constants are written as plain literals (2.2, 1.2, 0.25, 0.75) on
+  * both sides so neither engine folds them differently.
+  */
+object RetrievalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** The fixed BM25 query: common corpus terms (the synthetic documents
+    * are DB-flavored word salad), one per specificity band.
+    */
+  private val bm25Terms = Seq("hash", "join", "merge")
+
+  /** Okapi BM25 top-k: score = sum over query terms of
+    * idf(w) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) with the
+    * Lucene idf = ln((N - df + 0.5)/(df + 0.5) + 1). k1=1.2, b=0.75.
+    * The per-doc sum adds the (at most 3) term contributions in FIXED
+    * term order via conditional-max pivoting, so the float surface is
+    * bit-deterministic across engines.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], k: Int): DataFrame = {
+    val N = docs.count()
+    val dl = docs.select(col(idCol), size(tokens(col(textCol))).as("dl"))
+    // avgdl from two exact integers (not avg() over doubles): the one
+    // scalar every score depends on must not carry a sum-order seam
+    val sumdl = dl.agg(coalesce(sum(col("dl")), lit(0L))).head().getLong(0)
+    val avgdl = sumdl.toDouble / N
+    val tok = docs
+      .select(col(idCol), explode_outer(tokens(col(textCol))).as("w"))
+      .filter(col("w").isInCollection(terms))
+    val tf = tok.groupBy(col(idCol), col("w")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val contrib =
+      log((lit(N) - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+        (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * (lit(0.25) + (lit(0.75) * col("dl")) / lit(avgdl)))
+    val scored = tf.join(broadcast(df), Seq("w")).join(dl, Seq(idCol))
+      .withColumn("contrib", contrib)
+    val termCols = terms.map(t =>
+      coalesce(max(when(col("w") === t, col("contrib"))), lit(0.0)))
+    scored.groupBy(col(idCol))
+      .agg(termCols.reduce(_ + _).as("raw"))
+      .select(col(idCol), round(col("raw"), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** DSIR-style importance log-weight per document against a TARGET
+    * subcorpus: sum over doc tokens of
+    * ln P_target(w) - ln P_raw(w), add-one smoothed over the shared
+    * raw vocabulary. Positive = looks like the target domain — the
+    * "select data that matches the distribution you care about" weight,
+    * here with exact unigram LMs (production hashes n-grams into a
+    * fixed bucket space; the weight algebra is identical).
+    */
+  def dsirLogWeights(docs: DataFrame, idCol: String, textCol: String,
+                     targetFilter: org.apache.spark.sql.Column): DataFrame = {
+    val tok = docs
+      .select(col(idCol), targetFilter.as("is_tgt"),
+        explode_outer(tokens(col(textCol))).as("w"))
+      .filter(col("w").isNotNull)
+    val raw = tok.groupBy(col("w")).agg(count(lit(1)).as("cr"))
+      .localCheckpoint(true)
+    val tgt = tok.filter(col("is_tgt")).groupBy(col("w"))
+      .agg(count(lit(1)).as("ct"))
+    // three exact scalars (vocab size, target tokens, raw tokens) — the
+    // x42 driver-scalar shape
+    val v = raw.count()
+    val t = tgt.agg(coalesce(sum(col("ct")), lit(0L))).head().getLong(0)
+    val r = raw.agg(coalesce(sum(col("cr")), lit(0L))).head().getLong(0)
+    val lam = raw.join(tgt, Seq("w"), "left")
+      .select(col("w"),
+        (log((coalesce(col("ct"), lit(0L)) + 1L).cast("double")) -
+          log(lit((t + v).toDouble)) -
+          log((col("cr") + 1L).cast("double")) +
+          log(lit((r + v).toDouble))).as("lam"))
+    val cdw = tok.groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c"))
+    cdw.join(lam, Seq("w"))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("c").cast("double") * col("lam")), 6).as("dsir_logw"))
+  }
+
+  /** The x05 dup-synthesized embedding corpus (exact copies of the
+    * first 20 vectors under offset ids) — same augmentation as
+    * ExtensionQueries.vecsWithDups so the oracle mirrors x05's CTE.
+    */
+  private def vecsWithDups(s: SparkSession, d: String): DataFrame = {
+    val v = Tables(s, d, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"))
+    v.unionByName(v.filter(col("id") < 20)
+      .select((col("id") + 10000).as("id"), col("embedding")))
+      .repartition(s.sparkContext.defaultParallelism)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "x62_bm25_topk" -> ((s, d) =>
+      bm25TopK(Tables(s, d, "documents"), "doc_id", "text", bm25Terms, k = 10)),
+
+    "x63_dsir_logratio" -> ((s, d) =>
+      dsirLogWeights(Tables(s, d, "documents"), "doc_id", "text",
+        col("source") === "src1").orderBy(col("doc_id"))),
+
+    // SemDeDup: embedding-cosine near-dup clusters -> canonical (min-id)
+    // representative per cluster; singletons are their own canonical.
+    // Pairs come from the x05 bucketed-LSH candidates (identical vectors
+    // always collide), components from x23's label propagation.
+    "x64_semantic_canonical" -> ((s, d) => {
+      val vecs = vecsWithDups(s, d)
+      val pairs = Similarity.cosinePairsBucketed(vecs, "id", "embedding",
+        threshold = 0.95, nbits = 8, tables = 8).select(col("a"), col("b"))
+      val comp = Components.connectedComponents(pairs)
+      vecs.select(col("id").as("node"))
+        .join(comp, Seq("node"), "left")
+        .select(col("node"), coalesce(col("root"), col("node")).as("root"))
+        .orderBy(col("node"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "x62_bm25_topk" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS w
+        |  FROM documents
+        |), dl AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1
+        |), n AS (
+        |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n,
+        |         (SELECT CAST(sum(dl) AS BIGINT) FROM dl) AS sumdl
+        |), tf AS (
+        |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM tok
+        |  WHERE w IN ('hash', 'join', 'merge') GROUP BY 1, 2
+        |), df AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        |), sc AS (
+        |  SELECT tf.doc_id, tf.w,
+        |    ln((n.n - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+        |      (CAST(tf.tf AS DOUBLE) * 2.2) /
+        |      (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + (0.75 * CAST(dl.dl AS DOUBLE)) / (CAST(n.sumdl AS DOUBLE) / n.n))) AS contrib
+        |  FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN n
+        |), agg AS (
+        |  SELECT doc_id,
+        |    coalesce(max(CASE WHEN w = 'hash' THEN contrib END), 0)
+        |    + coalesce(max(CASE WHEN w = 'join' THEN contrib END), 0)
+        |    + coalesce(max(CASE WHEN w = 'merge' THEN contrib END), 0) AS raw
+        |  FROM sc GROUP BY doc_id
+        |)
+        |SELECT doc_id, round(raw, 6) AS score FROM agg
+        |ORDER BY round(raw, 6) DESC, doc_id LIMIT 10""".stripMargin,
+
+    "x63_dsir_logratio" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS w
+        |  FROM documents
+        |), raw AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS cr FROM tok GROUP BY 1
+        |), tgt AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS ct FROM tok WHERE source = 'src1' GROUP BY 1
+        |), tot AS (
+        |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM raw) AS v,
+        |         (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) FROM tgt) AS t,
+        |         (SELECT CAST(coalesce(sum(cr), 0) AS BIGINT) FROM raw) AS r
+        |), lam AS (
+        |  SELECT raw.w,
+        |    ln(CAST(coalesce(tgt.ct, 0) + 1 AS DOUBLE))
+        |      - ln(CAST(tot.t + tot.v AS DOUBLE))
+        |      - ln(CAST(raw.cr + 1 AS DOUBLE))
+        |      + ln(CAST(tot.r + tot.v AS DOUBLE)) AS lam
+        |  FROM raw LEFT JOIN tgt USING (w) CROSS JOIN tot
+        |), cdw AS (
+        |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2
+        |)
+        |SELECT doc_id, round(sum(CAST(c AS DOUBLE) * lam), 6) AS dsir_logw
+        |FROM cdw JOIN lam USING (w)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "x64_semantic_canonical" ->
+      """WITH RECURSIVE vecs AS (
+        |  SELECT vec_id AS id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 20
+        |), pairs AS (
+        |  SELECT a, b FROM (
+        |    SELECT x.id AS a, y.id AS b,
+        |      round(list_dot_product(x.embedding::DOUBLE[], y.embedding::DOUBLE[])
+        |        / (sqrt(list_dot_product(x.embedding::DOUBLE[], x.embedding::DOUBLE[]))
+        |           * sqrt(list_dot_product(y.embedding::DOUBLE[], y.embedding::DOUBLE[]))), 6) AS sim
+        |    FROM vecs x JOIN vecs y ON x.id < y.id
+        |  ) WHERE sim >= 0.95
+        |), edges AS (
+        |  SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs
+        |), reach(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        |), comp AS (
+        |  SELECT u AS node, least(u, min(v)) AS root FROM reach GROUP BY u
+        |)
+        |SELECT vecs.id AS node, coalesce(comp.root, vecs.id) AS root
+        |FROM vecs LEFT JOIN comp ON comp.node = vecs.id
+        |ORDER BY node""".stripMargin
+  )
+}
