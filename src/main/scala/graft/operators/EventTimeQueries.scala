@@ -22,6 +22,7 @@ object EventTimeQueries {
 
   private val HourNs = 3600000000000L
   private val HalfHourNs = 1800000000000L
+  private val DayNs = 86400000000000L
 
   private def cents(c: String): Column =
     sum(round(col(c) * 100).cast("long"))
@@ -103,6 +104,60 @@ object EventTimeQueries {
         .groupBy(col("w"), col("event_type"))
         .agg(count(lit(1)).as("cnt"), cents("value").as("amount_cents"))
         .orderBy(col("w"), col("event_type"))
+    }),
+
+    // SCD type-2 interval materialization: each user's event_type as a
+    // slowly-changing dimension with [valid_from, valid_to) nano
+    // intervals via lead() — the warehouse history-table build. Per-user
+    // windows only (shuffle on user_id), open intervals carry null.
+    "x67_scd2_intervals" -> ((s, d) => {
+      val e = Tables(s, d, "events")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("valid_from"), col("event_id"))
+      e.select(col("user_id"), col("event_id"), col("event_type"),
+          Tables.epochNs(e, "ts").as("valid_from"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+        .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+    }),
+
+    // Ordered funnel (view -> click -> purchase): stage k's first
+    // timestamp is the MIN event strictly after stage k-1 — three
+    // bounded per-user aggregates chained by user-keyed joins; no
+    // sequence scan, no window over the whole log. funnel_stage counts
+    // completed stages (the product-analytics conversion funnel).
+    "x68_funnel_stages" -> ((s, d) => {
+      val e = Tables(s, d, "events")
+      val t = e.select(col("user_id"), col("event_type"),
+        Tables.epochNs(e, "ts").as("t"))
+      def firstAfter(typ: String, prev: DataFrame, prevCol: String, out: String) =
+        t.filter(col("event_type") === typ)
+          .join(prev, Seq("user_id"))
+          .filter(col("t") > col(prevCol))
+          .groupBy(col("user_id")).agg(min(col("t")).as(out))
+      val v = t.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("t")).as("v"))
+      val c = firstAfter("click", v, "v", "c")
+      val p = firstAfter("purchase", c.select(col("user_id"), col("c")), "c", "p")
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .select(col("user_id"), col("v"), col("c"), col("p"),
+          (lit(1) + col("c").isNotNull.cast("int") +
+            col("p").isNotNull.cast("int")).as("funnel_stage"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Daily cohort retention: users bucketed by first-seen day, counted
+    // distinct per (cohort_day, day_offset) — the retention matrix.
+    // Two bounded aggregates (per-user min, then per-cell distinct);
+    // shuffles scale with users and days, never raw events.
+    "x69_retention_cohorts" -> ((s, d) => {
+      val e = Tables(s, d, "events")
+      val day = call_function("div", Tables.epochNs(e, "ts"), lit(DayNs))
+      val act = e.select(col("user_id"), day.as("day")).distinct()
+      val cohort = act.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      act.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_day"), col("day_offset"))
     })
   )
 
@@ -153,6 +208,43 @@ object EventTimeQueries {
         |    (epoch_ns(ts) // 1800000000000) + o.off AS w
         |  FROM events, (VALUES (-1), (0)) AS o(off)
         |)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "x67_scd2_intervals" ->
+      """SELECT user_id, event_id, event_type,
+        |  epoch_ns(ts) AS valid_from,
+        |  lead(epoch_ns(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_ns(ts), event_id) AS valid_to
+        |FROM events
+        |ORDER BY user_id, valid_from, event_id""".stripMargin,
+
+    "x68_funnel_stages" ->
+      """WITH t AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) AS t FROM events
+        |), v AS (
+        |  SELECT user_id, min(t) AS v FROM t WHERE event_type = 'view' GROUP BY 1
+        |), c AS (
+        |  SELECT t.user_id, min(t.t) AS c FROM t JOIN v USING (user_id)
+        |  WHERE t.event_type = 'click' AND t.t > v.v GROUP BY 1
+        |), p AS (
+        |  SELECT t.user_id, min(t.t) AS p FROM t JOIN c USING (user_id)
+        |  WHERE t.event_type = 'purchase' AND t.t > c.c GROUP BY 1
+        |)
+        |SELECT v.user_id, v.v, c.c, p.p,
+        |  CAST(1 + CAST(c.c IS NOT NULL AS INT) + CAST(p.p IS NOT NULL AS INT) AS INT)
+        |    AS funnel_stage
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+
+    "x69_retention_cohorts" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events
+        |), cohort AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM act GROUP BY 1
+        |)
+        |SELECT cohort.cohort_day, act.day - cohort.cohort_day AS day_offset,
+        |  CAST(count(DISTINCT act.user_id) AS BIGINT) AS n_users
+        |FROM act JOIN cohort USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -77,6 +77,20 @@ object ExtensionQueries {
   private[operators] def rebalanced(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** The real-image blob fixtures, ImageIO-encoded ONCE per (session,
+    * dir) and checkpointed: x12 and its gate consume the relation four
+    * times between them (decode + the two second opinions + the plain
+    * query), and re-running the per-row encoder for each consumer made
+    * the gate 4x its honest cost. The rebalance matters as much as the
+    * memo — the documents parquet is one scan split, and 60k ImageIO
+    * encodes on one core was most of the wall time.
+    */
+  private def mediaBlobs(s: SparkSession, d: String): DataFrame =
+    once(s, d, "media_blobs") {
+      Multimodal.syntheticMediaBlobs(s,
+        rebalanced(Tables(s, d, "documents").select(col("doc_id"))))
+    }
+
   /** The trigram shingle relation of the dup-synthesized corpus,
     * materialized once and shared by the exact-PPJoin (x02) and
     * MinHash-LSH (x03 family) paths — at sf0.1 it is a few tens of MB
@@ -399,8 +413,7 @@ object ExtensionQueries {
     // from doc_id alone, and a hash match proves the byte-level header
     // parse recovered exactly what the encoders wrote.
     "x12_multimodal_meta" -> ((s, d) =>
-      Multimodal.decodeMeta(s,
-          Multimodal.syntheticMediaBlobs(s, Tables(s, d, "documents")))
+      Multimodal.decodeMeta(s, mediaBlobs(s, d))
         .select(col("doc_id"), col("format"), col("width"), col("height"),
           col("n_frames"))
         .orderBy(col("doc_id"))),
@@ -413,7 +426,7 @@ object ExtensionQueries {
     // TextAnalysisSpec proves the gate has teeth (a tampered field
     // fires it) and pins exact fixture dimensions.
     "x12g_multimodal_meta_gate" -> ((s, d) => {
-      val blobs = Multimodal.syntheticMediaBlobs(s, Tables(s, d, "documents"))
+      val blobs = mediaBlobs(s, d)
       Multimodal.metaMismatches(
           Multimodal.decodeMeta(s, blobs), Multimodal.expectedMeta(blobs))
         .unionByName(Multimodal.imageIoMismatches(s, blobs))

@@ -125,6 +125,40 @@ object RetrievalQueries {
       dsirLogWeights(Tables(s, d, "documents"), "doc_id", "text",
         col("source") === "src1").orderBy(col("doc_id"))),
 
+    // Fasttext-style quality classifier stand-in: a fixed-weight
+    // logistic regression over the x09 quality features — the "model
+    // scoring as a scan projection" shape (a real classifier would swap
+    // the weight vector, not the plan). Inputs are the ROUNDED feature
+    // surface (exact 6dp decimals on both engines), so the logit
+    // arithmetic has no float-ordering seam; exp follows the x42 libm
+    // convention (round 6 at the oracle boundary).
+    "x65_quality_lr" -> ((s, d) => {
+      val f = TextAnalysis.qualityFeatures(
+        Tables(s, d, "documents"), "doc_id", "text")
+      val z = lit(-4.0) + lit(6.0) * col("quality") +
+        lit(2.0) * col("stopword_ratio") - lit(3.0) * col("punct_ratio") +
+        lit(0.01) * least(col("n_tokens"), lit(200)).cast("double")
+      f.select(col("doc_id"),
+          round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("lr_score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Temperature-scaled source mixing (the multilingual/multi-domain
+    // sampling formula): p_i = n_i^(1/T) / sum_j n_j^(1/T) with T=2,
+    // i.e. sqrt — upweights small sources relative to proportional
+    // sampling. sqrt is IEEE-exact (unlike pow), the denominator is one
+    // bounded driver scalar, and the per-source weight is a pure
+    // projection — a config-sized computation at any corpus size.
+    "x66_temperature_mix" -> ((s, d) => {
+      val n = Tables(s, d, "documents")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      val tot = n.agg(sum(sqrt(col("n_docs").cast("double"))))
+        .head().getDouble(0)
+      n.select(col("source"), col("n_docs"),
+          round(sqrt(col("n_docs").cast("double")) / lit(tot), 6).as("weight"))
+        .orderBy(col("source"))
+    }),
+
     // SemDeDup: embedding-cosine near-dup clusters -> canonical (min-id)
     // representative per cluster; singletons are their own canonical.
     // Pairs come from the x05 bucketed-LSH candidates (identical vectors
@@ -199,6 +233,36 @@ object RetrievalQueries {
         |SELECT doc_id, round(sum(CAST(c AS DOUBLE) * lam), 6) AS dsir_logw
         |FROM cdw JOIN lam USING (w)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "x65_quality_lr" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
+        |    round(CAST(len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\s+')), ['the','a','of','and','is'])) AS DOUBLE)
+        |          / greatest(len(list_distinct(string_split_regex(lower(trim(text)), '\s+'))), 1), 6) AS stopword_ratio,
+        |    round(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE) / greatest(length(text), 1), 6) AS punct_ratio,
+        |    round(
+        |      least(CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) / 100.0, 1.0) * 0.5 +
+        |      (1.0 - least(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE) / greatest(length(text), 1) * 5.0, 1.0)) * 0.3 +
+        |      least(CAST(len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\s+')), ['the','a','of','and','is'])) AS DOUBLE)
+        |            / greatest(len(list_distinct(string_split_regex(lower(trim(text)), '\s+'))), 1) * 10.0, 1.0) * 0.2, 6) AS quality
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  round(1.0 / (1.0 + exp(-(-4.0 + 6.0 * quality + 2.0 * stopword_ratio
+        |    - 3.0 * punct_ratio + 0.01 * CAST(least(n_tokens, 200) AS DOUBLE)))), 6) AS lr_score
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "x66_temperature_mix" ->
+      """WITH n AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1
+        |), t AS (
+        |  SELECT sum(sqrt(CAST(n_docs AS DOUBLE))) AS tot FROM n
+        |)
+        |SELECT source, n_docs,
+        |  round(sqrt(CAST(n_docs AS DOUBLE)) / tot, 6) AS weight
+        |FROM n, t ORDER BY source""".stripMargin,
 
     "x64_semantic_canonical" ->
       """WITH RECURSIVE vecs AS (

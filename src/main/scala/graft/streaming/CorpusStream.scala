@@ -30,7 +30,10 @@ import graft.sources.WarcCodec
   * generation, one sorted shingle-hash array per doc for exact
   * verification), `ledger/batch=N` (per-batch counts),
   * `quarantine/batch=N` (failed-blob dead letters), `chk/` (the
-  * file-source checkpoint). Every batch directory is
+  * file-source checkpoint), plus — when [[ingestWithSessions]] runs —
+  * `sessions/` (closed crawl sessions, parquet-sink append) and
+  * `chk_sessions/` (the session leg's own source + state checkpoint).
+  * Every batch directory is
   * written with mode=overwrite keyed by the foreachBatch batchId, so a
   * crash-replayed batch REWRITES its own output instead of doubling it
   * — idempotent without a MERGE, the Delta-style exactly-once recipe on
