@@ -172,6 +172,47 @@ object ExtensionQueries {
         k = 5, nprobe = 4)
     }
 
+  /** Stored-centroid relation of the incremental-IVF demo: the index is
+    * BUILT over the even-id half of the corpus (the "already indexed"
+    * state) and never retrained. ivfBuild is hash-seed deterministic,
+    * so the two memo entries below cannot drift apart.
+    */
+  private def ivfAppendCentroids(s: SparkSession, d: String): DataFrame =
+    once(s, d, "ivf_append_centroids") {
+      val e = rebalanced(Tables(s, d, "embeddings"))
+      Similarity.ivfBuild(e.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", nlist = 16).centroids
+    }
+
+  /** Merged assignment relation: stored half + the odd-id batch appended
+    * via [[Similarity.ivfAppend]] against the STORED centroids — no
+    * rebuild, no touch of existing rows (the x34 contract for
+    * embeddings).
+    */
+  private def ivfAppendAssignments(s: SparkSession, d: String): DataFrame =
+    once(s, d, "ivf_append_assign") {
+      val e = rebalanced(Tables(s, d, "embeddings"))
+      val centroids = ivfAppendCentroids(s, d)
+      // base half and batch half both go through the same stored-centroid
+      // assignment path (ivfAppend == the build's assign at take=1), so
+      // the demo is two append batches over one build's centroids
+      Similarity.ivfAppend(centroids,
+          e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding")
+        .unionByName(Similarity.ivfAppend(centroids,
+          e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding"))
+    }
+
+  /** Search over the merged (built + appended) index — consumed by x70
+    * and its precision gate.
+    */
+  private def annIvfAppended(s: SparkSession, d: String): DataFrame =
+    once(s, d, "ann_ivf_append") {
+      val e = rebalanced(Tables(s, d, "embeddings"))
+      Similarity.ivfSearch(
+        Similarity.IvfIndex(ivfAppendCentroids(s, d), ivfAppendAssignments(s, d)),
+        e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5, nprobe = 4)
+    }
+
   /** documents ∪ exact copies (id+10000 for id<50) ∪ near-dup copies with
     * a 3-token tail appended (id+20000 for 50<=id<80).
     */
@@ -360,6 +401,37 @@ object ExtensionQueries {
         case (Seq(a, b), i) if b < a - 1e-9 * math.max(1.0, a.abs) =>
           (i + 1, s"objective fell $a -> $b")
       }.toSeq.toDF("round", "violation").orderBy(col("round"))
+    }),
+
+    // Incremental IVF maintenance: new vectors broadcast-assign into the
+    // STORED index (centroids frozen, existing rows untouched) and
+    // queries serve from the merged relation — per-batch cost
+    // independent of index size (the x34 contract for embeddings).
+    // Rows-only; precision + coverage gates below carry the oracles.
+    "x70_ivf_append_topk" -> ((s, d) =>
+      annIvfAppended(s, d).orderBy(col("qid"), col("rank"))),
+
+    // precision gate: every score served from the merged index appears,
+    // score-identical, in the exhaustive relation — anti-join => empty.
+    "x70p_ivf_append_precision" -> ((s, d) =>
+      annIvfAppended(s, d).select("qid", "nid", "sim")
+        .join(annExhaustive(s, d).select("qid", "nid", "sim"),
+          Seq("qid", "nid", "sim"), "left_anti")
+        .orderBy(col("qid"), col("nid"))),
+
+    // coverage gate: the merged index holds EVERY corpus vector exactly
+    // once — an appended batch that lost, duplicated, or re-shuffled
+    // existing rows emits a violation row => empty-set oracle.
+    "x70g_ivf_append_coverage" -> ((s, d) => {
+      val merged = ivfAppendAssignments(s, d)
+      val dupes = merged.groupBy(col("nid")).agg(count(lit(1)).as("n"))
+        .filter(col("n") =!= 1)
+        .select(col("nid"), concat(lit("assigned "), col("n"), lit("x")).as("violation"))
+      val missing = Tables(s, d, "embeddings")
+        .select(col("vec_id").as("nid"))
+        .join(merged.select(col("nid")), Seq("nid"), "left_anti")
+        .select(col("nid"), lit("missing from merged index").as("violation"))
+      dupes.unionByName(missing).orderBy(col("nid"))
     }),
 
     // --- skew handling ----------------------------------------------------
@@ -655,6 +727,14 @@ object ExtensionQueries {
 
     "x56g_ivf_refine_gate" ->
       """SELECT CAST(NULL AS INT) AS round, CAST(NULL AS VARCHAR) AS violation
+        |WHERE false""".stripMargin,
+
+    "x70p_ivf_append_precision" ->
+      """SELECT CAST(NULL AS BIGINT) AS qid, CAST(NULL AS BIGINT) AS nid,
+        |  CAST(NULL AS DOUBLE) AS sim WHERE false""".stripMargin,
+
+    "x70g_ivf_append_coverage" ->
+      """SELECT CAST(NULL AS BIGINT) AS nid, CAST(NULL AS VARCHAR) AS violation
         |WHERE false""".stripMargin,
 
     "x12_multimodal_meta" ->

@@ -343,6 +343,22 @@ object Similarity {
       objs.result())
   }
 
+  /** Append a new vector batch into a STORED index: broadcast-assign
+    * each new vector to its nearest EXISTING centroid and emit rows
+    * shaped exactly like [[IvfIndex.assignments]] — the caller unions
+    * (or parquet-appends) them onto the stored relation and serves
+    * queries from the merged index unchanged. Centroids do not move:
+    * the incremental contract is assignment-only (re-training is a
+    * separate offline [[ivfBuildRefined]] run), so per-batch cost is
+    * one broadcast assign over the BATCH — independent of index size.
+    * The x34 growing-corpus contract applied to embeddings.
+    */
+  def ivfAppend(centroids: DataFrame, batch: DataFrame,
+                idCol: String, vecCol: String): DataFrame =
+    ivfAssign(withNorm(batch, idCol, vecCol), centroids, take = 1)
+      .select(col("id").as("nid"), col("vec").as("nvec"),
+        col("nrm").as("nnrm"), col("cell"))
+
   def ivfSearch(index: IvfIndex, queries: DataFrame,
                 idCol: String, vecCol: String, k: Int,
                 nprobe: Int): DataFrame = {
