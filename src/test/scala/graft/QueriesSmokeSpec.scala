@@ -28,7 +28,9 @@ class QueriesSmokeSpec extends SparkSpecBase {
     "x38g_decontam_bloom_gate",
     "x54g_bpe_gate",
     "x56p_ann_ivf_refined_precision",
-    "x56g_ivf_refine_gate")
+    "x56g_ivf_refine_gate",
+    "x70p_ivf_append_precision",
+    "x70g_ivf_append_coverage")
 
   test("every declared query emits SCALAR columns only (driver pandas-sort compat)") {
     // the driver's correctness harness canonicalizes with a pandas
