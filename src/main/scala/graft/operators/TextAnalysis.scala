@@ -81,6 +81,24 @@ object TextAnalysis {
   def fingerprint(textCol: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(textCol))), " "))
 
+  /** Feature-hashed unit-norm TF embedding: each token lands in
+    * pmod(xxhash64(token), dim) and the bucket-count vector is
+    * L2-normalized — the hashing trick (Weinberger et al. 2009), a REAL
+    * lexical embedding cheap enough to ride the streaming ingest, and
+    * shaped (array<double>) for every Similarity operator unchanged.
+    * Pure Catalyst HOFs (no UDF); cost is O(dim * tokens) per doc —
+    * fine for ingest-time indexing, swap in a model server for
+    * semantic (non-lexical) vectors.
+    */
+  def hashedTfEmbedding(textCol: Column, dim: Int): Column = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val counts = transform(sequence(lit(0), lit(dim - 1)),
+      i => size(filter(tokens(textCol),
+        t => pmod(xxhash64(t), lit(dim.toLong)) === i.cast("long"))).cast("double"))
+    val nrm = sqrt(aggregate(counts, lit(0.0), (a, x) => a + x * x))
+    transform(counts, x => when(nrm > 0, x / nrm).otherwise(lit(0.0)))
+  }
+
   /** Corpus-trained bigram language-model score per document — the
     * CCNet/KenLM-style perplexity filter reduced to its Spark shape:
     * train add-one-smoothed bigram counts on the corpus itself, then

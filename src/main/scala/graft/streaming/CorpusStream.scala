@@ -6,7 +6,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.{LongType, StringType, StructType, TimestampType}
 
 import graft.CorpusPipeline
-import graft.operators.{Components, Dedup}
+import graft.operators.{Components, Dedup, Similarity, TextAnalysis}
 import graft.sources.WarcCodec
 
 /** Incremental corpus ingestion — the growing-corpus form of
@@ -52,7 +52,8 @@ import graft.sources.WarcCodec
   */
 class CorpusStream(spark: SparkSession, workDir: String,
                    cfg: CorpusPipeline.Config = CorpusPipeline.Config(),
-                   targetSplitBytes: Long = 128L << 20) {
+                   targetSplitBytes: Long = 128L << 20,
+                   semanticThreshold: Option[Double] = None) {
   import spark.implicits._
 
   private val curatedPath = s"$workDir/curated"
@@ -61,6 +62,12 @@ class CorpusStream(spark: SparkSession, workDir: String,
   private val ledgerPath = s"$workDir/ledger"
   private val dlqPath = s"$workDir/quarantine"
   private val sessionsPath = s"$workDir/sessions"
+  private val vecPath = s"$workDir/vecs"
+  private val vecBucketPath = s"$workDir/vecbuckets"
+  private val semDupPath = s"$workDir/semdups"
+  private val SemDim = 64
+  private val SemBits = 8
+  private val SemTables = 8
 
   // binaryFile's fixed schema — file streams require it explicitly
   private val binSchema = new StructType()
@@ -108,7 +115,8 @@ class CorpusStream(spark: SparkSession, workDir: String,
     * attempt. Call between [[ingest]] drains (single writer).
     */
   def compact(): Unit =
-    Seq(curatedPath, bandPath, docArrPath, ledgerPath, dlqPath)
+    Seq(curatedPath, bandPath, docArrPath, ledgerPath, dlqPath,
+      vecPath, vecBucketPath, semDupPath)
       .foreach(compactOne)
 
   private def compactOne(path: String): Unit = {
@@ -191,6 +199,27 @@ class CorpusStream(spark: SparkSession, workDir: String,
     */
   def quarantined: DataFrame = readOr(dlqPath,
     Seq.empty[(String, String)].toDF("path", "blob_error"))
+
+  /** Semantic near-dup FLAGS (a, b, sim) accumulated when
+    * `semanticThreshold` is set: `b` is always the then-new doc, `a` an
+    * earlier-indexed doc or a smaller in-batch id. Flagging, not
+    * dropping — semantic near-dups (SemDeDup) are a review-then-prune
+    * signal, unlike the lexical MinHash stage which drops inline; a
+    * caller prunes by anti-joining `b` ids (or clustering a/b) at its
+    * own threshold.
+    */
+  def semanticDuplicates: DataFrame = readOr(semDupPath,
+    Seq.empty[(String, String, Double)].toDF("a", "b", "sim"))
+
+  // the two persisted halves of the semantic index: hashed-TF unit
+  // vectors (with precomputed norms) for verification, LSH bucket rows
+  // for candidate generation — hyperplanes are stateless hash functions,
+  // so nothing else needs to persist
+  private def vecIndex: DataFrame = readOr(vecPath,
+    Seq.empty[(String, Array[Double], Double)].toDF("id", "vec", "nrm"))
+
+  private def vecBucketIndex: DataFrame = readOr(vecBucketPath,
+    Seq.empty[(String, Int, Long)].toDF("id", "table", "bucket"))
 
   /** Drain every unseen WARC blob, processing each through
     * [[processBatch]]. The default Trigger.AvailableNow drains and
@@ -352,6 +381,30 @@ class CorpusStream(spark: SparkSession, workDir: String,
       .select(col("a"), col("b"))
     val accepted = Components.keepCanonical(afterIndex, "doc_id", inBatchPairs)
       .localCheckpoint(true)
+
+    // semantic leg (opt-in): hashed-TF embeddings for the ACCEPTED docs,
+    // near-dup FLAGS against the persisted vector index (+ in-batch),
+    // then index append — the incremental-IVF/x34 contract: batch-side
+    // bucket computation + one bucket-keyed join vs the index, zero
+    // recompute over embedding history.
+    semanticThreshold.foreach { thr =>
+      val newVecs = accepted.select(col("doc_id"),
+        TextAnalysis.hashedTfEmbedding(col("text"), SemDim).as("emb"))
+      // a crash-REPLAYED batch finds its own half-written index rows on
+      // disk; anti-joining the batch's ids off the index side makes the
+      // replay's flag output byte-identical to the first attempt
+      val batchIds = newVecs.select(col("doc_id").as("id"))
+      overwriteBatch(Similarity.incrementalCosinePairsFromIndex(
+          vecBucketIndex.join(batchIds, Seq("id"), "left_anti"),
+          vecIndex.join(batchIds, Seq("id"), "left_anti"),
+          newVecs, "doc_id", "emb", thr,
+          SemBits, SemTables),
+        semDupPath, batchId)
+      overwriteBatch(Similarity.normedVecs(newVecs, "doc_id", "emb"),
+        vecPath, batchId)
+      overwriteBatch(Similarity.lshBucketTable(newVecs, "doc_id", "emb",
+        SemBits, SemTables), vecBucketPath, batchId)
+    }
 
     // batch-atomic state append: overwrite-by-batchId = replay-idempotent
     overwriteBatch(raw.filter(col("blob_error").isNotNull)

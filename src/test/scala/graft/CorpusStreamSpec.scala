@@ -184,6 +184,53 @@ class CorpusStreamSpec extends SparkSpecBase {
       s2.curated.select("content_hash").as[String].collect().toSet)
   }
 
+  test("semantic leg flags shuffled-word copies the lexical dedup cannot see") {
+    val warcDir = Files.createTempDirectory("cssemw").toString
+    val workDir = Files.createTempDirectory("cssemk").toString
+    def stream() = new graft.streaming.CorpusStream(spark, workDir,
+      semanticThreshold = Some(0.9))
+
+    val a = "the quick brown fox jumps over the lazy dog and runs across the park is wide"
+    val b = "cargo ships cross deep water while cranes lift steel boxes onto the long pier and is"
+    writeWarc(warcDir, "a.warc", Seq("http://s/a" -> a, "http://s/b" -> b))
+    stream().ingest(warcDir).awaitTermination()
+    assert(stream().semanticDuplicates.count() === 0,
+      "dissimilar docs must not flag")
+
+    // c = a's words REORDERED: trigram shingles share almost nothing
+    // (passes MinHash), but the bag-of-words TF vector is identical —
+    // cosine 1.0, exactly the duplicate class the semantic leg exists for
+    val c = "the lazy dog jumps over the quick brown fox and runs across the wide park is"
+    val dNew = "morning frost covers the quiet meadow and is melting where sunlight touches it"
+    writeWarc(warcDir, "b.warc", Seq("http://s/c" -> c, "http://s/d" -> dNew))
+    stream().ingest(warcDir).awaitTermination()
+
+    val s = stream()
+    assert(s.curated.count() === 4,
+      "the shuffled copy must SURVIVE lexical dedup (shingle jaccard ~0)")
+    val idOf = s.curated.select("text", "doc_id").as[(String, String)]
+      .collect().toMap
+    val flags = s.semanticDuplicates.as[(String, String, Double)].collect().toSeq
+    assert(flags.map(f => (f._1, f._2)) === Seq((idOf(a), idOf(c))),
+      s"exactly (a, c) must flag, got $flags")
+    assert(flags.head._3 >= 0.99, "identical bags of words -> cosine ~1")
+
+    // the vector index grew by every accepted doc, exactly once each
+    assert(spark.read.parquet(s"$workDir/vecs").select("id").distinct().count() === 4)
+
+    // flags survive compaction, and a post-compaction permutation of b
+    // still resolves against the compacted index
+    s.compact()
+    assert(stream().semanticDuplicates.count() === 1)
+    val b2 = "steel cranes lift long boxes onto the deep pier while cargo ships cross the water and is"
+    writeWarc(warcDir, "c.warc", Seq("http://s/b2" -> b2))
+    stream().ingest(warcDir).awaitTermination()
+    val flags2 = stream().semanticDuplicates.as[(String, String, Double)]
+      .collect().toSeq
+    assert(flags2.size === 2 && flags2.exists(f => f._1 === idOf(b)),
+      s"the post-compaction permutation must flag against b, got $flags2")
+  }
+
   private def recBytesAt(uri: String, date: String, text: String): Array[Byte] = {
     val payload = text.getBytes("ISO-8859-1")
     (s"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: $uri\r\n" +
