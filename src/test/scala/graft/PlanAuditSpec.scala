@@ -77,6 +77,19 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(limits.size === 2, s"expected partial+final WindowGroupLimit, got:\n$plan")
   }
 
+  test("x62's top-k is TakeOrderedAndProject (per-partition k-heap), never a global sort") {
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    import org.apache.spark.sql.execution.SortExec
+    val plan = SparkEntry.queries("x62_bm25_topk")(spark, sfDir)
+      .queryExecution.sparkPlan
+    val topk = plan.collect { case t: TakeOrderedAndProjectExec => t }
+    assert(topk.size === 1, s"expected TakeOrderedAndProject, got:\n$plan")
+    // orderBy(...).limit(k) planning as Sort + Limit would materialize a
+    // full global sort of every scored doc at 100 TB
+    assert(plan.collect { case s: SortExec => s }.isEmpty,
+      s"no global sort may survive under the top-k:\n$plan")
+  }
+
   test("x50's host blocklist is a broadcast anti join, never a shuffle") {
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     val plan = SparkEntry.queries("x50_url_canonicalize")(spark, sfDir)
