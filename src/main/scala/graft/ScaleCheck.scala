@@ -108,6 +108,42 @@ object ScaleCheck {
       Thread.sleep(500)
     }
 
+    // Incremental semantic-index scaling: a FIXED batch flagged against
+    // a stored index replicated 1x/4x/16x. Copies get per-copy
+    // deterministic sign-flip patterns (norm-preserving, direction
+    // destroyed), so the batch's true matches stay CONSTANT across
+    // scales — growth in seconds can only come from index-side bucket
+    // collisions (linear in index size at fixed bucket granularity),
+    // never from re-scanning or re-bucketing the stored vectors.
+    import graft.operators.Similarity
+    if (keep("sem_incr")) for (k <- scales) {
+      val spark = freshSession()
+      import org.apache.spark.sql.functions.{transform => atransform}
+      def embBase: DataFrame = Tables(spark, sfDir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val index = replicate(spark, embBase, k) { (df, i) =>
+        if (i == 0) df
+        else df.withColumn("vec", atransform(col("vec"), (x, pos) =>
+          x * when(xxhash64(lit(i), pos) % 2 === 0, 1.0f).otherwise(-1.0f)))
+      }
+      val idxBuckets = Similarity.lshBucketTable(index, "id", "vec",
+        nbits = 8, tables = 8).localCheckpoint(true)
+      val idxVecs = Similarity.normedVecs(index, "id", "vec").localCheckpoint(true)
+      // fixed batch: 500 fresh ids over copy-0 vectors (matches only them)
+      val batch = embBase.orderBy("id").limit(500)
+        .select((col("id") + 100000000L).as("id"), col("vec"))
+        .localCheckpoint(true)
+      val (sec, rows) = time(
+        Similarity.incrementalCosinePairsFromIndex(idxBuckets, idxVecs,
+          batch, "id", "vec", threshold = 0.95, nbits = 8, tables = 8).count())
+      println(f"""{"op":"sem_incr","scale":$k,"sec":$sec%.2f,"rows":$rows}""")
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      System.gc()
+      Thread.sleep(500)
+    }
+
     // ANN corpus scaling: FIXED 10 queries against a replicated corpus
     // (ids offset; vectors identical — the replicas are real neighbors,
     // which is fine for top-k, whose output stays k per query). Brute
