@@ -122,6 +122,111 @@ object EventTimeStreams {
     * stream length; sessions of USERS WHO LEFT still close via timeout,
     * which no pure windowed aggregation expresses.
     */
+  /** One event on the funnel stream: `stage` is the 0-based index into
+    * the funnel's ordered stage list (0 = view, 1 = click, ... in the
+    * x68 shape).
+    */
+  case class FunnelEvent(userId: Long, ts: java.sql.Timestamp, stage: Int)
+
+  /** Per-user funnel state: whether a completion was already emitted,
+    * and the undecided event buffer as (epochMs, stage) pairs — bounded
+    * by windowMs + the watermark horizon (see pruning below).
+    */
+  case class FunnelState(done: Boolean, buf: Seq[(Long, Int)])
+
+  /** An emitted funnel completion: the per-stage event times of the
+    * EARLIEST-STARTING chain, finalized at its window close.
+    */
+  case class FunnelCompletion(userId: Long, stageTs: Seq[java.sql.Timestamp])
+
+  /** Streaming ordered-funnel detection — the streaming twin of the
+    * batch x68 operator: emit (at most once per user) the stage
+    * timestamps of the earliest-starting chain stage0 < stage1 < ... <
+    * stage(n-1), all within `windowMs` of the chain's first event.
+    *
+    * Determinism under disorder: a chain is emitted only when the
+    * watermark passes firstTs + window — at that point every event that
+    * could belong to the chain's window has either arrived or is
+    * late-dropped, so the decision is FINAL regardless of arrival
+    * order (emitting on first sight would let arrival order pick which
+    * chain wins). A view whose window closed without completing is
+    * discarded, and the buffer keeps only events at or after the
+    * earliest still-viable view — per-user state is bounded by
+    * window + watermark horizon. Users who complete keep one tiny
+    * done-marker row (dimension-sized state, the price of
+    * exactly-once-per-user emission).
+    */
+  def funnelCompletions(events: Dataset[FunnelEvent], nStages: Int,
+                        windowMs: Long,
+                        watermarkDelay: String): Dataset[FunnelCompletion] = {
+    require(nStages >= 1, s"nStages must be >= 1, got $nStages")
+    import events.sparkSession.implicits._
+    // earliest-starting decidable chain over a time-sorted buffer:
+    // for each view in order, greedily chain the earliest later event
+    // of each next stage inside the view's window
+    def chainFrom(buf: Seq[(Long, Int)]): Option[Seq[Long]] =
+      buf.iterator.filter(_._2 == 0).map(_._1).map { v =>
+        var t = v
+        var ok = true
+        val out = Seq.newBuilder[Long]
+        out += v
+        (1 until nStages).foreach { s =>
+          if (ok) buf.find(e => e._2 == s && e._1 > t && e._1 <= v + windowMs) match {
+            case Some(e) => t = e._1; out += e._1
+            case None => ok = false
+          }
+        }
+        if (ok) Some(out.result()) else None
+      }.collectFirst { case Some(c) => c }
+
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[FunnelState, FunnelCompletion](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid, evs, state) =>
+          val wm = state.getCurrentWatermarkMs()
+          val st0 = state.getOption.getOrElse(FunnelState(done = false, Nil))
+          if (st0.done) { state.update(st0); Iterator.empty }
+          else {
+            // same explicit late-drop as gapSessions
+            val buf = (st0.buf ++ evs.filter(_.ts.getTime >= wm)
+                .map(e => (e.ts.getTime, e.stage)))
+              .sortBy(identity)
+            chainFrom(buf) match {
+              case Some(ts) if ts.head + windowMs <= wm =>
+                // window closed -> no within-watermark event can change it
+                state.update(FunnelState(done = true, Nil))
+                Iterator.single(FunnelCompletion(uid,
+                  ts.map(new java.sql.Timestamp(_))))
+              case _ =>
+                // keep (a) everything from the earliest view whose
+                // window is still open — it may yet head a chain (or
+                // already completed and awaits its close) — and (b)
+                // later-stage events above the watermark, which can
+                // still serve a FUTURE view (any such view has
+                // v >= wm, so servers need t > wm); everything else can
+                // never participate again
+                val viableView = buf.iterator
+                  .filter(e => e._2 == 0 && e._1 + windowMs > wm)
+                  .map(_._1).nextOption()
+                val buf2 = buf.filter(e =>
+                  viableView.exists(e._1 >= _) || (e._2 > 0 && e._1 > wm))
+                if (buf2.isEmpty) { state.remove(); Iterator.empty }
+                else {
+                  state.update(FunnelState(done = false, buf2))
+                  // wake at the earliest decision point: the open view's
+                  // window close, or (no view) when the last buffered
+                  // server ages out under the advancing watermark
+                  val decideAt = viableView.map(_ + windowMs)
+                    .getOrElse(buf2.map(_._1).max)
+                  state.setTimeoutTimestamp(math.max(decideAt + 1, wm + 1))
+                  Iterator.empty
+                }
+            }
+          }
+      }
+  }
+
   def gapSessions(events: Dataset[SessionEvent], gapMs: Long,
                   watermarkDelay: String): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._

@@ -218,6 +218,79 @@ class EventTimeSpec extends SparkSpecBase {
     assert(out === Set(("2024-01-01 09:00:00.0", "2024-01-01 10:00:00.0", 3L, 7L)))
   }
 
+  test("streaming funnel: out-of-order completion, window-close finality, at-most-once") {
+    import EventTimeStreams.{FunnelCompletion, FunnelEvent}
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[FunnelEvent]
+    val out = EventTimeStreams.funnelCompletions(in.toDS(), nStages = 3,
+      windowMs = 60 * 60 * 1000, watermarkDelay = "30 minutes")
+    val q = out.writeStream.format("memory").queryName("funnel")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1 completes in order; user 2's VIEW arrives in a LATER
+      // batch than its click+purchase (out-of-order, inside the
+      // watermark); user 3 never clicks. Batch-1 max ts stays 10:20 so
+      // the 30-min watermark (09:50) admits the stragglers.
+      in.addData(
+        FunnelEvent(1, ts("10:00"), 0), FunnelEvent(1, ts("10:10"), 1),
+        FunnelEvent(2, ts("10:10"), 1), FunnelEvent(2, ts("10:20"), 2),
+        FunnelEvent(3, ts("10:00"), 0), FunnelEvent(3, ts("10:05"), 2))
+      q.processAllAvailable()
+      in.addData(FunnelEvent(1, ts("10:20"), 2), FunnelEvent(2, ts("10:00"), 0))
+      q.processAllAvailable()
+      assert(spark.table("funnel").count() === 0,
+        "nothing may emit before a chain's window closes at the watermark")
+      // advance the watermark past 11:30 (> every first view + window)
+      in.addData(FunnelEvent(99, ts("12:30"), 0))
+      q.processAllAvailable()
+      in.addData(FunnelEvent(99, ts("12:31"), 0))
+      q.processAllAvailable()
+      // at-most-once: a SECOND complete chain for user 1 must not emit
+      in.addData(FunnelEvent(1, ts("13:00"), 0), FunnelEvent(1, ts("13:10"), 1),
+        FunnelEvent(1, ts("13:20"), 2), FunnelEvent(99, ts("15:30"), 0))
+      q.processAllAvailable()
+      in.addData(FunnelEvent(99, ts("15:31"), 0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("funnel").as[FunnelCompletion].collect()
+      .map(c => c.userId -> c.stageTs.map(_.toString)).toMap
+    assert(got.keySet === Set(1L, 2L), s"exactly users 1 and 2 complete, got $got")
+    assert(got(1L) === Seq("2024-01-01 10:00:00.0", "2024-01-01 10:10:00.0",
+      "2024-01-01 10:20:00.0"))
+    assert(got(2L) === Seq("2024-01-01 10:00:00.0", "2024-01-01 10:10:00.0",
+      "2024-01-01 10:20:00.0"),
+      "the late-arriving view must head user 2's chain")
+    assert(spark.table("funnel").count() === 2, "at most one completion per user")
+  }
+
+  test("streaming funnel: a later chain finalizes only after earlier views fail closed") {
+    import EventTimeStreams.{FunnelCompletion, FunnelEvent}
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[FunnelEvent]
+    val out = EventTimeStreams.funnelCompletions(in.toDS(), nStages = 3,
+      windowMs = 60 * 60 * 1000, watermarkDelay = "30 minutes")
+    val q = out.writeStream.format("memory").queryName("funnel2")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // the 10:00 view's window [10:00, 11:00] closes EMPTY of clicks
+      // (the first click is 11:10); the 10:30 view's window reaches
+      // 11:30 and completes — the emitted chain must head at 10:30
+      in.addData(FunnelEvent(4, ts("10:00"), 0), FunnelEvent(4, ts("10:30"), 0),
+        FunnelEvent(4, ts("11:10"), 1), FunnelEvent(4, ts("11:20"), 2))
+      q.processAllAvailable()
+      in.addData(FunnelEvent(99, ts("13:00"), 0))
+      q.processAllAvailable()
+      in.addData(FunnelEvent(99, ts("13:01"), 0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("funnel2").as[FunnelCompletion].collect()
+      .map(c => c.userId -> c.stageTs.map(_.toString)).toMap
+    assert(got === Map(4L -> Seq("2024-01-01 10:30:00.0",
+      "2024-01-01 11:10:00.0", "2024-01-01 11:20:00.0")),
+      "the chain must head at the earliest COMPLETING view (10:30), not 10:00")
+  }
+
   test("RangeJoin: boundary inclusion/exclusion and bucket-spanning intervals") {
     import graft.operators.RangeJoin
     val probe = Seq((1L, 0L), (2L, 99L), (3L, 100L), (4L, 250L), (5L, 399L), (6L, 400L))
