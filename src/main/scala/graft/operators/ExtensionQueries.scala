@@ -279,6 +279,21 @@ object ExtensionQueries {
     "x23_dedup_clusters" -> ((s, d) =>
       dupClusters(s, d).orderBy(col("node"))),
 
+    // PageRank over the symmetrized customer-supplier order graph in
+    // exact integer micro-units (damping 85/100 via integer division):
+    // the canonical iterative graph op, with a FULL SQL oracle because
+    // nothing floats — float PageRank would sum in nondeterministic
+    // order and could never hash-match across engines.
+    "x71_pagerank" -> ((s, d) => {
+      val ol = Tables(s, d, "orders")
+        .join(Tables(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+        .distinct()
+      val edges = ol.select(col("c").as("src"), col("s").as("dst"))
+        .unionByName(ol.select(col("s").as("src"), col("c").as("dst")))
+      Components.pageRank(edges, iters = 5).orderBy(col("node"))
+    }),
+
     // the end-to-end dedup OUTPUT: one canonical doc per cluster
     "x24_dedup_canonical" -> ((s, d) =>
       docsWithDups(s, d).select(col("id"))
@@ -567,7 +582,35 @@ object ExtensionQueries {
     })
   )
 
+  /** x71's oracle: the same 5 integer-arithmetic rounds unrolled as
+    * chained CTEs (DuckDB `//` floors exactly like Spark's `div`; the
+    * BIGINT sums promote to HUGEINT and cast back losslessly).
+    */
+  private def pagerankOracle: String = {
+    val rounds = (1 to 5).map { i =>
+      s"""r$i AS (
+         |  SELECT e.dst AS node,
+         |    CAST(150000000000 + (85 * sum(r.rank // d.outdeg)) // 100 AS BIGINT) AS rank
+         |  FROM edges e JOIN r${i - 1} r ON r.node = e.src JOIN outdeg d ON d.src = e.src
+         |  GROUP BY 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH el AS (
+       |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |), edges AS (
+       |  SELECT c AS src, s AS dst FROM el UNION ALL SELECT s, c FROM el
+       |), outdeg AS (
+       |  SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY 1
+       |), r0 AS (
+       |  SELECT DISTINCT src AS node, CAST(1000000000000 AS BIGINT) AS rank FROM edges
+       |),
+       |$rounds
+       |SELECT node, rank FROM r5 ORDER BY node""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "x71_pagerank" -> pagerankOracle,
     "x01_dedup_exact" ->
       s"""WITH $docsWithDupsSql
          |SELECT id FROM (

@@ -88,4 +88,29 @@ class ComponentsSpec extends SparkSpecBase {
     // clusters {2,7,9} -> keep 2; {4,5} -> keep 4; others untouched
     assert(kept === Set(1L, 2L, 3L, 4L, 6L, 8L, 10L))
   }
+
+  test("pageRank: cycle fixpoint, hub dominance, exact determinism") {
+    val S = 1000000000000L
+    // 3-cycle: every node's inflow is one full rank share -> the uniform
+    // start IS the fixpoint, exactly (0.15*S + 0.85*S = S in integers)
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val cr = Components.pageRank(cycle, iters = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(cr === Map(1L -> S, 2L -> S, 3L -> S))
+
+    // symmetrized star: the hub must outrank every leaf; total mass is
+    // conserved up to the per-division floor truncation
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 0L), (2L, 0L), (3L, 0L))
+      .toDF("src", "dst")
+    val sr = Components.pageRank(star, iters = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(sr(0L) > sr(1L) && sr(1L) === sr(2L) && sr(2L) === sr(3L))
+    val total = sr.values.sum
+    assert(total <= 4 * S && total > 4 * S - 1000,
+      s"mass conserved up to floor loss, got $total vs ${4 * S}")
+
+    // bit-determinism: two evaluations agree exactly
+    assert(Components.pageRank(star, iters = 5)
+      .as[(Long, Long)].collect().toMap === sr)
+  }
 }
