@@ -294,6 +294,24 @@ object ExtensionQueries {
       Components.pageRank(edges, iters = 5).orderBy(col("node"))
     }),
 
+    // Fuzzy entity-resolution join: customers matched to single-char-
+    // corrupted clones (deterministic substitution, SQL-expressible) at
+    // levenshtein <= 2, through the lossless length-band blocker. The
+    // probe sets are bounded (the x13 convention) so candidate counts
+    // stay fixed across scale factors.
+    "x72_fuzzy_join" -> ((s, d) => {
+      val cust = Tables(s, d, "customer").filter(col("c_custkey") < 300)
+      val p = (col("c_custkey") % length(col("c_name"))).cast("int") + 1
+      val mutated = concat(
+        col("c_name").substr(lit(1), p - 1), lit("q"),
+        col("c_name").substr(p + 1, length(col("c_name")) - p))
+      Dedup.fuzzyJoin(
+          cust.select(col("c_custkey").as("lid"), col("c_name").as("name")),
+          cust.select((col("c_custkey") + 1000000L).as("rid"), mutated.as("name")),
+          "lid", "rid", "name", maxDist = 2)
+        .orderBy(col("lid"), col("rid"))
+    }),
+
     // the end-to-end dedup OUTPUT: one canonical doc per cluster
     "x24_dedup_canonical" -> ((s, d) =>
       docsWithDups(s, d).select(col("id"))
@@ -611,6 +629,22 @@ object ExtensionQueries {
 
   val oracleSql: Map[String, String] = Map(
     "x71_pagerank" -> pagerankOracle,
+
+    "x72_fuzzy_join" ->
+      """WITH l AS (
+        |  SELECT c_custkey AS lid, c_name AS name
+        |  FROM customer WHERE c_custkey < 300
+        |), m AS (
+        |  SELECT c_custkey + 1000000 AS rid,
+        |    substr(c_name, 1, CAST(c_custkey % length(c_name) AS INT)) || 'q' ||
+        |    substr(c_name, CAST(c_custkey % length(c_name) AS INT) + 2) AS name
+        |  FROM customer WHERE c_custkey < 300
+        |)
+        |SELECT l.lid, m.rid, CAST(levenshtein(l.name, m.name) AS INT) AS dist
+        |FROM l, m
+        |WHERE abs(length(l.name) - length(m.name)) <= 2
+        |  AND levenshtein(l.name, m.name) <= 2
+        |ORDER BY lid, rid""".stripMargin,
     "x01_dedup_exact" ->
       s"""WITH $docsWithDupsSql
          |SELECT id FROM (

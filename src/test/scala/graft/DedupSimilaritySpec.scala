@@ -231,4 +231,45 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(served === direct,
       "a search served from the stored index must match the direct search")
   }
+
+  test("fuzzyJoin equals the naive levenshtein join on random names (lossless blocking)") {
+    // deterministic pseudo-random names over a tiny alphabet, lengths
+    // 3..12 — dense enough that cross-length matches actually occur
+    def name(seed: Int): String = {
+      var h = seed * 2654435761L
+      val len = 3 + math.floorMod(h, 10).toInt
+      (0 until len).map { _ =>
+        h = h * 6364136223846793005L + 1442695040888963407L
+        ('a' + math.floorMod(h >> 33, 4)).toChar
+      }.mkString
+    }
+    val left = (0 until 60).map(i => (i.toLong, name(i))).toDF("lid", "name")
+    val right = (0 until 60).map(i => (1000L + i, name(i + 30))).toDF("rid", "name")
+    val got = Dedup.fuzzyJoin(left, right, "lid", "rid", "name", maxDist = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    val naive = left.as[(Long, String)].collect().flatMap { case (l, ln) =>
+      right.as[(Long, String)].collect().flatMap { case (r, rn) =>
+        val d = levDist(ln, rn)
+        if (d <= 2) Some((l, r, d)) else None
+      }
+    }.toSet
+    assert(got === naive, s"blocking must lose nothing: ${naive.diff(got)}")
+    assert(naive.nonEmpty, "fixture must actually produce matches")
+    assert(naive.exists { case (l, r, _) =>
+      val ln = left.filter(col("lid") === l).as[(Long, String)].head()._2
+      val rn = right.filter(col("rid") === r).as[(Long, String)].head()._2
+      ln.length != rn.length
+    }, "fixture must exercise cross-length (adjacent-bucket) matches")
+  }
+
+  /** Independent reference Levenshtein (classic DP). */
+  private def levDist(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
 }
