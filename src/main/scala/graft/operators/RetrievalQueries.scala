@@ -159,6 +159,73 @@ object RetrievalQueries {
         .orderBy(col("source"))
     }),
 
+    // Reciprocal-rank fusion (Cormack et al. 2009): the hybrid-retrieval
+    // combiner. Two independent document rankings — BM25 for the fixed
+    // query, and the LR quality score — fuse as sum 1/(60+rank). Ranks
+    // are integers (deterministic tie-breaks), the two reciprocal terms
+    // add in fixed order, so the float surface is exact; top-10 by
+    // fused score. Rankings at scale each come from their operator's
+    // own plan; the fusion itself is two id-keyed joins over top-N
+    // lists — config-sized work.
+    "x73_rrf_fusion" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+      // both rankings live WITHIN the bounded candidate pool (the
+      // reranker-fusion practice): the global windows below order 50
+      // rows, never the corpus — the corpus-sized work is x62's own
+      // scale-safe top-k
+      val cand = bm25TopK(Tables(s, d, "documents"), "doc_id", "text",
+        bm25Terms, k = 50)
+      val f = TextAnalysis.qualityFeatures(
+        Tables(s, d, "documents"), "doc_id", "text")
+      val z = lit(-4.0) + lit(6.0) * col("quality") +
+        lit(2.0) * col("stopword_ratio") - lit(3.0) * col("punct_ratio") +
+        lit(0.01) * least(col("n_tokens"), lit(200)).cast("double")
+      val lr = f.select(col("doc_id"),
+        round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("lr"))
+      cand.join(lr, Seq("doc_id"))
+        .withColumn("r1", row_number().over(
+          w.orderBy(col("score").desc, col("doc_id"))))
+        .withColumn("r2", row_number().over(
+          w.orderBy(col("lr").desc, col("doc_id"))))
+        .select(col("doc_id"), col("r1"), col("r2"),
+          round(lit(1.0) / (lit(60) + col("r1")) +
+            lit(1.0) / (lit(60) + col("r2")), 6).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(10)
+    }),
+
+    // Declarative data-quality audit (the dbt-tests shape): a fixed
+    // suite of constraint checks — key uniqueness, referential
+    // integrity, non-negativity, domain membership — each one bounded
+    // aggregate emitting (check, violations). A platform runs this
+    // relation per ingest and alerts on any nonzero row; every check is
+    // one scan-side aggregate or one anti-join probe, nothing
+    // full-table-to-driver.
+    "x74_dq_audit" -> ((s, d) => {
+      import s.implicits._
+      val orders = Tables(s, d, "orders")
+      val li = Tables(s, d, "lineitem")
+      val cust = Tables(s, d, "customer")
+      def cnt(df: DataFrame): Long = df.count()
+      Seq(
+        ("orders_pk_unique",
+          cnt(orders.groupBy(col("o_orderkey")).agg(count(lit(1)).as("n"))
+            .filter(col("n") > 1))),
+        ("orders_custkey_fk",
+          cnt(orders.join(cust, orders("o_custkey") === cust("c_custkey"),
+            "left_anti"))),
+        ("lineitem_orderkey_fk",
+          cnt(li.join(orders, li("l_orderkey") === orders("o_orderkey"),
+            "left_anti"))),
+        ("lineitem_qty_positive", cnt(li.filter(col("l_quantity") <= 0))),
+        ("lineitem_discount_domain",
+          cnt(li.filter(col("l_discount") < 0 || col("l_discount") > 1))),
+        ("orders_status_domain",
+          cnt(orders.filter(!col("o_orderstatus").isInCollection(
+            Seq("F", "O", "P")))))
+      ).toDF("check", "violations").orderBy(col("check"))
+    }),
+
     // SemDeDup: embedding-cosine near-dup clusters -> canonical (min-id)
     // representative per cluster; singletons are their own canonical.
     // Pairs come from the x05 bucketed-LSH candidates (identical vectors
@@ -233,6 +300,91 @@ object RetrievalQueries {
         |SELECT doc_id, round(sum(CAST(c AS DOUBLE) * lam), 6) AS dsir_logw
         |FROM cdw JOIN lam USING (w)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "x73_rrf_fusion" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS w
+        |  FROM documents
+        |), dl AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1
+        |), n AS (
+        |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n,
+        |         (SELECT CAST(sum(dl) AS BIGINT) FROM dl) AS sumdl
+        |), tf AS (
+        |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM tok
+        |  WHERE w IN ('hash', 'join', 'merge') GROUP BY 1, 2
+        |), df AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        |), sc AS (
+        |  SELECT tf.doc_id, tf.w,
+        |    ln((n.n - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+        |      (CAST(tf.tf AS DOUBLE) * 2.2) /
+        |      (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + (0.75 * CAST(dl.dl AS DOUBLE)) / (CAST(n.sumdl AS DOUBLE) / n.n))) AS contrib
+        |  FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN n
+        |), agg AS (
+        |  SELECT doc_id,
+        |    coalesce(max(CASE WHEN w = 'hash' THEN contrib END), 0)
+        |    + coalesce(max(CASE WHEN w = 'join' THEN contrib END), 0)
+        |    + coalesce(max(CASE WHEN w = 'merge' THEN contrib END), 0) AS raw
+        |  FROM sc GROUP BY doc_id
+        |), bm AS (
+        |  SELECT doc_id, round(raw, 6) AS score,
+        |    row_number() OVER (ORDER BY round(raw, 6) DESC, doc_id) AS rk
+        |  FROM agg
+        |), cand AS (
+        |  SELECT doc_id, score FROM bm WHERE rk <= 50
+        |), fq AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
+        |    round(CAST(len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\s+')), ['the','a','of','and','is'])) AS DOUBLE)
+        |          / greatest(len(list_distinct(string_split_regex(lower(trim(text)), '\s+'))), 1), 6) AS stopword_ratio,
+        |    round(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE) / greatest(length(text), 1), 6) AS punct_ratio,
+        |    round(
+        |      least(CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) / 100.0, 1.0) * 0.5 +
+        |      (1.0 - least(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE) / greatest(length(text), 1) * 5.0, 1.0)) * 0.3 +
+        |      least(CAST(len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\s+')), ['the','a','of','and','is'])) AS DOUBLE)
+        |            / greatest(len(list_distinct(string_split_regex(lower(trim(text)), '\s+'))), 1) * 10.0, 1.0) * 0.2, 6) AS quality
+        |  FROM documents
+        |), lr AS (
+        |  SELECT doc_id,
+        |    round(1.0 / (1.0 + exp(-(-4.0 + 6.0 * quality + 2.0 * stopword_ratio
+        |      - 3.0 * punct_ratio + 0.01 * CAST(least(n_tokens, 200) AS DOUBLE)))), 6) AS lr
+        |  FROM fq
+        |), j AS (
+        |  SELECT c.doc_id, c.score, lr.lr FROM cand c JOIN lr USING (doc_id)
+        |), rk AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY score DESC, doc_id) AS r1,
+        |    row_number() OVER (ORDER BY lr DESC, doc_id) AS r2
+        |  FROM j
+        |)
+        |SELECT doc_id, CAST(r1 AS INT) AS r1, CAST(r2 AS INT) AS r2,
+        |  round(CAST(1.0 AS DOUBLE) / (60 + r1) + CAST(1.0 AS DOUBLE) / (60 + r2), 6) AS rrf
+        |FROM rk ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+
+    "x74_dq_audit" ->
+      """SELECT * FROM (
+        |  SELECT 'orders_pk_unique' AS "check", CAST((
+        |    SELECT count(*) FROM (
+        |      SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)
+        |  ) AS BIGINT) AS violations
+        |  UNION ALL SELECT 'orders_custkey_fk', CAST((
+        |    SELECT count(*) FROM orders o
+        |    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |  ) AS BIGINT)
+        |  UNION ALL SELECT 'lineitem_orderkey_fk', CAST((
+        |    SELECT count(*) FROM lineitem l
+        |    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |  ) AS BIGINT)
+        |  UNION ALL SELECT 'lineitem_qty_positive', CAST((
+        |    SELECT count(*) FROM lineitem WHERE l_quantity <= 0) AS BIGINT)
+        |  UNION ALL SELECT 'lineitem_discount_domain', CAST((
+        |    SELECT count(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1) AS BIGINT)
+        |  UNION ALL SELECT 'orders_status_domain', CAST((
+        |    SELECT count(*) FROM orders
+        |    WHERE o_orderstatus NOT IN ('F', 'O', 'P')) AS BIGINT)
+        |) ORDER BY "check"""".stripMargin,
 
     "x65_quality_lr" ->
       """WITH f AS (
