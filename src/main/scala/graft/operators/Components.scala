@@ -115,15 +115,26 @@ object Components {
     var rank = e.select(col("src").as("node")).distinct()
       .withColumn("rank", lit(1000000000000L))
       .localCheckpoint(true)
-    (1 to iters).foreach { _ =>
-      rank = e.join(rank, col("src") === col("node")).join(outdeg, "src")
+    (1 to iters).foreach { i =>
+      // rank and outdeg are node-cardinality relations (tiny next to the
+      // edge list) — broadcast them so each round's only shuffle is the
+      // dst-keyed partial-aggregated sum, never the edges. Right while
+      // nodes fit the broadcast budget (dimension-sized graphs like this
+      // bipartite one); a billion-node graph swaps these for shuffle
+      // joins with edges pre-partitioned on src — same algebra
+      rank = e.join(broadcast(rank), col("src") === col("node"))
+        .join(broadcast(outdeg), "src")
         .select(col("dst"),
           call_function("div", col("rank"), col("outdeg")).as("contrib"))
         .groupBy(col("dst"))
         .agg((lit(150000000000L) +
           call_function("div", lit(85L) * sum(col("contrib")), lit(100L))).as("rank"))
         .select(col("dst").as("node"), col("rank"))
-        .localCheckpoint(true)
+      // checkpoint every 3rd round, not every round: each rank feeds the
+      // next round exactly once, so a short lazy chain recomputes
+      // nothing — the checkpoint only bounds lineage depth, and eager
+      // materialization per round was most of the wall time
+      if (i % 3 == 0 && i < iters) rank = rank.localCheckpoint(true)
     }
     rank
   }
