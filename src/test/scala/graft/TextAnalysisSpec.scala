@@ -179,4 +179,23 @@ class TextAnalysisSpec extends SparkSpecBase {
       .select("qid", "nid", "sim").as[(Long, Long, Double)].collect().head
     assert(top === ((1L, 3L, 1.0)))
   }
+
+  test("hashedTfEmbedding: unit norm, order-invariant, count-sensitive, zero on empty") {
+    import org.apache.spark.sql.functions.col
+    val dim = 16
+    val vecs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "delta gamma beta alpha"), // permutation: identical bag
+      (3L, "alpha alpha beta gamma delta"), // extra count: different vec
+      (4L, "")
+    ).toDF("id", "text")
+      .select(col("id"), TA.hashedTfEmbedding(col("text"), dim).as("v"))
+      .as[(Long, Seq[Double])].collect().toMap
+    def nrm(v: Seq[Double]) = math.sqrt(v.map(x => x * x).sum)
+    assert(math.abs(nrm(vecs(1L)) - 1.0) < 1e-9, "non-empty docs are unit vectors")
+    assert(vecs(1L) === vecs(2L), "bag-of-words: token order must not matter")
+    assert(vecs(1L) !== vecs(3L), "token multiplicity must matter")
+    assert(vecs(4L).forall(_ == 0.0) && vecs(4L).size === dim,
+      "empty text is the zero vector, not NaN")
+  }
 }
