@@ -163,12 +163,13 @@ object Multimodal {
       .toDF("doc_id", "chk", "got", "exp")
   }
 
-  /** Resize plumbing: re-encode each blob to a target (width, height),
-    * updating the metadata struct in the same pass. The byte transform
-    * is a deterministic re-slice standing in for a pixel resampler; the
-    * shape — binary in, binary + revised meta out, one partition-wise
-    * pass, no driver involvement — is the real contract, and the source
-    * dimensions scaling the byte budget come from the real header parse.
+  /** Resize: a REAL pixel resample for decodable stills — JDK ImageIO
+    * decode, bilinear scale, re-encode in the sniffed container
+    * ([[MediaCodec.imageIoResize]]) — so the output blob is a genuine
+    * image whose headers re-sniff to the target dimensions. Non-image
+    * blobs keep the deterministic byte-budget fallback (area-scaled
+    * re-slice), so the operator never drops rows. One partition-wise
+    * pass, no driver involvement.
     */
   def resize(spark: SparkSession, blobs: DataFrame, width: Int, height: Int): DataFrame = {
     import spark.implicits._
@@ -176,15 +177,20 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
         val m = MediaCodec.sniff(bytes)
-        // scale the byte budget by target/source area — all in Long (an
-        // Int width*height overflows at 64k x 64k) and clamped before
-        // the narrowing; non-images (0x0) fall back to the raw length
-        val budget = math.max(1L, math.min(Int.MaxValue.toLong,
-          bytes.length.toLong * (width.toLong * height) /
-            math.max(m.width.toLong * m.height, 1L))).toInt
-        val out = if (budget <= bytes.length) bytes.take(budget)
-          else bytes ++ Array.fill(budget - bytes.length)(0: Byte)
-        (id, out, m.format, width, height)
+        MediaCodec.imageIoResize(bytes, width, height) match {
+          case Some(out) => (id, out, m.format, width, height)
+          case None =>
+            // non-image fallback: scale the byte budget by target/source
+            // area — all in Long (an Int width*height overflows at
+            // 64k x 64k) and clamped before the narrowing; non-images
+            // (0x0 dims) fall back to the raw length
+            val budget = math.max(1L, math.min(Int.MaxValue.toLong,
+              bytes.length.toLong * (width.toLong * height) /
+                math.max(m.width.toLong * m.height, 1L))).toInt
+            val out = if (budget <= bytes.length) bytes.take(budget)
+              else bytes ++ Array.fill(budget - bytes.length)(0: Byte)
+            (id, out, m.format, width, height)
+        }
       })
       .toDF("doc_id", "content", "format", "width", "height")
   }

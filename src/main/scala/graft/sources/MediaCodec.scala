@@ -171,6 +171,30 @@ object MediaCodec {
     o.toByteArray
   }
 
+  /** REAL pixel resample: decode via JDK ImageIO, bilinear-scale onto a
+    * w×h canvas, re-encode in the SNIFFED container format. None when
+    * the bytes aren't a decodable still (caller falls back); an
+    * animated GIF flattens to its first frame (the JDK reader's
+    * single-image contract — per-frame resampling is a frame-splitter
+    * composition via [[graft.operators.Multimodal.sampleFrames]]).
+    * Deterministic: fixed interpolation hint, fixed target raster type.
+    */
+  def imageIoResize(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+    try {
+      val fmt = sniff(bytes).format
+      if (fmt != "png" && fmt != "jpeg" && fmt != "gif") None
+      else Option(ImageIO.read(new ByteArrayInputStream(bytes))).map { src =>
+        val dst = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(src, 0, 0, w, h, null)
+        } finally g.dispose()
+        imageIoBytes(dst, fmt)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Real PNG bytes (JDK ImageIO encoder) of a solid-color w×h image. */
   def encodePng(w: Int, h: Int, rgb: Int): Array[Byte] =
     imageIoBytes(solidImage(w, h, rgb), "png")

@@ -165,6 +165,26 @@ class TextAnalysisSpec extends SparkSpecBase {
       r2.map(_.getAs[Array[Byte]]("content").toSeq).toSeq)
   }
 
+  test("multimodal resize is a REAL resample: output images re-sniff to target dims") {
+    import graft.sources.MediaCodec
+    val docs = Seq(1L, 2L, 3L).toDF("doc_id") // png, jpeg, gif round-robin... ids 1,2,3
+    val blobs = Multimodal.syntheticMediaBlobs(spark, docs)
+    val out = Multimodal.resize(spark, blobs, width = 24, height = 20).collect()
+    assert(out.length === 3)
+    out.foreach { row =>
+      val p = MediaCodec.sniff(row.getAs[Array[Byte]]("content"))
+      assert(p.format === row.getAs[String]("format"),
+        "resample must re-encode in the source container")
+      assert(p.width === 24 && p.height === 20,
+        s"the RESIZED blob's own headers must read 24x20, got ${p.width}x${p.height}")
+    }
+    // and ImageIO agrees the outputs are decodable real images
+    out.foreach { row =>
+      val m = MediaCodec.imageIoMeta(row.getAs[Array[Byte]]("content"))
+      assert(m.exists(x => x.width === 24 && x.height === 20))
+    }
+  }
+
   test("multimodal featureExtract feeds the similarity operators directly") {
     import graft.operators.Similarity
     // 1 and 3 are identical blobs -> identical embeddings -> cosine 1.0
