@@ -48,6 +48,25 @@ object EventTimeStreams {
       .select(col("window.start").as("window_start"), col(keyCol),
         col("cnt"), col("amount_cents"))
 
+  /** Tumbling-window approximate distinct count — the x17 sketch inside
+    * watermarked streaming state: per (window, key), an HLL++ sketch of
+    * the id column accumulates across micro-batches and emits once when
+    * the watermark closes the window. The state per open window is the
+    * FIXED-SIZE sketch (kilobytes at rsd=0.01), not the id set — the
+    * difference between "distinct users per hour" surviving a
+    * billion-user stream and OOMing on it.
+    */
+  def tumblingApproxDistinct(events: DataFrame, tsCol: String, keyCol: String,
+                             idCol: String, windowLen: String,
+                             watermarkDelay: String,
+                             rsd: Double = 0.01): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(approx_count_distinct(col(idCol), rsd).as("approx_distinct"))
+      .select(col("window.start").as("window_start"), col(keyCol),
+        col("approx_distinct"))
+
   /** Watermarked stream-stream interval join — the streaming twin of the
     * batch range join (x13): left events matched to right events on an
     * equi key with the right timestamp inside

@@ -218,6 +218,37 @@ class EventTimeSpec extends SparkSpecBase {
     assert(out === Set(("2024-01-01 09:00:00.0", "2024-01-01 10:00:00.0", 3L, 7L)))
   }
 
+  test("streaming windowed approx-distinct: sketch state, once-per-window, late drop") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Long)]
+    val out = EventTimeStreams.tumblingApproxDistinct(
+      in.toDS().toDF("ts", "k", "uid"), "ts", "k", "uid",
+      windowLen = "1 hour", watermarkDelay = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("adist")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // window [10:00, 11:00): key a sees users 1,2,2,3 (3 distinct,
+      // spread across two batches — the sketch must MERGE); key b sees 1
+      in.addData((ts("10:05"), "a", 1L), (ts("10:10"), "a", 2L),
+        (ts("10:20"), "b", 1L))
+      q.processAllAvailable()
+      in.addData((ts("10:30"), "a", 2L), (ts("10:40"), "a", 3L))
+      q.processAllAvailable()
+      assert(spark.table("adist").count() === 0,
+        "append mode: nothing before the watermark closes the window")
+      // advance watermark past 11:00; a late 10:50 row must then drop
+      in.addData((ts("11:30"), "z", 9L))
+      q.processAllAvailable()
+      in.addData((ts("10:50"), "a", 4L), (ts("11:40"), "z", 9L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("adist")
+      .select("k", "approx_distinct").as[(String, Long)].collect().toMap
+    // HLL++ is exact at these cardinalities
+    assert(got === Map("a" -> 3L, "b" -> 1L),
+      s"late user 4 must not inflate the closed window, got $got")
+  }
+
   test("streaming funnel: out-of-order completion, window-close finality, at-most-once") {
     import EventTimeStreams.{FunnelCompletion, FunnelEvent}
     implicit val sqlCtx = spark.sqlContext
