@@ -226,6 +226,23 @@ object RetrievalQueries {
       ).toDF("check", "violations").orderBy(col("check"))
     }),
 
+    // Incremental view maintenance: a per-flag quantity view kept as
+    // stored PARTIALS, refreshed by folding a delta batch's partials in
+    // - never re-scanning history. The oracle is a from-scratch
+    // aggregation over the whole table: hash equality proves the
+    // partial/final algebra (quantities as exact integer centi-units so
+    // merged sums are order-free).
+    "x77_incremental_agg" -> ((s, d) => {
+      val li = Tables(s, d, "lineitem")
+        .withColumn("qty_c", round(col("l_quantity") * 100).cast("long"))
+      val stored = IncrementalAgg.partials(
+        li.filter(col("l_orderkey") % 2 === 0), Seq("l_returnflag"), "qty_c")
+      val delta = IncrementalAgg.partials(
+        li.filter(col("l_orderkey") % 2 === 1), Seq("l_returnflag"), "qty_c")
+      IncrementalAgg.merge(Seq("l_returnflag"), Seq(stored, delta))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // SemDeDup: embedding-cosine near-dup clusters -> canonical (min-id)
     // representative per cluster; singletons are their own canonical.
     // Pairs come from the x05 bucketed-LSH candidates (identical vectors
@@ -300,6 +317,14 @@ object RetrievalQueries {
         |SELECT doc_id, round(sum(CAST(c AS DOUBLE) * lam), 6) AS dsir_logw
         |FROM cdw JOIN lam USING (w)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "x77_incremental_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum,
+        |  CAST(min(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS min,
+        |  CAST(max(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS max
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "x73_rrf_fusion" ->
       """WITH tok AS (
