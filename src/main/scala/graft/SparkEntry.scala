@@ -33,7 +33,8 @@ object SparkEntry {
       CurationQueries.queries ++
       ZOrder.queries ++
       BpeQueries.queries ++
-      RetrievalQueries.queries
+      RetrievalQueries.queries ++
+      PassageDedup.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -54,5 +55,6 @@ object SparkEntry {
       CurationQueries.oracleSql ++
       ZOrder.oracleSql ++
       BpeQueries.oracleSql ++
-      RetrievalQueries.oracleSql
+      RetrievalQueries.oracleSql ++
+      PassageDedup.oracleSql
 }
