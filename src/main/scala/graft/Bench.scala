@@ -64,6 +64,7 @@ object Bench {
           graft.operators.ExtensionQueries.clearMemo()
           graft.operators.Contamination.clearMemo()
           graft.operators.SketchQueries.clearMemo()
+          graft.operators.BpeQueries.clearMemo()
           spark.catalog.clearCache()
           // localCheckpoint blocks (Dedup/BPE iteration state) are NOT
           // dropped by clearCache; left in place they GC-pressure later

@@ -174,6 +174,43 @@ object BpeQueries {
     })
   }
 
+  /** Learned merge table, memoized per (session, sfDir): the realistic
+    * deployment learns ONCE and encodes many times, and the four
+    * declared consumers (x54m/x54g/x81/x81g) would otherwise each rerun
+    * the full driver loop. Bench clears this between repeat passes so
+    * pass 2 still pays the learn in whichever query hits it first.
+    */
+  private val mergeMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Seq[Merge]]()
+
+  def clearMemo(): Unit = mergeMemo.clear()
+
+  def learnedMerges(s: SparkSession, d: String, numMerges: Int = 10): Seq[Merge] = {
+    val k = (s, d)
+    Option(mergeMemo.get(k)).getOrElse {
+      MemoEviction.register(s, "bpe") { () =>
+        mergeMemo.keySet.removeIf(_._1 eq s)
+      }
+      val v = learnMerges(wordVocab(Tables(s, d, "documents"), "text"), numMerges)
+      Option(mergeMemo.putIfAbsent(k, v)).getOrElse(v)
+    }
+  }
+
+  /** Subword vocabulary AFTER encoding: apply the learned merge table to
+    * the word vocabulary (distinct words, frequency-weighted — corpus
+    * text is scanned exactly once, by the word count; the merge replay
+    * runs on vocab rows, the same trick the learner uses) and count the
+    * resulting subword occurrences. This is the "what does the corpus
+    * look like under this tokenizer" relation a training pipeline
+    * materializes before packing.
+    */
+  def encodeVocabCounts(vocab: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val folded = merges.foldLeft(chars(col("w")): Column)(
+      (acc, m) => applyMerge(acc, m.l, m.r))
+    vocab.select(explode(folded).as("subword"), col("freq"))
+      .groupBy(col("subword")).agg(sum(col("freq")).as("cnt"))
+  }
+
   val queries: Map[String, Q] = Map(
     // First-iteration weighted pair counts, top-20 under the total
     // deterministic order — the exact quantity the learner maximizes,
@@ -188,7 +225,7 @@ object BpeQueries {
     // is not one SQL statement) — paired with the x54g gate below.
     "x54m_bpe_learn" -> ((s, d) => {
       import s.implicits._
-      learnMerges(wordVocab(Tables(s, d, "documents"), "text"), 10)
+      learnedMerges(s, d)
         .toDF("rank", "l", "r", "cnt").orderBy(col("rank"))
     }),
 
@@ -200,7 +237,7 @@ object BpeQueries {
     "x54g_bpe_gate" -> ((s, d) => {
       import s.implicits._
       val docs = Tables(s, d, "documents")
-      val merges = learnMerges(wordVocab(docs, "text"), 10)
+      val merges = learnedMerges(s, d)
       val monotone = merges.sliding(2).collect {
         case Seq(a, b) if b.cnt > a.cnt =>
           (b.rank, s"count rose ${a.cnt} -> ${b.cnt}")
@@ -218,6 +255,49 @@ object BpeQueries {
           else Seq.empty
         }
       (monotone ++ firstBad).toDF("rank", "violation").orderBy(col("rank"))
+    }),
+
+    // Corpus subword vocabulary under the learned tokenizer: the merge
+    // table replayed over the frequency-weighted word vocab, top-20
+    // subwords. Rows-only (the merge table is a driver-loop product) —
+    // verified by the x81g closure/round-trip gate below.
+    "x81_bpe_encode_vocab" -> ((s, d) => {
+      val merges = learnedMerges(s, d)
+      encodeVocabCounts(wordVocab(Tables(s, d, "documents"), "text"), merges)
+        .orderBy(col("cnt").desc, col("subword")).limit(20)
+    }),
+
+    // Gate (empty-set oracle) for the encoder: over every DISTINCT
+    // corpus word (word-identical texts segment identically, so the
+    // distinct-word check covers the corpus), (1) the segmentation must
+    // concatenate back to the original word — encoding is lossless by
+    // construction, any break is a fold bug; (2) every multi-char
+    // subword must be the fused symbol l+r of some learned merge — the
+    // only way applyMerge can mint one.
+    "x81g_bpe_encode_gate" -> ((s, d) => {
+      val merges = learnedMerges(s, d)
+      val fusedSyms = merges.map(m => m.l + m.r)
+      val folded = merges.foldLeft(chars(col("w")): Column)(
+        (acc, m) => applyMerge(acc, m.l, m.r))
+      // posexplode + re-aggregate so the 10-deep merge fold is evaluated
+      // EXACTLY once per word: referencing the folded array from several
+      // predicates re-evaluates the whole fold per reference (the first
+      // cut of this gate did, at ~40x the encoder's cost)
+      wordVocab(Tables(s, d, "documents"), "text")
+        .select(col("w"), posexplode(folded))
+        .groupBy(col("w"))
+        .agg(
+          array_join(
+            transform(array_sort(collect_list(struct(col("pos"), col("col")))),
+              x => x.getField("col")), "").as("recon"),
+          max(when(length(col("col")) > 1 &&
+            !col("col").isInCollection(fusedSyms), 1).otherwise(0))
+            .as("closure_bad"))
+        .filter(col("recon") =!= col("w") || col("closure_bad") === 1)
+        .select(col("w"),
+          when(col("recon") =!= col("w"), lit("round-trip broken"))
+            .otherwise(lit("subword outside merge closure")).as("violation"))
+        .orderBy(col("w"))
     })
   )
 
@@ -240,6 +320,9 @@ object BpeQueries {
         |ORDER BY cnt DESC, l, r LIMIT 20""".stripMargin,
 
     "x54g_bpe_gate" ->
-      "SELECT CAST(NULL AS INT) AS rank, CAST(NULL AS VARCHAR) AS violation WHERE 1 = 0"
+      "SELECT CAST(NULL AS INT) AS rank, CAST(NULL AS VARCHAR) AS violation WHERE 1 = 0",
+
+    "x81g_bpe_encode_gate" ->
+      "SELECT CAST(NULL AS VARCHAR) AS w, CAST(NULL AS VARCHAR) AS violation WHERE 1 = 0"
   )
 }

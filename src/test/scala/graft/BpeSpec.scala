@@ -110,4 +110,23 @@ class BpeSpec extends SparkSpecBase {
     val sequential = BpeQueries.learnMerges(vocab, 64, batchSize = 1)
     assert(merges === sequential)
   }
+
+  test("encodeVocabCounts: subword counts under the learned table match hand computation") {
+    val vocab = BpeQueries.wordVocab(corpus, "text")
+    val merges = BpeQueries.learnMerges(vocab, 4)
+    val counts = BpeQueries.encodeVocabCounts(vocab, merges)
+      .as[(String, Long)].collect().toMap
+    // low x5 -> [low]; lower x2 -> [low,e,r]; newest x6 -> [n,e,w,est];
+    // widest x3 -> [w,i,d,est]
+    assert(counts("low") === 7L)   // 5 + 2
+    assert(counts("est") === 9L)   // 6 + 3
+    assert(counts("e") === 8L)     // lower 2 + newest 6
+    assert(counts("w") === 9L)     // newest 6 + widest 3
+    assert(counts.get("es") === None) // intermediate symbol fully fused away
+  }
+
+  test("x81g encode gate is empty on the testdata corpus") {
+    val out = BpeQueries.queries("x81g_bpe_encode_gate")(spark, sfDir)
+    assert(out.count() === 0)
+  }
 }

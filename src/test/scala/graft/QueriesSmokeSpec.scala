@@ -30,7 +30,8 @@ class QueriesSmokeSpec extends SparkSpecBase {
     "x56p_ann_ivf_refined_precision",
     "x56g_ivf_refine_gate",
     "x70p_ivf_append_precision",
-    "x70g_ivf_append_coverage")
+    "x70g_ivf_append_coverage",
+    "x81g_bpe_encode_gate")
 
   test("every declared query emits SCALAR columns only (driver pandas-sort compat)") {
     // the driver's correctness harness canonicalizes with a pandas
