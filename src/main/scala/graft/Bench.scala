@@ -65,6 +65,7 @@ object Bench {
           graft.operators.Contamination.clearMemo()
           graft.operators.SketchQueries.clearMemo()
           graft.operators.BpeQueries.clearMemo()
+          graft.operators.Pq.clearMemo()
           spark.catalog.clearCache()
           // localCheckpoint blocks (Dedup/BPE iteration state) are NOT
           // dropped by clearCache; left in place they GC-pressure later

@@ -34,7 +34,8 @@ object SparkEntry {
       ZOrder.queries ++
       BpeQueries.queries ++
       RetrievalQueries.queries ++
-      PassageDedup.queries
+      PassageDedup.queries ++
+      Pq.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -56,5 +57,6 @@ object SparkEntry {
       ZOrder.oracleSql ++
       BpeQueries.oracleSql ++
       RetrievalQueries.oracleSql ++
-      PassageDedup.oracleSql
+      PassageDedup.oracleSql ++
+      Pq.oracleSql
 }

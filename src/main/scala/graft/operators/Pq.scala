@@ -1,0 +1,272 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.GraftExtensions
+
+/** Product quantization for ANN (Jégou et al., TPAMI 2011) — the
+  * MEMORY-scale path the similarity family was missing: IVF (x16/x56)
+  * prunes which vectors get scored; PQ compresses what a "vector"
+  * costs to store and score. Dim D splits into M subspaces; each
+  * subspace learns a Ks-centroid codebook (Lloyd k-means on L2, hash-
+  * seeded and deterministic like the x56 spherical refinement); a
+  * vector becomes M one-byte codes. Search is asymmetric distance
+  * computation (ADC): the query precomputes a (M × Ks) distance table
+  * and every candidate's distance is a table-lookup sum — no float
+  * vector is touched at scan time.
+  *
+  * Scale shape: the stored index is the codes relation (id, m, code) —
+  * M bytes per vector instead of 4·D (64-d float → 8 codes = 32×
+  * smaller), the difference between an in-memory index and a spilled
+  * one at 10^9 vectors. Training touches full vectors once per Lloyd
+  * round via one broadcast-join assign (codebook is M·Ks rows) and one
+  * (m, code, pos) map-side-combinable mean; search broadcasts the
+  * per-query distance table (Q·M·Ks rows — config-sized) onto the
+  * codes scan, aggregates M rows per (query, candidate), and top-k is
+  * a per-query window. The ADC sum folds in FIXED subspace order
+  * (sorted-struct aggregate), so scores are bit-deterministic across
+  * partitionings.
+  *
+  * Verification: x80g pins Lloyd's quantization-error monotonicity per
+  * round (the k-means contract, x56g's shape); x80r pins that an exact
+  * duplicate of every query — identical codes, hence the global ADC
+  * minimum — lands in its top-k (the PQ analog of the x03r collision-
+  * guarantee recall gate).
+  */
+object Pq {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dot(a: Column, b: Column): Column = GraftExtensions.vecDot(a, b)
+
+  /** (id, m, sv): the M subvectors of every vector, m in 1..M.
+    * Requires D % m == 0 (asserted from a 1-row dim probe by callers).
+    */
+  def subVectors(vecs: DataFrame, idCol: String, vecCol: String,
+                 m: Int, ds: Int): DataFrame =
+    vecs.select(col(idCol).as("id"), posexplode(
+        transform(sequence(lit(0), lit(m - 1)),
+          i => slice(col(vecCol).cast("array<double>"), i * ds + 1, lit(ds)))))
+      .select(col("id"), (col("pos") + 1).as("m"), col("col").as("sv"))
+
+  /** Squared L2 distance via the codegen'd dot product:
+    * ||a||² + ||b||² − 2·a·b with the norms precomputed per side.
+    */
+  private def sqDist(sn2: Column, cn2: Column, d: Column): Column =
+    sn2 + cn2 - lit(2.0) * d
+
+  /** (m, code, cvec, cn2): one codebook per subspace, plus the summed
+    * squared quantization error observed at each Lloyd assignment
+    * (length iters + 1 — seed assignment through final).
+    */
+  final case class PqCodebook(centroids: DataFrame, errors: Seq[Double])
+
+  /** Train M codebooks of Ks centroids each: hash-seeded picks, then
+    * `iters` Lloyd rounds (assign to nearest centroid on L2, recompute
+    * as the member mean; cells that lose every member keep their
+    * centroid so Ks never shrinks). Deterministic: seeding orders on
+    * xxhash64(id), assignment ties break on code.
+    */
+  /** Train M codebooks with the codebook as DRIVER state (M·Ks·ds
+    * doubles — parameter-server sized at any corpus scale): each Lloyd
+    * round is exactly ONE distributed pass — broadcast-join assign,
+    * then a single (m, code, pos) aggregation that yields the member
+    * sums/counts AND the round's summed quantization error together
+    * (the error rides the pos=0 rows), collected as M·Ks·ds small
+    * rows. No per-round checkpoint, no per-round lineage growth.
+    */
+  def train(corpus: DataFrame, idCol: String, vecCol: String,
+            m: Int, ks: Int, iters: Int): PqCodebook = {
+    require(m >= 1 && ks >= 1 && iters >= 0, "m, ks >= 1; iters >= 0")
+    val sp = corpus.sparkSession
+    GraftExtensions.register(sp)
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val sv = subVectors(corpus, idCol, vecCol, m, dim / m)
+      .withColumn("sn2", dot(col("sv"), col("sv")))
+      .localCheckpoint(true)
+
+    val wSeed = Window.partitionBy(col("m")).orderBy(xxhash64(col("id")))
+    var cb: Map[(Int, Int), IndexedSeq[Double]] = sv
+      .withColumn("code", row_number().over(wSeed))
+      .filter(col("code") <= ks)
+      .select(col("m"), col("code"), col("sv")).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toIndexedSeq))
+      .toMap
+
+    def toDf(c: Map[(Int, Int), IndexedSeq[Double]]): DataFrame = {
+      import sp.implicits._
+      c.toSeq.sortBy(_._1)
+        .map { case ((mm, code), v) => (mm, code, v, v.map(x => x * x).sum) }
+        .toDF("m", "code", "cvec", "cn2")
+    }
+
+    val errs = Seq.newBuilder[Double]
+    var round = 0
+    while (round <= iters) {
+      val scored = sv.join(broadcast(toDf(cb)), Seq("m"))
+        .select(col("id"), col("m"), col("sv"), col("code"),
+          sqDist(col("sn2"), col("cn2"), dot(col("sv"), col("cvec")))
+            .as("d2"))
+      // nearest centroid per (id, m) as a min(struct) aggregate —
+      // partial-combines map-side; first(sv) is safe (sv is functionally
+      // determined by the group key)
+      val stats = scored.groupBy(col("id"), col("m"))
+        .agg(min(struct(col("d2"), col("code"))).as("b"),
+          first(col("sv")).as("sv"))
+        .select(col("m"), col("b.code").as("code"), col("b.d2").as("d2"),
+          posexplode(col("sv")))
+        .groupBy(col("m"), col("code"), col("pos"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"),
+          sum(when(col("pos") === 0, col("d2"))).as("e"))
+        .collect()
+      errs += stats.iterator.filter(_.getInt(2) == 0)
+        .map(r => if (r.isNullAt(5)) 0.0 else r.getDouble(5)).sum
+      if (round < iters) {
+        val means = stats.groupBy(r => (r.getInt(0), r.getInt(1)))
+          .map { case (k, rows) =>
+            k -> rows.sortBy(_.getInt(2))
+              .map(r => r.getDouble(3) / r.getLong(4)).toIndexedSeq
+          }
+        // cells that lost every member keep their previous centroid
+        cb = cb.map { case (k, v) => k -> means.getOrElse(k, v) }
+      }
+      round += 1
+    }
+    sv.unpersist(blocking = false)
+    PqCodebook(toDf(cb), errs.result())
+  }
+
+  /** Encode a corpus against a trained codebook: (id, m, code) — the
+    * compact persistable index, M small ints per vector.
+    */
+  def encode(corpus: DataFrame, idCol: String, vecCol: String,
+             codebook: PqCodebook, m: Int, ds: Int): DataFrame = {
+    GraftExtensions.register(corpus.sparkSession)
+    val sv = subVectors(corpus, idCol, vecCol, m, ds)
+      .withColumn("sn2", dot(col("sv"), col("sv")))
+    val scored = sv.join(broadcast(codebook.centroids), Seq("m"))
+      .select(col("id"), col("m"), col("code"),
+        sqDist(col("sn2"), col("cn2"), dot(col("sv"), col("cvec"))).as("d2"))
+    scored.groupBy(col("id"), col("m"))
+      .agg(min(struct(col("d2"), col("code"))).as("b"))
+      .select(col("id"), col("m"), col("b.code").as("code"))
+  }
+
+  /** ADC top-k: per query, squared-L2 distance to every encoded vector
+    * as the subspace-table sum, smallest k. The distance table
+    * (qid, m, code, d) has Q·M·Ks rows and broadcasts; the fold over a
+    * candidate's M entries runs in sorted subspace order so the double
+    * sum has no partition-order seam.
+    */
+  def adcTopK(queries: DataFrame, codes: DataFrame, codebook: PqCodebook,
+              idCol: String, vecCol: String, m: Int, ds: Int,
+              k: Int): DataFrame = {
+    GraftExtensions.register(queries.sparkSession)
+    val qsv = subVectors(queries, idCol, vecCol, m, ds)
+      .withColumn("sn2", dot(col("sv"), col("sv")))
+    val table = qsv.join(broadcast(codebook.centroids), Seq("m"))
+      .select(col("id").as("qid"), col("m"), col("code"),
+        sqDist(col("sn2"), col("cn2"), dot(col("sv"), col("cvec"))).as("d"))
+    val summed = codes.join(broadcast(table), Seq("m", "code"))
+      .groupBy(col("qid"), col("id").as("nid"))
+      .agg(aggregate(
+        transform(sort_array(collect_list(struct(col("m"), col("d")))),
+          x => x.getField("d")),
+        lit(0.0), (acc, x) => acc + x).as("adc"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("nid"))
+    summed.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"), round(col("adc"), 6).as("adc"))
+  }
+
+  private val M = 8
+  private val Ks = 16
+  private val Iters = 2
+  private val K = 10
+
+  /** Trained codebook + codes over a corpus, shared by the three
+    * declared queries within a (session, dir) via the extension memo.
+    */
+  private val shared =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (PqCodebook, DataFrame)]()
+
+  def clearMemo(): Unit = shared.clear()
+
+  private def index(s: SparkSession, d: String,
+                    corpus: DataFrame): (PqCodebook, DataFrame) = {
+    val key = (s, d)
+    Option(shared.get(key)).getOrElse {
+      MemoEviction.register(s, "pq") { () =>
+        shared.keySet.removeIf(_._1 eq s)
+      }
+      val dim = corpus.select(size(col("embedding"))).head().getInt(0)
+      val cb = train(corpus, "id", "embedding", M, Ks, Iters)
+      val codes = encode(corpus, "id", "embedding", cb, M, dim / M)
+        .localCheckpoint(true)
+      val v = (cb, codes)
+      Option(shared.putIfAbsent(key, v)).getOrElse(v)
+    }
+  }
+
+  /** The x05/x64 dup-synthesized corpus: exact copies of the first 20
+    * vectors under offset ids, so every query (vec_id < 10) has an
+    * exact duplicate at id + 10000.
+    */
+  private def corpusWithDups(s: SparkSession, d: String): DataFrame = {
+    val v = Tables(s, d, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"))
+    v.unionByName(v.filter(col("id") < 20)
+      .select((col("id") + 10000).as("id"), col("embedding")))
+      .repartition(s.sparkContext.defaultParallelism)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // PQ ADC top-k (rows-only: k-means training is a driver loop) —
+    // verified by the x80g/x80r gates below.
+    "x80_ann_pq_topk" -> ((s, d) => {
+      val corpus = corpusWithDups(s, d)
+      val (cb, codes) = index(s, d, corpus)
+      val dim = corpus.select(size(col("embedding"))).head().getInt(0)
+      adcTopK(corpus.filter(col("id") < 10), codes, cb,
+        "id", "embedding", M, dim / M, K)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // Gate (empty-set oracle): summed squared quantization error must be
+    // non-increasing across Lloyd rounds (assign can only improve each
+    // vector's cell; the mean minimizes within-cell squared error).
+    // Relative tolerance — float sums jitter with partition order.
+    "x80g_pq_train_gate" -> ((s, d) => {
+      import s.implicits._
+      val (cb, _) = index(s, d, corpusWithDups(s, d))
+      cb.errors.sliding(2).zipWithIndex.collect {
+        case (Seq(a, b), i) if b > a + 1e-9 * math.max(1.0, a.abs) =>
+          (i + 1, s"error rose $a -> $b")
+      }.toSeq.toDF("round", "violation").orderBy(col("round"))
+    }),
+
+    // Gate (empty-set oracle): every query's exact duplicate carries
+    // identical codes, hence the minimum possible ADC distance — it must
+    // appear in the query's top-k. An anti-join of the expected
+    // (qid, qid + 10000) pairs against the emitted top-k.
+    "x80r_pq_dup_recall" -> ((s, d) => {
+      val corpus = corpusWithDups(s, d)
+      val (cb, codes) = index(s, d, corpus)
+      val dim = corpus.select(size(col("embedding"))).head().getInt(0)
+      val top = adcTopK(corpus.filter(col("id") < 10), codes, cb,
+        "id", "embedding", M, dim / M, K)
+      corpus.filter(col("id") < 10)
+        .select(col("id").as("qid"), (col("id") + 10000).as("nid"))
+        .join(top.select(col("qid"), col("nid")), Seq("qid", "nid"), "left_anti")
+        .orderBy(col("qid"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "x80g_pq_train_gate" ->
+      "SELECT CAST(NULL AS INT) AS round, CAST(NULL AS VARCHAR) AS violation WHERE 1 = 0",
+    "x80r_pq_dup_recall" ->
+      "SELECT CAST(NULL AS BIGINT) AS qid, CAST(NULL AS BIGINT) AS nid WHERE 1 = 0"
+  )
+}
