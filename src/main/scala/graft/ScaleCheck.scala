@@ -95,7 +95,13 @@ object ScaleCheck {
         "minhash_lsh" -> (() =>
           Dedup.minhashLshPairs(docs, "id", "text", n = 3, numPerm = 32,
             bands = 16, threshold = 0.5).count()),
-        "simhash" -> (() => Dedup.simhashPairs(docs, "id", "text", maxDist = 3).count()))
+        "simhash" -> (() => Dedup.simhashPairs(docs, "id", "text", maxDist = 3).count()),
+        // duplicated-passage spans: windows only collide within a copy
+        // (disjoint token spaces), so span rows — and the occurrence
+        // join's work — must grow linearly in k
+        "passage" -> (() =>
+          graft.operators.PassageDedup
+            .duplicatePassageSpans(docs, "id", "text", k = 5).count()))
       ops.filter(o => keep(o._1)).foreach { case (name, f) =>
         val (sec, rows) = time(f())
         println(f"""{"op":"$name","scale":$k,"sec":$sec%.2f,"rows":$rows}""")
@@ -152,18 +158,35 @@ object ScaleCheck {
     // than brute's — a quadratic candidate blowup in either shows up
     // immediately as super-linear seconds. Same per-scale isolation.
     import graft.operators.Similarity
-    if (keep("ann_brute") || keep("ann_lsh")) for (k <- scales) {
+    if (keep("ann_brute") || keep("ann_lsh") || keep("pq_adc")) for (k <- scales) {
       val spark = freshSession()
       def embBase: DataFrame = Tables(spark, sfDir, "embeddings")
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       val corpus = replicate(spark, embBase, k)((df, _) => df)
       val annQueries = embBase.orderBy("id").limit(10).localCheckpoint(true)
+      // PQ search scaling: codebook trained ONCE on the base corpus
+      // (the production shape — codebooks come from a sample), codes
+      // materialized as setup; the timed path is pure ADC — a broadcast
+      // distance table over the codes scan, linear in corpus size.
+      lazy val pqSetup = {
+        import graft.operators.Pq
+        val dim = embBase.select(size(col("vec"))).head().getInt(0)
+        val cb = Pq.train(embBase, "id", "vec", m = 8, ks = 16, iters = 1)
+        val codes = Pq.encode(corpus, "id", "vec", cb, m = 8, ds = dim / 8)
+          .localCheckpoint(true)
+        (cb, codes, dim)
+      }
       val anns: Seq[(String, () => Long)] = Seq(
         "ann_brute" -> (() =>
           Similarity.bruteForceTopK(annQueries, corpus, "id", "vec", k = 5).count()),
         "ann_lsh" -> (() =>
           Similarity.lshTopK(annQueries, corpus, "id", "vec", k = 5,
-            nbits = 8, tables = 4).count()))
+            nbits = 8, tables = 4).count()),
+        "pq_adc" -> (() => {
+          val (cb, codes, dim) = pqSetup
+          graft.operators.Pq.adcTopK(annQueries, codes, cb,
+            "id", "vec", m = 8, ds = dim / 8, k = 5).count()
+        }))
       anns.filter(o => keep(o._1)).foreach { case (name, f) =>
         val (sec, rows) = time(f())
         println(f"""{"op":"$name","scale":$k,"sec":$sec%.2f,"rows":$rows}""")
