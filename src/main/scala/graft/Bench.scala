@@ -66,6 +66,7 @@ object Bench {
           graft.operators.SketchQueries.clearMemo()
           graft.operators.BpeQueries.clearMemo()
           graft.operators.Pq.clearMemo()
+          graft.operators.IvfPq.clearMemo()
           spark.catalog.clearCache()
           // localCheckpoint blocks (Dedup/BPE iteration state) are NOT
           // dropped by clearCache; left in place they GC-pressure later

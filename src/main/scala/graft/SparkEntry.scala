@@ -35,7 +35,8 @@ object SparkEntry {
       BpeQueries.queries ++
       RetrievalQueries.queries ++
       PassageDedup.queries ++
-      Pq.queries
+      Pq.queries ++
+      IvfPq.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -58,5 +59,6 @@ object SparkEntry {
       BpeQueries.oracleSql ++
       RetrievalQueries.oracleSql ++
       PassageDedup.oracleSql ++
-      Pq.oracleSql
+      Pq.oracleSql ++
+      IvfPq.oracleSql
 }

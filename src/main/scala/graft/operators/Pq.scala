@@ -191,7 +191,7 @@ object Pq {
   private val shared =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (PqCodebook, DataFrame)]()
 
-  def clearMemo(): Unit = shared.clear()
+  def clearMemo(): Unit = { shared.clear(); corpusMemo.clear() }
 
   private def index(s: SparkSession, d: String,
                     corpus: DataFrame): (PqCodebook, DataFrame) = {
@@ -209,16 +209,30 @@ object Pq {
     }
   }
 
+  private val corpusMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   /** The x05/x64 dup-synthesized corpus: exact copies of the first 20
     * vectors under offset ids, so every query (vec_id < 10) has an
-    * exact duplicate at id + 10000.
+    * exact duplicate at id + 10000. Checkpointed per (session, dir):
+    * the PQ and IVF-PQ pipelines each consume it several times (dim
+    * probe, trainings, encodes, query filter), and every consumer
+    * otherwise re-reads the parquet and re-shuffles the union.
     */
-  private def corpusWithDups(s: SparkSession, d: String): DataFrame = {
-    val v = Tables(s, d, "embeddings")
-      .select(col("vec_id").as("id"), col("embedding"))
-    v.unionByName(v.filter(col("id") < 20)
-      .select((col("id") + 10000).as("id"), col("embedding")))
-      .repartition(s.sparkContext.defaultParallelism)
+  private[operators] def corpusWithDups(s: SparkSession, d: String): DataFrame = {
+    val key = (s, d)
+    Option(corpusMemo.get(key)).getOrElse {
+      MemoEviction.register(s, "pq-corpus") { () =>
+        corpusMemo.keySet.removeIf(_._1 eq s)
+      }
+      val v = Tables(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding"))
+      val built = v.unionByName(v.filter(col("id") < 20)
+          .select((col("id") + 10000).as("id"), col("embedding")))
+        .repartition(s.sparkContext.defaultParallelism)
+        .localCheckpoint(true)
+      Option(corpusMemo.putIfAbsent(key, built)).getOrElse(built)
+    }
   }
 
   val queries: Map[String, Q] = Map(

@@ -25,9 +25,15 @@ class PlanAuditSpec extends SparkSpecBase {
     * total-count threshold) — the standard scalar-subquery shape, not
     * an unbounded join.
     */
+  /** x82's nested loop is the IVF probe assignment — queries × coarse
+    * centroids, a BOUNDED product (Q × nlist, both config-sized; the
+    * same shape ivfAssign runs inside the x16 index memo, hidden there
+    * by the checkpoint). The corpus-sized codes scan joins by equi-key.
+    */
   private val nestedLoopByDesign =
     Set("x06_ann_brute_topk", "x07p_ann_lsh_precision", "x16p_ann_ivf_precision",
-      "x26g_heavy_hitters_recall")
+      "x26g_heavy_hitters_recall",
+      "x82_ann_ivfpq_topk", "x82r_ivfpq_dup_recall")
 
   test("no declared query plans a cartesian product or an unintended nested-loop join") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

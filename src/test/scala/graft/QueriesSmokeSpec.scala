@@ -33,7 +33,9 @@ class QueriesSmokeSpec extends SparkSpecBase {
     "x70g_ivf_append_coverage",
     "x81g_bpe_encode_gate",
     "x80g_pq_train_gate",
-    "x80r_pq_dup_recall")
+    "x80r_pq_dup_recall",
+    "x82g_ivfpq_train_gate",
+    "x82r_ivfpq_dup_recall")
 
   test("every declared query emits SCALAR columns only (driver pandas-sort compat)") {
     // the driver's correctness harness canonicalizes with a pandas
