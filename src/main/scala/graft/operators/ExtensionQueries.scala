@@ -85,7 +85,7 @@ object ExtensionQueries {
     * memo — the documents parquet is one scan split, and 60k ImageIO
     * encodes on one core was most of the wall time.
     */
-  private def mediaBlobs(s: SparkSession, d: String): DataFrame =
+  private[operators] def mediaBlobs(s: SparkSession, d: String): DataFrame =
     once(s, d, "media_blobs") {
       Multimodal.syntheticMediaBlobs(s,
         rebalanced(Tables(s, d, "documents").select(col("doc_id"))))
@@ -538,6 +538,34 @@ object ExtensionQueries {
         .orderBy(col("doc_id"), col("chk"))
     }),
 
+    // REAL pixel decode with a FULL SQL oracle: whole-image mean RGB
+    // over the PNG fixtures. PNG is lossless, so the decoded plane must
+    // be EXACTLY the encoded solid color and the channel means are pure
+    // doc_id arithmetic — DuckDB recomputes them from doc_id alone and
+    // a hash match proves the pixel path end-to-end (encoder → bytes →
+    // ImageIO → per-pixel accumulation). JPEG (lossy) and GIF
+    // (palette-mapped) pixels are covered by MultimodalSpec and x83e.
+    "x83_multimodal_pixel_stats" -> ((s, d) =>
+      Multimodal.pixelChannelStats(s, mediaBlobs(s, d))
+        .filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"), col("n_px"))
+        .orderBy(col("doc_id"))),
+
+    // the multimodal -> similarity bridge on REAL pixels: grid-pooled
+    // color-layout descriptors (pixelFeatures) ranked by exact cosine
+    // for 10 image queries. Rows-only (ImageIO decode in the loop); the
+    // descriptor algebra and the fallback flag are pinned by spec.
+    "x83e_pixel_embed_topk" -> ((s, d) => {
+      val feats = Multimodal.pixelFeatures(s, mediaBlobs(s, d), grid = 2)
+        .filter(col("is_pixels"))
+      Similarity.bruteForceTopK(feats.filter(col("doc_id") < 10), feats,
+        "doc_id", "embedding", k = 5)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // --- paragraph hygiene (FineWeb/C4 passes) ----------------------------
     // corpus-frequency paragraph dedup over the dup-synthesized corpus:
     // exact-copy docs lose every paragraph, tail-modified copies keep
@@ -828,6 +856,17 @@ object ExtensionQueries {
       """SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS VARCHAR) AS chk,
         |  CAST(NULL AS VARCHAR) AS got, CAST(NULL AS VARCHAR) AS exp
         |WHERE false""".stripMargin,
+
+    // the fixture PNG color is (doc_id * 2654435761) & 0xffffff and the
+    // image is solid, so decoded channel means are the channel bytes
+    // over 255; n_px is the fixture dimension arithmetic
+    "x83_multimodal_pixel_stats" ->
+      """SELECT doc_id,
+        |  round((((doc_id * 2654435761) % 16777216) // 65536) / 255.0, 6) AS mean_r,
+        |  round(((((doc_id * 2654435761) % 16777216) // 256) % 256) / 255.0, 6) AS mean_g,
+        |  round((((doc_id * 2654435761) % 16777216) % 256) / 255.0, 6) AS mean_b,
+        |  CAST((16 + (doc_id % 21) * 3) * (16 + (doc_id % 13) * 5) AS BIGINT) AS n_px
+        |FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id""".stripMargin,
 
     "x05_embed_cosine_pairs" ->
       s"""WITH vecs AS (

@@ -195,27 +195,114 @@ object Multimodal {
       .toDF("doc_id", "content", "format", "width", "height")
   }
 
+  /** Deterministic unit-norm byte-hash vector — the NON-IMAGE fallback
+    * embedding (blobs with no pixel plane still need a vector so the
+    * relation stays total; a production pipeline would route them to
+    * their modality's encoder instead).
+    */
+  private def hashEmbedding(bytes: Array[Byte], dim: Int): Seq[Float] = {
+    val raw = Array.tabulate(dim) { d =>
+      var h = 1125899906842597L + d
+      bytes.foreach(b => h = h * 31 + b)
+      ((h % 1000).toFloat / 1000.0f)
+    }
+    val n = math.sqrt(raw.map(x => x.toDouble * x).sum).toFloat
+    raw.map(x => if (n == 0) 0.0f else x / n).toSeq
+  }
+
   /** Feature extraction: blob -> dense embedding (array<float>), the
     * step that bridges multimodal data into the similarity operators
     * (Similarity.bruteForceTopK / lshTopK / ivfTopK run on this output
-    * unchanged). The stub derives a deterministic unit-norm vector from
-    * rolling byte hashes — a real model server would replace only the
-    * per-batch body.
+    * unchanged). Byte-hash features — see [[pixelFeatures]] for the
+    * real pixel path; this remains the modality-agnostic fallback.
     */
   def featureExtract(spark: SparkSession, blobs: DataFrame, dim: Int = 16): DataFrame = {
     import spark.implicits._
     blobs.select(col("doc_id"), col("content"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        val raw = Array.tabulate(dim) { d =>
-          var h = 1125899906842597L + d
-          bytes.foreach(b => h = h * 31 + b)
-          ((h % 1000).toFloat / 1000.0f)
-        }
-        val n = math.sqrt(raw.map(x => x.toDouble * x).sum).toFloat
-        (id, raw.map(x => if (n == 0) 0.0f else x / n).toSeq)
+        (id, hashEmbedding(bytes, dim))
       })
       .toDF("doc_id", "embedding")
+  }
+
+  /** REAL pixel feature extraction: full ImageIO decode, average-pool
+    * the RGB plane onto a grid×grid patch map (3·grid² dims — the
+    * classic color-layout descriptor), unit-normalize. Cell boundaries
+    * partition pixels by integer scaling (y·grid/h, x·grid/w), so every
+    * pixel lands in exactly one cell at any image size. Non-decodable
+    * blobs keep the byte-hash fallback, flagged is_pixels=false.
+    * Executors stream batches through the decoder; nothing collects to
+    * the driver.
+    */
+  def pixelFeatures(spark: SparkSession, blobs: DataFrame,
+                    grid: Int = 2): DataFrame = {
+    require(grid >= 1, s"grid must be >= 1, got $grid")
+    import spark.implicits._
+    val dims = 3 * grid * grid
+    blobs.select(col("doc_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        MediaCodec.imageIoDecode(bytes) match {
+          case Some(img) =>
+            val w = img.getWidth; val h = img.getHeight
+            val sums = new Array[Double](dims)
+            val cnt = new Array[Long](grid * grid)
+            var y = 0
+            while (y < h) {
+              val gy = y * grid / h
+              var x = 0
+              while (x < w) {
+                val cell = gy * grid + x * grid / w
+                val rgb = img.getRGB(x, y)
+                sums(cell * 3) += ((rgb >> 16) & 0xff) / 255.0
+                sums(cell * 3 + 1) += ((rgb >> 8) & 0xff) / 255.0
+                sums(cell * 3 + 2) += (rgb & 0xff) / 255.0
+                cnt(cell) += 1
+                x += 1
+              }
+              y += 1
+            }
+            val raw = Array.tabulate(dims)(i =>
+              if (cnt(i / 3) == 0) 0.0 else sums(i) / cnt(i / 3))
+            val n = math.sqrt(raw.map(v => v * v).sum)
+            (id, raw.map(v => (if (n == 0) 0.0 else v / n).toFloat).toSeq, true)
+          case None => (id, hashEmbedding(bytes, dims), false)
+        }
+      })
+      .toDF("doc_id", "embedding", "is_pixels")
+  }
+
+  /** Whole-image mean RGB from DECODED pixels plus the decoded pixel
+    * count — on the fixture corpus these are pure doc_id arithmetic
+    * (solid-color encodes), giving the pixel decode a FULL SQL oracle.
+    * Non-decodable blobs are omitted (they have no pixel plane).
+    */
+  def pixelChannelStats(spark: SparkSession, blobs: DataFrame): DataFrame = {
+    import spark.implicits._
+    blobs.select(col("doc_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        MediaCodec.imageIoDecode(bytes).map { img =>
+          val w = img.getWidth; val h = img.getHeight
+          var r = 0.0; var g = 0.0; var b = 0.0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              r += ((rgb >> 16) & 0xff) / 255.0
+              g += ((rgb >> 8) & 0xff) / 255.0
+              b += (rgb & 0xff) / 255.0
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          (id, r / n, g / n, b / n, n)
+        }
+      })
+      .toDF("doc_id", "mean_r", "mean_g", "mean_b", "n_px")
   }
 
   /** Frame sampling over a video-like blob: emit every `stride`-th

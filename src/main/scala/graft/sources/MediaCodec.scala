@@ -195,6 +195,17 @@ object MediaCodec {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Full JDK ImageIO pixel decode, gated on the sniffable containers
+    * (arbitrary bytes would make ImageIO probe every registered
+    * reader). None for non-images or corrupt streams.
+    */
+  def imageIoDecode(bytes: Array[Byte]): Option[BufferedImage] =
+    try {
+      val fmt = sniff(bytes).format
+      if (fmt != "png" && fmt != "jpeg" && fmt != "gif") None
+      else Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Real PNG bytes (JDK ImageIO encoder) of a solid-color w×h image. */
   def encodePng(w: Int, h: Int, rgb: Int): Array[Byte] =
     imageIoBytes(solidImage(w, h, rgb), "png")

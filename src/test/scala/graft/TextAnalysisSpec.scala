@@ -200,6 +200,62 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(top === ((1L, 3L, 1.0)))
   }
 
+  test("pixelFeatures pools REAL pixels: solid-color PNG yields the color direction") {
+    import graft.sources.MediaCodec
+    // solid pure-red 8x6 PNG: every grid cell mean is (1, 0, 0) ->
+    // normalized embedding is 1/sqrt(cells) on R slots, 0 elsewhere
+    val blobs = Seq((1L, MediaCodec.encodePng(8, 6, 0xff0000)))
+      .toDF("doc_id", "content")
+    val f = Multimodal.pixelFeatures(spark, blobs, grid = 2)
+      .as[(Long, Seq[Float], Boolean)].collect().head
+    assert(f._3, "PNG must take the pixel path")
+    val v = f._2
+    assert(v.length === 12)
+    val rSlots = Seq(0, 3, 6, 9)
+    rSlots.foreach(i => assert(math.abs(v(i) - 0.5f) < 1e-6, s"slot $i = ${v(i)}"))
+    (0 until 12).filterNot(rSlots.contains)
+      .foreach(i => assert(v(i) === 0.0f, s"slot $i = ${v(i)}"))
+  }
+
+  test("pixelFeatures separates spatial layout: half-red/half-blue differs from solid") {
+    import graft.sources.MediaCodec
+    import java.awt.image.BufferedImage
+    // hand-build a 8x8 PNG, top half red, bottom half blue
+    val img = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8)
+      img.setRGB(x, y, if (y < 4) 0xff0000 else 0x0000ff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val blobs = Seq((1L, bos.toByteArray)).toDF("doc_id", "content")
+    val v = Multimodal.pixelFeatures(spark, blobs, grid = 2)
+      .as[(Long, Seq[Float], Boolean)].collect().head._2
+    // top cells (0,1): red channel hot; bottom cells (2,3): blue hot
+    assert(v(0) > 0.4f && v(2) === 0.0f && v(3 + 0) > 0.4f)
+    assert(v(6 + 2) > 0.4f && v(6) === 0.0f && v(9 + 2) > 0.4f)
+  }
+
+  test("pixelFeatures: non-image bytes take the hash fallback, flagged") {
+    val blobs = Seq((1L, "not an image at all".getBytes("UTF-8")))
+      .toDF("doc_id", "content")
+    val f = Multimodal.pixelFeatures(spark, blobs, grid = 2)
+      .as[(Long, Seq[Float], Boolean)].collect().head
+    assert(!f._3)
+    assert(f._2.length === 12)
+    assert(math.abs(f._2.map(x => x.toDouble * x).sum - 1.0) < 1e-5)
+  }
+
+  test("pixelChannelStats recovers the exact solid color on lossless PNG") {
+    import graft.sources.MediaCodec
+    val blobs = Seq((1L, MediaCodec.encodePng(10, 4, 0x336699)))
+      .toDF("doc_id", "content")
+    val s = Multimodal.pixelChannelStats(spark, blobs)
+      .as[(Long, Double, Double, Double, Long)].collect().head
+    assert(s._5 === 40L)
+    assert(math.abs(s._2 - 0x33 / 255.0) < 1e-9)
+    assert(math.abs(s._3 - 0x66 / 255.0) < 1e-9)
+    assert(math.abs(s._4 - 0x99 / 255.0) < 1e-9)
+  }
+
   test("hashedTfEmbedding: unit norm, order-invariant, count-sensitive, zero on empty") {
     import org.apache.spark.sql.functions.col
     val dim = 16
