@@ -125,6 +125,48 @@ object PassageDedup {
       .orderBy(col("doc_id"))
   }
 
+  /** The PERSISTABLE half of incremental passage dedup: the distinct
+    * window-hash relation of the corpus so far. Plain 8-byte keys —
+    * the x34 stored-band-index shape applied to passages.
+    */
+  def windowIndex(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int): DataFrame =
+    windowOccurrences(docs, idCol, textCol, k).select(col("w")).distinct()
+
+  /** Incremental duplicated-passage spans for a NEW batch against a
+    * stored window index: a batch window is duplicated if it appears in
+    * the index (history) OR at least twice within the batch itself —
+    * exactly the corpus-wide rule, decomposed so history is never
+    * re-scanned. Per-batch cost: one batch-side window explode, one
+    * map-side-combinable in-batch count, and one semi-join against the
+    * stored hashes. The island merge is unchanged.
+    */
+  def incrementalPassageSpans(batch: DataFrame, storedWindows: DataFrame,
+                              idCol: String, textCol: String,
+                              k: Int): DataFrame = {
+    val occ = windowOccurrences(batch, idCol, textCol, k)
+    val inBatch = occ.groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select(col("w"))
+    val dupW = inBatch.unionByName(storedWindows.select(col("w"))).distinct()
+    val dup = occ.join(dupW, Seq("w"), "left_semi")
+    val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
+    dup
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) <= k, lit(0))
+          .otherwise(lit(1)))
+      .withColumn("grp", sum(col("brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        least(max(col("pos")) + (k - 1), max(col("dl"))).as("span_end"))
+      .select(col("id").as("doc_id"),
+        col("span_start").cast("long").as("span_start"),
+        col("span_end").cast("long").as("span_end"),
+        (col("span_end") - col("span_start") + 1).cast("long")
+          .as("span_tokens"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
   private val K = 5
 
   val queries: Map[String, Q] = Map(
@@ -136,7 +178,19 @@ object PassageDedup {
     "x79_dup_passage_removal" -> ((s, d) =>
       removeDuplicatePassages(
         ExtensionQueries.rebalanced(Tables(s, d, "documents")),
-        "doc_id", "text", K))
+        "doc_id", "text", K)),
+
+    // incremental passage dedup: even doc_ids are the STORED corpus
+    // (window-hash index), odd doc_ids arrive as the new batch. The
+    // oracle recomputes the same decomposition relationally — history
+    // windows as a distinct set, in-batch repeats counted separately.
+    "x84_incremental_passage" -> ((s, d) => {
+      val docs = ExtensionQueries.rebalanced(Tables(s, d, "documents"))
+      val stored = windowIndex(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", K)
+      incrementalPassageSpans(docs.filter(col("doc_id") % 2 === 1),
+        stored, "doc_id", "text", K)
+    })
   )
 
   /** Tokenization mirrored from [[graft.functions.GraftFunctions.tokens]]
@@ -211,6 +265,44 @@ object PassageDedup {
          |  coalesce((SELECT string_agg(tk, ' ' ORDER BY idx)
          |            FROM kept WHERE kept.doc_id = d.doc_id), '') AS clean_text
          |FROM documents d
-         |ORDER BY d.doc_id""".stripMargin
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "x84_incremental_passage" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, $TokArr AS ts FROM documents
+         |), occ AS (
+         |  SELECT doc_id, CAST(i AS INT) AS pos,
+         |    array_to_string(ts[i : i + ${K - 1}], ' ') AS w,
+         |    len(ts) AS dl
+         |  FROM tok, unnest(generate_series(1, greatest(len(ts) - ${K - 1}, 1))) AS t(i)
+         |  WHERE len(ts) > 0
+         |), stored AS (
+         |  SELECT DISTINCT w FROM occ WHERE doc_id % 2 = 0
+         |), batch AS (
+         |  SELECT doc_id, pos, w, dl FROM occ WHERE doc_id % 2 = 1
+         |), inbatch AS (
+         |  SELECT w FROM batch GROUP BY w HAVING count(*) >= 2
+         |), dupw AS (
+         |  SELECT w FROM inbatch UNION SELECT w FROM stored
+         |), dup AS (
+         |  SELECT doc_id, pos, dl FROM batch SEMI JOIN dupw USING (w)
+         |), brk AS (
+         |  SELECT doc_id, pos, dl,
+         |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+         |              <= $K THEN 0 ELSE 1 END AS is_brk
+         |  FROM dup
+         |), grp AS (
+         |  SELECT doc_id, pos, dl,
+         |    sum(is_brk) OVER (PARTITION BY doc_id ORDER BY pos
+         |                      ROWS UNBOUNDED PRECEDING) AS g
+         |  FROM brk
+         |)
+         |SELECT doc_id,
+         |  CAST(min(pos) AS BIGINT) AS span_start,
+         |  CAST(least(max(pos) + ${K - 1}, max(dl)) AS BIGINT) AS span_end,
+         |  CAST(least(max(pos) + ${K - 1}, max(dl)) - min(pos) + 1 AS BIGINT)
+         |    AS span_tokens
+         |FROM grp GROUP BY doc_id, g
+         |ORDER BY doc_id, span_start""".stripMargin
   )
 }

@@ -65,6 +65,21 @@ class PassageDedupSpec extends SparkSpecBase {
     assert(cleaned(docs) === Seq(1L -> "a b c", 2L -> ""))
   }
 
+  test("incremental: history hits and in-batch repeats mark spans; fresh text does not") {
+    val stored = PassageDedup.windowIndex(
+      Seq(10L -> "h1 h2 h3 h4 h5 h6").toDF("id", "text"), "id", "text", K)
+    val batch = Seq(
+      1L -> "a1 h1 h2 h3 h4 h5 a2",      // history passage at pos 2..6
+      2L -> "f1 f2 f3 f4 f5 f6 f7",      // fresh — no spans
+      3L -> "r1 r2 r3 r4 r5 x9 r1 r2 r3 r4 r5") // in-batch repeat
+      .toDF("id", "text")
+    val out = PassageDedup.incrementalPassageSpans(batch, stored,
+      "id", "text", K).as[(Long, Long, Long, Long)].collect().toSeq
+    // doc 3's repeated 5-gram marks pos 1 and 7; the gap (6) exceeds K
+    // so the two occurrences stay separate maximal spans
+    assert(out === Seq((1L, 2L, 6L, 5L), (3L, 1L, 5L, 5L), (3L, 7L, 11L, 5L)))
+  }
+
   test("null and empty text produce no spans and empty clean_text rows") {
     val rows = Seq((1L, Some("x1 x2 x3 x4 x5")), (2L, Some("")), (3L, None))
       .toDF("id", "text")
