@@ -6,7 +6,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.{LongType, StringType, StructType, TimestampType}
 
 import graft.CorpusPipeline
-import graft.operators.{Components, Dedup, Similarity, TextAnalysis}
+import graft.operators.{Components, Dedup, PassageDedup, Similarity, TextAnalysis}
 import graft.sources.WarcCodec
 
 /** Incremental corpus ingestion — the growing-corpus form of
@@ -53,7 +53,8 @@ import graft.sources.WarcCodec
 class CorpusStream(spark: SparkSession, workDir: String,
                    cfg: CorpusPipeline.Config = CorpusPipeline.Config(),
                    targetSplitBytes: Long = 128L << 20,
-                   semanticThreshold: Option[Double] = None) {
+                   semanticThreshold: Option[Double] = None,
+                   passageK: Option[Int] = None) {
   import spark.implicits._
 
   private val curatedPath = s"$workDir/curated"
@@ -65,6 +66,8 @@ class CorpusStream(spark: SparkSession, workDir: String,
   private val vecPath = s"$workDir/vecs"
   private val vecBucketPath = s"$workDir/vecbuckets"
   private val semDupPath = s"$workDir/semdups"
+  private val winPath = s"$workDir/windows"
+  private val passSpanPath = s"$workDir/passagespans"
   private val SemDim = 64
   private val SemBits = 8
   private val SemTables = 8
@@ -116,7 +119,7 @@ class CorpusStream(spark: SparkSession, workDir: String,
     */
   def compact(): Unit =
     Seq(curatedPath, bandPath, docArrPath, ledgerPath, dlqPath,
-      vecPath, vecBucketPath, semDupPath)
+      vecPath, vecBucketPath, semDupPath, winPath, passSpanPath)
       .foreach(compactOne)
 
   private def compactOne(path: String): Unit = {
@@ -220,6 +223,21 @@ class CorpusStream(spark: SparkSession, workDir: String,
 
   private def vecBucketIndex: DataFrame = readOr(vecBucketPath,
     Seq.empty[(String, Int, Long)].toDF("id", "table", "bucket"))
+
+  /** Duplicated-passage spans flagged at ingest time when `passageK` is
+    * set (the x84 incremental contract): token positions in each
+    * accepted doc covered by a window seen in corpus history or twice
+    * in the doc's own batch. Flagging, not dropping — span excision is
+    * a downstream rewrite ([[graft.operators.PassageDedup]]), and the
+    * spans relation is the review surface.
+    */
+  def passageSpans: DataFrame = readOr(passSpanPath,
+    Seq.empty[(String, Long, Long, Long)]
+      .toDF("doc_id", "span_start", "span_end", "span_tokens"))
+
+  // the persisted window-hash index, id-keyed for replay idempotency
+  private def storedWindowIndex: DataFrame = readOr(winPath,
+    Seq.empty[(String, Long)].toDF("id", "w"))
 
   /** Drain every unseen WARC blob, processing each through
     * [[processBatch]]. The default Trigger.AvailableNow drains and
@@ -404,6 +422,22 @@ class CorpusStream(spark: SparkSession, workDir: String,
         vecPath, batchId)
       overwriteBatch(Similarity.lshBucketTable(newVecs, "doc_id", "emb",
         SemBits, SemTables), vecBucketPath, batchId)
+    }
+
+    // passage leg (opt-in): token-window spans duplicated against the
+    // persisted window index OR within the batch (the x84 incremental
+    // contract) — flags ride passageSpans; the batch's distinct (id, w)
+    // rows append to the index. Replay: anti-joining the batch's own
+    // ids off the index side makes a crash-replayed batch's spans
+    // byte-identical to the first attempt.
+    passageK.foreach { k =>
+      val batchIds = accepted.select(col("doc_id").as("id"))
+      val storedW = storedWindowIndex
+        .join(batchIds, Seq("id"), "left_anti").select(col("w"))
+      overwriteBatch(PassageDedup.incrementalPassageSpans(
+        accepted, storedW, "doc_id", "text", k), passSpanPath, batchId)
+      overwriteBatch(PassageDedup.windowIdIndex(accepted, "doc_id", "text", k),
+        winPath, batchId)
     }
 
     // batch-atomic state append: overwrite-by-batchId = replay-idempotent

@@ -231,6 +231,56 @@ class CorpusStreamSpec extends SparkSpecBase {
       s"the post-compaction permutation must flag against b, got $flags2")
   }
 
+  test("passage leg flags shared spans across batches; index survives compaction") {
+    val warcDir = Files.createTempDirectory("cspasw").toString
+    val workDir = Files.createTempDirectory("cspask").toString
+    def stream() = new graft.streaming.CorpusStream(spark, workDir,
+      passageK = Some(5))
+
+    // P = a 7-token passage embedded in otherwise-distinct documents
+    val P = "silver clouds drift over mountain lakes slowly"
+    val a = s"autumn winds carry leaves while the $P near valley road"
+    val b = "farmers gather wheat before storms reach the eastern fields tonight"
+    writeWarc(warcDir, "a.warc", Seq("http://p/a" -> a, "http://p/b" -> b))
+    stream().ingest(warcDir).awaitTermination()
+    assert(stream().passageSpans.count() === 0,
+      "nothing duplicated in the first batch")
+
+    // c embeds P at token positions 8..14; its trigram jaccard vs a is
+    // ~0.2 (well under the 0.7 near-dup bar), so it SURVIVES lexical
+    // dedup — passage flagging is what catches the shared span
+    val c = s"children play games beside the rivers and $P during summer"
+    val dNew = "sailors mend the canvas sails beneath harbor lights each evening"
+    writeWarc(warcDir, "b.warc", Seq("http://p/c" -> c, "http://p/d" -> dNew))
+    stream().ingest(warcDir).awaitTermination()
+
+    val s = stream()
+    assert(s.curated.count() === 4, "c must survive lexical dedup")
+    val idOf = s.curated.select("text", "doc_id").as[(String, String)]
+      .collect().toMap
+    val spans = s.passageSpans.as[(String, Long, Long, Long)].collect().toSeq
+    assert(spans === Seq((idOf(c), 8L, 14L, 7L)),
+      s"exactly c's P-span must flag, got $spans")
+    // the window index grew by every accepted doc, exactly once each
+    assert(spark.read.parquet(s"$workDir/windows")
+      .select("id").distinct().count() === 4)
+
+    // spans survive compaction; a third-batch echo of P (plus c's
+    // "and silver..." junction window) resolves against the COMPACTED
+    // index — spans [7..14], extended one token left by the junction
+    s.compact()
+    assert(stream().passageSpans.count() === 1)
+    val e = s"quiet monks copy the ancient scrolls and $P without haste"
+    writeWarc(warcDir, "c.warc", Seq("http://p/e" -> e))
+    stream().ingest(warcDir).awaitTermination()
+    val spans2 = stream().passageSpans.as[(String, Long, Long, Long)]
+      .collect().toSeq.sortBy(_._2)
+    assert(spans2.toSet === Set((idOf(c), 8L, 14L, 7L),
+      (stream().curated.filter($"text" === e)
+        .select("doc_id").as[String].head(), 7L, 14L, 8L)),
+      s"got $spans2")
+  }
+
   private def recBytesAt(uri: String, date: String, text: String): Array[Byte] = {
     val payload = text.getBytes("ISO-8859-1")
     (s"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: $uri\r\n" +
