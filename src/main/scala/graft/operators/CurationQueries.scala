@@ -272,6 +272,29 @@ object CurationQueries {
           sum((col("bucket") - least(col("n"), col("bucket"))).cast("long")).as("pad_tokens"),
           sum(when(col("n") > 2048, 1L).otherwise(0L)).as("n_truncated"))
         .orderBy(col("bucket"))
+    }),
+
+    // per-source corpus health report — the one relation a curation
+    // platform materializes per snapshot: volume, exact-dup rate,
+    // language spread, token totals, mean quality. Every column is a
+    // bounded per-source aggregate over already-oracled features (x01's
+    // content hash, x09's quality surface), so the report itself
+    // carries a full oracle.
+    "x85_curation_report" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val f = graft.operators.TextAnalysis
+        .qualityFeatures(docs, "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"), col("quality"))
+      docs.select(col("doc_id"), col("source"), col("lang"),
+          md5(coalesce(lower(trim(col("text"))), lit(""))).as("h"))
+        .join(f, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          (count(lit(1)) - countDistinct(col("h"))).as("n_dup"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("n_tokens")).cast("long").as("sum_tokens"),
+          round(avg(col("quality")), 6).as("avg_quality"))
+        .orderBy(col("source"))
     })
   )
 
@@ -435,6 +458,30 @@ object CurationQueries {
         |  CAST(sum(least(n, bucket)) AS BIGINT) AS sum_tokens,
         |  CAST(sum(bucket - least(n, bucket)) AS BIGINT) AS pad_tokens,
         |  CAST(sum(CASE WHEN n > 2048 THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated
-        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "x85_curation_report" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS n_tokens,
+        |    round(
+        |      least(CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) / 100.0, 1.0) * 0.5 +
+        |      (1.0 - least(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE) / greatest(length(text), 1) * 5.0, 1.0)) * 0.3 +
+        |      least(CAST(len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\s+')), ['the','a','of','and','is'])) AS DOUBLE)
+        |            / greatest(len(list_distinct(string_split_regex(lower(trim(text)), '\s+'))), 1) * 10.0, 1.0) * 0.2, 6) AS quality
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id, source, lang,
+        |    md5(coalesce(lower(trim(text)), '')) AS h
+        |  FROM documents
+        |)
+        |SELECT h.source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(*) - count(DISTINCT h.h) AS BIGINT) AS n_dup,
+        |  CAST(count(DISTINCT h.lang) AS BIGINT) AS n_langs,
+        |  CAST(sum(f.n_tokens) AS BIGINT) AS sum_tokens,
+        |  round(avg(f.quality), 6) AS avg_quality
+        |FROM h JOIN f USING (doc_id)
+        |GROUP BY h.source ORDER BY h.source""".stripMargin
   )
 }

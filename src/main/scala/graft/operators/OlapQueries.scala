@@ -165,6 +165,23 @@ object OlapQueries {
           row_number().over(w).as("rnk"))
         .filter(col("rnk") <= 2)
         .orderBy(col("o_custkey"), col("rnk"))
+    }),
+
+    // z-score anomaly detection: events whose value sits > 3 sample
+    // standard deviations from their event_type's mean — the telemetry
+    // outlier sweep. Per-type stats are a bounded broadcast relation;
+    // the scan-side z is a pure projection. The threshold tests the
+    // ROUNDED z (round 4) so the float surface both engines compare is
+    // identical; the underlying avg/stddev jitter is ~1e-12.
+    "x86_event_zscore" -> ((s, d) => {
+      val ev = Tables(s, d, "events")
+      val stats = ev.groupBy(col("event_type"))
+        .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sd"))
+      ev.join(broadcast(stats), Seq("event_type"))
+        .select(col("event_id"), col("event_type"),
+          round((col("value") - col("mu")) / col("sd"), 4).as("z"))
+        .filter(abs(col("z")) > 3.0)
+        .orderBy(col("event_id"))
     })
   )
 
@@ -263,6 +280,17 @@ object OlapQueries {
         |    row_number() OVER (PARTITION BY o_custkey
         |                       ORDER BY o_totalprice DESC, o_orderkey) AS rnk
         |  FROM orders
-        |) WHERE rnk <= 2 ORDER BY o_custkey, rnk""".stripMargin
+        |) WHERE rnk <= 2 ORDER BY o_custkey, rnk""".stripMargin,
+
+    "x86_event_zscore" ->
+      """WITH st AS (
+        |  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT event_id, e.event_type,
+        |  round((value - mu) / sd, 4) AS z
+        |FROM events e JOIN st USING (event_type)
+        |WHERE abs(round((value - mu) / sd, 4)) > 3.0
+        |ORDER BY event_id""".stripMargin
   )
 }
