@@ -343,20 +343,32 @@ object Dedup {
     * missing pairs beats nothing but an error never would.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int): DataFrame = {
+                   maxDist: Int): DataFrame =
+    hammingPairsFromSignatures(
+      simhash(docs, idCol, textCol)
+        .select(col("id"), col("simhash").as("sig"))
+        .localCheckpoint(true),
+      maxDist)
+
+  /** Pigeonhole-blocked Hamming self-join over PRECOMPUTED 64-bit
+    * signatures (id, sig): 4×16-bit block index — any pair within
+    * distance 3 agrees on at least one block, so block collisions are a
+    * COMPLETE candidate set for maxDist <= 3; bit_count verifies.
+    * Shared by text SimHash (x04) and image dHash (x87) — the blocking
+    * is a property of the Hamming space, not of what produced the bits.
+    */
+  def hammingPairsFromSignatures(sig: DataFrame, maxDist: Int): DataFrame = {
     require(maxDist >= 0 && maxDist <= 3,
       s"maxDist must be in [0, 3] (4-block pigeonhole bound), got $maxDist")
-    val sig = simhash(docs, idCol, textCol).localCheckpoint(true)
-    // block index: 4 blocks of 16 bits
-    val blocked = sig.select(col("id"), col("simhash"),
+    val blocked = sig.select(col("id"), col("sig"),
         posexplode(array((0 until 4).map(b =>
-          shiftright(col("simhash"), b * 16).bitwiseAND(0xffffL)): _*)))
-      .select(col("id"), col("simhash"), col("pos").as("blk"), col("col").as("bval"))
+          shiftright(col("sig"), b * 16).bitwiseAND(0xffffL)): _*)))
+      .select(col("id"), col("sig"), col("pos").as("blk"), col("col").as("bval"))
     blocked.as("x").join(blocked.as("y"),
         col("x.blk") === col("y.blk") && col("x.bval") === col("y.bval") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("dist"))
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("dist"))
       .distinct()
       .filter(col("dist") <= maxDist)
   }

@@ -85,6 +85,24 @@ object ExtensionQueries {
     * memo — the documents parquet is one scan split, and 60k ImageIO
     * encodes on one core was most of the wall time.
     */
+  /** dHash signatures for the x87 family: 500 gradient fixtures (per-doc
+    * spatial structure — solid x12 fixtures all hash alike) plus their
+    * +20 brightness-shifted re-encodes under offset ids, hashed once and
+    * shared by the pair query and its recall gate. The bounded-probe
+    * convention (x13): the corpus slice is fixed-size at any sf.
+    */
+  private def imageDhashSigs(s: SparkSession, d: String): DataFrame =
+    once(s, d, "dhash_sigs") {
+      val docs = rebalanced(
+        Tables(s, d, "documents").select(col("doc_id"))
+          .filter(col("doc_id") < 500))
+      val base = Multimodal.gradientBlobs(s, docs)
+      val shifted = Multimodal.brightnessShift(s, base, 20)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("content"))
+      Multimodal.dHash(s, base.unionByName(shifted))
+        .select(col("doc_id").as("id"), col("dhash").as("sig"))
+    }
+
   private[operators] def mediaBlobs(s: SparkSession, d: String): DataFrame =
     once(s, d, "media_blobs") {
       Multimodal.syntheticMediaBlobs(s,
@@ -566,6 +584,30 @@ object ExtensionQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // perceptual image dedup: dHash signatures over a gradient-image
+    // corpus UNION brightness-shifted re-encodes of every image — the
+    // "same photo, different exposure" class whose BYTES share nothing
+    // (content-hash dedup is blind to it), paired by the x04 pigeonhole
+    // Hamming blocking. Rows-only; the recall gate below is the
+    // correctness contract.
+    "x87_image_dhash_pairs" -> ((s, d) =>
+      Dedup.hammingPairsFromSignatures(imageDhashSigs(s, d), maxDist = 3)
+        .orderBy(col("a"), col("b"))),
+
+    // gate (empty-set oracle): every original must pair with its
+    // brightness-shifted twin — a clip-free uniform shift commutes with
+    // the downscale average and preserves every dHash comparison, so
+    // the twin's signature is IDENTICAL and the pigeonhole join cannot
+    // miss it.
+    "x87g_image_dhash_recall" -> ((s, d) => {
+      val pairs = Dedup.hammingPairsFromSignatures(
+        imageDhashSigs(s, d), maxDist = 3)
+      Tables(s, d, "documents").select(col("doc_id")).filter(col("doc_id") < 500)
+        .select(col("doc_id").as("a"), (col("doc_id") + 1000000L).as("b"))
+        .join(pairs.select(col("a"), col("b")), Seq("a", "b"), "left_anti")
+        .orderBy(col("a"))
+    }),
+
     // --- paragraph hygiene (FineWeb/C4 passes) ----------------------------
     // corpus-frequency paragraph dedup over the dup-synthesized corpus:
     // exact-copy docs lose every paragraph, tail-modified copies keep
@@ -840,6 +882,10 @@ object ExtensionQueries {
 
     "x70g_ivf_append_coverage" ->
       """SELECT CAST(NULL AS BIGINT) AS nid, CAST(NULL AS VARCHAR) AS violation
+        |WHERE false""".stripMargin,
+
+    "x87g_image_dhash_recall" ->
+      """SELECT CAST(NULL AS BIGINT) AS a, CAST(NULL AS BIGINT) AS b
         |WHERE false""".stripMargin,
 
     "x12_multimodal_meta" ->

@@ -273,6 +273,115 @@ object Multimodal {
       .toDF("doc_id", "embedding", "is_pixels")
   }
 
+  /** Deterministic gray-PATTERN PNG per document for the perceptual-
+    * hash queries: brightness(x, y) = ((x·(1+id%29)) XOR (y·(1+id%31)))
+    * % 200, 32×32. The XOR gives each (id%29, id%31) class — unique for
+    * ids below 29·31 — its own pseudorandom spatial structure, so
+    * distinct docs sit ~32 Hamming bits apart (a LINEAR gradient family
+    * collapsed the space: a third of all cross pairs landed within
+    * distance 3). Range capped at 199 so a +20 brightness shift is
+    * clip-free.
+    */
+  def gradientBlobs(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val a = (1 + id % 29).toInt; val b = (1 + id % 31).toInt
+        val img = new java.awt.image.BufferedImage(32, 32,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 32) {
+          var x = 0
+          while (x < 32) {
+            val v = ((x * a) ^ (y * b)) % 200
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (id, bos.toByteArray)
+      })
+      .toDF("doc_id", "content")
+  }
+
+  /** Uniform brightness shift (clipped at 255), re-encoded PNG — the
+    * "same photo, different exposure" transform byte-level dedup can
+    * never match and a perceptual hash must.
+    */
+  def brightnessShift(spark: SparkSession, blobs: DataFrame,
+                      delta: Int): DataFrame = {
+    import spark.implicits._
+    blobs.select(col("doc_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        MediaCodec.imageIoDecode(bytes).map { img =>
+          val w = img.getWidth; val h = img.getHeight
+          val out = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              def c(v: Int) = math.min(255, math.max(0, v + delta))
+              out.setRGB(x, y, (c((rgb >> 16) & 0xff) << 16) |
+                (c((rgb >> 8) & 0xff) << 8) | c(rgb & 0xff))
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          (id, bos.toByteArray)
+        }
+      })
+      .toDF("doc_id", "content")
+  }
+
+  /** dHash (difference hash) from REAL pixels: bilinear-downscale to
+    * 9×8 grayscale, bit (row·8 + j) set iff gray(j+1, row) > gray(j,
+    * row) — 64 bits of spatial structure invariant under any monotone
+    * per-pixel brightness transform (a uniform clip-free shift commutes
+    * with the downscale average and preserves every strict comparison).
+    * Non-decodable blobs are omitted.
+    */
+  def dHash(spark: SparkSession, blobs: DataFrame): DataFrame = {
+    import spark.implicits._
+    blobs.select(col("doc_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        MediaCodec.imageIoDecode(bytes).map { img =>
+          val small = new java.awt.image.BufferedImage(9, 8,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = small.createGraphics()
+          try {
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, 9, 8, null)
+          } finally g.dispose()
+          def gray(x: Int, y: Int): Int = {
+            val rgb = small.getRGB(x, y)
+            (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+          }
+          var hash = 0L
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              if (gray(x + 1, y) > gray(x, y)) hash |= 1L << (y * 8 + x)
+              x += 1
+            }
+            y += 1
+          }
+          (id, hash)
+        }
+      })
+      .toDF("doc_id", "dhash")
+  }
+
   /** Whole-image mean RGB from DECODED pixels plus the decoded pixel
     * count — on the fixture corpus these are pure doc_id arithmetic
     * (solid-color encodes), giving the pixel decode a FULL SQL oracle.

@@ -35,7 +35,8 @@ class QueriesSmokeSpec extends SparkSpecBase {
     "x80g_pq_train_gate",
     "x80r_pq_dup_recall",
     "x82g_ivfpq_train_gate",
-    "x82r_ivfpq_dup_recall")
+    "x82r_ivfpq_dup_recall",
+    "x87g_image_dhash_recall")
 
   test("every declared query emits SCALAR columns only (driver pandas-sort compat)") {
     // the driver's correctness harness canonicalizes with a pandas

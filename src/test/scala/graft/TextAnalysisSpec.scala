@@ -244,6 +244,34 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(math.abs(f._2.map(x => x.toDouble * x).sum - 1.0) < 1e-5)
   }
 
+  test("dHash is exactly invariant under a clip-free brightness shift") {
+    // ids 1 and 2: coprime XOR params -> structurally unrelated images
+    // (ids sharing a power-of-2 param ratio, e.g. 1 vs 3, produce
+    // SCALED copies of one pattern and legitimately hash alike)
+    val docs = Seq(1L, 2L).toDF("doc_id")
+    val base = Multimodal.gradientBlobs(spark, docs)
+    val shifted = Multimodal.brightnessShift(spark, base, 20)
+    val h0 = Multimodal.dHash(spark, base).as[(Long, Long)].collect().toMap
+    val h1 = Multimodal.dHash(spark, shifted).as[(Long, Long)].collect().toMap
+    assert(h0.size === 2 && h0 === h1)
+    // and structurally different images hash far apart
+    val d12 = java.lang.Long.bitCount(h0(1L) ^ h0(2L))
+    assert(d12 > 3, s"distance $d12")
+  }
+
+  test("hammingPairsFromSignatures pairs shift twins, not strangers") {
+    import graft.operators.Dedup
+    val docs = Seq(1L, 2L).toDF("doc_id")
+    val base = Multimodal.gradientBlobs(spark, docs)
+    val shifted = Multimodal.brightnessShift(spark, base, 20)
+      .select(($"doc_id" + 100L).as("doc_id"), $"content")
+    val sigs = Multimodal.dHash(spark, base.unionByName(shifted))
+      .select($"doc_id".as("id"), $"dhash".as("sig"))
+    val pairs = Dedup.hammingPairsFromSignatures(sigs, maxDist = 3)
+      .as[(Long, Long, Int)].collect().toSeq.sortBy(_._1)
+    assert(pairs === Seq((1L, 101L, 0), (2L, 102L, 0)))
+  }
+
   test("pixelChannelStats recovers the exact solid color on lossless PNG") {
     import graft.sources.MediaCodec
     val blobs = Seq((1L, MediaCodec.encodePng(10, 4, 0x336699)))
