@@ -246,6 +246,76 @@ object EventTimeStreams {
       }
   }
 
+  /** One keyed occurrence on the heavy-hitter stream. */
+  case class HHEvent(ts: java.sql.Timestamp, item: String)
+
+  /** Misra-Gries summary for one window: at most k counters, plus the
+    * number of in-window events folded in (the error bound's N).
+    */
+  case class MGSummary(counters: Map[String, Long], processed: Long)
+
+  /** One surviving counter of a CLOSED window, emitted exactly once.
+    * `mgCount` is the Misra-Gries counter: true_count − processed/(k+1)
+    * <= mgCount <= true_count, so every item with frequency above
+    * processed/(k+1) is guaranteed present.
+    */
+  case class WindowHeavyHitter(windowStart: java.sql.Timestamp, item: String,
+                               mgCount: Long, processed: Long)
+
+  /** Streaming windowed heavy hitters — the streaming twin of the batch
+    * x26 frequent-items sketch, as `flatMapGroupsWithState` custom
+    * state: per tumbling window, a Misra-Gries summary of AT MOST k
+    * counters (an arriving item increments its counter, claims a free
+    * slot, or decrements everyone — the classic frequent algorithm), so
+    * per-window state is FIXED-SIZE no matter how many distinct items
+    * the window saw. Results emit ONLY when the event-time watermark
+    * closes the window (event-time-final, like [[funnelCompletions]]):
+    * arrival order can never change what a window reports. Late events
+    * behind the watermark drop explicitly; state removes on emission,
+    * so total state is k counters × open windows inside the horizon.
+    */
+  def tumblingHeavyHitters(events: Dataset[HHEvent], windowMs: Long, k: Int,
+                           watermarkDelay: String): Dataset[WindowHeavyHitter] = {
+    require(windowMs > 0 && k >= 1, "windowMs > 0, k >= 1")
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(e => math.floorDiv(e.ts.getTime, windowMs) * windowMs)
+      .flatMapGroupsWithState[MGSummary, WindowHeavyHitter](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (winStart, evs, state) =>
+          val wm = state.getCurrentWatermarkMs()
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            s.counters.toSeq.sortBy { case (item, c) => (-c, item) }
+              .map { case (item, c) =>
+                WindowHeavyHitter(new java.sql.Timestamp(winStart), item, c,
+                  s.processed)
+              }.iterator
+          } else {
+            var s = state.getOption.getOrElse(MGSummary(Map.empty, 0L))
+            // events behind the watermark drop HERE, explicitly (the
+            // engine's own late filtering is an implementation detail)
+            evs.filter(_.ts.getTime >= wm).foreach { e =>
+              val counters = s.counters.get(e.item) match {
+                case Some(c) => s.counters.updated(e.item, c + 1)
+                case None if s.counters.size < k => s.counters.updated(e.item, 1L)
+                case None => s.counters.collect {
+                  case (i, c) if c > 1 => i -> (c - 1)
+                }
+              }
+              s = MGSummary(counters, s.processed + 1)
+            }
+            if (s.processed > 0) {
+              state.update(s)
+              // the window is decided once the watermark passes its end
+              state.setTimeoutTimestamp(math.max(winStart + windowMs, wm + 1))
+            }
+            Iterator.empty
+          }
+      }
+  }
+
   def gapSessions(events: Dataset[SessionEvent], gapMs: Long,
                   watermarkDelay: String): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._

@@ -332,4 +332,44 @@ class EventTimeSpec extends SparkSpecBase {
       .select("a", "b").as[(Long, Long)].collect().toSet
     assert(joined === Set((3L, 10L), (4L, 10L), (5L, 10L)))
   }
+
+  test("streaming heavy hitters: bounded MG state, event-time-final emission, late drop") {
+    import EventTimeStreams.{HHEvent, WindowHeavyHitter}
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[HHEvent]
+    val out = EventTimeStreams.tumblingHeavyHitters(
+      in.toDS(), windowMs = 10 * 60 * 1000, k = 3,
+      watermarkDelay = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("shh")
+      .outputMode(OutputMode.Append()).start()
+    def rows() = spark.table("shh")
+      .as[WindowHeavyHitter].collect().toSeq
+    try {
+      // window [10:00, 10:10): hot item h (5 of 9 events) + 4 cold
+      // singletons, split across two batches — MG state must merge
+      in.addData(HHEvent(ts("10:00"), "h"), HHEvent(ts("10:01"), "h"),
+        HHEvent(ts("10:02"), "c1"), HHEvent(ts("10:03"), "h"),
+        HHEvent(ts("10:04"), "c2"))
+      q.processAllAvailable()
+      in.addData(HHEvent(ts("10:05"), "h"), HHEvent(ts("10:06"), "c3"),
+        HHEvent(ts("10:07"), "h"), HHEvent(ts("10:08"), "c4"))
+      q.processAllAvailable()
+      assert(rows().isEmpty, "no emission before the watermark closes the window")
+      // advance the watermark past 10:10 + 5min -> window finalizes once
+      in.addData(HHEvent(ts("10:30"), "z"))
+      q.processAllAvailable()
+      val closed = rows()
+      assert(closed.nonEmpty && closed.forall(_.windowStart === ts("10:00")))
+      assert(closed.map(_.item).size <= 3, "at most k counters survive")
+      val h = closed.find(_.item === "h")
+      // freq(h) = 5/9 > N/(k+1) = 2.25 -> the MG recall guarantee
+      assert(h.isDefined, s"hot item must survive, got $closed")
+      assert(h.get.mgCount >= 5 - 9 / 4 && h.get.mgCount <= 5)
+      assert(h.get.processed === 9)
+      // a late event for the closed window drops; no re-emission
+      in.addData(HHEvent(ts("10:05"), "h"))
+      q.processAllAvailable()
+      assert(rows().count(_.windowStart === ts("10:00")) === closed.size)
+    } finally q.stop()
+  }
 }
