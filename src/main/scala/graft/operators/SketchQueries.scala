@@ -46,7 +46,7 @@ object SketchQueries {
     events(s, d).groupBy(col("event_type"))
       .agg(approx_percentile(col("value"), lit(0.5), lit(Accuracy)).as("approx_median"))
 
-  val queries: Map[String, Q] = baseQueries ++ heavyHitters
+  val queries: Map[String, Q] = baseQueries ++ heavyHitters ++ cmsQueries
 
   private lazy val baseQueries: Map[String, Q] = Map(
     "x17_approx_distinct" -> ((s, d) =>
@@ -134,6 +134,49 @@ object SketchQueries {
     }
   }
 
+  /** Count-min cell coordinate for row r: a 2-hex-char md5 prefix —
+    * 256 columns whose derivation both engines compute identically
+    * (the x33 md5-bucketing convention), so the SKETCH ITSELF carries a
+    * full SQL oracle, not just its estimates.
+    */
+  private def cmsCell(r: Int, key: org.apache.spark.sql.Column) =
+    substring(md5(concat(lit(s"$r:"), key.cast("string"))), 1, 2)
+
+  private val CmsDepth = 4
+
+  /** Count-min sketch point estimates vs exact counts for a bounded
+    * probe set. The sketch is a (row, cell) -> count relation: one
+    * explode of depth rows per event, then a map-side-combinable
+    * aggregate — 4×256 cells total, mergeable across partitions,
+    * batches, or days by addition (the reason a platform stores CMS
+    * rather than exact per-key counts at 10^9-key cardinality). The
+    * estimate is the min over the key's depth cells; est >= exact
+    * ALWAYS (hash collisions only inflate), visible in the emitted
+    * (est, exact) pairs and enforced by the shared oracle.
+    */
+  private lazy val cmsQueries: Map[String, Q] = Map(
+    "x88_cms_point_estimates" -> ((s, d) => {
+      val ev = events(s, d)
+      def cellsOf(key: org.apache.spark.sql.Column) =
+        explode(array((0 until CmsDepth).map(r =>
+          struct(lit(r).as("r"), cmsCell(r, key).as("c"))): _*)).as("p")
+      val cells = ev.select(cellsOf(col("user_id")))
+        .groupBy(col("p.r").as("r"), col("p.c").as("c"))
+        .agg(count(lit(1)).as("cnt"))
+      val probes = ev.select(col("user_id"))
+        .filter(col("user_id") % 7 === 0).distinct()
+      val probeCells = probes.select(col("user_id"), cellsOf(col("user_id")))
+        .select(col("user_id"), col("p.r").as("r"), col("p.c").as("c"))
+      val est = probeCells.join(broadcast(cells), Seq("r", "c"), "left")
+        .groupBy(col("user_id"))
+        .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+      val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact"))
+      est.join(exact, Seq("user_id"))
+        .select(col("user_id"), col("est"), col("exact"))
+        .orderBy(col("user_id"))
+    })
+  )
+
   private lazy val heavyHitters: Map[String, Q] = Map(
     // approximate output -> rows-only; the gate below is the oracle
     "x26_heavy_hitters" -> ((s, d) =>
@@ -172,6 +215,30 @@ object SketchQueries {
 
     "x19_exact_median" ->
       """SELECT event_type, round(quantile_cont(value, 0.5), 6) AS median_value
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "x88_cms_point_estimates" ->
+      """WITH rows AS (
+        |  SELECT unnest([0, 1, 2, 3]) AS r
+        |), cells AS (
+        |  SELECT r, substr(md5(r || ':' || CAST(user_id AS VARCHAR)), 1, 2) AS c,
+        |    count(*) AS cnt
+        |  FROM events, rows GROUP BY 1, 2
+        |), probes AS (
+        |  SELECT DISTINCT user_id FROM events WHERE user_id % 7 = 0
+        |), pc AS (
+        |  SELECT p.user_id, rows.r,
+        |    substr(md5(rows.r || ':' || CAST(p.user_id AS VARCHAR)), 1, 2) AS c
+        |  FROM probes p, rows
+        |), est AS (
+        |  SELECT pc.user_id, min(coalesce(cells.cnt, 0)) AS est
+        |  FROM pc LEFT JOIN cells ON cells.r = pc.r AND cells.c = pc.c
+        |  GROUP BY 1
+        |), exact AS (
+        |  SELECT user_id, count(*) AS exact FROM events GROUP BY 1
+        |)
+        |SELECT user_id, CAST(est AS BIGINT) AS est, CAST(exact AS BIGINT) AS exact
+        |FROM est JOIN exact USING (user_id)
+        |ORDER BY user_id""".stripMargin
   )
 }
