@@ -91,6 +91,15 @@ object ExtensionQueries {
     * shared by the pair query and its recall gate. The bounded-probe
     * convention (x13): the corpus slice is fixed-size at any sf.
     */
+  /** One ImageIO pass over the fixture blobs serving BOTH x83 queries
+    * (channel stats + grid embeddings) — decoded once per (session,
+    * dir), checkpointed.
+    */
+  private def pixelProfile(s: SparkSession, d: String): DataFrame =
+    once(s, d, "pixel_profile") {
+      Multimodal.pixelProfile(s, mediaBlobs(s, d), grid = 2)
+    }
+
   private def imageDhashSigs(s: SparkSession, d: String): DataFrame =
     once(s, d, "dhash_sigs") {
       val docs = rebalanced(
@@ -564,8 +573,8 @@ object ExtensionQueries {
     // ImageIO → per-pixel accumulation). JPEG (lossy) and GIF
     // (palette-mapped) pixels are covered by MultimodalSpec and x83e.
     "x83_multimodal_pixel_stats" -> ((s, d) =>
-      Multimodal.pixelChannelStats(s, mediaBlobs(s, d))
-        .filter(col("doc_id") % 3 === 0)
+      pixelProfile(s, d)
+        .filter(col("is_pixels") && col("doc_id") % 3 === 0)
         .select(col("doc_id"),
           round(col("mean_r"), 6).as("mean_r"),
           round(col("mean_g"), 6).as("mean_g"),
@@ -577,8 +586,8 @@ object ExtensionQueries {
     // for 10 image queries. Rows-only (ImageIO decode in the loop); the
     // descriptor algebra and the fallback flag are pinned by spec.
     "x83e_pixel_embed_topk" -> ((s, d) => {
-      val feats = Multimodal.pixelFeatures(s, mediaBlobs(s, d), grid = 2)
-        .filter(col("is_pixels"))
+      val feats = pixelProfile(s, d).filter(col("is_pixels"))
+        .select(col("doc_id"), col("embedding"))
       Similarity.bruteForceTopK(feats.filter(col("doc_id") < 10), feats,
         "doc_id", "embedding", k = 5)
         .orderBy(col("qid"), col("rank"))

@@ -273,6 +273,59 @@ object Multimodal {
       .toDF("doc_id", "embedding", "is_pixels")
   }
 
+  /** One-decode pixel profile: grid-pooled embedding AND whole-image
+    * channel means/pixel count from a SINGLE ImageIO pass — the x83
+    * pair consumed two decodes of the same corpus before this. Whole-
+    * image sums regroup the per-cell sums (double addition error
+    * ~1e-13, far inside the 6 dp oracle surface). Non-decodable blobs
+    * keep the hash embedding, is_pixels=false, null stats.
+    */
+  def pixelProfile(spark: SparkSession, blobs: DataFrame,
+                   grid: Int = 2): DataFrame = {
+    require(grid >= 1, s"grid must be >= 1, got $grid")
+    import spark.implicits._
+    val dims = 3 * grid * grid
+    blobs.select(col("doc_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        MediaCodec.imageIoDecode(bytes) match {
+          case Some(img) =>
+            val w = img.getWidth; val h = img.getHeight
+            val sums = new Array[Double](dims)
+            val cnt = new Array[Long](grid * grid)
+            var y = 0
+            while (y < h) {
+              val gy = y * grid / h
+              var x = 0
+              while (x < w) {
+                val cell = gy * grid + x * grid / w
+                val rgb = img.getRGB(x, y)
+                sums(cell * 3) += ((rgb >> 16) & 0xff) / 255.0
+                sums(cell * 3 + 1) += ((rgb >> 8) & 0xff) / 255.0
+                sums(cell * 3 + 2) += (rgb & 0xff) / 255.0
+                cnt(cell) += 1
+                x += 1
+              }
+              y += 1
+            }
+            val raw = Array.tabulate(dims)(i =>
+              if (cnt(i / 3) == 0) 0.0 else sums(i) / cnt(i / 3))
+            val n = math.sqrt(raw.map(v => v * v).sum)
+            val nPx = w.toLong * h
+            def chan(o: Int) =
+              (0 until grid * grid).map(c => sums(c * 3 + o)).sum / nPx
+            (id, raw.map(v => (if (n == 0) 0.0 else v / n).toFloat).toSeq,
+              true, Some(chan(0)), Some(chan(1)), Some(chan(2)), Some(nPx))
+          case None =>
+            (id, hashEmbedding(bytes, dims), false,
+              None: Option[Double], None: Option[Double],
+              None: Option[Double], None: Option[Long])
+        }
+      })
+      .toDF("doc_id", "embedding", "is_pixels",
+        "mean_r", "mean_g", "mean_b", "n_px")
+  }
+
   /** Deterministic gray-PATTERN PNG per document for the perceptual-
     * hash queries: brightness(x, y) = ((x·(1+id%29)) XOR (y·(1+id%31)))
     * % 200, 32×32. The XOR gives each (id%29, id%31) class — unique for

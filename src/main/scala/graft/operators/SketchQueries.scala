@@ -144,6 +144,29 @@ object SketchQueries {
 
   private val CmsDepth = 4
 
+  private def cmsCellsOf(key: org.apache.spark.sql.Column) =
+    explode(array((0 until CmsDepth).map(r =>
+      struct(lit(r).as("r"), cmsCell(r, key).as("c"))): _*)).as("p")
+
+  /** The CMS relation (r, c, cnt) of a key column: 4×256 cells. Merges
+    * with another sketch by unioning and re-summing per cell.
+    */
+  def cmsSketch(df: DataFrame, keyCol: String): DataFrame =
+    df.select(cmsCellsOf(col(keyCol)))
+      .groupBy(col("p.r").as("r"), col("p.c").as("c"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Point estimates for a probe relation against a sketch: min over
+    * the key's depth cells; >= the true count always.
+    */
+  def cmsEstimates(sketch: DataFrame, probes: DataFrame,
+                   keyCol: String): DataFrame =
+    probes.select(col(keyCol), cmsCellsOf(col(keyCol)))
+      .select(col(keyCol), col("p.r").as("r"), col("p.c").as("c"))
+      .join(broadcast(sketch), Seq("r", "c"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+
   /** Count-min sketch point estimates vs exact counts for a bounded
     * probe set. The sketch is a (row, cell) -> count relation: one
     * explode of depth rows per event, then a map-side-combinable
@@ -157,19 +180,9 @@ object SketchQueries {
   private lazy val cmsQueries: Map[String, Q] = Map(
     "x88_cms_point_estimates" -> ((s, d) => {
       val ev = events(s, d)
-      def cellsOf(key: org.apache.spark.sql.Column) =
-        explode(array((0 until CmsDepth).map(r =>
-          struct(lit(r).as("r"), cmsCell(r, key).as("c"))): _*)).as("p")
-      val cells = ev.select(cellsOf(col("user_id")))
-        .groupBy(col("p.r").as("r"), col("p.c").as("c"))
-        .agg(count(lit(1)).as("cnt"))
       val probes = ev.select(col("user_id"))
         .filter(col("user_id") % 7 === 0).distinct()
-      val probeCells = probes.select(col("user_id"), cellsOf(col("user_id")))
-        .select(col("user_id"), col("p.r").as("r"), col("p.c").as("c"))
-      val est = probeCells.join(broadcast(cells), Seq("r", "c"), "left")
-        .groupBy(col("user_id"))
-        .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+      val est = cmsEstimates(cmsSketch(ev, "user_id"), probes, "user_id")
       val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact"))
       est.join(exact, Seq("user_id"))
         .select(col("user_id"), col("est"), col("exact"))

@@ -55,4 +55,25 @@ class SketchSpec extends SparkSpecBase {
       assert(m >= r.getAs[Double]("lo") && m <= r.getAs[Double]("hi"))
     }
   }
+
+  test("CMS: estimates dominate exact counts and the sketch merges by addition") {
+    import spark.implicits._
+    val a = (Seq.fill(5)(1L) ++ Seq.fill(3)(2L) ++ Seq(3L)).toDF("user_id")
+    val b = (Seq.fill(4)(1L) ++ Seq(4L)).toDF("user_id")
+    val union = a.unionByName(b)
+    // mergeability: union-of-sketches re-summed per cell == sketch of union
+    val merged = SketchQueries.cmsSketch(a, "user_id")
+      .unionByName(SketchQueries.cmsSketch(b, "user_id"))
+      .groupBy("r", "c").agg(sum("cnt").as("cnt"))
+      .as[(Int, String, Long)].collect().toSet
+    val direct = SketchQueries.cmsSketch(union, "user_id")
+      .as[(Int, String, Long)].collect().toSet
+    assert(merged === direct)
+    // domination: est >= exact for every key (equality here — 4 keys
+    // cannot collide into 256 columns on all 4 rows)
+    val probes = Seq(1L, 2L, 3L, 4L).toDF("user_id")
+    val est = SketchQueries.cmsEstimates(direct.toSeq.toDF("r", "c", "cnt"),
+      probes, "user_id").as[(Long, Long)].collect().toMap
+    assert(est === Map(1L -> 9L, 2L -> 3L, 3L -> 1L, 4L -> 1L))
+  }
 }

@@ -244,6 +244,26 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(math.abs(f._2.map(x => x.toDouble * x).sum - 1.0) < 1e-5)
   }
 
+  test("pixelProfile agrees with the single-purpose decoders in one pass") {
+    import graft.sources.MediaCodec
+    val blobs = Seq(
+      (1L, MediaCodec.encodePng(10, 4, 0x336699)),
+      (2L, "not an image".getBytes("UTF-8"))).toDF("doc_id", "content")
+    val prof = Multimodal.pixelProfile(spark, blobs, grid = 2)
+      .as[(Long, Seq[Float], Boolean, Option[Double], Option[Double],
+        Option[Double], Option[Long])].collect().sortBy(_._1)
+    val feats = Multimodal.pixelFeatures(spark, blobs, grid = 2)
+      .as[(Long, Seq[Float], Boolean)].collect().sortBy(_._1)
+    assert(prof.map(p => (p._1, p._2, p._3)).toSeq === feats.toSeq)
+    val img = prof(0)
+    assert(img._7 === Some(40L))
+    assert(math.abs(img._4.get - 0x33 / 255.0) < 1e-9)
+    assert(math.abs(img._5.get - 0x66 / 255.0) < 1e-9)
+    assert(math.abs(img._6.get - 0x99 / 255.0) < 1e-9)
+    val bin = prof(1)
+    assert(!bin._3 && bin._4.isEmpty && bin._7.isEmpty)
+  }
+
   test("dHash is exactly invariant under a clip-free brightness shift") {
     // ids 1 and 2: coprime XOR params -> structurally unrelated images
     // (ids sharing a power-of-2 param ratio, e.g. 1 vs 3, produce
