@@ -158,6 +158,25 @@ object EventTimeQueries {
         .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
         .agg(count_distinct(col("user_id")).as("n_users"))
         .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+
+    // Daily active users with week-over-week growth: one distinct-user
+    // aggregate per day bucket (shuffle scales with the time span, not
+    // input size), then a lag-7 window over the DAY relation — bounded
+    // by the span, so the unpartitioned window is a dimension-sized
+    // frame, never the event log. Growth is null for the first week
+    // (null propagates identically through both engines' division).
+    "x89_dau_wow" -> ((s, d) => {
+      val e = Tables(s, d, "events")
+      val day = call_function("div", Tables.epochNs(e, "ts"), lit(DayNs))
+      val dau = e.groupBy(day.as("day_bucket"))
+        .agg(count_distinct(col("user_id")).as("dau"))
+      val w = Window.orderBy(col("day_bucket"))
+      dau.withColumn("dau_prev7", lag(col("dau"), 7).over(w))
+        .select(col("day_bucket"), col("dau"),
+          round(col("dau").cast("double") / col("dau_prev7") - 1.0, 6)
+            .as("wow_growth"))
+        .orderBy(col("day_bucket"))
     })
   )
 
@@ -245,6 +264,17 @@ object EventTimeQueries {
         |SELECT cohort.cohort_day, act.day - cohort.cohort_day AS day_offset,
         |  CAST(count(DISTINCT act.user_id) AS BIGINT) AS n_users
         |FROM act JOIN cohort USING (user_id)
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "x89_dau_wow" ->
+      """WITH dau AS (
+        |  SELECT epoch_ns(ts) // 86400000000000 AS day_bucket,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT day_bucket, dau,
+        |  round(CAST(dau AS DOUBLE) / lag(dau, 7) OVER (ORDER BY day_bucket)
+        |        - 1.0, 6) AS wow_growth
+        |FROM dau ORDER BY day_bucket""".stripMargin
   )
 }
