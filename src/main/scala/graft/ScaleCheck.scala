@@ -166,14 +166,17 @@ object ScaleCheck {
       val annQueries = embBase.orderBy("id").limit(10).localCheckpoint(true)
       // PQ search scaling: codebook trained ONCE on the base corpus
       // (the production shape — codebooks come from a sample), codes
-      // materialized as setup; the timed path is pure ADC — a broadcast
-      // distance table over the codes scan, linear in corpus size.
-      lazy val pqSetup = {
+      // materialized as setup BEFORE the timed region (an earlier cut
+      // forced this lazily inside the timer and measured train+encode
+      // instead); the timed path is pure ADC — a broadcast distance
+      // table over the codes scan, linear in corpus size.
+      val pqSetup = if (!keep("pq_adc")) None else Some {
         import graft.operators.Pq
         val dim = embBase.select(size(col("vec"))).head().getInt(0)
         val cb = Pq.train(embBase, "id", "vec", m = 8, ks = 16, iters = 1)
         val codes = Pq.encode(corpus, "id", "vec", cb, m = 8, ds = dim / 8)
           .localCheckpoint(true)
+        codes.count() // force the checkpoint before any timing
         (cb, codes, dim)
       }
       val anns: Seq[(String, () => Long)] = Seq(
@@ -183,7 +186,7 @@ object ScaleCheck {
           Similarity.lshTopK(annQueries, corpus, "id", "vec", k = 5,
             nbits = 8, tables = 4).count()),
         "pq_adc" -> (() => {
-          val (cb, codes, dim) = pqSetup
+          val (cb, codes, dim) = pqSetup.get
           graft.operators.Pq.adcTopK(annQueries, codes, cb,
             "id", "vec", m = 8, ds = dim / 8, k = 5).count()
         }))

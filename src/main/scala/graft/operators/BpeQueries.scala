@@ -181,12 +181,12 @@ object BpeQueries {
     * pass 2 still pays the learn in whichever query hits it first.
     */
   private val mergeMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Seq[Merge]]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), Seq[Merge]]()
 
   def clearMemo(): Unit = mergeMemo.clear()
 
   def learnedMerges(s: SparkSession, d: String, numMerges: Int = 10): Seq[Merge] = {
-    val k = (s, d)
+    val k = (s, d, numMerges)
     Option(mergeMemo.get(k)).getOrElse {
       MemoEviction.register(s, "bpe") { () =>
         mergeMemo.keySet.removeIf(_._1 eq s)

@@ -162,17 +162,20 @@ object EventTimeQueries {
 
     // Daily active users with week-over-week growth: one distinct-user
     // aggregate per day bucket (shuffle scales with the time span, not
-    // input size), then a lag-7 window over the DAY relation — bounded
-    // by the span, so the unpartitioned window is a dimension-sized
-    // frame, never the event log. Growth is null for the first week
-    // (null propagates identically through both engines' division).
+    // input size), then a CALENDAR self-join on day_bucket - 7 — a
+    // row-based lag(7) would silently compare against an older day
+    // whenever the log has an empty day. Both relations are
+    // dimension-sized (one row per day). Growth is null for the first
+    // week or after a gap (null propagates identically through both
+    // engines' division).
     "x89_dau_wow" -> ((s, d) => {
       val e = Tables(s, d, "events")
       val day = call_function("div", Tables.epochNs(e, "ts"), lit(DayNs))
       val dau = e.groupBy(day.as("day_bucket"))
         .agg(count_distinct(col("user_id")).as("dau"))
-      val w = Window.orderBy(col("day_bucket"))
-      dau.withColumn("dau_prev7", lag(col("dau"), 7).over(w))
+      val prev = dau.select((col("day_bucket") + 7).as("day_bucket"),
+        col("dau").as("dau_prev7"))
+      dau.join(prev, Seq("day_bucket"), "left")
         .select(col("day_bucket"), col("dau"),
           round(col("dau").cast("double") / col("dau_prev7") - 1.0, 6)
             .as("wow_growth"))
@@ -272,9 +275,9 @@ object EventTimeQueries {
         |    CAST(count(DISTINCT user_id) AS BIGINT) AS dau
         |  FROM events GROUP BY 1
         |)
-        |SELECT day_bucket, dau,
-        |  round(CAST(dau AS DOUBLE) / lag(dau, 7) OVER (ORDER BY day_bucket)
-        |        - 1.0, 6) AS wow_growth
-        |FROM dau ORDER BY day_bucket""".stripMargin
+        |SELECT d.day_bucket, d.dau,
+        |  round(CAST(d.dau AS DOUBLE) / p.dau - 1.0, 6) AS wow_growth
+        |FROM dau d LEFT JOIN dau p ON p.day_bucket = d.day_bucket - 7
+        |ORDER BY d.day_bucket""".stripMargin
   )
 }

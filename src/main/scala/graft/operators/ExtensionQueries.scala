@@ -279,11 +279,12 @@ object ExtensionQueries {
       |)""".stripMargin
 
   /** embeddings ∪ exact copies (id+10000 for id<20). */
-  private def vecsWithDups(s: SparkSession, d: String): DataFrame = {
-    val v = Tables(s, d, "embeddings").select(col("vec_id").as("id"), col("embedding"))
-    rebalanced(v.unionByName(v.filter(col("id") < 20)
-      .select((col("id") + 10000).as("id"), col("embedding"))))
-  }
+  // ONE definition of the x05 dup-synthesized corpus (id<20 copied to
+  // id+10000), shared with the PQ/IVF-PQ and SemDeDup consumers —
+  // memoized + checkpointed in Pq so the fixture contract lives in one
+  // place and every consumer reads the same materialization
+  private def vecsWithDups(s: SparkSession, d: String): DataFrame =
+    Pq.corpusWithDups(s, d)
 
   // sqrt(aa)*sqrt(bb), NOT sqrt(aa*bb): must match the engine's norm
   // precomputation bit-for-bit or round(...,6) can split at a boundary.

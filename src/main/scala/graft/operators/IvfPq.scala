@@ -65,11 +65,16 @@ object IvfPq {
       .localCheckpoint(true)
     val fine = Pq.train(resid, "id", "rvec", m, ks, iters)
     val codes = Pq.encode(resid, "id", "rvec", fine, m, dim / m)
-    Index(coarse,
+    val idx = Index(coarse,
       fine,
       resid.select(col("id"), col("cell")).localCheckpoint(true),
       codes.localCheckpoint(true),
       fine.errors)
+    // the corpus-sized residual checkpoint has served its consumers
+    // (train, encode, the cells/codes projections) — release it rather
+    // than pinning ~2x the vector data for the session lifetime
+    resid.unpersist(blocking = false)
+    idx
   }
 
   /** ADC search over the composed index: per query, rank the nprobe

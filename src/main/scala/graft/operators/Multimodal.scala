@@ -228,50 +228,15 @@ object Multimodal {
 
   /** REAL pixel feature extraction: full ImageIO decode, average-pool
     * the RGB plane onto a grid×grid patch map (3·grid² dims — the
-    * classic color-layout descriptor), unit-normalize. Cell boundaries
-    * partition pixels by integer scaling (y·grid/h, x·grid/w), so every
-    * pixel lands in exactly one cell at any image size. Non-decodable
-    * blobs keep the byte-hash fallback, flagged is_pixels=false.
-    * Executors stream batches through the decoder; nothing collects to
-    * the driver.
+    * classic color-layout descriptor), unit-normalize. Non-decodable
+    * blobs keep the byte-hash fallback, flagged is_pixels=false. A
+    * projection of [[pixelProfile]] — ONE decode loop serves the
+    * embedding, stats, and combined consumers.
     */
   def pixelFeatures(spark: SparkSession, blobs: DataFrame,
-                    grid: Int = 2): DataFrame = {
-    require(grid >= 1, s"grid must be >= 1, got $grid")
-    import spark.implicits._
-    val dims = 3 * grid * grid
-    blobs.select(col("doc_id"), col("content"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) =>
-        MediaCodec.imageIoDecode(bytes) match {
-          case Some(img) =>
-            val w = img.getWidth; val h = img.getHeight
-            val sums = new Array[Double](dims)
-            val cnt = new Array[Long](grid * grid)
-            var y = 0
-            while (y < h) {
-              val gy = y * grid / h
-              var x = 0
-              while (x < w) {
-                val cell = gy * grid + x * grid / w
-                val rgb = img.getRGB(x, y)
-                sums(cell * 3) += ((rgb >> 16) & 0xff) / 255.0
-                sums(cell * 3 + 1) += ((rgb >> 8) & 0xff) / 255.0
-                sums(cell * 3 + 2) += (rgb & 0xff) / 255.0
-                cnt(cell) += 1
-                x += 1
-              }
-              y += 1
-            }
-            val raw = Array.tabulate(dims)(i =>
-              if (cnt(i / 3) == 0) 0.0 else sums(i) / cnt(i / 3))
-            val n = math.sqrt(raw.map(v => v * v).sum)
-            (id, raw.map(v => (if (n == 0) 0.0 else v / n).toFloat).toSeq, true)
-          case None => (id, hashEmbedding(bytes, dims), false)
-        }
-      })
-      .toDF("doc_id", "embedding", "is_pixels")
-  }
+                    grid: Int = 2): DataFrame =
+    pixelProfile(spark, blobs, grid)
+      .select(col("doc_id"), col("embedding"), col("is_pixels"))
 
   /** One-decode pixel profile: grid-pooled embedding AND whole-image
     * channel means/pixel count from a SINGLE ImageIO pass — the x83
@@ -440,32 +405,11 @@ object Multimodal {
     * (solid-color encodes), giving the pixel decode a FULL SQL oracle.
     * Non-decodable blobs are omitted (they have no pixel plane).
     */
-  def pixelChannelStats(spark: SparkSession, blobs: DataFrame): DataFrame = {
-    import spark.implicits._
-    blobs.select(col("doc_id"), col("content"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions(_.flatMap { case (id, bytes) =>
-        MediaCodec.imageIoDecode(bytes).map { img =>
-          val w = img.getWidth; val h = img.getHeight
-          var r = 0.0; var g = 0.0; var b = 0.0
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y)
-              r += ((rgb >> 16) & 0xff) / 255.0
-              g += ((rgb >> 8) & 0xff) / 255.0
-              b += (rgb & 0xff) / 255.0
-              x += 1
-            }
-            y += 1
-          }
-          val n = w.toLong * h
-          (id, r / n, g / n, b / n, n)
-        }
-      })
-      .toDF("doc_id", "mean_r", "mean_g", "mean_b", "n_px")
-  }
+  def pixelChannelStats(spark: SparkSession, blobs: DataFrame): DataFrame =
+    pixelProfile(spark, blobs)
+      .filter(col("is_pixels"))
+      .select(col("doc_id"), col("mean_r"), col("mean_g"), col("mean_b"),
+        col("n_px"))
 
   /** Frame sampling over a video-like blob: emit every `stride`-th
     * frame index with a per-frame byte slice. The frame count is the

@@ -63,12 +63,10 @@ object Pq {
   final case class PqCodebook(centroids: DataFrame, errors: Seq[Double])
 
   /** Train M codebooks of Ks centroids each: hash-seeded picks, then
-    * `iters` Lloyd rounds (assign to nearest centroid on L2, recompute
-    * as the member mean; cells that lose every member keep their
-    * centroid so Ks never shrinks). Deterministic: seeding orders on
-    * xxhash64(id), assignment ties break on code.
-    */
-  /** Train M codebooks with the codebook as DRIVER state (M·Ks·ds
+    * `iters` Lloyd rounds on L2 (cells that lose every member keep
+    * their centroid so Ks never shrinks; seeding orders on
+    * xxhash64(id), assignment ties break on code — deterministic up to
+    * float mean jitter). The codebook lives as DRIVER state (M·Ks·ds
     * doubles — parameter-server sized at any corpus scale): each Lloyd
     * round is exactly ONE distributed pass — broadcast-join assign,
     * then a single (m, code, pos) aggregation that yields the member
@@ -189,12 +187,12 @@ object Pq {
     * declared queries within a (session, dir) via the extension memo.
     */
   private val shared =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (PqCodebook, DataFrame)]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (PqCodebook, DataFrame, Int)]()
 
   def clearMemo(): Unit = { shared.clear(); corpusMemo.clear() }
 
   private def index(s: SparkSession, d: String,
-                    corpus: DataFrame): (PqCodebook, DataFrame) = {
+                    corpus: DataFrame): (PqCodebook, DataFrame, Int) = {
     val key = (s, d)
     Option(shared.get(key)).getOrElse {
       MemoEviction.register(s, "pq") { () =>
@@ -204,7 +202,7 @@ object Pq {
       val cb = train(corpus, "id", "embedding", M, Ks, Iters)
       val codes = encode(corpus, "id", "embedding", cb, M, dim / M)
         .localCheckpoint(true)
-      val v = (cb, codes)
+      val v = (cb, codes, dim)
       Option(shared.putIfAbsent(key, v)).getOrElse(v)
     }
   }
@@ -240,8 +238,7 @@ object Pq {
     // verified by the x80g/x80r gates below.
     "x80_ann_pq_topk" -> ((s, d) => {
       val corpus = corpusWithDups(s, d)
-      val (cb, codes) = index(s, d, corpus)
-      val dim = corpus.select(size(col("embedding"))).head().getInt(0)
+      val (cb, codes, dim) = index(s, d, corpus)
       adcTopK(corpus.filter(col("id") < 10), codes, cb,
         "id", "embedding", M, dim / M, K)
         .orderBy(col("qid"), col("rank"))
@@ -253,7 +250,7 @@ object Pq {
     // Relative tolerance — float sums jitter with partition order.
     "x80g_pq_train_gate" -> ((s, d) => {
       import s.implicits._
-      val (cb, _) = index(s, d, corpusWithDups(s, d))
+      val (cb, _, _) = index(s, d, corpusWithDups(s, d))
       cb.errors.sliding(2).zipWithIndex.collect {
         case (Seq(a, b), i) if b > a + 1e-9 * math.max(1.0, a.abs) =>
           (i + 1, s"error rose $a -> $b")
@@ -266,8 +263,7 @@ object Pq {
     // (qid, qid + 10000) pairs against the emitted top-k.
     "x80r_pq_dup_recall" -> ((s, d) => {
       val corpus = corpusWithDups(s, d)
-      val (cb, codes) = index(s, d, corpus)
-      val dim = corpus.select(size(col("embedding"))).head().getInt(0)
+      val (cb, codes, dim) = index(s, d, corpus)
       val top = adcTopK(corpus.filter(col("id") < 10), codes, cb,
         "id", "embedding", M, dim / M, K)
       corpus.filter(col("id") < 10)

@@ -106,16 +106,12 @@ object RetrievalQueries {
   }
 
   /** The x05 dup-synthesized embedding corpus (exact copies of the
-    * first 20 vectors under offset ids) — same augmentation as
-    * ExtensionQueries.vecsWithDups so the oracle mirrors x05's CTE.
+    * first 20 vectors under offset ids) — the ONE shared definition,
+    * memoized in [[Pq]], so the fixture constants cannot drift from
+    * x05's oracle CTE.
     */
-  private def vecsWithDups(s: SparkSession, d: String): DataFrame = {
-    val v = Tables(s, d, "embeddings")
-      .select(col("vec_id").as("id"), col("embedding"))
-    v.unionByName(v.filter(col("id") < 20)
-      .select((col("id") + 10000).as("id"), col("embedding")))
-      .repartition(s.sparkContext.defaultParallelism)
-  }
+  private def vecsWithDups(s: SparkSession, d: String): DataFrame =
+    Pq.corpusWithDups(s, d)
 
   val queries: Map[String, Q] = Map(
     "x62_bm25_topk" -> ((s, d) =>

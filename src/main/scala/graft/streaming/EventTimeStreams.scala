@@ -270,9 +270,13 @@ object EventTimeStreams {
     * per-window state is FIXED-SIZE no matter how many distinct items
     * the window saw. Results emit ONLY when the event-time watermark
     * closes the window (event-time-final, like [[funnelCompletions]]):
-    * arrival order can never change what a window reports. Late events
-    * behind the watermark drop explicitly; state removes on emission,
-    * so total state is k counters × open windows inside the horizon.
+    * arrival order never changes emission TIMING, and the Misra-Gries
+    * recall guarantee (any item above processed/(k+1) survives) holds
+    * under every fold order — but the exact surviving counter VALUES
+    * are fold-order dependent, as in any MG implementation; consumers
+    * read mgCount as a bound, not a count. Late events behind the
+    * watermark drop explicitly; state removes on emission, so total
+    * state is k counters × open windows inside the horizon.
     */
   def tumblingHeavyHitters(events: Dataset[HHEvent], windowMs: Long, k: Int,
                            watermarkDelay: String): Dataset[WindowHeavyHitter] = {
