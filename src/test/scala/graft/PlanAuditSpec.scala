@@ -107,4 +107,24 @@ class PlanAuditSpec extends SparkSpecBase {
     // the blocklist must ship to executors, not shuffle the corpus
     assert(anti.size === 1, s"expected one broadcast LeftAnti, got:\n$plan")
   }
+
+  test("x88's sketch lookup broadcasts the 4x256-cell relation onto the probes") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val plan = SparkEntry.queries("x88_cms_point_estimates")(spark, sfDir)
+      .queryExecution.sparkPlan
+    // the CMS relation is bounded by construction — it must ship as a
+    // broadcast, never shuffle the probe side against it
+    assert(plan.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      s"expected a broadcast sketch join, got:\n$plan")
+  }
+
+  test("x86's per-type stats broadcast onto the event scan") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val plan = SparkEntry.queries("x86_event_zscore")(spark, sfDir)
+      .queryExecution.sparkPlan
+    // stats are one row per event_type; the event log must not shuffle
+    // to meet them
+    assert(plan.collect { case j: BroadcastHashJoinExec => j }.size === 1,
+      s"expected one broadcast stats join, got:\n$plan")
+  }
 }
