@@ -173,6 +173,31 @@ object OlapQueries {
     // the scan-side z is a pure projection. The threshold tests the
     // ROUNDED z (round 4) so the float surface both engines compare is
     // identical; the underlying avg/stddev jitter is ~1e-12.
+    // TPC-H Q5's local-supplier-volume shape: the canonical 6-way
+    // multi-join benchmark — revenue per nation for one region where
+    // the customer and the supplier share a nation. Catalyst broadcasts
+    // every dimension (region/nation/customer/supplier); only the two
+    // fact tables shuffle on the order key. Revenue leaves the hashed
+    // surface as integer cents (per-row rounding — identical IEEE ops
+    // per row on both engines — then an exact integer sum).
+    "x91_local_supplier_volume" -> ((s, d) => {
+      val nation = Tables(s, d, "nation")
+        .join(Tables(s, d, "region").filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+      val cust = Tables(s, d, "customer")
+        .join(nation, col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+      Tables(s, d, "lineitem")
+        .join(Tables(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(Tables(s, d, "supplier"), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long")).as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("n_name"))
+    }),
+
     "x86_event_zscore" -> ((s, d) => {
       val ev = Tables(s, d, "events")
       val stats = ev.groupBy(col("event_type"))
@@ -281,6 +306,20 @@ object OlapQueries {
         |                       ORDER BY o_totalprice DESC, o_orderkey) AS rnk
         |  FROM orders
         |) WHERE rnk <= 2 ORDER BY o_custkey, rnk""".stripMargin,
+
+    "x91_local_supplier_volume" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY revenue_cents DESC, n_name""".stripMargin,
 
     "x86_event_zscore" ->
       """WITH st AS (

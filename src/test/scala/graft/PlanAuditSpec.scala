@@ -108,6 +108,21 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(anti.size === 1, s"expected one broadcast LeftAnti, got:\n$plan")
   }
 
+  test("x91's 6-way join broadcasts every dimension; only facts shuffle") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec, ShuffledHashJoinExec}
+    val plan = SparkEntry.queries("x91_local_supplier_volume")(spark, sfDir)
+      .queryExecution.sparkPlan
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    val shuffled = plan.collect {
+      case j: SortMergeJoinExec => j
+      case j: ShuffledHashJoinExec => j
+    }
+    // region/nation/customer/supplier are dimension-sized: all must come
+    // in as broadcasts; at most the lineitem-orders fact join may shuffle
+    assert(bhj.size >= 4, s"expected >=4 broadcast dim joins, got:\n$plan")
+    assert(shuffled.size <= 1, s"at most the fact join may shuffle:\n$plan")
+  }
+
   test("x88's sketch lookup broadcasts the 4x256-cell relation onto the probes") {
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     val plan = SparkEntry.queries("x88_cms_point_estimates")(spark, sfDir)
