@@ -173,6 +173,35 @@ object OlapQueries {
     // the scan-side z is a pure projection. The threshold tests the
     // ROUNDED z (round 4) so the float surface both engines compare is
     // identical; the underlying avg/stddev jitter is ~1e-12.
+    // TPC-H Q1's pricing summary: the canonical scan-side aggregate —
+    // eight aggregates per (returnflag, linestatus) over one lineitem
+    // pass, fully map-side-combinable; the shuffle moves at most a few
+    // dozen partial rows per task whatever the fact size. Money sums in
+    // integer cents (per-row rounding, then exact integer sums); the
+    // averages divide two EXACT integers so the float surface carries
+    // no partial-sum order seam.
+    "x92_pricing_summary" -> ((s, d) => {
+      val li = Tables(s, d, "lineitem")
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+      def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(cents(col("l_quantity"))).as("sum_qty_c"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_c"),
+          sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("sum_disc_c"),
+          sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+            (lit(1.0) + col("l_tax")))).as("sum_charge_c"),
+          count(lit(1)).as("n"),
+          round(sum(cents(col("l_quantity"))).cast("double") /
+            count(lit(1)), 6).as("avg_qty_c"),
+          round(sum(cents(col("l_extendedprice"))).cast("double") /
+            count(lit(1)), 6).as("avg_price_c"),
+          round(sum(cents(col("l_discount"))).cast("double") /
+            count(lit(1)), 6).as("avg_disc_c"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
     // TPC-H Q5's local-supplier-volume shape: the canonical 6-way
     // multi-join benchmark — revenue per nation for one region where
     // the customer and the supplier share a nation. Catalyst broadcasts
@@ -306,6 +335,20 @@ object OlapQueries {
         |                       ORDER BY o_totalprice DESC, o_orderkey) AS rnk
         |  FROM orders
         |) WHERE rnk <= 2 ORDER BY o_custkey, rnk""".stripMargin,
+
+    "x92_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_c,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS sum_charge_c,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / count(*), 6) AS avg_qty_c,
+        |  round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / count(*), 6) AS avg_price_c,
+        |  round(CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / count(*), 6) AS avg_disc_c
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "x91_local_supplier_volume" ->
       """SELECT n_name,
