@@ -113,34 +113,34 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // The driver retains only a ~2000-char stdout tail and json-parses
-    // what it finds there: with 135+ queries the full-name line is ~4 KB,
-    // so its head is truncated away and every round's artifact recorded
-    // "parsed": null. The stdout line therefore uses SHORT query keys —
-    // the id prefix before the first '_' ("x12g_multimodal_meta_gate" ->
-    // "x12g"), unique across the suite (colliding prefixes keep their
-    // full name) — and decimals shrink from 3 to 2 if the suite ever
-    // outgrows the window. Full names + raw passes stay in
-    // target/bench.json, which the builder commits as BENCH_LOCAL_r*.
-    val shortOf: Map[String, String] = {
+    // what it finds there. Short-keying the full per-query map (rounds
+    // 10-11) still overflowed at 172 queries (~2.4 KB) and only grows
+    // with the suite, so the stdout line is now COMPACT BY CONSTRUCTION:
+    // total + counts + the K slowest per-query medians (the ones a
+    // regression check actually looks at) + a bounded error sample.
+    // K=12 slowest entries is ~350 chars all-in — it fits any tail at
+    // any future suite size. The COMPLETE per-query medians + raw passes
+    // stay in target/bench.json, committed as BENCH_LOCAL_r*.
+    def compactLine: String = {
+      // short id prefix before the first '_' ("x12g_multimodal_meta_gate"
+      // -> "x12g"); colliding prefixes keep their full name
       val counts = results.groupBy(_._1.takeWhile(_ != '_')).map {
         case (p, rs) => p -> rs.size
       }
-      results.map { case (k, _, _, _) =>
+      def shortOf(k: String): String = {
         val p = k.takeWhile(_ != '_')
-        k -> (if (counts(p) == 1) p else k)
-      }.toMap
-    }
-    def shortLine(decimals: Int): String = {
-      def snum(v: Double): String = BigDecimal(v)
-        .setScale(decimals, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
-      val sq = results.map { case (k, v, _, _) => jstr(shortOf(k)) + ":" + snum(v) }
+        if (counts(p) == 1) p else k
+      }
+      val slowest = results.sortBy(-_._2).take(12)
+        .map { case (k, v, _, _) => jstr(shortOf(k)) + ":" + jnum(v) }
         .mkString("{", ",", "}")
-      // error text capped hard: one long stack message must not push the
-      // line back out of the tail window
-      val se = results.collect { case (k, _, Some(e), _) =>
+      val allErrs = results.collect { case (k, _, Some(e), _) => (k, e) }
+      // bounded error sample with capped messages: one long stack trace
+      // (or a cascade of failures) must not push the line out of the tail
+      val se = allErrs.take(8).map { case (k, e) =>
         jstr(shortOf(k)) + ":" + jstr(e.take(60))
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","passes":$repeat,"queries":$sq,"errors":$se,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","passes":$repeat,"n_queries":${results.size},"n_errors":${allErrs.size},"slowest":$slowest,"errors":$se,"sf":"$sfDir","per_query":"target/bench.json"}"""
     }
     // raw per-pass samples (sorted) — lets a reader judge the spread that
     // the median hides; only emitted when there IS a spread to judge
@@ -163,11 +163,10 @@ object Bench {
       case e: java.io.IOException =>
         System.err.println(s"[bench] WARNING: durable write failed: ${e.getMessage}")
     }
-    // the parseable artifact line goes LAST on stdout, short-keyed so
-    // the COMPLETE line sits inside the driver's tail window (~1900
-    // chars of budget after sbt's trailing [success] line)
-    val line3 = shortLine(3)
-    println(if (line3.length <= 1850) line3 else shortLine(2))
+    // the parseable artifact line goes LAST on stdout, compact by
+    // construction so the COMPLETE line sits inside the driver's tail
+    // window (~1900 chars of budget after sbt's trailing [success] line)
+    println(compactLine)
     spark.stop()
   }
 }

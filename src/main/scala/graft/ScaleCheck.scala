@@ -150,6 +150,42 @@ object ScaleCheck {
       Thread.sleep(500)
     }
 
+    // Incremental PASSAGE-dedup scaling (the CorpusStream passage-leg
+    // cost model): a FIXED 500-doc batch flagged against a stored
+    // window-hash index replicated 1x/4x/16x. Copy 0 is the real index;
+    // other copies remap every window hash (xxhash64(w, copy)) into
+    // disjoint hash-space regions, so the batch's true span matches stay
+    // CONSTANT across scales — growth in seconds can only come from the
+    // semi-join's scan of the larger stored side, never from
+    // re-aggregating or re-windowing corpus history.
+    import graft.operators.PassageDedup
+    if (keep("pass_incr")) for (k <- scales) {
+      val spark = freshSession()
+      def docBase: DataFrame = Tables(spark, sfDir, "documents")
+        .select(col("doc_id").as("id"), col("text"))
+      val baseIdx = PassageDedup.windowIndex(docBase, "id", "text", k = 5)
+      val index = (0 until k).map { i =>
+        if (i == 0) baseIdx
+        else baseIdx.select(xxhash64(col("w"), lit(i)).as("w"))
+      }.reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(true)
+      // fixed batch: 500 fresh ids over the base texts (their windows
+      // match only copy-0 index rows)
+      val batch = docBase.orderBy("id").limit(500)
+        .select((col("id") + 100000000L).as("id"), col("text"))
+        .localCheckpoint(true)
+      val (sec, rows) = time(
+        PassageDedup.incrementalPassageSpans(batch, index, "id", "text", 5)
+          .count())
+      println(f"""{"op":"pass_incr","scale":$k,"sec":$sec%.2f,"rows":$rows}""")
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      System.gc()
+      Thread.sleep(500)
+    }
+
     // ANN corpus scaling: FIXED 10 queries against a replicated corpus
     // (ids offset; vectors identical — the replicas are real neighbors,
     // which is fine for top-k, whose output stays k per query). Brute

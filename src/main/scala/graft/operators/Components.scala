@@ -138,4 +138,53 @@ object Components {
     }
     rank
   }
+
+  /** The billion-node variant of [[pageRank]] — IDENTICAL integer
+    * algebra (same micro-units, same floor divisions, hence
+    * bit-identical ranks; ComponentsSpec asserts equality), different
+    * data movement: nothing is broadcast. The static edges⋈outdeg join
+    * runs ONCE, pre-partitioned on src and checkpointed — the
+    * checkpoint preserves the hash partitioning, so each round's
+    * src-keyed rank join moves only the node-cardinality rank relation
+    * into the edges' existing layout, and the dst-keyed sum stays
+    * map-side-combinable. Per-round cost: shuffle(nodes) + the
+    * aggregation — the edge list never moves again after round 0.
+    * Use when the node relation outgrows the broadcast budget (the web
+    * graph case); [[pageRankAuto]] dispatches on node count.
+    */
+  def pageRankShuffle(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val e = edges.select(col("src"), col("dst"))
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val ed = e.join(outdeg, "src").repartition(col("src"))
+      .localCheckpoint(true)
+    var rank = ed.select(col("src").as("node")).distinct()
+      .withColumn("rank", lit(1000000000000L))
+      .localCheckpoint(true)
+    (1 to iters).foreach { i =>
+      rank = ed.join(rank, col("src") === col("node"))
+        .select(col("dst"),
+          call_function("div", col("rank"), col("outdeg")).as("contrib"))
+        .groupBy(col("dst"))
+        .agg((lit(150000000000L) +
+          call_function("div", lit(85L) * sum(col("contrib")), lit(100L))).as("rank"))
+        .select(col("dst").as("node"), col("rank"))
+      if (i % 3 == 0 && i < iters) rank = rank.localCheckpoint(true)
+    }
+    rank
+  }
+
+  /** Dispatch between the broadcast-dimension and shuffle-join PageRank
+    * on measured node count: below `broadcastNodeLimit` distinct source
+    * nodes the per-round broadcast of the rank relation is the cheaper
+    * plan (no rank shuffle at all); above it the rank relation no
+    * longer fits a sane broadcast and the pre-partitioned shuffle form
+    * takes over. Both paths produce bit-identical ranks.
+    */
+  def pageRankAuto(edges: DataFrame, iters: Int,
+                   broadcastNodeLimit: Long = 2000000L): DataFrame = {
+    val nodes = edges.select(col("src")).distinct().count()
+    if (nodes <= broadcastNodeLimit) pageRank(edges, iters)
+    else pageRankShuffle(edges, iters)
+  }
 }

@@ -53,17 +53,25 @@ object ExtensionQueries {
         shared.keySet.removeIf(_._1 eq s)
       }
       val v = f.localCheckpoint(true)
-      Option(shared.putIfAbsent(k, v)).getOrElse(v)
+      Option(shared.putIfAbsent(k, v)) match {
+        // lost the (theoretical) race: release this thread's blocks
+        case Some(w) => v.unpersist(false); w
+        case None => v
+      }
     }
   }
 
   /** Drop every memoized relation (Bench calls this between repeat
     * passes: a second pass reusing the first pass's checkpointed
     * shingle tables would measure near-zero and corrupt the median).
-    * The checkpoint blocks themselves are reclaimed by the
-    * ContextCleaner once the dropped frames are unreachable.
+    * Blocks are unpersisted eagerly rather than left to the
+    * ContextCleaner, so long-lived sessions don't carry dead
+    * checkpoint blocks until the next GC.
     */
-  def clearMemo(): Unit = shared.clear()
+  def clearMemo(): Unit = {
+    shared.values.forEach(_.unpersist(false))
+    shared.clear()
+  }
 
   /** Rebalance a small-scan input to the cluster's cores before a
     * row-expansion stage (shingle/token explode, per-vector LSH
@@ -77,20 +85,6 @@ object ExtensionQueries {
   private[operators] def rebalanced(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
-  /** The real-image blob fixtures, ImageIO-encoded ONCE per (session,
-    * dir) and checkpointed: x12 and its gate consume the relation four
-    * times between them (decode + the two second opinions + the plain
-    * query), and re-running the per-row encoder for each consumer made
-    * the gate 4x its honest cost. The rebalance matters as much as the
-    * memo — the documents parquet is one scan split, and 60k ImageIO
-    * encodes on one core was most of the wall time.
-    */
-  /** dHash signatures for the x87 family: 500 gradient fixtures (per-doc
-    * spatial structure — solid x12 fixtures all hash alike) plus their
-    * +20 brightness-shifted re-encodes under offset ids, hashed once and
-    * shared by the pair query and its recall gate. The bounded-probe
-    * convention (x13): the corpus slice is fixed-size at any sf.
-    */
   /** One ImageIO pass over the fixture blobs serving BOTH x83 queries
     * (channel stats + grid embeddings) — decoded once per (session,
     * dir), checkpointed.
@@ -100,6 +94,12 @@ object ExtensionQueries {
       Multimodal.pixelProfile(s, mediaBlobs(s, d), grid = 2)
     }
 
+  /** dHash signatures for the x87 family: 500 gradient fixtures (per-doc
+    * spatial structure — solid x12 fixtures all hash alike) plus their
+    * +20 brightness-shifted re-encodes under offset ids, hashed once and
+    * shared by the pair query and its recall gate. The bounded-probe
+    * convention (x13): the corpus slice is fixed-size at any sf.
+    */
   private def imageDhashSigs(s: SparkSession, d: String): DataFrame =
     once(s, d, "dhash_sigs") {
       val docs = rebalanced(
@@ -112,10 +112,37 @@ object ExtensionQueries {
         .select(col("doc_id").as("id"), col("dhash").as("sig"))
     }
 
+  /** The real-image blob fixtures, ImageIO-encoded ONCE per (session,
+    * dir) and checkpointed: x12 and its gate consume the relation four
+    * times between them (decode + the two second opinions + the plain
+    * query), and re-running the per-row encoder for each consumer made
+    * the gate 4x its honest cost. The rebalance matters as much as the
+    * memo — the documents parquet is one scan split, and 60k ImageIO
+    * encodes on one core was most of the wall time.
+    */
   private[operators] def mediaBlobs(s: SparkSession, d: String): DataFrame =
     once(s, d, "media_blobs") {
       Multimodal.syntheticMediaBlobs(s,
         rebalanced(Tables(s, d, "documents").select(col("doc_id"))))
+    }
+
+  /** Header-parse metadata of the fixture blobs, decoded ONCE per
+    * (session, dir) — x12 and both x12g gate legs consume it; before
+    * this memo each consumer re-ran the sniff pass over the corpus.
+    */
+  private def decodedMeta(s: SparkSession, d: String): DataFrame =
+    once(s, d, "decoded_meta") {
+      Multimodal.decodeMeta(s, mediaBlobs(s, d))
+    }
+
+  /** ImageIO decode metadata of the fixture blobs, decoded ONCE per
+    * (session, dir) — the x12g gate's independent second decoder. The
+    * full ImageIO pass is the family's dominant cost; memoizing it
+    * makes the gate a cheap three-way join of checkpointed relations.
+    */
+  private def imageIoMeta(s: SparkSession, d: String): DataFrame =
+    once(s, d, "imageio_meta") {
+      Multimodal.imageIoMetaTable(s, mediaBlobs(s, d))
     }
 
   /** The trigram shingle relation of the dup-synthesized corpus,
@@ -546,7 +573,7 @@ object ExtensionQueries {
     // from doc_id alone, and a hash match proves the byte-level header
     // parse recovered exactly what the encoders wrote.
     "x12_multimodal_meta" -> ((s, d) =>
-      Multimodal.decodeMeta(s, mediaBlobs(s, d))
+      decodedMeta(s, d)
         .select(col("doc_id"), col("format"), col("width"), col("height"),
           col("n_frames"))
         .orderBy(col("doc_id"))),
@@ -559,10 +586,11 @@ object ExtensionQueries {
     // TextAnalysisSpec proves the gate has teeth (a tampered field
     // fires it) and pins exact fixture dimensions.
     "x12g_multimodal_meta_gate" -> ((s, d) => {
-      val blobs = mediaBlobs(s, d)
-      Multimodal.metaMismatches(
-          Multimodal.decodeMeta(s, blobs), Multimodal.expectedMeta(blobs))
-        .unionByName(Multimodal.imageIoMismatches(s, blobs))
+      val decoded = decodedMeta(s, d)
+      Multimodal.metaMismatches(decoded,
+          Multimodal.expectedMeta(mediaBlobs(s, d)))
+        .unionByName(
+          Multimodal.imageIoMismatchesFrom(decoded, imageIoMeta(s, d)))
         .orderBy(col("doc_id"), col("chk"))
     }),
 

@@ -36,11 +36,13 @@ object IvfPq {
     * rows), fine residual codebook (m, code, cvec, cn2 — M·Ks rows),
     * cell assignment (id, cell) and residual codes (id, m, code) — one
     * + M small ints per vector. `fineErrors` is the residual-PQ Lloyd
-    * error trace (for the monotonicity gate).
+    * error trace and `coarseErrors` the coarse quantizer's — BOTH are
+    * gated for monotonicity (x82g), so a regression in either training
+    * loop is caught.
     */
   final case class Index(coarse: DataFrame, fine: Pq.PqCodebook,
                          cells: DataFrame, codes: DataFrame,
-                         fineErrors: Seq[Double])
+                         fineErrors: Seq[Double], coarseErrors: Seq[Double])
 
   def build(corpus: DataFrame, idCol: String, vecCol: String,
             nlist: Int, m: Int, ks: Int, iters: Int): Index = {
@@ -69,7 +71,7 @@ object IvfPq {
       fine,
       resid.select(col("id"), col("cell")).localCheckpoint(true),
       codes.localCheckpoint(true),
-      fine.errors)
+      fine.errors, coarseCb.errors)
     // the corpus-sized residual checkpoint has served its consumers
     // (train, encode, the cells/codes projections) — release it rather
     // than pinning ~2x the vector data for the session lifetime
@@ -142,7 +144,17 @@ object IvfPq {
   private val shared =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (Index, Int)]()
 
-  def clearMemo(): Unit = shared.clear()
+  private def unpersistIndex(idx: Index): Unit = {
+    idx.coarse.unpersist(false)
+    idx.cells.unpersist(false)
+    idx.codes.unpersist(false)
+  }
+
+  /** Unpersist before clearing — see [[Pq.clearMemo]]'s rationale. */
+  def clearMemo(): Unit = {
+    shared.values.forEach { case (idx, _) => unpersistIndex(idx) }
+    shared.clear()
+  }
 
   private def index(s: SparkSession, d: String,
                     corpus: DataFrame): (Index, Int) = {
@@ -153,7 +165,10 @@ object IvfPq {
       }
       val dim = corpus.select(size(col("embedding"))).head().getInt(0)
       val v = (build(corpus, "id", "embedding", NList, M, Ks, Iters), dim)
-      Option(shared.putIfAbsent(key, v)).getOrElse(v)
+      Option(shared.putIfAbsent(key, v)) match {
+        case Some(w) => unpersistIndex(v._1); w
+        case None => v
+      }
     }
   }
 
@@ -168,15 +183,22 @@ object IvfPq {
         .orderBy(col("qid"), col("rank"))
     }),
 
-    // Gate (empty-set oracle): the residual-PQ Lloyd error trace must be
-    // non-increasing (same contract as x80g, over residual space).
+    // Gate (empty-set oracle): BOTH Lloyd error traces — the coarse
+    // whole-vector quantizer's and the fine residual quantizer's — must
+    // be non-increasing (same contract as x80g; rows name the offending
+    // quantizer).
     "x82g_ivfpq_train_gate" -> ((s, d) => {
       import s.implicits._
       val (idx, _) = index(s, d, Pq.corpusWithDups(s, d))
-      idx.fineErrors.sliding(2).zipWithIndex.collect {
-        case (Seq(a, b), i) if b > a + 1e-9 * math.max(1.0, a.abs) =>
-          (i + 1, s"error rose $a -> $b")
-      }.toSeq.toDF("round", "violation").orderBy(col("round"))
+      def violations(tag: String, errs: Seq[Double]) =
+        errs.sliding(2).zipWithIndex.collect {
+          case (Seq(a, b), i) if b > a + 1e-9 * math.max(1.0, a.abs) =>
+            (tag, i + 1, s"error rose $a -> $b")
+        }.toSeq
+      (violations("coarse", idx.coarseErrors) ++
+          violations("fine", idx.fineErrors))
+        .toDF("quantizer", "round", "violation")
+        .orderBy(col("quantizer"), col("round"))
     }),
 
     // Gate (empty-set oracle): an exact duplicate lands in the same
@@ -193,13 +215,31 @@ object IvfPq {
         .select(col("id").as("qid"), (col("id") + 10000).as("nid"))
         .join(top.select(col("qid"), col("nid")), Seq("qid", "nid"), "left_anti")
         .orderBy(col("qid"))
+    }),
+
+    // Gate (empty-set oracle): near-duplicate recall under IVF routing —
+    // an ε-perturbed query (±1e-5/component) must route to the same
+    // coarse cell within its nprobe probes AND retrieve its source
+    // vector and the source's exact copy. Catches both cell-boundary
+    // drift and residual-codebook quality regressions (x82r only proves
+    // identity retrieval).
+    "x82r2_ivfpq_near_dup_recall" -> ((s, d) => {
+      val corpus = Pq.corpusWithDups(s, d)
+      val (idx, dim) = index(s, d, corpus)
+      val top = search(Pq.perturbedQueries(corpus), idx, "id", "embedding",
+        M, dim / M, K, NProbe)
+      Pq.nearDupExpected(corpus)
+        .join(top.select(col("qid"), col("nid")), Seq("qid", "nid"), "left_anti")
+        .orderBy(col("qid"), col("nid"))
     })
   )
 
   val oracleSql: Map[String, String] = Map(
     "x82g_ivfpq_train_gate" ->
-      "SELECT CAST(NULL AS INT) AS round, CAST(NULL AS VARCHAR) AS violation WHERE 1 = 0",
+      "SELECT CAST(NULL AS VARCHAR) AS quantizer, CAST(NULL AS INT) AS round, CAST(NULL AS VARCHAR) AS violation WHERE 1 = 0",
     "x82r_ivfpq_dup_recall" ->
+      "SELECT CAST(NULL AS BIGINT) AS qid, CAST(NULL AS BIGINT) AS nid WHERE 1 = 0",
+    "x82r2_ivfpq_near_dup_recall" ->
       "SELECT CAST(NULL AS BIGINT) AS qid, CAST(NULL AS BIGINT) AS nid WHERE 1 = 0"
   )
 }

@@ -135,33 +135,59 @@ object Multimodal {
         concat_ws("x", col("exp_format"), col("exp_width"), col("exp_height"),
           col("exp_byte_len")).as("exp"))
 
-  /** Rows where the JVM header parse diverges from a full JDK ImageIO
-    * decode (an independent production decoder) — second half of the
-    * x12g gate. Frame count is compared for GIF only (the JDK PNG
-    * reader is not APNG-aware; JPEG is single-frame by definition).
+  /** Full JDK ImageIO decode of every blob as a RELATION — (doc_id,
+    * iio_format, iio_width, iio_height, iio_frames), format null for
+    * bytes ImageIO cannot read. Materializing this once per corpus lets
+    * every ImageIO consumer (the x12g gate foremost) join it instead of
+    * paying its own decode pass.
     */
-  def imageIoMismatches(spark: SparkSession, blobs: DataFrame): DataFrame = {
+  def imageIoMetaTable(spark: SparkSession, blobs: DataFrame): DataFrame = {
     import spark.implicits._
     blobs.select(col("doc_id"), col("content"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.flatMap { case (id, bytes) =>
-        val got = MediaCodec.sniff(bytes)
+      .mapPartitions(_.map { case (id, bytes) =>
         MediaCodec.imageIoMeta(bytes) match {
-          case None if got.format == "bin" => None
+          case Some(m) =>
+            (id, Some(m.format), Some(m.width), Some(m.height), Some(m.nFrames))
           case None =>
-            Some((id, "imageio", s"${got.format} ${got.width}x${got.height}",
-              "unreadable by ImageIO"))
-          case Some(exp) =>
-            val framesOk = got.format != "gif" || got.nFrames == exp.nFrames
-            if (got.format == exp.format && got.width == exp.width &&
-                got.height == exp.height && framesOk) None
-            else Some((id, "imageio",
-              s"${got.format} ${got.width}x${got.height}@${got.nFrames}",
-              s"${exp.format} ${exp.width}x${exp.height}@${exp.nFrames}"))
+            (id, None: Option[String], None: Option[Int],
+              None: Option[Int], None: Option[Int])
         }
       })
-      .toDF("doc_id", "chk", "got", "exp")
+      .toDF("doc_id", "iio_format", "iio_width", "iio_height", "iio_frames")
   }
+
+  /** Rows where the header parse (a decoded-meta relation) diverges
+    * from the ImageIO decode (an [[imageIoMetaTable]] relation) —
+    * second half of the x12g gate, as a pure join so both decode passes
+    * can be computed once and reused. Frame count is compared for GIF
+    * only (the JDK PNG reader is not APNG-aware; JPEG is single-frame
+    * by definition).
+    */
+  def imageIoMismatchesFrom(decoded: DataFrame, iio: DataFrame): DataFrame =
+    decoded.join(iio, Seq("doc_id"))
+      .filter(
+        // unreadable by ImageIO is only acceptable for non-images
+        (col("iio_format").isNull && col("format") =!= "bin") ||
+        (col("iio_format").isNotNull &&
+          (col("format") =!= col("iio_format") ||
+            col("width") =!= col("iio_width") ||
+            col("height") =!= col("iio_height") ||
+            (col("format") === "gif" && col("n_frames") =!= col("iio_frames")))))
+      .select(col("doc_id"), lit("imageio").as("chk"),
+        format_string("%s %dx%d@%d", col("format"), col("width"),
+          col("height"), col("n_frames")).as("got"),
+        when(col("iio_format").isNull, "unreadable by ImageIO")
+          .otherwise(format_string("%s %dx%d@%d", col("iio_format"),
+            col("iio_width"), col("iio_height"), col("iio_frames")))
+          .as("exp"))
+
+  /** One-pass form of the ImageIO gate leg (spec entry point): decode
+    * both ways here, then compare via [[imageIoMismatchesFrom]].
+    */
+  def imageIoMismatches(spark: SparkSession, blobs: DataFrame): DataFrame =
+    imageIoMismatchesFrom(decodeMeta(spark, blobs),
+      imageIoMetaTable(spark, blobs))
 
   /** Resize: a REAL pixel resample for decodable stills — JDK ImageIO
     * decode, bilinear scale, re-encode in the sniffed container
@@ -213,18 +239,15 @@ object Multimodal {
   /** Feature extraction: blob -> dense embedding (array<float>), the
     * step that bridges multimodal data into the similarity operators
     * (Similarity.bruteForceTopK / lshTopK / ivfTopK run on this output
-    * unchanged). Byte-hash features — see [[pixelFeatures]] for the
-    * real pixel path; this remains the modality-agnostic fallback.
+    * unchanged). Decodable images take the REAL pixel path — the
+    * grid-pooled color-layout descriptor of [[pixelFeatures]]; only
+    * non-image bytes (no pixel plane to describe) fall back to the
+    * deterministic byte-hash vector of the same dimension, which a
+    * production pipeline would replace with that modality's encoder.
     */
-  def featureExtract(spark: SparkSession, blobs: DataFrame, dim: Int = 16): DataFrame = {
-    import spark.implicits._
-    blobs.select(col("doc_id"), col("content"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) =>
-        (id, hashEmbedding(bytes, dim))
-      })
-      .toDF("doc_id", "embedding")
-  }
+  def featureExtract(spark: SparkSession, blobs: DataFrame, grid: Int = 2): DataFrame =
+    pixelFeatures(spark, blobs, grid)
+      .select(col("doc_id"), col("embedding"))
 
   /** REAL pixel feature extraction: full ImageIO decode, average-pool
     * the RGB plane onto a grid×grid patch map (3·grid² dims — the

@@ -167,12 +167,6 @@ object OlapQueries {
         .orderBy(col("o_custkey"), col("rnk"))
     }),
 
-    // z-score anomaly detection: events whose value sits > 3 sample
-    // standard deviations from their event_type's mean — the telemetry
-    // outlier sweep. Per-type stats are a bounded broadcast relation;
-    // the scan-side z is a pure projection. The threshold tests the
-    // ROUNDED z (round 4) so the float surface both engines compare is
-    // identical; the underlying avg/stddev jitter is ~1e-12.
     // TPC-H Q1's pricing summary: the canonical scan-side aggregate —
     // eight aggregates per (returnflag, linestatus) over one lineitem
     // pass, fully map-side-combinable; the shuffle moves at most a few
@@ -227,6 +221,12 @@ object OlapQueries {
         .orderBy(col("revenue_cents").desc, col("n_name"))
     }),
 
+    // z-score anomaly detection: events whose value sits > 3 sample
+    // standard deviations from their event_type's mean — the telemetry
+    // outlier sweep. Per-type stats are a bounded broadcast relation;
+    // the scan-side z is a pure projection. The threshold tests the
+    // ROUNDED z (round 4) so the float surface both engines compare is
+    // identical; the underlying avg/stddev jitter is ~1e-12.
     "x86_event_zscore" -> ((s, d) => {
       val ev = Tables(s, d, "events")
       val stats = ev.groupBy(col("event_type"))

@@ -158,7 +158,11 @@ object PassageDedup {
     val occ = windowOccurrences(batch, idCol, textCol, k)
     val inBatch = occ.groupBy(col("w")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2).select(col("w"))
-    val dupW = inBatch.unionByName(storedWindows.select(col("w"))).distinct()
+    // no distinct over the union: LEFT SEMI ignores right-side
+    // duplicates, and a distinct here would re-aggregate the ENTIRE
+    // stored index every batch — the per-batch cost must stay flat as
+    // the index grows (the pass_incr ScaleCheck probe pins this)
+    val dupW = inBatch.unionByName(storedWindows.select(col("w")))
     val dup = occ.join(dupW, Seq("w"), "left_semi")
     val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
     dup

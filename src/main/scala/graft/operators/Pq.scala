@@ -189,7 +189,18 @@ object Pq {
   private val shared =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (PqCodebook, DataFrame, Int)]()
 
-  def clearMemo(): Unit = { shared.clear(); corpusMemo.clear() }
+  /** Unpersist the memo's checkpointed frames BEFORE dropping the
+    * references: clear()-without-unpersist leaves the blocks pinned in
+    * the block manager until GC + ContextCleaner get around to them —
+    * Bench compensated with a getPersistentRDDs sweep, but long-lived
+    * callers (a notebook session) would leak storage memory.
+    */
+  def clearMemo(): Unit = {
+    shared.values.forEach { case (_, codes, _) => codes.unpersist(false) }
+    shared.clear()
+    corpusMemo.values.forEach(_.unpersist(false))
+    corpusMemo.clear()
+  }
 
   private def index(s: SparkSession, d: String,
                     corpus: DataFrame): (PqCodebook, DataFrame, Int) = {
@@ -203,7 +214,12 @@ object Pq {
       val codes = encode(corpus, "id", "embedding", cb, M, dim / M)
         .localCheckpoint(true)
       val v = (cb, codes, dim)
-      Option(shared.putIfAbsent(key, v)).getOrElse(v)
+      Option(shared.putIfAbsent(key, v)) match {
+        // lost the (theoretical) race: the winner's frames are the
+        // shared ones — release this thread's just-built checkpoint
+        case Some(w) => codes.unpersist(false); w
+        case None => v
+      }
     }
   }
 
@@ -229,8 +245,30 @@ object Pq {
           .select((col("id") + 10000).as("id"), col("embedding")))
         .repartition(s.sparkContext.defaultParallelism)
         .localCheckpoint(true)
-      Option(corpusMemo.putIfAbsent(key, built)).getOrElse(built)
+      Option(corpusMemo.putIfAbsent(key, built)) match {
+        case Some(w) => built.unpersist(false); w
+        case None => built
+      }
     }
+  }
+
+  /** The queries perturbed by a tiny deterministic per-component delta
+    * (±1e-5, cycling by position) — a NEAR-duplicate of each query at a
+    * known distance far inside any quantization cell. Shared by the
+    * x80r2/x82r2 gates.
+    */
+  private[operators] def perturbedQueries(corpus: DataFrame): DataFrame =
+    corpus.filter(col("id") < 10)
+      .select(col("id"), transform(col("embedding").cast("array<double>"),
+        (x, i) => x + lit(1e-5) * ((i % lit(3)) - lit(1))).as("embedding"))
+
+  /** The pairs a near-duplicate query MUST retrieve: its source vector
+    * and the source's exact copy — both at perturbation distance ε.
+    */
+  private[operators] def nearDupExpected(corpus: DataFrame): DataFrame = {
+    val q = corpus.filter(col("id") < 10).select(col("id").as("qid"))
+    q.select(col("qid"), col("qid").as("nid"))
+      .unionByName(q.select(col("qid"), (col("qid") + 10000).as("nid")))
   }
 
   val queries: Map[String, Q] = Map(
@@ -270,6 +308,23 @@ object Pq {
         .select(col("id").as("qid"), (col("id") + 10000).as("nid"))
         .join(top.select(col("qid"), col("nid")), Seq("qid", "nid"), "left_anti")
         .orderBy(col("qid"))
+    }),
+
+    // Gate (empty-set oracle): NEAR-duplicate recall — each query
+    // perturbed by ±1e-5 per component must still retrieve its source
+    // vector AND the source's exact copy in its top-k. x80r only proves
+    // identity retrieval (identical codes by construction); this gate
+    // catches quality regressions where quantization cells shrink or
+    // drift enough that an ε-near vector stops code-sharing with its
+    // source — the failure mode of a broken codebook update.
+    "x80r2_pq_near_dup_recall" -> ((s, d) => {
+      val corpus = corpusWithDups(s, d)
+      val (cb, codes, dim) = index(s, d, corpus)
+      val top = adcTopK(perturbedQueries(corpus), codes, cb,
+        "id", "embedding", M, dim / M, K)
+      nearDupExpected(corpus)
+        .join(top.select(col("qid"), col("nid")), Seq("qid", "nid"), "left_anti")
+        .orderBy(col("qid"), col("nid"))
     })
   )
 
@@ -277,6 +332,8 @@ object Pq {
     "x80g_pq_train_gate" ->
       "SELECT CAST(NULL AS INT) AS round, CAST(NULL AS VARCHAR) AS violation WHERE 1 = 0",
     "x80r_pq_dup_recall" ->
+      "SELECT CAST(NULL AS BIGINT) AS qid, CAST(NULL AS BIGINT) AS nid WHERE 1 = 0",
+    "x80r2_pq_near_dup_recall" ->
       "SELECT CAST(NULL AS BIGINT) AS qid, CAST(NULL AS BIGINT) AS nid WHERE 1 = 0"
   )
 }

@@ -5,8 +5,10 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.ImageIO
 
 /** Byte-level image header codec — the real decode behind the
-  * multimodal column family (reference: `handlers/media_probe.py`
-  * reads the same three container headers before dispatching blobs).
+  * multimodal column family. The reference pipeline never probes media
+  * (its handlers are scraper/orchestrator/worker/teardown); this codec
+  * exists for the SURVEY §7.4 extension mandate: multimodal columns as
+  * opaque binary with typed, verifiable metadata.
   *
   * [[sniff]] is the production path: a pure function over the leading
   * bytes of a blob that needs no codec library — PNG dimensions live at

@@ -521,6 +521,11 @@ object WarcCodec {
         md5(concat_ws("", col("url"), col("date"), col("html"))).as("doc_id"),
         col("url"), col("date"),
         graft.operators.TextAnalysis.htmlToText(col("html")).as("text"))
+      // doc_id is content-addressed: byte-identical records ARE the same
+      // document, and letting them through as duplicate doc_ids fans out
+      // quadratically in every doc_id-keyed curation join downstream
+      // (feats x rep = 2x2 rows per dup pair). Batch-scoped shuffle.
+      .dropDuplicates("doc_id")
 
   /** (doc_id, url, date, text) over a directory of WARC blobs:
     * response records with a textual (or undeclared) content type, plus

@@ -113,4 +113,32 @@ class ComponentsSpec extends SparkSpecBase {
     assert(Components.pageRank(star, iters = 5)
       .as[(Long, Long)].collect().toMap === sr)
   }
+
+  test("pageRankShuffle: bit-identical to the broadcast path on every graph shape") {
+    // the billion-node swap must be a pure data-movement change: same
+    // integer algebra, same ranks to the last micro-unit
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 0L), (2L, 0L), (3L, 0L))
+      .toDF("src", "dst")
+    // an irregular multi-component graph: chain + triangle + self-loop,
+    // mixed out-degrees — exercises floor-division truncation unevenly
+    val mixed = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (2L, 4L),
+      (5L, 6L), (6L, 7L), (7L, 5L), (8L, 8L)).toDF("src", "dst")
+    for (g <- Seq(cycle, star, mixed); iters <- Seq(0, 1, 5)) {
+      val bc = Components.pageRank(g, iters).as[(Long, Long)].collect().toMap
+      val sh = Components.pageRankShuffle(g, iters).as[(Long, Long)].collect().toMap
+      assert(sh === bc, s"iters=$iters diverged")
+    }
+  }
+
+  test("pageRankAuto dispatches on node count, same ranks either way") {
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 0L), (2L, 0L), (3L, 0L))
+      .toDF("src", "dst")
+    val bc = Components.pageRank(star, iters = 3).as[(Long, Long)].collect().toMap
+    // limit above node count -> broadcast path; below -> shuffle path
+    assert(Components.pageRankAuto(star, 3, broadcastNodeLimit = 100L)
+      .as[(Long, Long)].collect().toMap === bc)
+    assert(Components.pageRankAuto(star, 3, broadcastNodeLimit = 1L)
+      .as[(Long, Long)].collect().toMap === bc)
+  }
 }

@@ -281,6 +281,58 @@ class CorpusStreamSpec extends SparkSpecBase {
       s"got $spans2")
   }
 
+  // a WARC record with NO WARC-Target-URI header at all (some archives
+  // omit it on conversion records) — url decodes as ""
+  private def recBytesNoUri(text: String,
+                            date: String = "2026-01-01T00:00:00Z"): Array[Byte] = {
+    val payload = text.getBytes("ISO-8859-1")
+    (s"WARC/1.0\r\nWARC-Type: conversion\r\n" +
+      s"WARC-Date: $date\r\nContent-Length: ${payload.length}\r\n\r\n")
+      .getBytes("ISO-8859-1") ++ payload ++ "\r\n\r\n".getBytes("ISO-8859-1")
+  }
+
+  test("URL-less WARC records survive ingest end-to-end, never collapsed by URL dedup") {
+    val warcDir = Files.createTempDirectory("csnouri").toString
+    val workDir = Files.createTempDirectory("csnourik").toString
+    val t1 = "the quick brown fox jumps over the lazy dog and runs in the park"
+    val t2 = "the weather report says rain is coming and the wind is strong today"
+    // three URL-less records: two distinct texts plus a re-fetch of the
+    // first at a later date — URL dedup must pass all three through
+    // (empty URLs share a canonical key, and keep-min over it would
+    // silently keep one), leaving the CONTENT hash stage to drop
+    // exactly the re-fetch
+    Files.write(Paths.get(warcDir, "nouri.warc"),
+      recBytesNoUri(t1) ++ recBytesNoUri(t2) ++
+        recBytesNoUri(t1, "2026-01-02T00:00:00Z"))
+    val s = new CorpusStream(spark, workDir)
+    s.ingest(warcDir).awaitTermination()
+
+    val cur = s.curated.select("url", "text").as[(String, String)].collect()
+    assert(cur.map(_._2).toSet === Set(t1, t2),
+      s"both distinct texts must survive, got ${cur.toSeq}")
+    assert(cur.forall(_._1 == ""), "URL-less docs carry an empty url")
+    val led = s.ledger
+      .select("ingested", "curated_in", "exact_dropped", "near_dropped", "accepted")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(led === Seq((3L, 3L, 1L, 0L, 2L)),
+      s"ledger must charge the duplicate to the exact stage only, got $led")
+
+    // a later batch: one more URL-less doc plus a re-crawl of t1 — the
+    // store's content hashes still catch the cross-batch duplicate
+    val t3 = "the children play games in the garden while the sun is warm and bright"
+    Files.write(Paths.get(warcDir, "nouri2.warc"),
+      recBytesNoUri(t3) ++ recBytesNoUri(t1))
+    new CorpusStream(spark, workDir).ingest(warcDir).awaitTermination()
+    val s2 = new CorpusStream(spark, workDir)
+    assert(s2.curated.select("text").as[String].collect().toSet ===
+      Set(t1, t2, t3))
+    val led2 = s2.ledger.orderBy("batch_id")
+      .select("ingested", "curated_in", "exact_dropped", "near_dropped", "accepted")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(led2.last === ((2L, 2L, 1L, 0L, 1L)),
+      s"cross-batch dup must fall to the stored content hash, got $led2")
+  }
+
   private def recBytesAt(uri: String, date: String, text: String): Array[Byte] = {
     val payload = text.getBytes("ISO-8859-1")
     (s"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: $uri\r\n" +

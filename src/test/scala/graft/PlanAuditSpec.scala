@@ -34,6 +34,7 @@ class PlanAuditSpec extends SparkSpecBase {
     Set("x06_ann_brute_topk", "x07p_ann_lsh_precision", "x16p_ann_ivf_precision",
       "x26g_heavy_hitters_recall",
       "x82_ann_ivfpq_topk", "x82r_ivfpq_dup_recall",
+      "x82r2_ivfpq_near_dup_recall",
       "x83e_pixel_embed_topk")
 
   test("no declared query plans a cartesian product or an unintended nested-loop join") {
