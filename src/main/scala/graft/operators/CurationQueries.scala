@@ -274,6 +274,25 @@ object CurationQueries {
         .orderBy(col("bucket"))
     }),
 
+    // per-source document cap — the "no host dominates the corpus"
+    // curation step (domain caps in CommonCrawl-scale pipelines): keep
+    // the CAP longest documents per source, deterministic tiebreak on
+    // doc_id. Spark 4 plans the rank filter as a WindowGroupLimit —
+    // a per-group k-heap on BOTH sides of the shuffle (PlanAuditSpec
+    // pins it), so no source is ever fully sorted or materialized and
+    // one mega-host cannot skew the stage: exactly CAP rows per source
+    // survive the map side of the shuffle.
+    "x93_source_cap" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      Tables(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          row_number().over(w).as("rnk"))
+        .filter(col("rnk") <= 200)
+        .orderBy(col("source"), col("rnk"))
+    }),
+
     // per-source corpus health report — the one relation a curation
     // platform materializes per snapshot: volume, exact-dup rate,
     // language spread, token totals, mean quality. Every column is a
@@ -459,6 +478,16 @@ object CurationQueries {
         |  CAST(sum(bucket - least(n, bucket)) AS BIGINT) AS pad_tokens,
         |  CAST(sum(CASE WHEN n > 2048 THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "x93_source_cap" ->
+      """SELECT doc_id, source, n_chars, CAST(rnk AS INT) AS rnk
+        |FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY n_chars DESC, doc_id) AS rnk
+        |  FROM documents
+        |)
+        |WHERE rnk <= 200 ORDER BY source, rnk""".stripMargin,
 
     "x85_curation_report" ->
       """WITH f AS (

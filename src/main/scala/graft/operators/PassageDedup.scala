@@ -156,13 +156,22 @@ object PassageDedup {
                               idCol: String, textCol: String,
                               k: Int): DataFrame = {
     val occ = windowOccurrences(batch, idCol, textCol, k)
+    val batchW = occ.select(col("w")).distinct()
     val inBatch = occ.groupBy(col("w")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2).select(col("w"))
-    // no distinct over the union: LEFT SEMI ignores right-side
-    // duplicates, and a distinct here would re-aggregate the ENTIRE
-    // stored index every batch — the per-batch cost must stay flat as
-    // the index grows (the pass_incr ScaleCheck probe pins this)
-    val dupW = inBatch.unionByName(storedWindows.select(col("w")))
+    // The stored index is SCANNED, never shuffled: the batch's distinct
+    // windows broadcast onto it and only matching hashes come back —
+    // bounded by the batch's own window count whatever the index size.
+    // (occ's windows are all in batchW, so filtering stored to the
+    // intersection changes nothing semantically.) This is what keeps
+    // per-batch cost flat as the corpus grows — the pass_incr
+    // ScaleCheck probe pins it; shuffling the stored side grew 3x
+    // across a 16x index. At batch sizes past the broadcast budget,
+    // partition both sides on w instead — same algebra.
+    val matched = storedWindows.select(col("w"))
+      .join(broadcast(batchW), Seq("w"), "left_semi")
+    // no distinct over the union: LEFT SEMI ignores right-side dups
+    val dupW = inBatch.unionByName(matched)
     val dup = occ.join(dupW, Seq("w"), "left_semi")
     val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
     dup

@@ -77,6 +77,16 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(limits.size === 2, s"expected partial+final WindowGroupLimit, got:\n$plan")
   }
 
+  test("x93's per-source cap gets the same WindowGroupLimit rewrite") {
+    import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+    val plan = SparkEntry.queries("x93_source_cap")(spark, sfDir)
+      .queryExecution.sparkPlan
+    val limits = plan.collect { case w: WindowGroupLimitExec => w }
+    // one skewed mega-source must never force a full sort of its docs:
+    // the cap caps map-side, before the shuffle
+    assert(limits.size === 2, s"expected partial+final WindowGroupLimit, got:\n$plan")
+  }
+
   test("x51's per-doc top-k gets the same WindowGroupLimit rewrite") {
     import org.apache.spark.sql.execution.window.WindowGroupLimitExec
     val plan = SparkEntry.queries("x51_tfidf")(spark, sfDir)

@@ -200,6 +200,49 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(top === ((1L, 3L, 1.0)))
   }
 
+  test("featureExtract routes images through the pixel descriptor, non-images through the hash") {
+    import graft.sources.MediaCodec
+    val blobs = Seq(
+      (1L, MediaCodec.encodePng(8, 6, 0xff0000)),
+      (2L, "definitely not an image".getBytes("UTF-8"))).toDF("doc_id", "content")
+    val fe = Multimodal.featureExtract(spark, blobs)
+      .as[(Long, Seq[Float])].collect().toMap
+    val pf = Multimodal.pixelFeatures(spark, blobs, grid = 2)
+      .as[(Long, Seq[Float], Boolean)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // decodable image: the REAL grid-pooled descriptor, bit-identical
+    assert(pf(1L)._2, "PNG must be flagged as pixels")
+    assert(fe(1L) === pf(1L)._1)
+    // solid red -> R slots hot: proves this is pixels, not a byte hash
+    assert(math.abs(fe(1L)(0) - 0.5f) < 1e-6)
+    // non-image: same hash fallback (and only there)
+    assert(!pf(2L)._2)
+    assert(fe(2L) === pf(2L)._1)
+  }
+
+  test("imageIoMetaTable + join gate equals the one-pass gate; tampered meta still fires") {
+    import graft.sources.MediaCodec
+    val blobs = Seq(
+      (1L, MediaCodec.encodePng(12, 7, 0x112233)),
+      (2L, MediaCodec.encodeGif(9, 5, 3)),
+      (3L, "no pixels here".getBytes("UTF-8"))).toDF("doc_id", "content")
+    val iio = Multimodal.imageIoMetaTable(spark, blobs)
+    // the table decodes images and leaves non-images null-formatted
+    val rows = iio.orderBy("doc_id")
+      .as[(Long, Option[String], Option[Int], Option[Int], Option[Int])]
+      .collect().toSeq
+    assert(rows.head === ((1L, Some("png"), Some(12), Some(7), Some(1))))
+    assert(rows(1) === ((2L, Some("gif"), Some(9), Some(5), Some(3))))
+    assert(rows(2)._2.isEmpty)
+    // join form == one-pass form (both empty on honest decode)
+    val decoded = Multimodal.decodeMeta(spark, blobs)
+    assert(Multimodal.imageIoMismatchesFrom(decoded, iio).count() === 0)
+    assert(Multimodal.imageIoMismatches(spark, blobs).count() === 0)
+    // a tampered decoded width must fire the join gate
+    val tampered = decoded.withColumn("width",
+      when($"doc_id" === 1L, 99).otherwise($"width"))
+    assert(Multimodal.imageIoMismatchesFrom(tampered, iio).count() === 1)
+  }
+
   test("pixelFeatures pools REAL pixels: solid-color PNG yields the color direction") {
     import graft.sources.MediaCodec
     // solid pure-red 8x6 PNG: every grid cell mean is (1, 0, 0) ->
