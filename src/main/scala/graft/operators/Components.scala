@@ -111,19 +111,22 @@ object Components {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint(true)
+    // outdeg is STATIC across rounds: fold it into the edge relation
+    // once, so each round broadcasts only the rank — not a fresh
+    // outdeg broadcast build per round
+    val ed = e.join(broadcast(outdeg), "src").localCheckpoint(true)
     var rank = e.select(col("src").as("node")).distinct()
       .withColumn("rank", lit(1000000000000L))
       .localCheckpoint(true)
     (1 to iters).foreach { i =>
-      // rank and outdeg are node-cardinality relations (tiny next to the
-      // edge list) — broadcast them so each round's only shuffle is the
+      // rank is a node-cardinality relation (tiny next to the edge
+      // list) — broadcast it so each round's only shuffle is the
       // dst-keyed partial-aggregated sum, never the edges. Right while
       // nodes fit the broadcast budget (dimension-sized graphs like this
-      // bipartite one); a billion-node graph swaps these for shuffle
-      // joins with edges pre-partitioned on src — same algebra
-      rank = e.join(broadcast(rank), col("src") === col("node"))
-        .join(broadcast(outdeg), "src")
+      // bipartite one); a billion-node graph takes [[pageRankShuffle]]
+      // (edges pre-partitioned on src — same algebra, selected by
+      // [[pageRankAuto]])
+      rank = ed.join(broadcast(rank), col("src") === col("node"))
         .select(col("dst"),
           call_function("div", col("rank"), col("outdeg")).as("contrib"))
         .groupBy(col("dst"))

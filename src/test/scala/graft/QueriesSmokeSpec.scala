@@ -34,8 +34,10 @@ class QueriesSmokeSpec extends SparkSpecBase {
     "x81g_bpe_encode_gate",
     "x80g_pq_train_gate",
     "x80r_pq_dup_recall",
+    "x80r2_pq_near_dup_recall",
     "x82g_ivfpq_train_gate",
     "x82r_ivfpq_dup_recall",
+    "x82r2_ivfpq_near_dup_recall",
     "x87g_image_dhash_recall")
 
   test("every declared query emits SCALAR columns only (driver pandas-sort compat)") {
