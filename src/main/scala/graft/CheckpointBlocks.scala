@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Releases the block-manager storage behind localCheckpoint'd frames.
+  *
+  * `Dataset.unpersist` is the WRONG tool for these: it only asks the
+  * CacheManager to uncache the query, and the CacheManager never knows
+  * about checkpoint RDDs — `localCheckpoint` persists the underlying
+  * RDD directly. (This is also why `catalog.clearCache()` can't drop
+  * them and Bench sweeps `sc.getPersistentRDDs` between passes.) The
+  * blocks do get reclaimed eventually — ContextCleaner, after the frame
+  * becomes unreachable and a GC runs — but a long-lived session that
+  * drops a memo wants the storage back NOW, not at the next full GC.
+  *
+  * [[release]] reaches the actual RDD through the frame's LogicalRDD
+  * leaf and unpersists it. No-op for frames that are not
+  * checkpoint-backed (no LogicalRDD leaf / RDD not persisted).
+  *
+  * CONTRACT: only call on DEAD frames. A local checkpoint's lineage is
+  * truncated, so once its blocks are dropped the frame cannot be
+  * recomputed — any later action on it throws "checkpoint block not
+  * found". Valid call sites are dropped memo entries, putIfAbsent
+  * losers, and superseded per-round iteration state.
+  */
+object CheckpointBlocks {
+  def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+}

@@ -154,10 +154,10 @@ object BpeQueries {
         v = v.withColumn("syms", folded).localCheckpoint(true)
         // The new checkpoint no longer reads the old one — release it
         // now instead of letting one block set per pass pile up.
-        prev.unpersist(blocking = false)
+        graft.CheckpointBlocks.release(prev)
       }
     }
-    v.unpersist(blocking = false)
+    graft.CheckpointBlocks.release(v)
     (out.result(), passes)
   }
 

@@ -65,11 +65,18 @@ object Components {
       val counted = jumped.mapPartitions { it =>
         it.map { r => if (r.get(1) != r.get(2)) acc.add(1); r }
       }(org.apache.spark.sql.Encoders.row(jumped.schema))
+      val prevCounted = lastCounted
       lastCounted = counted.localCheckpoint(true)
+      // the round's intermediate checkpoint and the PREVIOUS round's
+      // labels are dead once the new labels land — release them now
+      // instead of accumulating one block set per round until GC
+      graft.CheckpointBlocks.release(propagated)
+      if (prevCounted != null) graft.CheckpointBlocks.release(prevCounted)
       labels = lastCounted.select("node", "root")
       changed = acc.value
       round += 1
     }
+    graft.CheckpointBlocks.release(sym)
     // the accumulator can only OVERcount (task retry/speculation), so a
     // nonzero at the round bound gets one exact recheck — a cheap filter
     // over the already-materialized frame, no join — before aborting
@@ -118,6 +125,10 @@ object Components {
     var rank = e.select(col("src").as("node")).distinct()
       .withColumn("rank", lit(1000000000000L))
       .localCheckpoint(true)
+    // e has served all three consumers (outdeg, ed, the initial rank) —
+    // release its edge-sized blocks now rather than pinning two copies
+    // of the edge data (e AND ed) for the whole computation
+    graft.CheckpointBlocks.release(e)
     (1 to iters).foreach { i =>
       // rank is a node-cardinality relation (tiny next to the edge
       // list) — broadcast it so each round's only shuffle is the

@@ -55,7 +55,7 @@ object ExtensionQueries {
       val v = f.localCheckpoint(true)
       Option(shared.putIfAbsent(k, v)) match {
         // lost the (theoretical) race: release this thread's blocks
-        case Some(w) => v.unpersist(false); w
+        case Some(w) => graft.CheckpointBlocks.release(v); w
         case None => v
       }
     }
@@ -69,7 +69,7 @@ object ExtensionQueries {
     * checkpoint blocks until the next GC.
     */
   def clearMemo(): Unit = {
-    shared.values.forEach(_.unpersist(false))
+    shared.values.forEach(graft.CheckpointBlocks.release)
     shared.clear()
   }
 

@@ -75,7 +75,7 @@ object IvfPq {
     // the corpus-sized residual checkpoint has served its consumers
     // (train, encode, the cells/codes projections) — release it rather
     // than pinning ~2x the vector data for the session lifetime
-    resid.unpersist(blocking = false)
+    graft.CheckpointBlocks.release(resid)
     idx
   }
 
@@ -145,9 +145,9 @@ object IvfPq {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (Index, Int)]()
 
   private def unpersistIndex(idx: Index): Unit = {
-    idx.coarse.unpersist(false)
-    idx.cells.unpersist(false)
-    idx.codes.unpersist(false)
+    graft.CheckpointBlocks.release(idx.coarse)
+    graft.CheckpointBlocks.release(idx.cells)
+    graft.CheckpointBlocks.release(idx.codes)
   }
 
   /** Unpersist before clearing — see [[Pq.clearMemo]]'s rationale. */
@@ -190,13 +190,9 @@ object IvfPq {
     "x82g_ivfpq_train_gate" -> ((s, d) => {
       import s.implicits._
       val (idx, _) = index(s, d, Pq.corpusWithDups(s, d))
-      def violations(tag: String, errs: Seq[Double]) =
-        errs.sliding(2).zipWithIndex.collect {
-          case (Seq(a, b), i) if b > a + 1e-9 * math.max(1.0, a.abs) =>
-            (tag, i + 1, s"error rose $a -> $b")
-        }.toSeq
-      (violations("coarse", idx.coarseErrors) ++
-          violations("fine", idx.fineErrors))
+      def tagged(tag: String, errs: Seq[Double]) =
+        Pq.lloydViolations(errs).map { case (r, v) => (tag, r, v) }
+      (tagged("coarse", idx.coarseErrors) ++ tagged("fine", idx.fineErrors))
         .toDF("quantizer", "round", "violation")
         .orderBy(col("quantizer"), col("round"))
     }),

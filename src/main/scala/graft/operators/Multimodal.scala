@@ -245,9 +245,18 @@ object Multimodal {
     * deterministic byte-hash vector of the same dimension, which a
     * production pipeline would replace with that modality's encoder.
     */
-  def featureExtract(spark: SparkSession, blobs: DataFrame, grid: Int = 2): DataFrame =
+  def featureExtract(spark: SparkSession, blobs: DataFrame, grid: Int = 2): DataFrame = {
+    // this parameter was `dim` (a hash-vector length, default 16) before
+    // the pixel routing; it is now the pooling GRID (embedding dim =
+    // 3·grid²). Reject grid values in the old dim range loudly so a
+    // stale positional call like featureExtract(s, b, 16) fails at the
+    // call site instead of silently pooling a 768-dim 16×16 grid.
+    require(grid >= 1 && grid <= 8,
+      s"grid is the pooling grid (embedding dim = 3*grid*grid), got $grid — " +
+        "values above 8 look like the pre-routing `dim` argument")
     pixelFeatures(spark, blobs, grid)
       .select(col("doc_id"), col("embedding"))
+  }
 
   /** REAL pixel feature extraction: full ImageIO decode, average-pool
     * the RGB plane onto a grid×grid patch map (3·grid² dims — the

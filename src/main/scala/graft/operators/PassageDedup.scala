@@ -160,16 +160,20 @@ object PassageDedup {
     val inBatch = occ.groupBy(col("w")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2).select(col("w"))
     // The stored index is SCANNED, never shuffled: the batch's distinct
-    // windows broadcast onto it and only matching hashes come back —
-    // bounded by the batch's own window count whatever the index size.
-    // (occ's windows are all in batchW, so filtering stored to the
-    // intersection changes nothing semantically.) This is what keeps
-    // per-batch cost flat as the corpus grows — the pass_incr
-    // ScaleCheck probe pins it; shuffling the stored side grew 3x
-    // across a 16x index. At batch sizes past the broadcast budget,
-    // partition both sides on w instead — same algebra.
+    // windows land on the stored scan as a RIGHT-SEMI probe and only
+    // matching hashes come back — bounded by the batch's own window
+    // count whatever the index size. (occ's windows are all in batchW,
+    // so filtering stored to the intersection changes nothing
+    // semantically.) This is what keeps per-batch cost flat as the
+    // corpus grows — the pass_incr ScaleCheck probe pins it; shuffling
+    // the stored side through the semi-join grew 3x across a 16x index.
+    // NO hard broadcast hint: a hint is unconditional and would OOM the
+    // driver on a huge backfill batch — AQE's runtime size check
+    // converts the join to broadcast exactly when batchW is small (the
+    // steady-state ingest case) and falls back to a shuffle join when a
+    // giant batch genuinely needs one.
     val matched = storedWindows.select(col("w"))
-      .join(broadcast(batchW), Seq("w"), "left_semi")
+      .join(batchW, Seq("w"), "left_semi")
     // no distinct over the union: LEFT SEMI ignores right-side dups
     val dupW = inBatch.unionByName(matched)
     val dup = occ.join(dupW, Seq("w"), "left_semi")

@@ -132,7 +132,7 @@ object Pq {
       }
       round += 1
     }
-    sv.unpersist(blocking = false)
+    graft.CheckpointBlocks.release(sv)
     PqCodebook(toDf(cb), errs.result())
   }
 
@@ -189,16 +189,17 @@ object Pq {
   private val shared =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (PqCodebook, DataFrame, Int)]()
 
-  /** Unpersist the memo's checkpointed frames BEFORE dropping the
-    * references: clear()-without-unpersist leaves the blocks pinned in
-    * the block manager until GC + ContextCleaner get around to them —
+  /** Release the memo's checkpoint blocks BEFORE dropping the
+    * references: clear()-without-release leaves them pinned in the
+    * block manager until GC + ContextCleaner get around to them —
     * Bench compensated with a getPersistentRDDs sweep, but long-lived
-    * callers (a notebook session) would leak storage memory.
+    * callers (a notebook session) would leak storage memory. NOTE
+    * `Dataset.unpersist` cannot do this ([[graft.CheckpointBlocks]]).
     */
   def clearMemo(): Unit = {
-    shared.values.forEach { case (_, codes, _) => codes.unpersist(false) }
+    shared.values.forEach { case (_, codes, _) => graft.CheckpointBlocks.release(codes) }
     shared.clear()
-    corpusMemo.values.forEach(_.unpersist(false))
+    corpusMemo.values.forEach(graft.CheckpointBlocks.release)
     corpusMemo.clear()
   }
 
@@ -217,7 +218,7 @@ object Pq {
       Option(shared.putIfAbsent(key, v)) match {
         // lost the (theoretical) race: the winner's frames are the
         // shared ones — release this thread's just-built checkpoint
-        case Some(w) => codes.unpersist(false); w
+        case Some(w) => graft.CheckpointBlocks.release(codes); w
         case None => v
       }
     }
@@ -246,7 +247,7 @@ object Pq {
         .repartition(s.sparkContext.defaultParallelism)
         .localCheckpoint(true)
       Option(corpusMemo.putIfAbsent(key, built)) match {
-        case Some(w) => built.unpersist(false); w
+        case Some(w) => graft.CheckpointBlocks.release(built); w
         case None => built
       }
     }
@@ -261,6 +262,17 @@ object Pq {
     corpus.filter(col("id") < 10)
       .select(col("id"), transform(col("embedding").cast("array<double>"),
         (x, i) => x + lit(1e-5) * ((i % lit(3)) - lit(1))).as("embedding"))
+
+  /** Lloyd-trace monotonicity violations, ONE definition shared by the
+    * x80g and x82g gates (a tolerance change applied to one must reach
+    * the other). Relative tolerance — float sums jitter with partition
+    * order.
+    */
+  private[operators] def lloydViolations(errs: Seq[Double]): Seq[(Int, String)] =
+    errs.sliding(2).zipWithIndex.collect {
+      case (Seq(a, b), i) if b > a + 1e-9 * math.max(1.0, a.abs) =>
+        (i + 1, s"error rose $a -> $b")
+    }.toSeq
 
   /** The pairs a near-duplicate query MUST retrieve: its source vector
     * and the source's exact copy — both at perturbation distance ε.
@@ -285,14 +297,11 @@ object Pq {
     // Gate (empty-set oracle): summed squared quantization error must be
     // non-increasing across Lloyd rounds (assign can only improve each
     // vector's cell; the mean minimizes within-cell squared error).
-    // Relative tolerance — float sums jitter with partition order.
     "x80g_pq_train_gate" -> ((s, d) => {
       import s.implicits._
       val (cb, _, _) = index(s, d, corpusWithDups(s, d))
-      cb.errors.sliding(2).zipWithIndex.collect {
-        case (Seq(a, b), i) if b > a + 1e-9 * math.max(1.0, a.abs) =>
-          (i + 1, s"error rose $a -> $b")
-      }.toSeq.toDF("round", "violation").orderBy(col("round"))
+      lloydViolations(cb.errors).toDF("round", "violation")
+        .orderBy(col("round"))
     }),
 
     // Gate (empty-set oracle): every query's exact duplicate carries
