@@ -67,6 +67,7 @@ object Bench {
           graft.operators.BpeQueries.clearMemo()
           graft.operators.Pq.clearMemo()
           graft.operators.IvfPq.clearMemo()
+          graft.operators.Opq.clearMemo()
           spark.catalog.clearCache()
           // localCheckpoint blocks (Dedup/BPE iteration state) are NOT
           // dropped by clearCache; left in place they GC-pressure later

@@ -36,7 +36,8 @@ object SparkEntry {
       RetrievalQueries.queries ++
       PassageDedup.queries ++
       Pq.queries ++
-      IvfPq.queries
+      IvfPq.queries ++
+      Opq.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -60,5 +61,6 @@ object SparkEntry {
       RetrievalQueries.oracleSql ++
       PassageDedup.oracleSql ++
       Pq.oracleSql ++
-      IvfPq.oracleSql
+      IvfPq.oracleSql ++
+      Opq.oracleSql
 }

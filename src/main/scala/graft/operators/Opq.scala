@@ -1,0 +1,264 @@
+package graft.operators
+
+import breeze.linalg.{svd, DenseMatrix}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.GraftExtensions
+
+/** Optimized Product Quantization (Ge et al., CVPR 2013, OPQ-NP): learn
+  * an ORTHOGONAL rotation R jointly with the PQ codebooks so the
+  * subspace split falls along directions the codebooks can actually
+  * quantize — plain PQ is at the mercy of the native coordinate order
+  * (correlated dimensions landing in different subspaces waste code
+  * budget). Alternating minimization of Σ‖R·x − x̂‖²:
+  *
+  *   codebook step — Lloyd on the rotated data ([[Pq.train]]), WARM-
+  *     STARTED from the previous iteration's codebook so the shared
+  *     objective never re-rolls its seeds;
+  *   rotation step — orthogonal Procrustes: R ← U·Vᵀ from the SVD of
+  *     M = Σ x̂·xᵀ, the closed-form argmax of ⟨R, M⟩ over orthogonal R.
+  *
+  * Every step is non-increasing on the SAME objective (Lloyd's two
+  * half-steps by the k-means argument; Procrustes exactly maximizes the
+  * cross term; the next warm seed-assignment can only improve on the
+  * previous codes), so the COMBINED error trace is provably monotone —
+  * gated empty-set in x94g together with R's orthogonality (‖RᵀR−I‖∞)
+  * and data-side norm preservation (‖Rx‖² = ‖x‖² per row).
+  *
+  * Scale shape: R rides the plan as a d×d literal and each rotated
+  * coordinate is one codegen'd [[graft.functions.VecDot]] — rotation is
+  * a pure scan-side projection, no shuffle, no UDF. The Procrustes
+  * inputs (M, Σ‖x‖², Σ‖x̂‖²) reduce through one treeAggregate of d×d
+  * partials (32 KB at d = 64 — parameter-server state like the PQ
+  * codebooks, constant in corpus size); the SVD is a driver-side d×d
+  * decomposition (breeze, bundled with Spark). Search = rotate the
+  * query (same projection) then the standard ADC path ([[Pq.adcTopK]])
+  * over codes in rotated space.
+  *
+  * Reference analog: none — the reference has no ANN surface; SURVEY
+  * §7.4 extension mandate (similarity-search scale path).
+  */
+object Opq {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** R·vec as a pure Catalyst projection: the rotation rows ride the
+    * plan as a nested-array literal and each output coordinate is the
+    * codegen'd dot of one row with the vector.
+    */
+  def rotate(rows: Seq[Seq[Double]], vec: Column): Column =
+    transform(typedlit(rows), r => GraftExtensions.vecDot(r, vec))
+
+  /** (id, rhat): reconstruction of every encoded vector — the M
+    * subspace centroids of its codes, concatenated in subspace order.
+    * A broadcast join against the M·Ks-row codebook; collect_list is
+    * bounded at M entries per id.
+    */
+  def reconstruct(codes: DataFrame, centroids: DataFrame): DataFrame =
+    codes.join(broadcast(centroids.select(col("m"), col("code"), col("cvec"))),
+        Seq("m", "code"))
+      .groupBy(col("id"))
+      .agg(flatten(transform(
+        sort_array(collect_list(struct(col("m"), col("cvec")))),
+        s => s.getField("cvec"))).as("rhat"))
+
+  /** Learned model: the rotation (row-major), the final codebook in
+    * rotated space, the combined monotone error trace (every Lloyd
+    * assignment error and every post-Procrustes error, in order), and
+    * the driver-checked orthogonality defect ‖RᵀR − I‖∞.
+    */
+  final case class OpqModel(r: Seq[Seq[Double]], cb: Pq.PqCodebook,
+                            errors: Seq[Double], orthoErr: Double)
+
+  def train(corpus: DataFrame, idCol: String, vecCol: String,
+            m: Int, ks: Int, opqIters: Int, lloydIters: Int): OpqModel = {
+    require(opqIters >= 1 && lloydIters >= 0, "opqIters >= 1; lloydIters >= 0")
+    val sp = corpus.sparkSession
+    GraftExtensions.register(sp)
+    import sp.implicits._
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val x = corpus.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("vec"))
+      .localCheckpoint(true)
+
+    var r = DenseMatrix.eye[Double](dim)
+    var cb: Pq.PqCodebook = null
+    var warm: Option[Map[(Int, Int), IndexedSeq[Double]]] = None
+    val errs = Seq.newBuilder[Double]
+    (1 to opqIters).foreach { t =>
+      val rRows = matRows(r)
+      val rot = x.select(col("id"), rotate(rRows, col("vec")).as("rvec"))
+      cb = Pq.train(rot, "id", "rvec", m, ks, lloydIters, warm)
+      errs ++= cb.errors
+      warm = Some(cb.asMap)
+      if (t < opqIters) {
+        val codes = Pq.encode(rot, "id", "rvec", cb, m, dim / m)
+        // one distributed pass: M = Σ x̂·xᵀ (NOTE: against the ORIGINAL
+        // x, not the rotated one — Procrustes solves for the whole R,
+        // not an increment), plus Σ‖x‖² and Σ‖x̂‖² for the closed-form
+        // post-rotation error. Partials are (d² + 2) doubles per
+        // partition, tree-reduced — never a d²-per-row relation.
+        val (mArr, xn2, xhn2) = x.join(reconstruct(codes, cb.centroids), Seq("id"))
+          .select(col("vec"), col("rhat"))
+          .as[(Array[Double], Array[Double])]
+          .rdd.treeAggregate((new Array[Double](dim * dim), 0.0, 0.0))(
+            seqOp = { case ((acc, sx, sh), (xv, xh)) =>
+              var i = 0
+              while (i < dim) {
+                val hi = xh(i)
+                var j = 0
+                while (j < dim) { acc(i * dim + j) += hi * xv(j); j += 1 }
+                i += 1
+              }
+              var s1 = sx; var s2 = sh
+              var k = 0
+              while (k < dim) { s1 += xv(k) * xv(k); s2 += xh(k) * xh(k); k += 1 }
+              (acc, s1, s2)
+            },
+            combOp = { case ((a, sx1, sh1), (b, sx2, sh2)) =>
+              var i = 0
+              while (i < a.length) { a(i) += b(i); i += 1 }
+              (a, sx1 + sx2, sh1 + sh2)
+            })
+        // breeze DenseMatrix is column-major: entry (i,j) = M_ij = Σ x̂_i·x_j
+        val mMat = new DenseMatrix(dim, dim, mArr, 0, dim, isTranspose = true)
+        val s = svd(mMat)
+        r = s.U * s.Vt
+        // error after the rotation step, from the same aggregates:
+        // Σ‖Rx − x̂‖² = Σ‖x‖² − 2⟨R, M⟩ + Σ‖x̂‖² (orthogonal R preserves
+        // ‖x‖). Procrustes maximizes ⟨R, M⟩, so this never exceeds the
+        // codebook step's last error.
+        var cross = 0.0
+        var i = 0
+        while (i < dim) {
+          var j = 0
+          while (j < dim) { cross += r(i, j) * mArr(i * dim + j); j += 1 }
+          i += 1
+        }
+        errs += xn2 - 2.0 * cross + xhn2
+      }
+    }
+    val rtr = r.t * r
+    var ortho = 0.0
+    (0 until dim).foreach { i =>
+      (0 until dim).foreach { j =>
+        val e = math.abs(rtr(i, j) - (if (i == j) 1.0 else 0.0))
+        if (e > ortho) ortho = e
+      }
+    }
+    graft.CheckpointBlocks.release(x)
+    OpqModel(matRows(r), cb, errs.result(), ortho)
+  }
+
+  private def matRows(m: DenseMatrix[Double]): Seq[Seq[Double]] =
+    (0 until m.rows).map(i => (0 until m.cols).map(j => m(i, j)))
+
+  private val M = 8
+  private val Ks = 16
+  private val OpqIters = 2
+  private val LloydIters = 1
+  private val K = 10
+
+  private val shared =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (OpqModel, DataFrame, Int)]()
+
+  def clearMemo(): Unit = {
+    shared.values.forEach { case (_, codes, _) => graft.CheckpointBlocks.release(codes) }
+    shared.clear()
+  }
+
+  private def index(s: SparkSession, d: String,
+                    corpus: DataFrame): (OpqModel, DataFrame, Int) = {
+    val key = (s, d)
+    Option(shared.get(key)).getOrElse {
+      MemoEviction.register(s, "opq") { () =>
+        shared.keySet.removeIf(_._1 eq s)
+      }
+      val dim = corpus.select(size(col("embedding"))).head().getInt(0)
+      // rotation + codebooks learn from a deterministic 1/4 hash sample
+      // (the FAISS OPQ training shape — training passes dominate the
+      // build and a sample loses nothing the gates measure); ENCODING
+      // covers the full corpus
+      val trainSet = corpus.filter(pmod(xxhash64(col("id")), lit(4)) === 0)
+      val model = train(trainSet, "id", "embedding", M, Ks, OpqIters, LloydIters)
+      val rot = corpus.select(col("id"),
+        rotate(model.r, col("embedding").cast("array<double>")).as("rvec"))
+      val codes = Pq.encode(rot, "id", "rvec", model.cb, M, dim / M)
+        .localCheckpoint(true)
+      val v = (model, codes, dim)
+      Option(shared.putIfAbsent(key, v)) match {
+        case Some(w) => graft.CheckpointBlocks.release(codes); w
+        case None => v
+      }
+    }
+  }
+
+  private def rotatedQueries(model: OpqModel, corpus: DataFrame): DataFrame =
+    corpus.filter(col("id") < 10)
+      .select(col("id"),
+        rotate(model.r, col("embedding").cast("array<double>")).as("rvec"))
+
+  val queries: Map[String, Q] = Map(
+    // OPQ ADC top-k (rows-only: two driver k-means loops + SVDs) —
+    // verified by the x94g/x94r gates below.
+    "x94_ann_opq_topk" -> ((s, d) => {
+      val corpus = Pq.corpusWithDups(s, d)
+      val (model, codes, dim) = index(s, d, corpus)
+      Pq.adcTopK(rotatedQueries(model, corpus), codes, model.cb,
+        "id", "rvec", M, dim / M, K)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // Gate (empty-set oracle), three guaranteed contracts in one
+    // relation: (a) the COMBINED alternating-minimization error trace
+    // is non-increasing (Lloyd half-steps + exact Procrustes on one
+    // shared objective); (b) R is orthogonal to fp tolerance; (c) the
+    // rotation preserves every row's squared norm on the actual data
+    // (an orthogonal projection must — catches a wrong literal/layout).
+    "x94g_opq_train_gate" -> ((s, d) => {
+      import s.implicits._
+      val corpus = Pq.corpusWithDups(s, d)
+      val (model, _, _) = index(s, d, corpus)
+      val driver =
+        Pq.lloydViolations(model.errors)
+          .map { case (r0, v) => ("trace", s"step $r0: $v") } ++
+          (if (model.orthoErr > 1e-9)
+             Seq(("ortho", s"|R'R - I| = ${model.orthoErr}")) else Nil)
+      val dotC = GraftExtensions.vecDot _
+      val vec = col("embedding").cast("array<double>")
+      val data = corpus
+        .select(col("id"), dotC(vec, vec).as("n2"),
+          dotC(rotate(model.r, vec), rotate(model.r, vec)).as("rn2"))
+        .filter(abs(col("rn2") - col("n2")) >
+          lit(1e-6) * greatest(col("n2"), lit(1.0)))
+        .select(lit("norm").as("chk"),
+          concat(col("id").cast("string"), lit(": "), col("n2").cast("string"),
+            lit(" -> "), col("rn2").cast("string")).as("detail"))
+      driver.toDF("chk", "detail").unionByName(data)
+        .orderBy(col("chk"), col("detail"))
+    }),
+
+    // Gate (empty-set oracle): exact duplicates rotate to identical
+    // vectors, carry identical codes, and hold the minimum ADC — every
+    // query's copy must appear in its top-k (the x80r contract, through
+    // the rotation).
+    "x94r_opq_dup_recall" -> ((s, d) => {
+      val corpus = Pq.corpusWithDups(s, d)
+      val (model, codes, dim) = index(s, d, corpus)
+      val top = Pq.adcTopK(rotatedQueries(model, corpus), codes, model.cb,
+        "id", "rvec", M, dim / M, K)
+      corpus.filter(col("id") < 10)
+        .select(col("id").as("qid"), (col("id") + 10000).as("nid"))
+        .join(top.select(col("qid"), col("nid")), Seq("qid", "nid"), "left_anti")
+        .orderBy(col("qid"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "x94g_opq_train_gate" ->
+      "SELECT CAST(NULL AS VARCHAR) AS chk, CAST(NULL AS VARCHAR) AS detail WHERE 1 = 0",
+    "x94r_opq_dup_recall" ->
+      "SELECT CAST(NULL AS BIGINT) AS qid, CAST(NULL AS BIGINT) AS nid WHERE 1 = 0"
+  )
+}

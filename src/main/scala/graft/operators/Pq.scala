@@ -58,9 +58,13 @@ object Pq {
 
   /** (m, code, cvec, cn2): one codebook per subspace, plus the summed
     * squared quantization error observed at each Lloyd assignment
-    * (length iters + 1 — seed assignment through final).
+    * (length iters + 1 — seed assignment through final). `asMap` is the
+    * driver-state form ((m, code) -> centroid), kept so a caller can
+    * warm-start a later training round from this codebook (the OPQ
+    * alternating loop needs that for its monotonicity guarantee).
     */
-  final case class PqCodebook(centroids: DataFrame, errors: Seq[Double])
+  final case class PqCodebook(centroids: DataFrame, errors: Seq[Double],
+                              asMap: Map[(Int, Int), IndexedSeq[Double]])
 
   /** Train M codebooks of Ks centroids each: hash-seeded picks, then
     * `iters` Lloyd rounds on L2 (cells that lose every member keep
@@ -75,7 +79,8 @@ object Pq {
     * rows. No per-round checkpoint, no per-round lineage growth.
     */
   def train(corpus: DataFrame, idCol: String, vecCol: String,
-            m: Int, ks: Int, iters: Int): PqCodebook = {
+            m: Int, ks: Int, iters: Int,
+            init: Option[Map[(Int, Int), IndexedSeq[Double]]] = None): PqCodebook = {
     require(m >= 1 && ks >= 1 && iters >= 0, "m, ks >= 1; iters >= 0")
     val sp = corpus.sparkSession
     GraftExtensions.register(sp)
@@ -85,13 +90,16 @@ object Pq {
       .withColumn("sn2", dot(col("sv"), col("sv")))
       .localCheckpoint(true)
 
+    // warm start (OPQ's alternating loop): the caller's codebook seeds
+    // the first assignment, so the error trace continues from where the
+    // previous training left off instead of re-rolling hash seeds
     val wSeed = Window.partitionBy(col("m")).orderBy(xxhash64(col("id")))
-    var cb: Map[(Int, Int), IndexedSeq[Double]] = sv
+    var cb: Map[(Int, Int), IndexedSeq[Double]] = init.getOrElse(sv
       .withColumn("code", row_number().over(wSeed))
       .filter(col("code") <= ks)
       .select(col("m"), col("code"), col("sv")).collect()
       .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toIndexedSeq))
-      .toMap
+      .toMap)
 
     def toDf(c: Map[(Int, Int), IndexedSeq[Double]]): DataFrame = {
       import sp.implicits._
@@ -133,7 +141,7 @@ object Pq {
       round += 1
     }
     graft.CheckpointBlocks.release(sv)
-    PqCodebook(toDf(cb), errs.result())
+    PqCodebook(toDf(cb), errs.result(), cb)
   }
 
   /** Encode a corpus against a trained codebook: (id, m, code) — the
