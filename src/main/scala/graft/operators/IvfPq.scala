@@ -227,8 +227,73 @@ object IvfPq {
       Pq.nearDupExpected(corpus)
         .join(top.select(col("qid"), col("nid")), Seq("qid", "nid"), "left_anti")
         .orderBy(col("qid"), col("nid"))
+    }),
+
+    // Two-stage retrieval — THE production ANN serving pattern: a wide
+    // ADC shortlist (k' = 50, compressed codes only) re-ranked by EXACT
+    // squared L2 over the shortlist's real vectors. Scale shape: the
+    // shortlist is Q·k' rows; its join back to the corpus pulls exactly
+    // those vectors (AQE broadcasts the tiny shortlist side — the
+    // corpus scans once and never shuffles), and the re-rank window is
+    // per-query over ≤ k' rows. Approximation error ends at the
+    // shortlist boundary: everything the user sees is exactly scored.
+    "x95_ann_ivfpq_rerank" -> ((s, d) => {
+      val corpus = Pq.corpusWithDups(s, d)
+      val (idx, dim) = index(s, d, corpus)
+      rerank(search(corpus.filter(col("id") < 10), idx, "id", "embedding",
+          M, dim / M, Shortlist, NProbe),
+        corpus.filter(col("id") < 10), corpus, "id", "embedding", K)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // Gate (empty-set oracle): exact re-ranking must surface the two
+    // zero-distance members — the query itself and its exact copy — at
+    // ranks 1 and 2 precisely (both are in the shortlist by the x82r
+    // identical-codes argument; exact d2 = 0 is the unique minimum and
+    // the tiebreak on nid is deterministic). An approximate ranker can
+    // bury a true zero-distance match; the re-ranker never may.
+    "x95g_ivfpq_rerank_gate" -> ((s, d) => {
+      val corpus = Pq.corpusWithDups(s, d)
+      val (idx, dim) = index(s, d, corpus)
+      val top = rerank(search(corpus.filter(col("id") < 10), idx, "id",
+          "embedding", M, dim / M, Shortlist, NProbe),
+        corpus.filter(col("id") < 10), corpus, "id", "embedding", K)
+      corpus.filter(col("id") < 10)
+        .select(col("id").as("qid"), col("id").as("nid"), lit(1).as("rank"))
+        .unionByName(corpus.filter(col("id") < 10)
+          .select(col("id").as("qid"), (col("id") + 10000).as("nid"),
+            lit(2).as("rank")))
+        .join(top.select(col("qid"), col("nid"), col("rank")),
+          Seq("qid", "nid", "rank"), "left_anti")
+        .orderBy(col("qid"), col("rank"))
     })
   )
+
+  /** Exact re-rank of an ANN shortlist: join the (qid, nid) candidates
+    * back to their true vectors, score exact squared L2, keep the
+    * smallest k per query. The shortlist side is Q·k' rows — broadcast-
+    * sized at any corpus scale — so the corpus is scanned, never
+    * shuffled.
+    */
+  def rerank(shortlist: DataFrame, queries: DataFrame, corpus: DataFrame,
+             idCol: String, vecCol: String, k: Int): DataFrame = {
+    GraftExtensions.register(corpus.sparkSession)
+    val q = queries.select(col(idCol).as("qid"),
+      col(vecCol).cast("array<double>").as("qvec"))
+    val c = corpus.select(col(idCol).as("nid"),
+      col(vecCol).cast("array<double>").as("nvec"))
+    val scored = shortlist.select(col("qid"), col("nid"))
+      .join(c, Seq("nid"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("nid"),
+        (dot(col("nvec"), col("nvec")) + dot(col("qvec"), col("qvec")) -
+          lit(2.0) * dot(col("qvec"), col("nvec"))).as("d2"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("d2"), col("nid"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"), round(col("d2"), 6).as("d2"))
+  }
+
+  private val Shortlist = 50
 
   val oracleSql: Map[String, String] = Map(
     "x82g_ivfpq_train_gate" ->
@@ -236,6 +301,8 @@ object IvfPq {
     "x82r_ivfpq_dup_recall" ->
       "SELECT CAST(NULL AS BIGINT) AS qid, CAST(NULL AS BIGINT) AS nid WHERE 1 = 0",
     "x82r2_ivfpq_near_dup_recall" ->
-      "SELECT CAST(NULL AS BIGINT) AS qid, CAST(NULL AS BIGINT) AS nid WHERE 1 = 0"
+      "SELECT CAST(NULL AS BIGINT) AS qid, CAST(NULL AS BIGINT) AS nid WHERE 1 = 0",
+    "x95g_ivfpq_rerank_gate" ->
+      "SELECT CAST(NULL AS BIGINT) AS qid, CAST(NULL AS BIGINT) AS nid, CAST(NULL AS INT) AS rank WHERE 1 = 0"
   )
 }

@@ -35,6 +35,7 @@ class PlanAuditSpec extends SparkSpecBase {
       "x26g_heavy_hitters_recall",
       "x82_ann_ivfpq_topk", "x82r_ivfpq_dup_recall",
       "x82r2_ivfpq_near_dup_recall",
+      "x95_ann_ivfpq_rerank", "x95g_ivfpq_rerank_gate",
       "x83e_pixel_embed_topk")
 
   test("no declared query plans a cartesian product or an unintended nested-loop join") {

@@ -40,7 +40,8 @@ class QueriesSmokeSpec extends SparkSpecBase {
     "x82r2_ivfpq_near_dup_recall",
     "x87g_image_dhash_recall",
     "x94g_opq_train_gate",
-    "x94r_opq_dup_recall")
+    "x94r_opq_dup_recall",
+    "x95g_ivfpq_rerank_gate")
 
   test("every declared query emits SCALAR columns only (driver pandas-sort compat)") {
     // the driver's correctness harness canonicalizes with a pandas
