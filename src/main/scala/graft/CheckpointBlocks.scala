@@ -14,9 +14,12 @@ import org.apache.spark.sql.execution.LogicalRDD
   * becomes unreachable and a GC runs — but a long-lived session that
   * drops a memo wants the storage back NOW, not at the next full GC.
   *
-  * [[release]] reaches the actual RDD through the frame's LogicalRDD
-  * leaf and unpersists it. No-op for frames that are not
-  * checkpoint-backed (no LogicalRDD leaf / RDD not persisted).
+  * [[release]] reaches the actual RDD through the frame's ROOT
+  * LogicalRDD node and unpersists it — and only the root: a derived
+  * frame (a projection/filter OVER a checkpoint) is refused, because
+  * its leaf checkpoint may well be alive elsewhere and destroying it
+  * would poison every sibling consumer. No-op for anything that is not
+  * itself a checkpoint result.
   *
   * CONTRACT: only call on DEAD frames. A local checkpoint's lineage is
   * truncated, so once its blocks are dropped the frame cannot be
@@ -26,8 +29,8 @@ import org.apache.spark.sql.execution.LogicalRDD
   */
 object CheckpointBlocks {
   def release(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
+    df.queryExecution.analyzed match {
       case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
-      case _ => ()
+      case _ => () // derived frame: never touch an upstream checkpoint
     }
 }

@@ -36,6 +36,8 @@ object Components {
     var labels = sym.select(col("u").as("node")).distinct()
       .withColumn("root", col("node"))
       .localCheckpoint(true)
+    // the round-0 labels checkpoint, released once round 1's labels land
+    var initLabels: DataFrame = labels
     var round = 0
     var changed = 1L
     var lastCounted: DataFrame = null
@@ -72,6 +74,9 @@ object Components {
       // instead of accumulating one block set per round until GC
       graft.CheckpointBlocks.release(propagated)
       if (prevCounted != null) graft.CheckpointBlocks.release(prevCounted)
+      if (initLabels != null) {
+        graft.CheckpointBlocks.release(initLabels); initLabels = null
+      }
       labels = lastCounted.select("node", "root")
       changed = acc.value
       round += 1
@@ -129,6 +134,7 @@ object Components {
     // release its edge-sized blocks now rather than pinning two copies
     // of the edge data (e AND ed) for the whole computation
     graft.CheckpointBlocks.release(e)
+    var rankCkpt = rank
     (1 to iters).foreach { i =>
       // rank is a node-cardinality relation (tiny next to the edge
       // list) — broadcast it so each round's only shuffle is the
@@ -147,8 +153,15 @@ object Components {
       // checkpoint every 3rd round, not every round: each rank feeds the
       // next round exactly once, so a short lazy chain recomputes
       // nothing — the checkpoint only bounds lineage depth, and eager
-      // materialization per round was most of the wall time
-      if (i % 3 == 0 && i < iters) rank = rank.localCheckpoint(true)
+      // materialization per round was most of the wall time. The
+      // superseded checkpoint is DEAD the moment the new one is
+      // materialized (nothing downstream reads it) — release it
+      if (i % 3 == 0 && i < iters) {
+        val prev = rankCkpt
+        rank = rank.localCheckpoint(true)
+        rankCkpt = rank
+        graft.CheckpointBlocks.release(prev)
+      }
     }
     rank
   }
@@ -175,6 +188,7 @@ object Components {
     var rank = ed.select(col("src").as("node")).distinct()
       .withColumn("rank", lit(1000000000000L))
       .localCheckpoint(true)
+    var rankCkpt = rank
     (1 to iters).foreach { i =>
       rank = ed.join(rank, col("src") === col("node"))
         .select(col("dst"),
@@ -183,7 +197,12 @@ object Components {
         .agg((lit(150000000000L) +
           call_function("div", lit(85L) * sum(col("contrib")), lit(100L))).as("rank"))
         .select(col("dst").as("node"), col("rank"))
-      if (i % 3 == 0 && i < iters) rank = rank.localCheckpoint(true)
+      if (i % 3 == 0 && i < iters) {
+        val prev = rankCkpt
+        rank = rank.localCheckpoint(true)
+        rankCkpt = rank
+        graft.CheckpointBlocks.release(prev)
+      }
     }
     rank
   }

@@ -282,8 +282,12 @@ object IvfPq {
       col(vecCol).cast("array<double>").as("qvec"))
     val c = corpus.select(col(idCol).as("nid"),
       col(vecCol).cast("array<double>").as("nvec"))
-    val scored = shortlist.select(col("qid"), col("nid"))
-      .join(c, Seq("nid"))
+    // the shortlist is bounded BY CONSTRUCTION (Q·k' id pairs), so the
+    // broadcast is explicit — static stats through the ADC plan would
+    // otherwise decide, and a mis-estimate must never shuffle the
+    // corpus to meet a relation this small
+    val scored = c
+      .join(broadcast(shortlist.select(col("qid"), col("nid"))), Seq("nid"))
       .join(broadcast(q), Seq("qid"))
       .select(col("qid"), col("nid"),
         (dot(col("nvec"), col("nvec")) + dot(col("qvec"), col("qvec")) -

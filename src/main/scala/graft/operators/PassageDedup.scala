@@ -153,8 +153,8 @@ object PassageDedup {
     * stored hashes. The island merge is unchanged.
     */
   def incrementalPassageSpans(batch: DataFrame, storedWindows: DataFrame,
-                              idCol: String, textCol: String,
-                              k: Int): DataFrame = {
+                              idCol: String, textCol: String, k: Int,
+                              broadcastWindowLimit: Long = 2000000L): DataFrame = {
     val occ = windowOccurrences(batch, idCol, textCol, k)
     val batchW = occ.select(col("w")).distinct()
     val inBatch = occ.groupBy(col("w")).agg(count(lit(1)).as("n"))
@@ -167,13 +167,19 @@ object PassageDedup {
     // semantically.) This is what keeps per-batch cost flat as the
     // corpus grows — the pass_incr ScaleCheck probe pins it; shuffling
     // the stored side through the semi-join grew 3x across a 16x index.
-    // NO hard broadcast hint: a hint is unconditional and would OOM the
-    // driver on a huge backfill batch — AQE's runtime size check
-    // converts the join to broadcast exactly when batchW is small (the
-    // steady-state ingest case) and falls back to a shuffle join when a
-    // giant batch genuinely needs one.
+    // The broadcast decision is made from a MEASURED count, not left to
+    // the planner: static size estimates through an explode+distinct
+    // are off by orders of magnitude (measured 228x under on this exact
+    // shape), so both an unconditional hint and planner defaults can
+    // broadcast a giant backfill batch and OOM the driver. One cheap
+    // batch-side count picks broadcast below the limit (the
+    // steady-state ingest case) and a partitioned join above it —
+    // paying the O(index) shuffle only when a giant batch makes it
+    // genuinely necessary.
     val matched = storedWindows.select(col("w"))
-      .join(batchW, Seq("w"), "left_semi")
+      .join(if (batchW.count() <= broadcastWindowLimit) broadcast(batchW)
+            else batchW,
+        Seq("w"), "left_semi")
     // no distinct over the union: LEFT SEMI ignores right-side dups
     val dupW = inBatch.unionByName(matched)
     val dup = occ.join(dupW, Seq("w"), "left_semi")

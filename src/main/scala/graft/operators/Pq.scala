@@ -82,6 +82,17 @@ object Pq {
             m: Int, ks: Int, iters: Int,
             init: Option[Map[(Int, Int), IndexedSeq[Double]]] = None): PqCodebook = {
     require(m >= 1 && ks >= 1 && iters >= 0, "m, ks >= 1; iters >= 0")
+    // a warm-start codebook must cover exactly (1..m) x (1..ks): a
+    // mismatched one (different m/ks than it was trained with) would
+    // silently drop whole subspaces in the assignment join and encode
+    // truncated vectors downstream
+    init.foreach { cb0 =>
+      val expected = (for { mm <- 1 to m; c <- 1 to ks } yield (mm, c)).toSet
+      require(cb0.keySet == expected,
+        s"init codebook keys must cover (1..$m)x(1..$ks); " +
+          s"missing ${(expected -- cb0.keySet).take(4)}..., " +
+          s"extra ${(cb0.keySet -- expected).take(4)}...")
+    }
     val sp = corpus.sparkSession
     GraftExtensions.register(sp)
     val dim = corpus.select(size(col(vecCol))).head().getInt(0)

@@ -36,4 +36,13 @@ class CheckpointBlocksSpec extends SparkSpecBase {
     assert(spark.sparkContext.getPersistentRDDs.keySet.toSet === before)
     assert(df.count() === 8)
   }
+
+  test("release REFUSES a derived frame: the upstream checkpoint must survive") {
+    val ckpt = (1 to 100).toDF("n").localCheckpoint(true)
+    val derived = ckpt.select($"n" * 2 as "m").filter($"m" > 10)
+    // releasing the dead projection must NOT destroy the live checkpoint
+    CheckpointBlocks.release(derived)
+    assert(ckpt.count() === 100, "upstream checkpoint poisoned by derived release")
+    CheckpointBlocks.release(ckpt)
+  }
 }

@@ -68,10 +68,12 @@ class OpqSpec extends SparkSpecBase {
     val plain = Pq.train(c, "id", "vec", m = 2, ks = 4, iters = 2)
     assert(model.errors.last <= plain.errors.last + 1e-9 * plain.errors.last,
       s"OPQ ${model.errors.last} vs plain PQ ${plain.errors.last}")
-    // and on this correlated construction the rotation should strictly
-    // improve — not just match — the plain split
-    assert(model.errors.last < plain.errors.last,
-      s"expected strict improvement on correlated halves: ${model.errors.last} vs ${plain.errors.last}")
+    // and on this correlated construction the rotation should improve
+    // the plain split by a real margin — 0.1% clears float-sum jitter
+    // (the guaranteed contract is only <=; the margin is an empirical
+    // property of the correlated-halves construction, comfortably met)
+    assert(model.errors.last < plain.errors.last * 0.999,
+      s"expected >0.1% improvement on correlated halves: ${model.errors.last} vs ${plain.errors.last}")
   }
 
   test("warm-started Pq.train continues from the given codebook") {
