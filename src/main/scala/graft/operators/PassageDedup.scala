@@ -171,13 +171,14 @@ object PassageDedup {
     // the planner: static size estimates through an explode+distinct
     // are off by orders of magnitude (measured 228x under on this exact
     // shape), so both an unconditional hint and planner defaults can
-    // broadcast a giant backfill batch and OOM the driver. One cheap
-    // batch-side count picks broadcast below the limit (the
-    // steady-state ingest case) and a partitioned join above it —
-    // paying the O(index) shuffle only when a giant batch makes it
-    // genuinely necessary.
+    // broadcast a giant backfill batch and OOM the driver. The measure
+    // is the TOTAL occurrence count — a shuffle-free map-side count
+    // that bounds the distinct window count from above, so a broadcast
+    // chosen under the limit is always safe and a giant batch degrades
+    // (conservatively) to the partitioned join, paying the O(index)
+    // shuffle only when its size genuinely demands it.
     val matched = storedWindows.select(col("w"))
-      .join(if (batchW.count() <= broadcastWindowLimit) broadcast(batchW)
+      .join(if (occ.count() <= broadcastWindowLimit) broadcast(batchW)
             else batchW,
         Seq("w"), "left_semi")
     // no distinct over the union: LEFT SEMI ignores right-side dups

@@ -281,6 +281,74 @@ class CorpusStreamSpec extends SparkSpecBase {
       s"got $spans2")
   }
 
+  test("all legs on one drain: lexical+semantic+passage dedup and sessions coexist") {
+    import graft.streaming.{CorpusStream => CS}
+    val warcDir = Files.createTempDirectory("csallw").toString
+    val workDir = Files.createTempDirectory("csallk").toString
+    def stream() = new CS(spark, workDir,
+      semanticThreshold = Some(0.9), passageK = Some(5))
+    def drain(): Unit =
+      stream().ingestWithSessions(warcDir, sessionGapMs = 30 * 60 * 1000L,
+        sessionWatermark = "10 minutes").foreach(_.awaitTermination())
+
+    val a = "the quick brown fox jumps over the lazy dog and runs across the park is wide"
+    val b = "the committee will publish the annual budget report after the board meeting on friday morning"
+    Files.write(Paths.get(warcDir, "a.warc"),
+      recBytesAt("http://a.example/1", "2026-01-01T10:00:00Z", a) ++
+        recBytesAt("http://a.example/2", "2026-01-01T10:10:00Z", b))
+    drain()
+
+    // c = a's words reordered (semantic dup, lexically distinct);
+    // d embeds b's exact 9-token passage in otherwise-new text
+    val c = "the lazy dog jumps over the quick brown fox and runs across the wide park is"
+    val d = "council members argued for hours but the committee will publish the annual budget report after lunch"
+    Files.write(Paths.get(warcDir, "b.warc"),
+      recBytesAt("http://c.example/1", "2026-01-01T13:00:00Z", c) ++
+        recBytesAt("http://c.example/2", "2026-01-01T13:01:00Z", d))
+    drain()
+    // advancer batch: pushes the event-time watermark past host a's
+    // session close so the session leg flushes it
+    Files.write(Paths.get(warcDir, "c.warc"),
+      recBytesAt("http://e.example/1", "2026-01-01T18:00:00Z",
+        "the bakery opens early and the smell of fresh bread fills the street"))
+    drain()
+
+    val s = stream()
+    // every doc survives lexical dedup (no exact or shingle near-dups)
+    assert(s.curated.count() === 5, "all five docs are lexically distinct")
+    assert(s.quarantined.count() === 0)
+    val idOf = s.curated.select("text", "doc_id").as[(String, String)]
+      .collect().toMap
+
+    // semantic leg: exactly the (a, c) bag-of-words pair flags
+    val flags = s.semanticDuplicates.as[(String, String, Double)].collect().toSeq
+    assert(flags.map(f => (f._1, f._2)) === Seq((idOf(a), idOf(c))),
+      s"exactly (a, c) must flag semantically, got $flags")
+    assert(flags.head._3 >= 0.99)
+
+    // passage leg: d's embedded 9-token run flags against b's stored
+    // windows — and nothing else does
+    val spans = s.passageSpans.as[(String, Long, Long, Long)].collect().toSeq
+    assert(spans.map(_._1) === Seq(idOf(d)),
+      s"exactly d must carry a duplicated passage, got $spans")
+    assert(spans.head._4 === 9L,
+      s"the shared passage is 9 tokens, got ${spans.head}")
+
+    // session leg: host a's two fetches merged into one closed session
+    val closed = s.sessions
+      .select("host_hash", "fetches")
+      .as[(Long, Long)].collect().toSet
+    assert(closed.contains((CS.hostHash("a.example"), 2L)),
+      s"host a's 2-fetch session must have closed, got $closed")
+
+    // ledger accounts for every doc, with zero dedup drops
+    val led = s.ledger
+      .select("ingested", "curated_in", "exact_dropped", "near_dropped", "accepted")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(led.map(_._5).sum === 5 && led.map(_._3).sum === 0 &&
+      led.map(_._4).sum === 0, s"ledger: $led")
+  }
+
   // a WARC record with NO WARC-Target-URI header at all (some archives
   // omit it on conversion records) — url decodes as ""
   private def recBytesNoUri(text: String,
