@@ -194,7 +194,7 @@ object ScaleCheck {
     // than brute's — a quadratic candidate blowup in either shows up
     // immediately as super-linear seconds. Same per-scale isolation.
     import graft.operators.Similarity
-    if (keep("ann_brute") || keep("ann_lsh") || keep("pq_adc")) for (k <- scales) {
+    if (keep("ann_brute") || keep("ann_lsh") || keep("pq_adc") || keep("pq_rerank")) for (k <- scales) {
       val spark = freshSession()
       def embBase: DataFrame = Tables(spark, sfDir, "embeddings")
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -206,7 +206,7 @@ object ScaleCheck {
       // forced this lazily inside the timer and measured train+encode
       // instead); the timed path is pure ADC — a broadcast distance
       // table over the codes scan, linear in corpus size.
-      val pqSetup = if (!keep("pq_adc")) None else Some {
+      val pqSetup = if (!keep("pq_adc") && !keep("pq_rerank")) None else Some {
         import graft.operators.Pq
         val dim = embBase.select(size(col("vec"))).head().getInt(0)
         val cb = Pq.train(embBase, "id", "vec", m = 8, ks = 16, iters = 1)
@@ -225,6 +225,18 @@ object ScaleCheck {
           val (cb, codes, dim) = pqSetup.get
           graft.operators.Pq.adcTopK(annQueries, codes, cb,
             "id", "vec", m = 8, ds = dim / 8, k = 5).count()
+        }),
+        // two-stage retrieval (the x95 shape): ADC shortlist over the
+        // codes scan, then exact re-rank joining the corpus against the
+        // broadcast Q·k' shortlist — output stays k per query at every
+        // scale; time may grow with the two corpus scans (codes + true
+        // vectors) but never faster, and never with shortlist size
+        "pq_rerank" -> (() => {
+          val (cb, codes, dim) = pqSetup.get
+          val shortlist = graft.operators.Pq.adcTopK(annQueries, codes, cb,
+            "id", "vec", m = 8, ds = dim / 8, k = 50)
+          graft.operators.IvfPq.rerank(shortlist, annQueries, corpus,
+            "id", "vec", k = 5).count()
         }))
       anns.filter(o => keep(o._1)).foreach { case (name, f) =>
         val (sec, rows) = time(f())
