@@ -34,12 +34,26 @@ object Bench {
     // actually decoded (and OS-page-cached): otherwise whichever query
     // first touches a big string/array column pays the cold IO and the
     // per-query numbers become run-order-dependent.
+    // The warmup doubles as a CALIBRATION probe: its duration on an idle
+    // box is a stable constant (fixed work, fixed data), so an inflated
+    // value in the artifact flags machine contention during the run —
+    // round 12's driver artifact silently absorbed ~2x contention and the
+    // headline number was uninterpretable without a constant like this.
+    // 1-minute load BEFORE the warmup ramps this JVM's 32 threads up:
+    // a high value here means the machine was already busy at bench start
+    val loadAvg: Option[Double] =
+      try {
+        val s = Files.readString(Paths.get("/proc/loadavg")).trim
+        s.split("\\s+").headOption.flatMap(_.toDoubleOption)
+      } catch { case _: Exception => None }
+    val calibT0 = System.nanoTime()
     val _ = spark.range(1000000).selectExpr("sum(id)").collect()
     Tables.names.foreach { n =>
       val t = Tables(spark, sfDir, n)
       // bit_xor, not sum: ANSI mode overflows on summed full-range hashes
       t.selectExpr(s"bit_xor(xxhash64(${t.columns.mkString(", ")}))").collect()
     }
+    val calibSec = (System.nanoTime() - calibT0) / 1e9
     // SPARK_GRAFT_ONLY=x04,x05 runs just the named (prefix-matched)
     // queries — for local iteration; the driver never sets it. Trim each
     // name and warn on an empty match (a typo'd filter would otherwise
@@ -113,6 +127,23 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e), _) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // Carried-set subtotal: sum of medians over the PREVIOUS round's query
+    // set (the committed resource lists it), so round-over-round regression
+    // is readable from the driver artifact without summing the BENCH_LOCAL
+    // files by hand. None when the resource is absent or nothing matches
+    // (e.g. a filtered SPARK_GRAFT_ONLY run).
+    val carriedSec: Option[Double] = {
+      val names =
+        try {
+          val in = getClass.getResourceAsStream("/graft/carried_queries.txt")
+          if (in == null) Set.empty[String]
+          else try scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().map(_.trim).filter(_.nonEmpty).toSet
+          finally in.close()
+        } catch { case _: Exception => Set.empty[String] }
+      val hit = results.filter(r => names.contains(r._1))
+      if (hit.isEmpty) None else Some(hit.map(_._2).sum)
+    }
     // The driver retains only a ~2000-char stdout tail and json-parses
     // what it finds there. Short-keying the full per-query map (rounds
     // 10-11) still overflowed at 172 queries (~2.4 KB) and only grows
@@ -141,7 +172,13 @@ object Bench {
       val se = allErrs.take(8).map { case (k, e) =>
         jstr(shortOf(k)) + ":" + jstr(e.take(60))
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","passes":$repeat,"n_queries":${results.size},"n_errors":${allErrs.size},"slowest":$slowest,"errors":$se,"sf":"$sfDir","per_query":"target/bench.json"}"""
+      // calib/load make a contended run self-identifying (r12's driver
+      // artifact was ~2x inflated with nothing in it to show why);
+      // carried = subtotal over the previous round's committed query set
+      val env = s""""calib":${jnum(calibSec)}""" +
+        loadAvg.fold("")(l => s""","load":${jnum(l)}""") +
+        carriedSec.fold("")(c => s""","carried":${jnum(c)}""")
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","passes":$repeat,"n_queries":${results.size},"n_errors":${allErrs.size},$env,"slowest":$slowest,"errors":$se,"sf":"$sfDir","per_query":"target/bench.json"}"""
     }
     // raw per-pass samples (sorted) — lets a reader judge the spread that
     // the median hides; only emitted when there IS a spread to judge
@@ -151,8 +188,12 @@ object Bench {
           jstr(k) + ":" + ps.map(jnum).mkString("[", ",", "]")
         }.mkString("{", ",", "}")
       else ""
-    def lineWith(extra: String): String =
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","passes":$repeat,"queries":$qs,"errors":$errs$extra,"sf":"$sfDir"}"""
+    def lineWith(extra: String): String = {
+      val env = s""""calib":${jnum(calibSec)}""" +
+        loadAvg.fold("")(l => s""","load":${jnum(l)}""") +
+        carriedSec.fold("")(c => s""","carried":${jnum(c)}""")
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","passes":$repeat,$env,"queries":$qs,"errors":$errs$extra,"sf":"$sfDir"}"""
+    }
     // durable copy FIRST (full line incl. raw passes): the driver
     // captures stdout, but local iteration loses it — target/bench.json
     // always holds the last completed run. Best-effort: a read-only
