@@ -247,11 +247,18 @@ object IvfPq {
     }),
 
     // Gate (empty-set oracle): exact re-ranking must surface the two
-    // zero-distance members — the query itself and its exact copy — at
-    // ranks 1 and 2 precisely (both are in the shortlist by the x82r
-    // identical-codes argument; exact d2 = 0 is the unique minimum and
-    // the tiebreak on nid is deterministic). An approximate ranker can
-    // bury a true zero-distance match; the re-ranker never may.
+    // zero-distance members — the query itself and its exact copy —
+    // within the top-2 (both are in the shortlist by the x82r
+    // identical-codes argument; exact d2 = 0 is the minimum). SET
+    // membership, not rank-exact assignment: which of the two zero-
+    // distance rows takes rank 1 is a tiebreak detail the gate has no
+    // business pinning, and a rank-exact form would fire spuriously on
+    // any coincidental third zero-distance embedding with an id between
+    // qid and qid+10000. (A third EXACT duplicate among ids < 10 could
+    // still crowd one member out of the top-2; the deterministic
+    // fixture has pairwise-distinct base embeddings, so top-2 is
+    // exactly the planted pair.) An approximate ranker can bury a true
+    // zero-distance match; the re-ranker never may.
     "x95g_ivfpq_rerank_gate" -> ((s, d) => {
       val corpus = Pq.corpusWithDups(s, d)
       val (idx, dim) = index(s, d, corpus)
@@ -259,13 +266,12 @@ object IvfPq {
           "embedding", M, dim / M, Shortlist, NProbe),
         corpus.filter(col("id") < 10), corpus, "id", "embedding", K)
       corpus.filter(col("id") < 10)
-        .select(col("id").as("qid"), col("id").as("nid"), lit(1).as("rank"))
+        .select(col("id").as("qid"), col("id").as("nid"))
         .unionByName(corpus.filter(col("id") < 10)
-          .select(col("id").as("qid"), (col("id") + 10000).as("nid"),
-            lit(2).as("rank")))
-        .join(top.select(col("qid"), col("nid"), col("rank")),
-          Seq("qid", "nid", "rank"), "left_anti")
-        .orderBy(col("qid"), col("rank"))
+          .select(col("id").as("qid"), (col("id") + 10000).as("nid")))
+        .join(top.filter(col("rank") <= 2).select(col("qid"), col("nid")),
+          Seq("qid", "nid"), "left_anti")
+        .orderBy(col("qid"), col("nid"))
     })
   )
 
@@ -307,6 +313,6 @@ object IvfPq {
     "x82r2_ivfpq_near_dup_recall" ->
       "SELECT CAST(NULL AS BIGINT) AS qid, CAST(NULL AS BIGINT) AS nid WHERE 1 = 0",
     "x95g_ivfpq_rerank_gate" ->
-      "SELECT CAST(NULL AS BIGINT) AS qid, CAST(NULL AS BIGINT) AS nid, CAST(NULL AS INT) AS rank WHERE 1 = 0"
+      "SELECT CAST(NULL AS BIGINT) AS qid, CAST(NULL AS BIGINT) AS nid WHERE 1 = 0"
   )
 }

@@ -245,18 +245,27 @@ object Multimodal {
     * deterministic byte-hash vector of the same dimension, which a
     * production pipeline would replace with that modality's encoder.
     */
-  def featureExtract(spark: SparkSession, blobs: DataFrame, grid: Int = 2): DataFrame = {
-    // this parameter was `dim` (a hash-vector length, default 16) before
-    // the pixel routing; it is now the pooling GRID (embedding dim =
-    // 3·grid²). Reject grid values in the old dim range loudly so a
-    // stale positional call like featureExtract(s, b, 16) fails at the
-    // call site instead of silently pooling a 768-dim 16×16 grid.
-    require(grid >= 1 && grid <= 8,
-      s"grid is the pooling grid (embedding dim = 3*grid*grid), got $grid — " +
-        "values above 8 look like the pre-routing `dim` argument")
-    pixelFeatures(spark, blobs, grid)
-      .select(col("doc_id"), col("embedding"))
+  def featureExtract(spark: SparkSession, blobs: DataFrame): DataFrame =
+    featureExtract(spark, blobs, PoolingGrid(2))
+
+  /** Pooling-grid width as a distinct type: featureExtract's third
+    * parameter used to be `dim` (a hash-vector length, default 16)
+    * before the pixel routing; making the new meaning a wrapper type
+    * turns any stale positional call like `featureExtract(s, b, 16)`
+    * into a COMPILE error instead of a silently reinterpreted 768-dim
+    * pooling request (the former runtime require only caught values
+    * above 8).
+    */
+  final case class PoolingGrid(width: Int) {
+    require(width >= 1 && width <= 8,
+      s"pooling grid width must be in [1, 8], got $width " +
+        "(embedding dim = 3*width*width)")
   }
+
+  def featureExtract(spark: SparkSession, blobs: DataFrame,
+                     grid: PoolingGrid): DataFrame =
+    pixelFeatures(spark, blobs, grid.width)
+      .select(col("doc_id"), col("embedding"))
 
   /** REAL pixel feature extraction: full ImageIO decode, average-pool
     * the RGB plane onto a grid×grid patch map (3·grid² dims — the

@@ -172,13 +172,25 @@ object PassageDedup {
     // are off by orders of magnitude (measured 228x under on this exact
     // shape), so both an unconditional hint and planner defaults can
     // broadcast a giant backfill batch and OOM the driver. The measure
-    // is the TOTAL occurrence count — a shuffle-free map-side count
-    // that bounds the distinct window count from above, so a broadcast
-    // chosen under the limit is always safe and a giant batch degrades
-    // (conservatively) to the partitioned join, paying the O(index)
-    // shuffle only when its size genuinely demands it.
+    // is the TOTAL occurrence count — it bounds the distinct window
+    // count from above, so a broadcast chosen under the limit is always
+    // safe and a giant batch degrades (conservatively) to the
+    // partitioned join, paying the O(index) shuffle only when its size
+    // genuinely demands it. Computed arithmetically from token lengths
+    // (windows per doc = max(dl-k+1, 1), the windowGrams convention)
+    // rather than counting the exploded occ relation: same value, but
+    // one tokenize-and-size scan of the batch instead of replaying the
+    // explode+hash pipeline that the returned plan already pays for
+    // 3x. This is an EAGER action at plan-construction time — `batch`
+    // must be a batch DataFrame (foreachBatch frames qualify); a
+    // streaming frame here throws by design.
+    val measuredWindows = batch
+      .select(size(tokens(col(textCol))).as("dl"))
+      .filter(col("dl") > 0)
+      .agg(coalesce(sum(greatest(col("dl") - (k - 1), lit(1))), lit(0L)))
+      .head().getLong(0)
     val matched = storedWindows.select(col("w"))
-      .join(if (occ.count() <= broadcastWindowLimit) broadcast(batchW)
+      .join(if (measuredWindows <= broadcastWindowLimit) broadcast(batchW)
             else batchW,
         Seq("w"), "left_semi")
     // no distinct over the union: LEFT SEMI ignores right-side dups

@@ -518,7 +518,13 @@ object WarcCodec {
   def documentsFromRaw(raw: DataFrame): DataFrame =
     raw.filter(col("blob_error").isNull)
       .select(
-        md5(concat_ws("", col("url"), col("date"), col("html"))).as("doc_id"),
+        // to_json(struct(...)), not concat_ws: unseparated concatenation
+        // has field-boundary collisions (url="a",date="bc" vs url="ab",
+        // date="c") and concat_ws drops NULLs (null url = "" url), and
+        // dropDuplicates below turns any such collision into silent
+        // record loss — JSON framing makes the hash injective in the
+        // three fields.
+        md5(to_json(struct(col("url"), col("date"), col("html")))).as("doc_id"),
         col("url"), col("date"),
         graft.operators.TextAnalysis.htmlToText(col("html")).as("text"))
       // doc_id is content-addressed: byte-identical records ARE the same
