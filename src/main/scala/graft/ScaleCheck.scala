@@ -186,6 +186,42 @@ object ScaleCheck {
       Thread.sleep(500)
     }
 
+    // Incremental PQ-code maintenance scaling (the x96 cost model): a
+    // FIXED 500-vector batch encoded + drift-checked against a stored
+    // codebook while the stored CODES relation sits at 1x/4x/16x. The
+    // maintenance step writes only the batch's own codes and reads only
+    // the batch + the M·Ks-row codebook — the stored codes are present
+    // (checkpointed) but untouched, so per-batch seconds must be FLAT
+    // in stored-code count; any growth means the append path started
+    // scanning history.
+    if (keep("pq_incr")) for (k <- scales) {
+      val spark = freshSession()
+      import graft.operators.Pq
+      def embBase: DataFrame = Tables(spark, sfDir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val dim = embBase.select(size(col("vec"))).head().getInt(0)
+      val cb = Pq.train(embBase, "id", "vec", m = 8, ks = 16, iters = 1)
+      val storedCorpus = replicate(spark, embBase, k)((df, _) => df)
+      val storedCodes = Pq.encode(storedCorpus, "id", "vec", cb,
+        m = 8, ds = dim / 8).localCheckpoint(true)
+      storedCodes.count() // materialize the stored index outside the timer
+      val batch = embBase.orderBy("id").limit(500)
+        .select((col("id") + 100000000L).as("id"), col("vec"))
+        .localCheckpoint(true)
+      val (sec, rows) = time {
+        val newCodes = Pq.encode(batch, "id", "vec", cb, m = 8, ds = dim / 8)
+        val n = newCodes.count()
+        Pq.batchQuantizationError(batch, "id", "vec", cb, m = 8, ds = dim / 8)
+        n
+      }
+      println(f"""{"op":"pq_incr","scale":$k,"sec":$sec%.2f,"rows":$rows}""")
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      System.gc()
+      Thread.sleep(500)
+    }
+
     // ANN corpus scaling: FIXED 10 queries against a replicated corpus
     // (ids offset; vectors identical — the replicas are real neighbors,
     // which is fine for top-k, whose output stays k per query). Brute

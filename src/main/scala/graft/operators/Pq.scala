@@ -197,10 +197,68 @@ object Pq {
       .select(col("qid"), col("nid"), col("rank"), round(col("adc"), 6).as("adc"))
   }
 
+  // ---- incremental code maintenance (the x70 append contract, for PQ) --
+
+  /** Encode a NEW batch against a STORED codebook and append to the
+    * stored codes relation — no retrain, no touch of existing rows.
+    * Encoding reads only the batch (one broadcast-join pass against the
+    * M·Ks-row codebook) and the union is lazy, so per-batch cost is
+    * independent of stored-code count — the x34/x70 incremental
+    * contract, applied to the PQ index. The appended codes are
+    * byte-identical to what a full re-encode would assign (encoding is
+    * deterministic given the codebook), so search quality over the
+    * merged relation is exactly the full-build's.
+    */
+  def appendCodes(storedCodes: DataFrame, batch: DataFrame, idCol: String,
+                  vecCol: String, codebook: PqCodebook, m: Int,
+                  ds: Int): DataFrame =
+    storedCodes.unionByName(encode(batch, idCol, vecCol, codebook, m, ds))
+
+  /** Summed + per-vector mean squared quantization (reconstruction)
+    * error of a batch under a codebook — the DRIFT statistic for stored
+    * codebooks: a batch whose distribution has moved away from the
+    * training corpus reconstructs worse, and nothing else in the
+    * append path would notice (codes always assign SOMEWHERE). One
+    * broadcast-join pass over the batch, map-side-combinable min/sum —
+    * cost independent of stored index size. Returns (sum, nVectors).
+    */
+  def batchQuantizationError(batch: DataFrame, idCol: String, vecCol: String,
+                             codebook: PqCodebook, m: Int,
+                             ds: Int): (Double, Long) = {
+    GraftExtensions.register(batch.sparkSession)
+    val sv = subVectors(batch, idCol, vecCol, m, ds)
+      .withColumn("sn2", dot(col("sv"), col("sv")))
+    val best = sv.join(broadcast(codebook.centroids), Seq("m"))
+      .select(col("id"), col("m"),
+        sqDist(col("sn2"), col("cn2"), dot(col("sv"), col("cvec"))).as("d2"))
+      .groupBy(col("id"), col("m")).agg(min(col("d2")).as("d2"))
+    val r = best.agg(coalesce(sum(col("d2")), lit(0.0)).as("e"),
+      (count(lit(1)) / m).cast("long").as("n")).head()
+    (r.getDouble(0), r.getLong(1))
+  }
+
+  /** Drift violations for the x96d gate: the batch's per-vector error
+    * vs the codebook's training-time per-vector error, within a
+    * declared factor. Empty = healthy; a row = the stored codebook is
+    * stale for this batch and needs retraining.
+    */
+  private[graft] def driftViolations(trainSum: Double, trainN: Long,
+                                         batchSum: Double, batchN: Long,
+                                         factor: Double): Seq[(String, String)] = {
+    val trainPer = if (trainN == 0) 0.0 else trainSum / trainN
+    val batchPer = if (batchN == 0) 0.0 else batchSum / batchN
+    if (trainN == 0) Seq(("empty_train", "codebook trained on zero vectors"))
+    else if (batchN > 0 && batchPer > factor * trainPer)
+      Seq(("drift", f"batch err/vec $batchPer%.6f > $factor%.1f x " +
+        f"train err/vec $trainPer%.6f"))
+    else Nil
+  }
+
   private val M = 8
   private val Ks = 16
   private val Iters = 2
   private val K = 10
+  private val DriftFactor = 2.0
 
   /** Trained codebook + codes over a corpus, shared by the three
     * declared queries within a (session, dir) via the extension memo.
@@ -227,6 +285,8 @@ object Pq {
   def clearMemo(): Unit = {
     shared.values.forEach { case (_, codes, _) => graft.CheckpointBlocks.release(codes) }
     shared.clear()
+    incShared.values.forEach(st => graft.CheckpointBlocks.release(st.merged))
+    incShared.clear()
     corpusMemo.values.forEach(graft.CheckpointBlocks.release)
     corpusMemo.clear()
   }
@@ -247,6 +307,43 @@ object Pq {
         // lost the (theoretical) race: the winner's frames are the
         // shared ones — release this thread's just-built checkpoint
         case Some(w) => graft.CheckpointBlocks.release(codes); w
+        case None => v
+      }
+    }
+  }
+
+  /** x96 incremental-maintenance state: codebook trained on the STORED
+    * (even-id) half only, its codes, the odd-id batch appended via
+    * [[appendCodes]], and the train/batch error sums for the drift
+    * gate. One training + one append shared by the four x96 queries.
+    */
+  private final case class IncState(cb: PqCodebook, merged: DataFrame,
+                                    dim: Int, trainSum: Double, trainN: Long,
+                                    batchSum: Double, batchN: Long)
+
+  private val incShared =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), IncState]()
+
+  private def incIndex(s: SparkSession, d: String,
+                       corpus: DataFrame): IncState = {
+    val key = (s, d)
+    Option(incShared.get(key)).getOrElse {
+      MemoEviction.register(s, "pq-inc") { () =>
+        incShared.keySet.removeIf(_._1 eq s)
+      }
+      val dim = corpus.select(size(col("embedding"))).head().getInt(0)
+      val stored = corpus.filter(col("id") % 2 === 0)
+      val batch = corpus.filter(col("id") % 2 === 1)
+      val cb = train(stored, "id", "embedding", M, Ks, Iters)
+      val trainN = stored.count()
+      val storedCodes = encode(stored, "id", "embedding", cb, M, dim / M)
+      val merged = appendCodes(storedCodes, batch, "id", "embedding",
+        cb, M, dim / M).localCheckpoint(true)
+      val (bSum, bN) = batchQuantizationError(batch, "id", "embedding",
+        cb, M, dim / M)
+      val v = IncState(cb, merged, dim, cb.errors.last, trainN, bSum, bN)
+      Option(incShared.putIfAbsent(key, v)) match {
+        case Some(w) => graft.CheckpointBlocks.release(merged); w
         case None => v
       }
     }
@@ -362,6 +459,62 @@ object Pq {
       nearDupExpected(corpus)
         .join(top.select(col("qid"), col("nid")), Seq("qid", "nid"), "left_anti")
         .orderBy(col("qid"), col("nid"))
+    }),
+
+    // --- x96: incremental PQ code maintenance --------------------------
+    // The x70 append contract for the PQ index: the odd-id half arrives
+    // as a NEW batch and is encoded against the codebook trained on the
+    // even-id (stored) half — no retrain, existing codes untouched.
+    // Rows-only (codes are k-means state); the three gates below carry
+    // full empty-set oracles.
+    "x96_pq_code_append" -> ((s, d) => {
+      val st = incIndex(s, d, corpusWithDups(s, d))
+      st.merged.orderBy(col("id"), col("m"))
+    }),
+
+    // Coverage gate (empty-set oracle): the merged relation holds every
+    // corpus vector exactly once, each with exactly M subspace codes —
+    // an append that lost, duplicated, or partially encoded rows emits
+    // a violation row.
+    "x96g_pq_append_coverage" -> ((s, d) => {
+      val corpus = corpusWithDups(s, d)
+      val st = incIndex(s, d, corpus)
+      val counts = st.merged.groupBy(col("id")).agg(count(lit(1)).as("n"))
+      val wrong = counts.filter(col("n") =!= M)
+        .select(col("id"), concat(lit("has "), col("n"),
+          lit(s" code rows, want $M")).as("violation"))
+      val missing = corpus.select(col("id"))
+        .join(counts.select(col("id")), Seq("id"), "left_anti")
+        .select(col("id"), lit("missing from merged codes").as("violation"))
+      wrong.unionByName(missing).orderBy(col("id"))
+    }),
+
+    // Drift gate (empty-set oracle): the batch's per-vector squared
+    // reconstruction error under the STORED codebook must stay within
+    // DriftFactor of the codebook's own training-time error — the
+    // health check that catches a stale codebook, which the append path
+    // alone never would (every vector assigns SOMEWHERE).
+    "x96d_pq_code_drift_gate" -> ((s, d) => {
+      import s.implicits._
+      val st = incIndex(s, d, corpusWithDups(s, d))
+      driftViolations(st.trainSum, st.trainN, st.batchSum, st.batchN,
+        DriftFactor).toDF("chk", "violation").orderBy(col("chk"))
+    }),
+
+    // Recall gate (empty-set oracle): searching the MERGED relation,
+    // every query (id < 10) must retrieve its exact duplicate
+    // (id + 10000). Odd queries and their copies live entirely in the
+    // APPENDED half — their recall proves appended codes are exactly as
+    // searchable as built ones (identical codes => minimum ADC).
+    "x96r_pq_append_recall" -> ((s, d) => {
+      val corpus = corpusWithDups(s, d)
+      val st = incIndex(s, d, corpus)
+      val top = adcTopK(corpus.filter(col("id") < 10), st.merged, st.cb,
+        "id", "embedding", M, st.dim / M, K)
+      corpus.filter(col("id") < 10)
+        .select(col("id").as("qid"), (col("id") + 10000).as("nid"))
+        .join(top.select(col("qid"), col("nid")), Seq("qid", "nid"), "left_anti")
+        .orderBy(col("qid"))
     })
   )
 
@@ -371,6 +524,12 @@ object Pq {
     "x80r_pq_dup_recall" ->
       "SELECT CAST(NULL AS BIGINT) AS qid, CAST(NULL AS BIGINT) AS nid WHERE 1 = 0",
     "x80r2_pq_near_dup_recall" ->
+      "SELECT CAST(NULL AS BIGINT) AS qid, CAST(NULL AS BIGINT) AS nid WHERE 1 = 0",
+    "x96g_pq_append_coverage" ->
+      "SELECT CAST(NULL AS BIGINT) AS id, CAST(NULL AS VARCHAR) AS violation WHERE 1 = 0",
+    "x96d_pq_code_drift_gate" ->
+      "SELECT CAST(NULL AS VARCHAR) AS chk, CAST(NULL AS VARCHAR) AS violation WHERE 1 = 0",
+    "x96r_pq_append_recall" ->
       "SELECT CAST(NULL AS BIGINT) AS qid, CAST(NULL AS BIGINT) AS nid WHERE 1 = 0"
   )
 }

@@ -73,4 +73,50 @@ class PqSpec extends SparkSpecBase {
     assert(Pq.queries("x80g_pq_train_gate")(spark, sfDir).count() === 0)
     assert(Pq.queries("x80r_pq_dup_recall")(spark, sfDir).count() === 0)
   }
+
+  test("appendCodes assigns a batch byte-identically to a full re-encode") {
+    val rnd = new scala.util.Random(31)
+    val all = (0L until 60L).map(i => (i, Seq.fill(8)(rnd.nextDouble())))
+    val corpus = vecs(all)
+    val stored = corpus.filter(col("id") % 2 === 0)
+    val batch = corpus.filter(col("id") % 2 === 1)
+    val cb = Pq.train(stored, "id", "embedding", m = 4, ks = 8, iters = 2)
+    val merged = Pq.appendCodes(
+      Pq.encode(stored, "id", "embedding", cb, m = 4, ds = 2),
+      batch, "id", "embedding", cb, m = 4, ds = 2)
+    val full = Pq.encode(corpus, "id", "embedding", cb, m = 4, ds = 2)
+    assert(merged.count() === 240) // 60 vectors x 4 subspaces
+    // symmetric difference empty => identical (id, m, code) relations
+    assert(merged.exceptAll(full).count() === 0)
+    assert(full.exceptAll(merged).count() === 0)
+  }
+
+  test("drift gate: healthy batch passes, shifted batch trips") {
+    val rnd = new scala.util.Random(43)
+    val all = (0L until 80L).map(i => (i, Seq.fill(8)(rnd.nextDouble())))
+    val corpus = vecs(all)
+    val stored = corpus.filter(col("id") % 2 === 0)
+    val batch = corpus.filter(col("id") % 2 === 1)
+    val cb = Pq.train(stored, "id", "embedding", m = 4, ks = 8, iters = 2)
+    val trainN = stored.count()
+    val (okSum, okN) = Pq.batchQuantizationError(batch, "id", "embedding",
+      cb, m = 4, ds = 2)
+    // same distribution: per-vector error within 2x of training error
+    assert(Pq.driftViolations(cb.errors.last, trainN, okSum, okN, 2.0).isEmpty,
+      s"healthy batch flagged: train ${cb.errors.last / trainN}, batch ${okSum / okN}")
+    // a scaled+shifted batch reconstructs catastrophically worse: the
+    // gate MUST fire (this is the stale-codebook detection contract)
+    val shifted = batch.select(col("id"),
+      transform(col("embedding"), x => x * 5.0 + 1.0).as("embedding"))
+    val (badSum, badN) = Pq.batchQuantizationError(shifted, "id", "embedding",
+      cb, m = 4, ds = 2)
+    val v = Pq.driftViolations(cb.errors.last, trainN, badSum, badN, 2.0)
+    assert(v.nonEmpty && v.head._1 == "drift", s"shifted batch not flagged: $v")
+  }
+
+  test("x96 gates are empty on the testdata corpus") {
+    assert(Pq.queries("x96g_pq_append_coverage")(spark, sfDir).count() === 0)
+    assert(Pq.queries("x96d_pq_code_drift_gate")(spark, sfDir).count() === 0)
+    assert(Pq.queries("x96r_pq_append_recall")(spark, sfDir).count() === 0)
+  }
 }
