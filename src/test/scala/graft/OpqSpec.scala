@@ -86,4 +86,14 @@ class OpqSpec extends SparkSpecBase {
     assert(math.abs(cb2.errors.head - cb1.errors.last) <=
       1e-9 * math.max(1.0, cb1.errors.last))
   }
+
+  test("x94a advantage gate: green with the rotation, FIRES without it") {
+    // the learned rotation clears all three clauses on the fixture
+    assert(Opq.rotationAdvantage(spark, sfDir, forceIdentity = false).isEmpty)
+    // dropping the rotation (R = I at equal budget) must trip the
+    // strict distortion clause — the gate's sensitivity contract
+    val fired = Opq.rotationAdvantage(spark, sfDir, forceIdentity = true)
+    assert(fired.exists(_._1 == "distortion"),
+      s"identity rotation did not fire the distortion clause: $fired")
+  }
 }
