@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.GraftFunctions.{tokens, windowGrams}
@@ -225,6 +225,90 @@ object Contamination {
           .as("n_dropped"))
   }
 
+  // ---- x97: semantic (embedding-cosine) decontamination ---------------
+
+  /** Hex-digit numeric value of a single lowercase hex char — the
+    * cross-engine bridge (ascii() agrees everywhere; DuckDB has no
+    * xxhash64/conv, so the bucket hash must be md5-arithmetic).
+    */
+  private def hexVal(c: Column): Column =
+    when(ascii(c) >= 97, ascii(c) - 87).otherwise(ascii(c) - 48)
+
+  /** Token -> bucket in [0, dim) from the first two hex chars of
+    * md5(token) — 256 evenly filled cells folded onto dim buckets,
+    * reproducible in DuckDB as plain CASE/ascii arithmetic (which is
+    * what makes x97 a FULL-oracle query where the xxhash64-bucketed
+    * [[TextAnalysis.hashedTfEmbedding]] is not).
+    */
+  private[graft] def md5Bucket(t: Column, dim: Int): Column =
+    (hexVal(substring(md5(t), 1, 1)) * 16 + hexVal(substring(md5(t), 2, 1))) % dim
+
+  /** UNNORMALIZED md5-bucketed token-frequency vector — the
+    * hashing-trick lexical embedding (Weinberger et al. 2009) in a
+    * cross-engine-deterministic form. Invariant under token REORDERING
+    * (bag-of-words), which is exactly the property window-hash
+    * decontamination (x33) lacks: a shuffled-word copy of an eval item
+    * keeps cosine 1.0 while sharing no k-token window. Kept as raw
+    * integer counts (exact in doubles) so the cosine can be computed
+    * as dot/(|a|·|b|) — one correctly-rounded division at the end,
+    * bit-identical across engines, where dotting pre-normalized
+    * vectors would accumulate engine-ordered rounding.
+    */
+  private[graft] def md5TfCounts(textCol: Column, dim: Int): Column = {
+    require(dim >= 1 && dim <= 256, s"dim must be in [1, 256], got $dim")
+    val bks = transform(coalesce(tokens(textCol), array()),
+      t => md5Bucket(t, dim))
+    transform(sequence(lit(0), lit(dim - 1)),
+      i => size(filter(bks, b => b === i)).cast("double"))
+  }
+
+  /** Semantic decontamination report: for every corpus document, its
+    * nearest eval item by embedding cosine and whether it crosses the
+    * contamination threshold. Catches PARAPHRASED/reordered eval
+    * leakage that exact-substring decontamination (x33/x38) provably
+    * misses.
+    *
+    * Scale shape (the x64 SemDeDup posture applied to decontamination):
+    * the EVAL side is benchmark-sized by definition — its embeddings
+    * BROADCAST onto the corpus scan, the cosine is a codegen'd VecDot
+    * per (corpus doc, eval item), and the per-doc argmax is a bounded
+    * max-struct aggregate, so the corpus is scanned once and never
+    * shuffled. At a 100 TB corpus the plan is unchanged; a truly large
+    * eval set would move to the LSH-bucketed candidate path
+    * ([[Similarity.cosinePairsBucketed]]) with identical flag
+    * semantics. Ties on the 6dp-rounded cosine break on eval_id —
+    * deterministic across engines and partitionings.
+    */
+  def semanticDecontamReport(corpus: DataFrame, evalDocs: DataFrame,
+                             idCol: String, textCol: String,
+                             dim: Int, thr: Double): DataFrame = {
+    val sp = corpus.sparkSession
+    graft.functions.GraftExtensions.register(sp)
+    val dotC = graft.functions.GraftExtensions.vecDot _
+    def withNorm(df: DataFrame, id: String, vec: String): DataFrame =
+      df.select(col(id), col(vec),
+        sqrt(dotC(col(vec), col(vec))).as(s"${vec}_n"))
+    val ev = withNorm(evalDocs.select(col(idCol).as("eval_id"),
+      md5TfCounts(col(textCol), dim).as("evec")), "eval_id", "evec")
+    val co = withNorm(corpus.select(col(idCol).as("doc_id"),
+      md5TfCounts(col(textCol), dim).as("cvec")), "doc_id", "cvec")
+    val scored = co.crossJoin(broadcast(ev))
+      .select(col("doc_id"), col("eval_id"),
+        round(when(col("cvec_n") * col("evec_n") > 0,
+            dotC(col("cvec"), col("evec")) / (col("cvec_n") * col("evec_n")))
+          .otherwise(lit(0.0)), 6).as("cos"))
+    val best = scored.groupBy(col("doc_id"))
+      .agg(max(struct(col("cos"), (-col("eval_id")).as("negid"))).as("b"))
+    best.select(col("doc_id"),
+      (-col("b.negid")).cast("long").as("nearest_eval_id"),
+      col("b.cos").as("eval_cos"),
+      (col("b.cos") >= thr).as("contaminated"))
+  }
+
+  private val SemDim = 64
+  private val SemThr = 0.95
+  private val SemPlanted = 5
+
   /** One window relation per (session, dir), shared by x32 and x33 —
     * the expensive tokenize+explode+xxhash64 expansion runs once, with the
     * split slices filtered AFTER materialization (same memo discipline
@@ -275,6 +359,27 @@ object Contamination {
       val w = windowsMemo(s, d)
       decontaminationBloomFrac(winSplit(w, train = false), winSplit(w, train = true))
         .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Semantic decontamination of the x22 train split against an eval
+    // set = the x22 test split PLUS five PLANTED paraphrases (the five
+    // smallest train doc_ids with token order REVERSED, offset ids).
+    // The planted rows are the point: a reordered copy keeps cosine
+    // 1.0 — flagged here — while sharing no 5-token window with its
+    // source, so x33's exact-substring check provably misses it
+    // (spec-asserted). Full DuckDB oracle via the md5-bucket embedding.
+    "x97_semantic_decontam" -> ((s, d) => {
+      val docs = Tables(s, d, "documents").select(col("doc_id"), col("text"))
+      val train = docs.filter(
+        SamplingQueries.hashPrefix(col("doc_id")) <= SamplingQueries.TrainHi)
+      val test = docs.filter(
+        SamplingQueries.hashPrefix(col("doc_id")) > SamplingQueries.ValHi)
+      val planted = train.orderBy(col("doc_id")).limit(SemPlanted)
+        .select((col("doc_id") + 900000L).as("doc_id"),
+          array_join(reverse(tokens(col("text"))), " ").as("text"))
+      semanticDecontamReport(train, test.unionByName(planted),
+        "doc_id", "text", SemDim, SemThr)
         .orderBy(col("doc_id"))
     }),
 
@@ -336,6 +441,65 @@ object Contamination {
       """SELECT CAST(NULL AS BIGINT) AS doc_id,
         |  CAST(NULL AS DOUBLE) AS contam_frac,
         |  CAST(NULL AS DOUBLE) AS bloom_frac
-        |WHERE false""".stripMargin
+        |WHERE false""".stripMargin,
+
+    "x97_semantic_decontam" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, coalesce($TokArr, []) AS ts FROM documents
+         |), train AS (
+         |  SELECT doc_id, ts FROM tok
+         |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'cb'
+         |), ev AS (
+         |  SELECT doc_id AS eval_id, ts FROM tok
+         |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) > 'e5'
+         |  UNION ALL
+         |  SELECT doc_id + 900000 AS eval_id, list_reverse(ts) AS ts
+         |  FROM (SELECT doc_id, ts FROM train ORDER BY doc_id LIMIT 5)
+         |), cb AS (
+         |  SELECT doc_id,
+         |    ((CASE WHEN ascii(substr(md5(t), 1, 1)) >= 97
+         |        THEN ascii(substr(md5(t), 1, 1)) - 87
+         |        ELSE ascii(substr(md5(t), 1, 1)) - 48 END) * 16 +
+         |     (CASE WHEN ascii(substr(md5(t), 2, 1)) >= 97
+         |        THEN ascii(substr(md5(t), 2, 1)) - 87
+         |        ELSE ascii(substr(md5(t), 2, 1)) - 48 END)) % 64 AS b
+         |  FROM train, unnest(ts) AS u(t)
+         |), eb AS (
+         |  SELECT eval_id,
+         |    ((CASE WHEN ascii(substr(md5(t), 1, 1)) >= 97
+         |        THEN ascii(substr(md5(t), 1, 1)) - 87
+         |        ELSE ascii(substr(md5(t), 1, 1)) - 48 END) * 16 +
+         |     (CASE WHEN ascii(substr(md5(t), 2, 1)) >= 97
+         |        THEN ascii(substr(md5(t), 2, 1)) - 87
+         |        ELSE ascii(substr(md5(t), 2, 1)) - 48 END)) % 64 AS b
+         |  FROM ev, unnest(ts) AS u(t)
+         |), ccnt AS (
+         |  SELECT doc_id, b, CAST(count(*) AS DOUBLE) AS c FROM cb GROUP BY 1, 2
+         |), ecnt AS (
+         |  SELECT eval_id, b, CAST(count(*) AS DOUBLE) AS c FROM eb GROUP BY 1, 2
+         |), cn AS (
+         |  SELECT doc_id, sqrt(sum(c * c)) AS n FROM ccnt GROUP BY 1
+         |), en AS (
+         |  SELECT eval_id, sqrt(sum(c * c)) AS n FROM ecnt GROUP BY 1
+         |), dots AS (
+         |  SELECT ccnt.doc_id, ecnt.eval_id, sum(ccnt.c * ecnt.c) AS dp
+         |  FROM ccnt JOIN ecnt ON ccnt.b = ecnt.b GROUP BY 1, 2
+         |), pairs AS (
+         |  SELECT t.doc_id, e.eval_id,
+         |    round(coalesce(dots.dp / NULLIF(cn.n * en.n, 0), 0.0), 6) AS cos
+         |  FROM (SELECT doc_id FROM train) t
+         |  CROSS JOIN (SELECT eval_id FROM ev) e
+         |  LEFT JOIN dots ON dots.doc_id = t.doc_id AND dots.eval_id = e.eval_id
+         |  LEFT JOIN cn ON cn.doc_id = t.doc_id
+         |  LEFT JOIN en ON en.eval_id = e.eval_id
+         |), ranked AS (
+         |  SELECT doc_id, eval_id, cos,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY cos DESC, eval_id ASC) AS rk
+         |  FROM pairs
+         |)
+         |SELECT doc_id, eval_id AS nearest_eval_id, cos AS eval_cos,
+         |  cos >= 0.95 AS contaminated
+         |FROM ranked WHERE rk = 1 ORDER BY doc_id""".stripMargin
   )
 }

@@ -283,6 +283,31 @@ object Opq {
         .orderBy(col("qid"))
     }),
 
+    // Incremental OPQ code maintenance (empty-set oracle) — the x96
+    // append contract through the rotation: a NEW batch (the odd-id
+    // half) rotates with the STORED R (pure scan-side projection) and
+    // encodes against the STORED codebook, no retraining of either.
+    // The gate asserts the appended codes are IDENTICAL, row for row,
+    // to what the full build assigned those ids — append-then-serve
+    // equals rebuild, which is the whole maintenance contract. Drift
+    // detection is quantizer-agnostic: [[Pq.batchQuantizationError]]
+    // on the rotated batch against the stored codebook (OpqSpec pins
+    // it against the x94 model).
+    "x96o_opq_append_identity" -> ((s, d) => {
+      val corpus = Pq.corpusWithDups(s, d)
+      val (model, codes, dim) = index(s, d, corpus)
+      val batch = corpus.filter(col("id") % 2 === 1)
+      val rot = batch.select(col("id"),
+        rotate(model.r, col("embedding").cast("array<double>")).as("rvec"))
+      val appended = Pq.encode(rot, "id", "rvec", model.cb, M, dim / M)
+      val stored = codes.join(batch.select(col("id")), Seq("id"), "left_semi")
+      stored.join(appended, Seq("id", "m", "code"), "left_anti")
+        .withColumn("violation", lit("stored code not reproduced by append"))
+        .unionByName(appended.join(stored, Seq("id", "m", "code"), "left_anti")
+          .withColumn("violation", lit("append invented a code")))
+        .orderBy(col("id"), col("m"))
+    }),
+
     // Gate (empty-set oracle): the ROTATION'S ADVANTAGE over plain PQ
     // at equal (M, Ks) on the correlated prefix-sum fixture — the judge
     // contract x94g/x94r leave open (they gate OPQ's own training
@@ -391,6 +416,8 @@ object Opq {
     "x94r_opq_dup_recall" ->
       "SELECT CAST(NULL AS BIGINT) AS qid, CAST(NULL AS BIGINT) AS nid WHERE 1 = 0",
     "x94a_opq_vs_pq_gate" ->
-      "SELECT CAST(NULL AS VARCHAR) AS chk, CAST(NULL AS VARCHAR) AS detail WHERE 1 = 0"
+      "SELECT CAST(NULL AS VARCHAR) AS chk, CAST(NULL AS VARCHAR) AS detail WHERE 1 = 0",
+    "x96o_opq_append_identity" ->
+      "SELECT CAST(NULL AS BIGINT) AS id, CAST(NULL AS INT) AS m, CAST(NULL AS INT) AS code, CAST(NULL AS VARCHAR) AS violation WHERE 1 = 0"
   )
 }

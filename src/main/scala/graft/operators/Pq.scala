@@ -359,7 +359,7 @@ object Pq {
     * probe, trainings, encodes, query filter), and every consumer
     * otherwise re-reads the parquet and re-shuffles the union.
     */
-  private[operators] def corpusWithDups(s: SparkSession, d: String): DataFrame = {
+  private[graft] def corpusWithDups(s: SparkSession, d: String): DataFrame = {
     val key = (s, d)
     Option(corpusMemo.get(key)).getOrElse {
       MemoEviction.register(s, "pq-corpus") { () =>

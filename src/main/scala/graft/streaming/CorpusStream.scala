@@ -54,8 +54,15 @@ class CorpusStream(spark: SparkSession, workDir: String,
                    cfg: CorpusPipeline.Config = CorpusPipeline.Config(),
                    targetSplitBytes: Long = 128L << 20,
                    semanticThreshold: Option[Double] = None,
-                   passageK: Option[Int] = None) {
+                   passageK: Option[Int] = None,
+                   pqM: Option[Int] = None) {
   import spark.implicits._
+
+  require(pqM.isEmpty || semanticThreshold.nonEmpty,
+    "the PQ leg serves rerank from the semantic leg's stored vectors — " +
+      "set semanticThreshold when pqM is set")
+  pqM.foreach(m => require(m >= 1 && 64 % m == 0,
+    s"pqM must divide the embedding dim 64, got $m"))
 
   private val curatedPath = s"$workDir/curated"
   private val bandPath = s"$workDir/bands"
@@ -68,9 +75,16 @@ class CorpusStream(spark: SparkSession, workDir: String,
   private val semDupPath = s"$workDir/semdups"
   private val winPath = s"$workDir/windows"
   private val passSpanPath = s"$workDir/passagespans"
+  private val pqCodesPath = s"$workDir/pqcodes"
+  private val pqCbPath = s"$workDir/pqcodebook"
+  private val pqMetaPath = s"$workDir/pqmeta"
+  private val pqDriftPath = s"$workDir/pqdrift"
   private val SemDim = 64
   private val SemBits = 8
   private val SemTables = 8
+  private val PqKs = 16
+  private val PqIters = 2
+  private val PqDriftFactor = 2.0
 
   // binaryFile's fixed schema — file streams require it explicitly
   private val binSchema = new StructType()
@@ -119,7 +133,8 @@ class CorpusStream(spark: SparkSession, workDir: String,
     */
   def compact(): Unit =
     Seq(curatedPath, bandPath, docArrPath, ledgerPath, dlqPath,
-      vecPath, vecBucketPath, semDupPath, winPath, passSpanPath)
+      vecPath, vecBucketPath, semDupPath, winPath, passSpanPath,
+      pqCodesPath, pqDriftPath)
       .foreach(compactOne)
 
   private def compactOne(path: String): Unit = {
@@ -239,6 +254,40 @@ class CorpusStream(spark: SparkSession, workDir: String,
   private def storedWindowIndex: DataFrame = readOr(winPath,
     Seq.empty[(String, Long)].toDF("id", "w"))
 
+  /** The maintained PQ code table (id, m, code) — M small ints per
+    * accepted document, encoded at ingest time against the STORED
+    * codebook (the x96 contract riding the stream). Empty before the
+    * codebook trains.
+    */
+  def pqCodes: DataFrame = readOr(pqCodesPath,
+    Seq.empty[(String, Int, Int)].toDF("id", "m", "code"))
+
+  /** Per-batch drift ledger (batch_id, batch_err_per_vec,
+    * train_err_per_vec, drifted): the x96d health signal as stream
+    * telemetry — a `drifted = true` row is the retrain-the-codebook
+    * alarm; the append path itself never fails on drift (every vector
+    * assigns SOMEWHERE, which is exactly why the signal must exist).
+    */
+  def pqDrift: DataFrame = readOr(pqDriftPath,
+    Seq.empty[(Long, Double, Double, Boolean)]
+      .toDF("batch_id", "batch_err_per_vec", "train_err_per_vec", "drifted"))
+
+  /** Stored codebook as the Pq operator shape, None before training.
+    * Driver-state sized (M·Ks rows) by construction — the collect is
+    * the parameter-server load, not a corpus materialization.
+    */
+  private def storedCodebook: Option[(graft.operators.Pq.PqCodebook, Double, Long)] = {
+    val d = new java.io.File(pqCbPath)
+    if (!d.isDirectory) None
+    else {
+      val cents = spark.read.parquet(pqCbPath)
+      val meta = spark.read.parquet(pqMetaPath).head()
+      Some((graft.operators.Pq.PqCodebook(cents,
+          Seq(meta.getDouble(0)), Map.empty),
+        meta.getDouble(0), meta.getLong(1)))
+    }
+  }
+
   /** Drain every unseen WARC blob, processing each through
     * [[processBatch]]. The default Trigger.AvailableNow drains and
     * stops — call repeatedly as new blobs land; pass
@@ -329,6 +378,33 @@ class CorpusStream(spark: SparkSession, workDir: String,
     else spark.read.parquet(sessionsPath)
   }
 
+  /** Two-stage retrieval served FROM THE MAINTAINED STREAM STATE — the
+    * x95 production pattern composed with the incremental code table:
+    * ADC shortlist over [[pqCodes]] (compressed codes only, scanned
+    * once), exact re-rank of the Q·shortlistK candidates against the
+    * semantic leg's stored TRUE vectors ([[IvfPq.rerank]]'s explicit
+    * broadcast — the corpus is never shuffled). Queries are raw texts;
+    * they embed with the same hashed-TF function the ingest used, so a
+    * query equal to an ingested document scores exact distance 0.
+    * Throws before the first codebook-training batch (nothing to serve).
+    */
+  def searchPq(queryDocs: DataFrame, idCol: String, textCol: String,
+               k: Int, shortlistK: Int = 50): DataFrame = {
+    val m = pqM.getOrElse(
+      throw new IllegalStateException("searchPq requires the pqM leg"))
+    val (cb, _, _) = storedCodebook.getOrElse(
+      throw new IllegalStateException(
+        "no stored PQ codebook yet — ingest a non-empty batch first"))
+    val q = queryDocs.select(col(idCol).as("qid"),
+      TextAnalysis.hashedTfEmbedding(col(textCol), SemDim).as("emb"))
+    val shortlist = graft.operators.Pq.adcTopK(
+      q.withColumnRenamed("qid", "id"), pqCodes, cb, "id", "emb",
+      m, SemDim / m, shortlistK)
+    graft.operators.IvfPq.rerank(shortlist,
+      q.select(col("qid").as("id"), col("emb").as("vec")),
+      vecIndex.select(col("id"), col("vec")), "id", "vec", k)
+  }
+
   private def overwriteBatch(df: DataFrame, path: String, batchId: Long): Unit =
     df.write.mode("overwrite").parquet(s"$path/batch=$batchId")
 
@@ -405,9 +481,12 @@ class CorpusStream(spark: SparkSession, workDir: String,
     // then index append — the incremental-IVF/x34 contract: batch-side
     // bucket computation + one bucket-keyed join vs the index, zero
     // recompute over embedding history.
+    // shared by the semantic + PQ legs: one embedding computation for
+    // the batch (both consume the same hashed-TF vectors)
+    lazy val newVecs = accepted.select(col("doc_id"),
+      TextAnalysis.hashedTfEmbedding(col("text"), SemDim).as("emb"))
+      .localCheckpoint(true)
     semanticThreshold.foreach { thr =>
-      val newVecs = accepted.select(col("doc_id"),
-        TextAnalysis.hashedTfEmbedding(col("text"), SemDim).as("emb"))
       // a crash-REPLAYED batch finds its own half-written index rows on
       // disk; anti-joining the batch's ids off the index side makes the
       // replay's flag output byte-identical to the first attempt
@@ -422,6 +501,54 @@ class CorpusStream(spark: SparkSession, workDir: String,
         vecPath, batchId)
       overwriteBatch(Similarity.lshBucketTable(newVecs, "doc_id", "emb",
         SemBits, SemTables), vecBucketPath, batchId)
+    }
+
+    // PQ leg (opt-in): maintain the serving code table incrementally —
+    // the x96 append contract riding the stream. The codebook trains
+    // ONCE (first non-empty batch; deterministic, so a crash-replayed
+    // training batch rebuilds the identical codebook) and every later
+    // batch encodes against the STORED codebook: per-batch cost reads
+    // the batch + the M·Ks-row codebook, never the stored codes
+    // (pq_incr ScaleCheck probe pins it flat). Drift telemetry rides
+    // pqDrift; codes overwrite-by-batchId like every other store.
+    pqM.foreach { m =>
+      import graft.operators.Pq
+      val ds = SemDim / m
+      val cbOpt = storedCodebook.orElse {
+        if (newVecs.isEmpty) None
+        else {
+          val cb = Pq.train(newVecs, "doc_id", "emb", m, PqKs, PqIters)
+          val trainN = newVecs.count()
+          // centroids first, meta last: a crash between the writes is
+          // re-entered by the replayed batch, which retrains the same
+          // deterministic codebook and overwrites both
+          cb.centroids.coalesce(1).write.mode("overwrite").parquet(pqCbPath)
+          Seq((cb.errors.last, trainN)).toDF("train_err_sum", "train_n")
+            .coalesce(1).write.mode("overwrite").parquet(pqMetaPath)
+          Some((cb, cb.errors.last, trainN))
+        }
+      }
+      cbOpt.foreach { case (cb, trainSum, trainN) =>
+        overwriteBatch(Pq.encode(newVecs, "doc_id", "emb", cb, m, ds),
+          pqCodesPath, batchId)
+        val (bSum, bN) = Pq.batchQuantizationError(newVecs, "doc_id", "emb",
+          cb, m, ds)
+        val trainPer = if (trainN == 0) 0.0 else trainSum / trainN
+        val batchPer = if (bN == 0) 0.0 else bSum / bN
+        // a codebook trained on fewer vectors than it has centroids per
+        // subspace memorizes its training batch (error ~0), and ANY
+        // later batch would flag against that degenerate baseline — a
+        // drift VERDICT needs trainN >= Ks; below it the ledger row
+        // records null (telemetry without a verdict)
+        val verdict: Option[Boolean] =
+          if (trainN < PqKs) None
+          else Some(bN > 0 && batchPer > PqDriftFactor * trainPer)
+        overwriteBatch(
+          Seq((batchId, batchPer, trainPer, verdict))
+            .toDF("batch_id", "batch_err_per_vec", "train_err_per_vec",
+              "drifted"),
+          pqDriftPath, batchId)
+      }
     }
 
     // passage leg (opt-in): token-window spans duplicated against the

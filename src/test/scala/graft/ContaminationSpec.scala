@@ -147,4 +147,29 @@ class ContaminationSpec extends SparkSpecBase {
     // are already covered. Survivor = "z"
     assert(r === Seq((1L, "a b c d", 4L, 0L), (2L, "z", 1L, 4L)))
   }
+
+  test("x97 catches a shuffled-word eval copy that x33 provably misses") {
+    import org.apache.spark.sql.functions.col
+    // 30 distinct tokens, then the same multiset in REVERSED order: no
+    // 5-token window survives the reordering, but the bag of words —
+    // and hence the md5-TF cosine — is identical
+    val toks = (1 to 30).map(i => s"tok$i")
+    val train = Seq((1L, toks.mkString(" ")),
+      (2L, (100 to 129).map(i => s"other$i").mkString(" "))).toDF("doc_id", "text")
+    val eval_ = Seq((900001L, toks.reverse.mkString(" "))).toDF("doc_id", "text")
+    // x33's exact-substring check: ZERO shared windows => contam_frac 0
+    val exact = Contamination.decontamination(eval_, train, "doc_id", "text", k = 5)
+      .as[(Long, Double)].collect().toMap
+    assert(exact(900001L) === 0.0,
+      s"reversed copy should share no 5-token window: $exact")
+    // x97's semantic check: cosine 1.0 => flagged against doc 1
+    val sem = Contamination.semanticDecontamReport(train, eval_,
+      "doc_id", "text", dim = 64, thr = 0.95)
+      .orderBy(col("doc_id"))
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(sem.head === ((1L, 900001L, 1.0, true)),
+      s"semantic decontam missed the reordered copy: $sem")
+    // the unrelated doc is NOT flagged (near-orthogonal vocabulary)
+    assert(!sem(1)._4, s"unrelated doc spuriously flagged: ${sem(1)}")
+  }
 }

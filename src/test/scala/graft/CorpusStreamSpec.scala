@@ -286,7 +286,7 @@ class CorpusStreamSpec extends SparkSpecBase {
     val warcDir = Files.createTempDirectory("csallw").toString
     val workDir = Files.createTempDirectory("csallk").toString
     def stream() = new CS(spark, workDir,
-      semanticThreshold = Some(0.9), passageK = Some(5))
+      semanticThreshold = Some(0.9), passageK = Some(5), pqM = Some(8))
     def drain(): Unit =
       stream().ingestWithSessions(warcDir, sessionGapMs = 30 * 60 * 1000L,
         sessionWatermark = "10 minutes").foreach(_.awaitTermination())
@@ -347,6 +347,37 @@ class CorpusStreamSpec extends SparkSpecBase {
       .as[(Long, Long, Long, Long, Long)].collect().toSeq
     assert(led.map(_._5).sum === 5 && led.map(_._3).sum === 0 &&
       led.map(_._4).sum === 0, s"ledger: $led")
+
+    // PQ leg: the code table covers every accepted doc with exactly M
+    // codes — codebook trained on the FIRST drain, batches from the
+    // second and third drains encoded by FRESH CorpusStream instances
+    // reloading the stored codebook (each drain() constructs a new
+    // instance over the same workDir: the restart path IS the test)
+    val codeCounts = s.pqCodes.groupBy("id").count()
+      .as[(String, Long)].collect().toMap
+    assert(codeCounts.size === 5 && codeCounts.values.forall(_ == 8L),
+      s"every doc carries exactly M=8 codes: $codeCounts")
+    // drift ledger: one telemetry row per batch, no TRUE verdict (the
+    // 2-doc training baseline is below Ks, so verdicts are null —
+    // telemetry without a degenerate-baseline false alarm)
+    assert(s.pqDrift.count() === 3, s"ledger: ${s.pqDrift.collect().toSeq}")
+    assert(s.pqDrift.filter($"drifted" === true).count() === 0,
+      s"drift ledger: ${s.pqDrift.collect().toSeq}")
+
+    // streaming two-stage retrieval (the x95 contract across restarts):
+    // querying a's text must surface BOTH zero-distance members — a
+    // itself (indexed by drain 1, before any restart) and c, its
+    // bag-of-words twin (indexed by drain 2, a different stream
+    // instance) — at ranks 1-2 with exact re-ranked distance 0
+    val top = s.searchPq(Seq(("q1", a)).toDF("qid", "text"),
+        "qid", "text", k = 3)
+      .as[(String, String, Int, Double)].collect().toSeq.sortBy(_._3)
+    assert(top.take(2).map(_._2).toSet === Set(idOf(a), idOf(c)),
+      s"zero-distance members must hold ranks 1-2, got $top")
+    assert(top.take(2).forall(t => math.abs(t._4) <= 1e-6),
+      s"re-ranked distance of exact members must be 0, got $top")
+    assert(top.size === 3 && math.abs(top(2)._4) > 1e-6,
+      s"rank 3 is a genuine non-duplicate, got $top")
   }
 
   // a WARC record with NO WARC-Target-URI header at all (some archives

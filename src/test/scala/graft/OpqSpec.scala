@@ -87,6 +87,25 @@ class OpqSpec extends SparkSpecBase {
       1e-9 * math.max(1.0, cb1.errors.last))
   }
 
+  test("x96o: OPQ append identity gate empty; drift check healthy on the rotated batch") {
+    assert(Opq.queries("x96o_opq_append_identity")(spark, sfDir).count() === 0)
+    // drift through the rotation: the odd half rotated with the stored R
+    // reconstructs within 2x of the model's training error — the
+    // quantizer-agnostic Pq.batchQuantizationError applied to OPQ
+    val corpus = Pq.corpusWithDups(spark, sfDir)
+    val model = Opq.train(corpus.filter(col("id") % 2 === 0), "id", "embedding",
+      m = 8, ks = 16, opqIters = 2, lloydIters = 1)
+    val trainN = corpus.filter(col("id") % 2 === 0).count()
+    val rot = corpus.filter(col("id") % 2 === 1)
+      .select(col("id"),
+        Opq.rotate(model.r, col("embedding").cast("array<double>")).as("rvec"))
+    val (bSum, bN) = Pq.batchQuantizationError(rot, "id", "rvec", model.cb,
+      m = 8, ds = 8)
+    assert(Pq.driftViolations(model.errors.last, trainN, bSum, bN, 2.0).isEmpty,
+      s"healthy rotated batch flagged: train ${model.errors.last / trainN}, " +
+        s"batch ${bSum / bN}")
+  }
+
   test("x94a advantage gate: green with the rotation, FIRES without it") {
     // the learned rotation clears all three clauses on the fixture
     assert(Opq.rotationAdvantage(spark, sfDir, forceIdentity = false).isEmpty)

@@ -30,13 +30,18 @@ class PlanAuditSpec extends SparkSpecBase {
     * same shape ivfAssign runs inside the x16 index memo, hidden there
     * by the checkpoint). The corpus-sized codes scan joins by equi-key.
     */
+  /** x97's product is corpus × EVAL SET — the eval side is
+    * benchmark-sized by definition and explicitly broadcast; every
+    * corpus row must be scored against every eval item (that IS the
+    * decontamination check), so the BNLJ is the intended bounded shape.
+    */
   private val nestedLoopByDesign =
     Set("x06_ann_brute_topk", "x07p_ann_lsh_precision", "x16p_ann_ivf_precision",
       "x26g_heavy_hitters_recall",
       "x82_ann_ivfpq_topk", "x82r_ivfpq_dup_recall",
       "x82r2_ivfpq_near_dup_recall",
       "x95_ann_ivfpq_rerank", "x95g_ivfpq_rerank_gate",
-      "x83e_pixel_embed_topk")
+      "x83e_pixel_embed_topk", "x97_semantic_decontam")
 
   test("no declared query plans a cartesian product or an unintended nested-loop join") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

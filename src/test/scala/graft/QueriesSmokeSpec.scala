@@ -41,7 +41,12 @@ class QueriesSmokeSpec extends SparkSpecBase {
     "x87g_image_dhash_recall",
     "x94g_opq_train_gate",
     "x94r_opq_dup_recall",
-    "x95g_ivfpq_rerank_gate")
+    "x94a_opq_vs_pq_gate",
+    "x95g_ivfpq_rerank_gate",
+    "x96g_pq_append_coverage",
+    "x96d_pq_code_drift_gate",
+    "x96r_pq_append_recall",
+    "x96o_opq_append_identity")
 
   test("every declared query emits SCALAR columns only (driver pandas-sort compat)") {
     // the driver's correctness harness canonicalizes with a pandas
