@@ -202,9 +202,10 @@ object ScaleCheck {
       val dim = embBase.select(size(col("vec"))).head().getInt(0)
       val cb = Pq.train(embBase, "id", "vec", m = 8, ks = 16, iters = 1)
       val storedCorpus = replicate(spark, embBase, k)((df, _) => df)
+      // eager localCheckpoint materializes the stored index here,
+      // outside the timer — no extra count needed
       val storedCodes = Pq.encode(storedCorpus, "id", "vec", cb,
         m = 8, ds = dim / 8).localCheckpoint(true)
-      storedCodes.count() // materialize the stored index outside the timer
       val batch = embBase.orderBy("id").limit(500)
         .select((col("id") + 100000000L).as("id"), col("vec"))
         .localCheckpoint(true)

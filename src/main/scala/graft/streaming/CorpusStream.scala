@@ -58,11 +58,15 @@ class CorpusStream(spark: SparkSession, workDir: String,
                    pqM: Option[Int] = None) {
   import spark.implicits._
 
+  // declared BEFORE the requires below — constructor order means a val
+  // read before its declaration silently reads 0
+  private val SemDim = 64
+
   require(pqM.isEmpty || semanticThreshold.nonEmpty,
     "the PQ leg serves rerank from the semantic leg's stored vectors — " +
       "set semanticThreshold when pqM is set")
-  pqM.foreach(m => require(m >= 1 && 64 % m == 0,
-    s"pqM must divide the embedding dim 64, got $m"))
+  pqM.foreach(m => require(m >= 1 && SemDim % m == 0,
+    s"pqM must divide the embedding dim $SemDim, got $m"))
 
   private val curatedPath = s"$workDir/curated"
   private val bandPath = s"$workDir/bands"
@@ -79,7 +83,6 @@ class CorpusStream(spark: SparkSession, workDir: String,
   private val pqCbPath = s"$workDir/pqcodebook"
   private val pqMetaPath = s"$workDir/pqmeta"
   private val pqDriftPath = s"$workDir/pqdrift"
-  private val SemDim = 64
   private val SemBits = 8
   private val SemTables = 8
   private val PqKs = 16
@@ -277,7 +280,12 @@ class CorpusStream(spark: SparkSession, workDir: String,
     * the parameter-server load, not a corpus materialization.
     */
   private def storedCodebook: Option[(graft.operators.Pq.PqCodebook, Double, Long)] = {
-    val d = new java.io.File(pqCbPath)
+    // the SENTINEL is pqMetaPath — the LAST of the two training writes:
+    // a crash between "centroids written" and "meta written" must read
+    // as not-trained so the replayed batch retrains (deterministic) and
+    // overwrites both; gating on the first write would wedge the stream
+    // on a nonexistent meta dir forever
+    val d = new java.io.File(pqMetaPath)
     if (!d.isDirectory) None
     else {
       val cents = spark.read.parquet(pqCbPath)
