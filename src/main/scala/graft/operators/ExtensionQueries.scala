@@ -226,6 +226,65 @@ object ExtensionQueries {
         k = 5, nprobe = 4)
     }
 
+  /** k-means‖-seeded refined IVF ANN top-k — consumed by x98 and x98p. */
+  private def annIvfKpp(s: SparkSession, d: String): DataFrame =
+    once(s, d, "ann_ivf_kpp") {
+      val e = rebalanced(Tables(s, d, "embeddings"))
+      Similarity.ivfSearch(
+        Similarity.ivfBuildKpp(e, "vec_id", "embedding",
+          nlist = 16, rounds = 3, oversample = 8, iters = 2).refined.index,
+        e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nprobe = 4)
+    }
+
+  /** 8 tight spherical clusters built deterministically from the
+    * embeddings table: vector = anchor(vec_id % 8) + 0.1·embedding,
+    * with anchor[i] = ±1 from xxhash64(cluster, i). The k-means‖
+    * advantage fixture: a hash-ordered seed of 8 points almost surely
+    * lands two in one cluster and misses another (the 8!/8⁸ coupon
+    * odds), while the distance-weighted oversampling draw spreads
+    * across clusters by construction.
+    */
+  private def clusteredCorpus(s: SparkSession, d: String): DataFrame =
+    rebalanced(Tables(s, d, "embeddings")).select(col("vec_id").as("id"),
+      transform(col("embedding"), (x, i) =>
+        when(xxhash64(pmod(col("vec_id"), lit(8)).cast("int"), i) % 2 === 0,
+          lit(1.0)).otherwise(lit(-1.0)) + lit(0.1) * x.cast("double")).as("vec"))
+
+  /** k-means‖ seed advantage over the hash seed at equal config on the
+    * clustered fixture — the x98a gate body. `forceHash` swaps the
+    * k-means‖ seed for the hash seed (the two programs are then
+    * identical, so the objective ratio is exactly 1) — the spec hook
+    * proving the gate FIRES when the smarter seeding is dropped.
+    */
+  private[graft] def seedAdvantage(s: SparkSession, d: String,
+                                   forceHash: Boolean): Seq[(String, String)] = {
+    val corpus = clusteredCorpus(s, d).localCheckpoint(true)
+    try {
+      // iters = 0: objectives.head is the SEED's assignment objective —
+      // the seeding is the only thing the two programs differ in
+      val hashObj = Similarity.ivfBuildRefined(corpus, "id", "vec",
+        nlist = 8, iters = 0).objectives.head
+      val kppObj =
+        if (forceHash) hashObj
+        else Similarity.ivfBuildKpp(corpus, "id", "vec", nlist = 8,
+          rounds = 3, oversample = 8, iters = 0).refined.objectives.head
+      if (kppObj < hashObj * KppAdvantageBar)
+        Seq(("seed_objective",
+          f"kpp $kppObj%.3f < hash $hashObj%.3f x $KppAdvantageBar"))
+      else Seq.empty
+    } finally graft.CheckpointBlocks.release(corpus)
+  }
+
+  /** Measured seed-objective ratios kpp/hash on the clustered fixture:
+    * 1.4534 (sf0.001) and 1.4524 (sf0.01) — a missed cluster costs its
+    * members most of their cosine, and the hash seed misses 2-3 of the
+    * 8 clusters at both scales. With forceHash the ratio is exactly 1,
+    * so 1.2 has a wide margin in both directions and stays deliberately
+    * sensitive to dropping the smarter seeding.
+    */
+  private val KppAdvantageBar = 1.2
+
   /** Stored-centroid relation of the incremental-IVF demo: the index is
     * BUILT over the even-id half of the corpus (the "already indexed"
     * state) and never retrained. ivfBuild is hash-seed deterministic,
@@ -520,6 +579,61 @@ object ExtensionQueries {
         .join(merged.select(col("nid")), Seq("nid"), "left_anti")
         .select(col("nid"), lit("missing from merged index").as("violation"))
       dupes.unionByName(missing).orderBy(col("nid"))
+    }),
+
+    // k-means‖ (scalable k-means++, Bahmani et al. VLDB 2012) seeded
+    // IVF: rounds of distance-weighted oversampling replace the hash
+    // seed, the bounded candidate set reclusters on the driver, and the
+    // SAME shared Lloyd loop refines — so the x56 contracts carry over.
+    // Rows-only top-k; every emitted score exact (x98p); the
+    // seeding-specific invariants + advantage are the two gates below.
+    "x98_ann_ivf_kpp_topk" -> ((s, d) =>
+      annIvfKpp(s, d).orderBy(col("qid"), col("rank"))),
+
+    "x98p_ann_ivf_kpp_precision" -> ((s, d) =>
+      annIvfKpp(s, d).select("qid", "nid", "sim")
+        .join(annExhaustive(s, d).select("qid", "nid", "sim"),
+          Seq("qid", "nid", "sim"), "left_anti")
+        .orderBy(col("qid"), col("nid"))),
+
+    // Gate (empty-set oracle), three clauses: (a) the k-means‖ cost
+    // trace ψ is non-increasing (each round's candidates can only lower
+    // every point's min distance — a rise proves the scan-side update
+    // broke); (b) every round's draw respects the structural candidate
+    // cap (driver state stays bounded by construction, not just in
+    // expectation); (c) the Lloyd objective over the k-means‖ seed is
+    // non-decreasing (the x56g contract must hold for EVERY seed path).
+    "x98g_kpp_invariants_gate" -> ((s, d) => {
+      import s.implicits._
+      val e = rebalanced(Tables(s, d, "embeddings"))
+      val kpp = Similarity.ivfBuildKpp(e, "vec_id", "embedding",
+        nlist = 16, rounds = 3, oversample = 8, iters = 2)
+      val viol = Seq.newBuilder[(String, String)]
+      kpp.seed.costs.sliding(2).zipWithIndex.foreach {
+        case (Seq(a, b), i) if b > a + 1e-9 * math.max(1.0, a.abs) =>
+          viol += ((f"cost_$i%02d", s"psi rose $a -> $b"))
+        case _ =>
+      }
+      kpp.seed.candidateCounts.zipWithIndex.foreach { case (n, i) =>
+        if (n > 16L * 8) viol += ((f"draw_$i%02d", s"$n candidates exceeds cap"))
+      }
+      kpp.refined.objectives.sliding(2).zipWithIndex.foreach {
+        case (Seq(a, b), i) if b < a - 1e-9 * math.max(1.0, a.abs) =>
+          viol += ((f"lloyd_$i%02d", s"objective fell $a -> $b"))
+        case _ =>
+      }
+      viol.result().toDF("clause", "violation").orderBy(col("clause"))
+    }),
+
+    // Gate (empty-set oracle): on the clustered fixture the k-means‖
+    // seed's assignment objective beats the hash seed's by the declared
+    // factor at equal config — deliberately sensitive to dropping the
+    // smarter seeding (the forceHash spec hook makes the two programs
+    // identical and the bar fail).
+    "x98a_kpp_advantage_gate" -> ((s, d) => {
+      import s.implicits._
+      seedAdvantage(s, d, forceHash = false)
+        .toDF("clause", "violation").orderBy(col("clause"))
     }),
 
     // --- skew handling ----------------------------------------------------
@@ -920,6 +1034,18 @@ object ExtensionQueries {
 
     "x70g_ivf_append_coverage" ->
       """SELECT CAST(NULL AS BIGINT) AS nid, CAST(NULL AS VARCHAR) AS violation
+        |WHERE false""".stripMargin,
+
+    "x98p_ann_ivf_kpp_precision" ->
+      """SELECT CAST(NULL AS BIGINT) AS qid, CAST(NULL AS BIGINT) AS nid,
+        |  CAST(NULL AS DOUBLE) AS sim WHERE false""".stripMargin,
+
+    "x98g_kpp_invariants_gate" ->
+      """SELECT CAST(NULL AS VARCHAR) AS clause, CAST(NULL AS VARCHAR) AS violation
+        |WHERE false""".stripMargin,
+
+    "x98a_kpp_advantage_gate" ->
+      """SELECT CAST(NULL AS VARCHAR) AS clause, CAST(NULL AS VARCHAR) AS violation
         |WHERE false""".stripMargin,
 
     "x87g_image_dhash_recall" ->

@@ -374,15 +374,37 @@ object Similarity {
   def ivfBuildRefined(corpus: DataFrame, idCol: String, vecCol: String,
                       nlist: Int, iters: Int): IvfRefined = {
     require(nlist >= 1, "nlist must be >= 1")
-    require(iters >= 0, "iters must be >= 0")
     val c = withNorm(corpus, idCol, vecCol).localCheckpoint(true)
+    try lloydRefine(c, hashSeedCentroids(c, nlist), iters)
+    finally graft.CheckpointBlocks.release(c)
+  }
+
+  /** The hash-ordered pseudo-random seed: nlist corpus vectors by
+    * xxhash64(id) order — deterministic, one tiny bounded window.
+    */
+  private def hashSeedCentroids(c: DataFrame, nlist: Int): DataFrame = {
     val wSeed = Window.orderBy(xxhash64(col("id")))
-    var centroids = c.orderBy(xxhash64(col("id"))).limit(nlist)
+    c.orderBy(xxhash64(col("id"))).limit(nlist)
       .withColumn("cell", row_number().over(wSeed))
       .select(col("cell"),
         transform(col("vec"), x => x.cast("double")).as("cvec"),
         col("nrm").as("cnrm"))
-      .localCheckpoint(true)
+  }
+
+  /** The shared Lloyd loop over an already-normed corpus `c` and a
+    * (cell, cvec, cnrm) seed — both the hash seed ([[ivfBuildRefined]])
+    * and the k-means‖ seed ([[ivfBuildKpp]]) refine through this one
+    * implementation, so the monotonicity guarantee (and its x56g gate)
+    * covers every seeding path. Superseded per-round checkpoints are
+    * released as soon as their successor materializes (the PageRank
+    * pattern): a long refinement must not pin iters× the centroid and
+    * assignment relations in executor storage. The RETURNED frames
+    * (final centroids + assignment) stay checkpointed — they are the
+    * index the caller serves from.
+    */
+  private def lloydRefine(c: DataFrame, seed: DataFrame, iters: Int): IvfRefined = {
+    require(iters >= 0, "iters must be >= 0")
+    var centroids = seed.localCheckpoint(true)
     val objs = Seq.newBuilder[Double]
     var assign = ivfAssignScored(c, centroids).localCheckpoint(true)
     objs += assign.agg(sum(col("csim"))).head().getDouble(0)
@@ -396,18 +418,265 @@ object Similarity {
         .withColumn("ncnrm", sqrt(dot(col("ncvec"), col("ncvec"))))
         // a cell whose members cancel to ~zero has no direction: keep old
         .filter(col("ncnrm") > 0 && !isnan(col("ncnrm")))
-      centroids = centroids.join(means, Seq("cell"), "left")
+      val nextCentroids = centroids.join(means, Seq("cell"), "left")
         .select(col("cell"),
           coalesce(col("ncvec"), col("cvec")).as("cvec"),
           coalesce(col("ncnrm"), col("cnrm")).as("cnrm"))
         .localCheckpoint(true)
-      assign = ivfAssignScored(c, centroids).localCheckpoint(true)
+      graft.CheckpointBlocks.release(centroids)
+      centroids = nextCentroids
+      val nextAssign = ivfAssignScored(c, centroids).localCheckpoint(true)
+      graft.CheckpointBlocks.release(assign)
+      assign = nextAssign
       objs += assign.agg(sum(col("csim"))).head().getDouble(0)
     }
     IvfRefined(
       IvfIndex(centroids, assign.select(col("id").as("nid"),
         col("vec").as("nvec"), col("nrm").as("nnrm"), col("cell"))),
       objs.result())
+  }
+
+  /** k-means‖ seed state: the reclustered seed centroids (cell, cvec,
+    * cnrm — ready for [[lloydRefine]]), the number of NEW candidates
+    * drawn in each oversampling round, and the clustering cost ψ
+    * (summed spherical squared distance 2−2·cos to the nearest
+    * candidate) measured after each round — non-increasing by
+    * construction, gated in x98g.
+    */
+  final case class KppSeed(centroids: DataFrame, candidateCounts: Seq[Long],
+                           costs: Seq[Double])
+
+  /** Per-round candidate cap: the expected draw is `oversample` points
+    * (the k-means‖ sampling masses sum to ℓ), so 16× that bound only
+    * fires on a broken sampler — it exists to keep the driver-side
+    * candidate state bounded by CONSTRUCTION, not just in expectation.
+    */
+  private val KppRoundCap = 16
+
+  /** Round a double to 12 significant digits: ψ is a distributed float
+    * sum whose low bits depend on partition order, and it feeds the
+    * per-point sampling threshold — rounding makes the sampled set
+    * reproducible across runs/partitionings (a threshold flip would
+    * need a hash-uniform to land inside the discarded 1e-12 band).
+    */
+  private def roundSig(x: Double): Double =
+    if (x == 0.0 || !java.lang.Double.isFinite(x)) x
+    else BigDecimal(x).round(new java.math.MathContext(12)).toDouble
+
+  /** k-means‖ (scalable k-means++, Bahmani et al., VLDB 2012) seeding
+    * for the IVF coarse quantizer — the production-scale replacement
+    * for the hash-ordered pseudo-random seed: instead of hoping nlist
+    * hash-picked rows spread across the data's clusters, each of
+    * `rounds` passes samples points with probability ∝ their squared
+    * distance to the current candidate set (oversampling ℓ =
+    * `oversample` expected draws per round), then the O(ℓ·rounds)
+    * candidates are weighted by their attraction counts and reclustered
+    * on the driver to nlist seeds.
+    *
+    * Spherical form: all distances are 2−2·cos on unit vectors (squared
+    * Euclidean on the sphere), matching the spherical Lloyd refinement
+    * the seed feeds. Fully deterministic: the Bernoulli draws use
+    * xxhash64(id, round) uniforms, ψ is rounded to 12 significant
+    * digits before thresholding ([[roundSig]]), and the driver
+    * recluster is greedy (argmax sampling mass) + sequential Lloyd.
+    *
+    * Scale shape per round: candidates live on the DRIVER (bounded ≤
+    * 1 + rounds·16·oversample by the per-round cap) and enter the plan
+    * as literals, so the distance update is a single scan of codegen'd
+    * VecDots — no join, no shuffle; ψ is one agg. The weighting pass is
+    * one broadcast-argmax over the corpus. Total distributed work:
+    * rounds+1 scans + one small aggregation — the shape that survives a
+    * 100 TB corpus where a driver k-means++ over the raw data cannot.
+    */
+  def kmeansParallelSeed(corpus: DataFrame, idCol: String, vecCol: String,
+                         nlist: Int, rounds: Int, oversample: Int): KppSeed = {
+    val c = withNorm(corpus, idCol, vecCol).localCheckpoint(true)
+    try kppSeedFromNormed(c, nlist, rounds, oversample)
+    finally graft.CheckpointBlocks.release(c)
+  }
+
+  /** [[kmeansParallelSeed]] over an already-normed (id, vec, nrm) frame
+    * — the internal entry [[ivfBuildKpp]] shares its checkpoint with.
+    */
+  private def kppSeedFromNormed(c: DataFrame, nlist: Int, rounds: Int,
+                                oversample: Int): KppSeed = {
+    require(nlist >= 1, "nlist must be >= 1")
+    require(rounds >= 0, "rounds must be >= 0")
+    require(oversample >= 1, "oversample must be >= 1")
+    val sp = c.sparkSession
+    val cap = KppRoundCap * oversample
+
+    // first candidate: the hash-min corpus point (deterministic)
+    val first = c.orderBy(xxhash64(col("id")), col("id")).limit(1)
+      .select(col("id"), transform(col("vec"), x => x.cast("double") / col("nrm")).as("uvec"))
+      .collect()
+    if (first.isEmpty) {
+      // empty corpus: an empty seed with the right shape
+      val empty = c.limit(0).select(lit(1).as("cell"),
+        transform(col("vec"), x => x.cast("double")).as("cvec"),
+        col("nrm").as("cnrm"))
+      return KppSeed(empty, Seq.empty, Seq.empty)
+    }
+    val candIds = scala.collection.mutable.ArrayBuffer[Any](first(0).get(0))
+    val candVecs = scala.collection.mutable.ArrayBuffer[IndexedSeq[Double]](
+      first(0).getSeq[Double](1).toIndexedSeq)
+
+    def minD2Update(state: DataFrame, newVecs: Seq[IndexedSeq[Double]]): DataFrame = {
+      // greatest() needs >= 2 args; -1 is the cosine floor, so it is the
+      // identity for the max and never changes the result
+      val dots = newVecs.map(v => dot(col("uvec"), typedlit(v))) :+ lit(-1.0)
+      state.withColumn("d2",
+        least(col("d2"), lit(2.0) - lit(2.0) * greatest(dots: _*)))
+    }
+
+    // (id, uvec, d2) with d2 = distance to the current candidate set;
+    // updated scan-side each round, superseded checkpoints released
+    var state = minD2Update(
+      c.select(col("id"),
+          transform(col("vec"), x => x.cast("double") / col("nrm")).as("uvec"))
+        .withColumn("d2", lit(java.lang.Double.MAX_VALUE)),
+      candVecs.toSeq).localCheckpoint(true)
+    val counts = Seq.newBuilder[Long]
+    val costs = Seq.newBuilder[Double]
+    var psi = roundSig(state.agg(sum(col("d2"))).head().getDouble(0))
+    costs += psi
+    var r = 1
+    while (r <= rounds && psi > 0) {
+      val u = pmod(xxhash64(col("id"), lit(r)), lit(1L << 40)).cast("double") /
+        lit((1L << 40).toDouble)
+      val drawn = state
+        .filter(u < lit(oversample.toDouble) * col("d2") / lit(psi))
+        .orderBy(col("id")).limit(cap)
+        .select(col("id"), col("uvec")).collect()
+      counts += drawn.length.toLong
+      if (drawn.nonEmpty) {
+        val newVecs = drawn.map(_.getSeq[Double](1).toIndexedSeq).toSeq
+        candIds ++= drawn.map(_.get(0))
+        candVecs ++= newVecs
+        val next = minD2Update(state, newVecs).localCheckpoint(true)
+        graft.CheckpointBlocks.release(state)
+        state = next
+        psi = roundSig(state.agg(sum(col("d2"))).head().getDouble(0))
+      }
+      costs += psi
+      r += 1
+    }
+
+    // weight pass: every corpus point votes for its nearest candidate
+    // (one broadcast argmax — ties break to the smaller candidate index)
+    import sp.implicits._
+    val candDf = candVecs.zipWithIndex
+      .map { case (v, i) => (i, v) }.toSeq.toDF("ci", "cvec")
+    val weights = state.crossJoin(broadcast(candDf))
+      .select(col("id"), col("ci"), dot(col("uvec"), col("cvec")).as("dp"))
+      .groupBy(col("id"))
+      .agg(max_by(col("ci"), struct(col("dp"), -col("ci"))).as("ci"))
+      .groupBy(col("ci")).count().collect()
+      .map(row => row.getInt(0) -> row.getLong(1)).toMap
+    graft.CheckpointBlocks.release(state)
+
+    // pad: fewer candidates than nlist (tiny corpus / rounds=0) tops up
+    // from the hash-ordered sample, excluding ids already drawn
+    val padNeed = nlist - candVecs.length
+    if (padNeed > 0) {
+      val pads = c.filter(!col("id").isInCollection(candIds.toSeq))
+        .orderBy(xxhash64(col("id")), col("id")).limit(padNeed)
+        .select(col("id"),
+          transform(col("vec"), x => x.cast("double") / col("nrm")).as("uvec"))
+        .collect()
+      candIds ++= pads.map(_.get(0))
+      candVecs ++= pads.map(_.getSeq[Double](1).toIndexedSeq)
+    }
+
+    val seeds = recluster(candVecs.toIndexedSeq,
+      candVecs.indices.map(i => weights.getOrElse(i, 1L).toDouble), nlist)
+    val seedDf = seeds.zipWithIndex
+      .map { case (v, i) =>
+        (i + 1, v, math.sqrt(v.iterator.map(x => x * x).sum))
+      }.toDF("cell", "cvec", "cnrm")
+    KppSeed(seedDf, counts.result(), costs.result())
+  }
+
+  /** Driver-side weighted recluster of the k-means‖ candidates to k
+    * seeds: greedy k-means++ (each next seed = the candidate with the
+    * largest sampling mass w·d² against the chosen set — the
+    * deterministic argmax form of the ++ draw), then 5 sequential
+    * weighted spherical Lloyd rounds. Pure driver arithmetic over ≤
+    * 1 + rounds·16·oversample candidates — bounded parameter-server
+    * state, the [[Pq.train]] codebook idiom.
+    */
+  private def recluster(cands: IndexedSeq[IndexedSeq[Double]],
+                        w: IndexedSeq[Double], k: Int): IndexedSeq[IndexedSeq[Double]] = {
+    if (cands.isEmpty) return IndexedSeq.empty
+    def dotv(a: IndexedSeq[Double], b: IndexedSeq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def unit(a: IndexedSeq[Double]): IndexedSeq[Double] = {
+      val n = math.sqrt(dotv(a, a))
+      if (n > 0) a.map(_ / n) else a
+    }
+    // greedy ++: start from the heaviest candidate, then argmax w·d²
+    val chosen = scala.collection.mutable.ArrayBuffer[Int](
+      cands.indices.maxBy(i => (w(i), -i)))
+    val d2 = Array.tabulate(cands.length)(i =>
+      2.0 - 2.0 * dotv(cands(i), cands(chosen.head)))
+    while (chosen.length < math.min(k, cands.length)) {
+      // argmax of the ++ sampling mass; when every remaining mass is 0
+      // (all remaining candidates coincide with chosen seeds) this still
+      // picks deterministically by index — a duplicate seed direction is
+      // harmless (a cell that never wins keeps its centroid in Lloyd)
+      val next = cands.indices.filterNot(chosen.contains)
+        .maxBy(i => (w(i) * d2(i), -i))
+      chosen += next
+      var i = 0
+      while (i < d2.length) {
+        d2(i) = math.min(d2(i), 2.0 - 2.0 * dotv(cands(i), cands(next)))
+        i += 1
+      }
+    }
+    var centers = chosen.toIndexedSeq.take(k).map(cands)
+    (1 to 5).foreach { _ =>
+      val sums = Array.fill(centers.length)(new Array[Double](cands.head.length))
+      val mass = new Array[Double](centers.length)
+      cands.indices.foreach { i =>
+        var best = 0; var bestDp = Double.NegativeInfinity
+        centers.indices.foreach { j =>
+          val dp = dotv(cands(i), unit(centers(j)))
+          if (dp > bestDp) { best = j; bestDp = dp }
+        }
+        var p = 0
+        while (p < sums(best).length) { sums(best)(p) += w(i) * cands(i)(p); p += 1 }
+        mass(best) += w(i)
+      }
+      centers = centers.indices.map { j =>
+        if (mass(j) > 0) {
+          val m = unit(sums(j).toIndexedSeq.map(_ / mass(j)))
+          if (m.exists(_ != 0.0)) m else centers(j) // direction lost: keep
+        } else centers(j) // cell lost every member: keep (Lloyd contract)
+      }
+    }
+    centers
+  }
+
+  /** A k-means‖-seeded refined IVF build plus the seed diagnostics —
+    * the x98 entry point. Identical downstream contract to
+    * [[ivfBuildRefined]] (same Lloyd loop, same monotone objective);
+    * only the seed is smarter, so at equal refinement budget the
+    * objective starts (and stays) at least as high as the hash seed's
+    * on clustered data — gated in x98g.
+    */
+  final case class IvfKpp(refined: IvfRefined, seed: KppSeed)
+
+  def ivfBuildKpp(corpus: DataFrame, idCol: String, vecCol: String,
+                  nlist: Int, rounds: Int, oversample: Int,
+                  iters: Int): IvfKpp = {
+    val c = withNorm(corpus, idCol, vecCol).localCheckpoint(true)
+    try {
+      val seed = kppSeedFromNormed(c, nlist, rounds, oversample)
+      IvfKpp(lloydRefine(c, seed.centroids, iters), seed)
+    } finally graft.CheckpointBlocks.release(c)
   }
 
   /** Append a new vector batch into a STORED index: broadcast-assign

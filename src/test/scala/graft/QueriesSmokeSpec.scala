@@ -46,7 +46,10 @@ class QueriesSmokeSpec extends SparkSpecBase {
     "x96g_pq_append_coverage",
     "x96d_pq_code_drift_gate",
     "x96r_pq_append_recall",
-    "x96o_opq_append_identity")
+    "x96o_opq_append_identity",
+    "x98p_ann_ivf_kpp_precision",
+    "x98g_kpp_invariants_gate",
+    "x98a_kpp_advantage_gate")
 
   test("every declared query emits SCALAR columns only (driver pandas-sort compat)") {
     // the driver's correctness harness canonicalizes with a pandas
