@@ -82,6 +82,7 @@ object Bench {
           graft.operators.Pq.clearMemo()
           graft.operators.IvfPq.clearMemo()
           graft.operators.Opq.clearMemo()
+          graft.operators.Pca.clearMemo()
           spark.catalog.clearCache()
           // localCheckpoint blocks (Dedup/BPE iteration state) are NOT
           // dropped by clearCache; left in place they GC-pressure later

@@ -37,7 +37,8 @@ object SparkEntry {
       PassageDedup.queries ++
       Pq.queries ++
       IvfPq.queries ++
-      Opq.queries
+      Opq.queries ++
+      Pca.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -62,5 +63,6 @@ object SparkEntry {
       PassageDedup.oracleSql ++
       Pq.oracleSql ++
       IvfPq.oracleSql ++
-      Opq.oracleSql
+      Opq.oracleSql ++
+      Pca.oracleSql
 }

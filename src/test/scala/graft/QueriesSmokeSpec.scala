@@ -49,7 +49,10 @@ class QueriesSmokeSpec extends SparkSpecBase {
     "x96o_opq_append_identity",
     "x98p_ann_ivf_kpp_precision",
     "x98g_kpp_invariants_gate",
-    "x98a_kpp_advantage_gate")
+    "x98a_kpp_advantage_gate",
+    "x99g_pca_gate",
+    "x99a_pca_advantage_gate",
+    "x99r_pca_recall")
 
   test("every declared query emits SCALAR columns only (driver pandas-sort compat)") {
     // the driver's correctness harness canonicalizes with a pandas
