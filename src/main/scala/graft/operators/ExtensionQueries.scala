@@ -636,6 +636,39 @@ object ExtensionQueries {
         .toDF("clause", "violation").orderBy(col("clause"))
     }),
 
+    // --- cross-split leakage audit --------------------------------------
+    // The doc_id-hash split (x22) is ID-disjoint but not CONTENT-
+    // disjoint: a duplicated document whose copies hash into different
+    // splits leaks eval content into training — the train/test
+    // contamination mode ID-level splitting cannot see. The audit keys
+    // both sides by the x01 normalized content hash and reports every
+    // (train doc, eval doc) pair sharing a hash. One equi-join on the
+    // content hash (the x01 shuffle shape — scales like exact dedup);
+    // split reuses the ONE x22 hashPrefix definition, so a split
+    // retune cannot silently diverge from the audit. FULL SQL oracle.
+    "x100_split_leakage" -> ((s, d) => {
+      val split =
+        when(SamplingQueries.hashPrefix(col("id")) <= SamplingQueries.TrainHi, "train")
+          .when(SamplingQueries.hashPrefix(col("id")) <= SamplingQueries.ValHi, "val")
+          .otherwise("test")
+      val docs = docsWithDups(s, d).filter(col("text").isNotNull)
+        .select(col("id"), md5(lower(trim(col("text")))).as("h"), split.as("split"))
+      docs.filter(col("split") === "train")
+        .select(col("id").as("train_id"), col("h"))
+        .join(docs.filter(col("split") =!= "train")
+          .select(col("id").as("eval_id"), col("split"), col("h")), Seq("h"))
+        .select(col("train_id"), col("eval_id"), col("split"))
+        .orderBy(col("train_id"), col("eval_id"))
+    }),
+
+    // leakage rate per eval split: distinct leaked eval docs / split
+    // size — the headline number an audit dashboard shows
+    "x100s_leakage_rate" -> ((s, d) =>
+      queries("x100_split_leakage")(s, d)
+        .groupBy(col("split"))
+        .agg(countDistinct(col("eval_id")).as("leaked"))
+        .orderBy(col("split"))),
+
     // --- skew handling ----------------------------------------------------
     // salted shuffle join: identical relation to the plain join (the
     // oracle IS the unsalted SQL); the salt spreads each hot orderkey
@@ -1039,6 +1072,34 @@ object ExtensionQueries {
     "x98p_ann_ivf_kpp_precision" ->
       """SELECT CAST(NULL AS BIGINT) AS qid, CAST(NULL AS BIGINT) AS nid,
         |  CAST(NULL AS DOUBLE) AS sim WHERE false""".stripMargin,
+
+    "x100_split_leakage" ->
+      s"""WITH $docsWithDupsSql,
+         |h AS (
+         |  SELECT id, md5(lower(trim(text))) AS h,
+         |    CASE WHEN substr(md5(CAST(id AS VARCHAR)), 1, 2) <= 'cb' THEN 'train'
+         |         WHEN substr(md5(CAST(id AS VARCHAR)), 1, 2) <= 'e5' THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM docs WHERE text IS NOT NULL
+         |)
+         |SELECT t.id AS train_id, e.id AS eval_id, e.split
+         |FROM h t JOIN h e ON t.h = e.h
+         |WHERE t.split = 'train' AND e.split <> 'train'
+         |ORDER BY train_id, eval_id""".stripMargin,
+
+    "x100s_leakage_rate" ->
+      s"""WITH $docsWithDupsSql,
+         |h AS (
+         |  SELECT id, md5(lower(trim(text))) AS h,
+         |    CASE WHEN substr(md5(CAST(id AS VARCHAR)), 1, 2) <= 'cb' THEN 'train'
+         |         WHEN substr(md5(CAST(id AS VARCHAR)), 1, 2) <= 'e5' THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM docs WHERE text IS NOT NULL
+         |)
+         |SELECT e.split, count(DISTINCT e.id) AS leaked
+         |FROM h t JOIN h e ON t.h = e.h
+         |WHERE t.split = 'train' AND e.split <> 'train'
+         |GROUP BY e.split ORDER BY e.split""".stripMargin,
 
     "x98g_kpp_invariants_gate" ->
       """SELECT CAST(NULL AS VARCHAR) AS clause, CAST(NULL AS VARCHAR) AS violation

@@ -68,4 +68,54 @@ class SamplingSpec extends SparkSpecBase {
     // 64/256 buckets of a uniform hash: binomial around 1024
     assert(n > 850 && n < 1200, s"expected ~1024 of 4096, got $n")
   }
+
+  /** The x22 split assignment, recomputed independently on the driver. */
+  private def driverSplit(id: Long): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+    val hex = md.take(1).map(b => f"$b%02x").mkString
+    if (hex <= "cb") "train" else if (hex <= "e5") "val" else "test"
+  }
+
+  test("x100 leakage audit finds exactly the planted dup pairs that straddle train/eval") {
+    // the docsWithDups fixture copies id<50 verbatim to id+10000; the
+    // expected leak set is computable on the driver from the split
+    // hash alone (copy pairs where one side trains and the other evals)
+    val nDocs = docs.count()
+    val ids = (0L until math.min(50L, nDocs))
+    val expected = ids.flatMap { id =>
+      val (s1, s2) = (driverSplit(id), driverSplit(id + 10000))
+      Seq(
+        if (s1 == "train" && s2 != "train") Some((id, id + 10000, s2)) else None,
+        if (s2 == "train" && s1 != "train") Some((id + 10000, id, s1)) else None
+      ).flatten
+    }.toSet
+    assert(expected.nonEmpty, "fixture must plant at least one straddling pair")
+    val got = SparkEntry.queries("x100_split_leakage")(spark, sfDir)
+      .as[(Long, Long, String)].collect().toSet
+    // planted pairs must all be reported; anything extra must be a
+    // genuine same-content pair in the raw corpus — verify by hash
+    assert(expected.subsetOf(got), s"missing ${expected.diff(got)}")
+    val extra = got.diff(expected)
+    if (extra.nonEmpty) {
+      val norm = docs.select(col("doc_id"),
+        md5(lower(trim(col("text")))).as("h"))
+        .as[(Long, String)].collect().toMap
+      extra.foreach { case (a, b, _) =>
+        val (ra, rb) = (a % 10000, b % 10000)
+        assert(norm.get(ra).isDefined && norm(ra) === norm(rb),
+          s"extra pair ($a, $b) must share a content hash")
+      }
+    }
+  }
+
+  test("x100s rates agree with the pair relation") {
+    val pairs = SparkEntry.queries("x100_split_leakage")(spark, sfDir)
+    val fromPairs = pairs.groupBy("split")
+      .agg(countDistinct(col("eval_id")).as("leaked"))
+      .as[(String, Long)].collect().toMap
+    val rate = SparkEntry.queries("x100s_leakage_rate")(spark, sfDir)
+      .as[(String, Long)].collect().toMap
+    assert(rate === fromPairs)
+  }
 }
