@@ -38,7 +38,8 @@ object SparkEntry {
       Pq.queries ++
       IvfPq.queries ++
       Opq.queries ++
-      Pca.queries
+      Pca.queries ++
+      UnigramLm.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -64,5 +65,6 @@ object SparkEntry {
       Pq.oracleSql ++
       IvfPq.oracleSql ++
       Opq.oracleSql ++
-      Pca.oracleSql
+      Pca.oracleSql ++
+      UnigramLm.oracleSql
 }

@@ -52,7 +52,8 @@ class QueriesSmokeSpec extends SparkSpecBase {
     "x98a_kpp_advantage_gate",
     "x99g_pca_gate",
     "x99a_pca_advantage_gate",
-    "x99r_pca_recall")
+    "x99r_pca_recall",
+    "x101g_unigram_gate")
 
   test("every declared query emits SCALAR columns only (driver pandas-sort compat)") {
     // the driver's correctness harness canonicalizes with a pandas
