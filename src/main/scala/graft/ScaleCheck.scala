@@ -286,5 +286,74 @@ object ScaleCheck {
       System.gc()
       Thread.sleep(500)
     }
+
+    // PCA fit scaling: ONE treeAggregate over the replicated corpus —
+    // partials are (d + d²) doubles per partition regardless of rows
+    // and the driver eigendecomposition is constant, so seconds must
+    // grow at most linearly in corpus size.
+    import graft.operators.Pca
+    if (keep("pca_fit")) for (k <- scales) {
+      val spark = freshSession()
+      val corpus = replicate(spark,
+        Tables(spark, sfDir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("vec")), k)((df, _) => df)
+      val (sec, rows) = time {
+        Pca.fit(corpus, "vec", 8).k.toLong
+      }
+      println(f"""{"op":"pca_fit","scale":$k,"sec":$sec%.2f,"rows":$rows}""")
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      System.gc()
+      Thread.sleep(500)
+    }
+
+    // k-means‖ seeding scaling: each oversampling round is one scan of
+    // the replicated corpus with the candidate set riding as literals
+    // (no join, no shuffle) plus a bounded collect — seconds must grow
+    // at most linearly; candidate/driver state stays capped.
+    if (keep("kpp_seed")) for (k <- scales) {
+      val spark = freshSession()
+      val corpus = replicate(spark,
+        Tables(spark, sfDir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("vec")), k)((df, _) => df)
+      val (sec, rows) = time {
+        Similarity.kmeansParallelSeed(corpus, "id", "vec",
+          nlist = 16, rounds = 3, oversample = 8).centroids.count()
+      }
+      println(f"""{"op":"kpp_seed","scale":$k,"sec":$sec%.2f,"rows":$rows}""")
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      System.gc()
+      Thread.sleep(500)
+    }
+
+    // Unigram-LM EM scaling: disjoint token spaces make the distinct-
+    // word relation grow linearly in k while the piece table stays
+    // capped (seedSize + chars) — each EM round is one scan of the word
+    // relation, so seconds must grow at most linearly and driver state
+    // stays bounded.
+    import graft.operators.{BpeQueries, UnigramLm}
+    if (keep("unigram_em")) for (k <- scales) {
+      val spark = freshSession()
+      val docs = replicate(spark,
+        Tables(spark, sfDir, "documents")
+          .select(col("doc_id").as("id"), col("text")), k) { (df, i) =>
+        df.withColumn("text", regexp_replace(col("text"), "(\\S+)", s"c$i$$1"))
+      }
+      val vocab = BpeQueries.wordVocab(docs, "text").localCheckpoint(true)
+      vocab.count() // materialize: the probe times EM, not the word count
+      val (sec, rows) = time {
+        UnigramLm.fit(vocab, maxLen = 4, seedSize = 120, target = 60,
+          rounds = 1).probs.size.toLong
+      }
+      println(f"""{"op":"unigram_em","scale":$k,"sec":$sec%.2f,"rows":$rows}""")
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      System.gc()
+      Thread.sleep(500)
+    }
   }
 }

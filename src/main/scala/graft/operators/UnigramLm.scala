@@ -156,22 +156,28 @@ object UnigramLm {
     import sp.implicits._
     val v = vocab.select(col("w"), col("freq")).localCheckpoint(true)
     try {
-      // seed: every substring up to maxLen, weighted by word frequency
-      val subs = v.select(
+      // seed: every substring up to maxLen, weighted by word frequency.
+      // Selection is DISTRIBUTED (TakeOrdered for the top slice, an
+      // alphabet-bounded filter for the chars) — the substring space
+      // grows with the word vocabulary and must never be collected
+      // whole to the driver.
+      val subsDf = v.select(
           explode(flatten(transform(sequence(lit(1), length(col("w"))), i =>
             transform(
               sequence(lit(0), least(lit(maxLen - 1), length(col("w")) - i)),
               l => col("w").substr(i, l + 1))))).as("piece"),
           col("freq"))
         .groupBy(col("piece")).agg(sum(col("freq")).as("wt"))
+      val top = subsDf.orderBy(col("wt").desc, col("piece")).limit(seedSize)
         .collect().map(r => r.getString(0) -> r.getLong(1))
-      val chars = subs.filter(_._1.length == 1)
-      val top = subs.sortBy { case (p, wt) => (-wt, p) }.take(seedSize)
+      val chars = subsDf.filter(length(col("piece")) === 1)
+        .collect().map(r => r.getString(0) -> r.getLong(1))
       val seed = (chars ++ top).toMap
       val total0 = seed.values.map(_.toDouble).sum
       var probs: Map[String, Double] =
         seed.map { case (p, wt) => p -> roundSig(wt / total0) }
 
+      val vCount = v.count()
       var misses = 0L
       def emPhase(): Seq[Double] = {
         val trace = Seq.newBuilder[Double]
@@ -184,7 +190,7 @@ object UnigramLm {
           val ll = scored.filter(col("aN") > 0)
             .agg(sum(col("freq") * log(col("aN"))).as("ll"),
               count(lit(1)).as("n")).head()
-          misses = v.count() - ll.getLong(1)
+          misses = vCount - ll.getLong(1)
           trace += roundSig(if (ll.isNullAt(0)) 0.0 else ll.getDouble(0))
           val counts = scored.filter(col("aN") > 0)
             .select(col("freq"), col("aN"),
