@@ -39,7 +39,8 @@ object SparkEntry {
       IvfPq.queries ++
       Opq.queries ++
       Pca.queries ++
-      UnigramLm.queries
+      UnigramLm.queries ++
+      Coreset.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -66,5 +67,6 @@ object SparkEntry {
       IvfPq.oracleSql ++
       Opq.oracleSql ++
       Pca.oracleSql ++
-      UnigramLm.oracleSql
+      UnigramLm.oracleSql ++
+      Coreset.oracleSql
 }

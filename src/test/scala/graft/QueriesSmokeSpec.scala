@@ -53,7 +53,8 @@ class QueriesSmokeSpec extends SparkSpecBase {
     "x99g_pca_gate",
     "x99a_pca_advantage_gate",
     "x99r_pca_recall",
-    "x101g_unigram_gate")
+    "x101g_unigram_gate",
+    "x102g_kcenter_gate")
 
   test("every declared query emits SCALAR columns only (driver pandas-sort compat)") {
     // the driver's correctness harness canonicalizes with a pandas
