@@ -67,9 +67,7 @@ object Pca {
     def residualEnergy: Double = eigs.drop(k).sum
   }
 
-  private def roundSig(x: Double): Double =
-    if (x == 0.0 || !java.lang.Double.isFinite(x)) x
-    else BigDecimal(x).round(new java.math.MathContext(12)).toDouble
+  private def roundSig(x: Double): Double = graft.functions.Num.roundSig(x)
 
   /** Fit on `corpus.vecCol` (array of numerics, constant length):
     * one distributed pass, driver eigendecomposition.
@@ -78,7 +76,12 @@ object Pca {
     require(k >= 1, "k must be >= 1")
     val sp = corpus.sparkSession
     import sp.implicits._
-    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    // head(1), not head(): the dim probe is the first action to touch the
+    // corpus, so the empty-input diagnostic must fire HERE, not as an
+    // opaque NoSuchElementException before the n > 0 require is reached
+    val dimRow = corpus.select(size(col(vecCol))).head(1)
+    require(dimRow.nonEmpty, "PCA fit on an empty corpus")
+    val dim = dimRow(0).getInt(0)
     require(k <= dim, s"k $k exceeds dim $dim")
     // partials: (Σx, Σ x·xᵀ upper-triangular-free full d², n) — summed
     // per partition, tree-reduced; never a per-row d² relation
@@ -229,13 +232,6 @@ object Pca {
     out.toIndexedSeq
   }
 
-  /** Mean squared reconstruction error of projecting `corpus.vecCol`
-    * through an arbitrary orthonormal basis (project, reconstruct,
-    * residual) — one scan, one agg.
-    */
-  private[graft] def basisErrProbe(corpus: DataFrame, m: PcaModel): Double =
-    basisError(corpus, "embedding", m)
-
   /** PCA-space recall@k vs the full-space L2 truth — the x99r body,
     * exposed for spec measurement.
     */
@@ -271,10 +267,15 @@ object Pca {
       .select(col("id").as("vec_id"), col("embedding")).localCheckpoint(true)
     try {
       val dim = fixture.select(size(col("embedding"))).head().getInt(0)
+      // ONE distributed fit serves both contenders: the hash-sign
+      // competitor reuses the fitted mean (fair comparison — both
+      // center identically) and only swaps the basis, so the gate never
+      // pays the treeAggregate + eigendecomposition twice
+      val full = fit(fixture, "embedding", K)
       val pcaM =
-        if (forceRandom) randModel(fixture, dim, salt = 7L)
-        else fit(fixture, "embedding", K)
-      val randM = randModel(fixture, dim, salt = 1L)
+        if (forceRandom) full.copy(basis = hashBasis(dim, K, salt = 7L))
+        else full
+      val randM = full.copy(basis = hashBasis(dim, K, salt = 1L))
       val errPca = basisError(fixture, "embedding", pcaM)
       val errRnd = basisError(fixture, "embedding", randM)
       if (errPca > errRnd * PcaAdvantageBar)
@@ -282,14 +283,6 @@ object Pca {
           f"pca $errPca%.4f > rand $errRnd%.4f x $PcaAdvantageBar"))
       else Seq.empty
     } finally graft.CheckpointBlocks.release(fixture)
-  }
-
-  /** A model whose basis is the hash-sign competitor but whose mean is
-    * the true mean (fair comparison: both center identically).
-    */
-  private def randModel(fixture: DataFrame, dim: Int, salt: Long): PcaModel = {
-    val full = fit(fixture, "embedding", K)
-    full.copy(basis = hashBasis(dim, K, salt))
   }
 
   /** Measured on the prefix-sum fixture: errPca/errRnd = 0.0276

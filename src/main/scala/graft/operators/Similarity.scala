@@ -450,8 +450,11 @@ object Similarity {
     * (the k-means‖ sampling masses sum to ℓ), so 16× that bound only
     * fires on a broken sampler — it exists to keep the driver-side
     * candidate state bounded by CONSTRUCTION, not just in expectation.
+    * Public (`cap = KppRoundCap * oversample`) so the x98g gate and the
+    * spec check the SAME bound the implementation enforces — a retune
+    * here cannot leave a stale magic number guarding elsewhere.
     */
-  private val KppRoundCap = 16
+  val KppRoundCap = 16
 
   /** Round a double to 12 significant digits: ψ is a distributed float
     * sum whose low bits depend on partition order, and it feeds the
@@ -459,9 +462,7 @@ object Similarity {
     * reproducible across runs/partitionings (a threshold flip would
     * need a hash-uniform to land inside the discarded 1e-12 band).
     */
-  private def roundSig(x: Double): Double =
-    if (x == 0.0 || !java.lang.Double.isFinite(x)) x
-    else BigDecimal(x).round(new java.math.MathContext(12)).toDouble
+  private def roundSig(x: Double): Double = graft.functions.Num.roundSig(x)
 
   /** k-means‖ (scalable k-means++, Bahmani et al., VLDB 2012) seeding
     * for the IVF coarse quantizer — the production-scale replacement
@@ -484,8 +485,10 @@ object Similarity {
     * 1 + rounds·16·oversample by the per-round cap) and enter the plan
     * as literals, so the distance update is a single scan of codegen'd
     * VecDots — no join, no shuffle; ψ is one agg. The weighting pass is
-    * one broadcast-argmax over the corpus. Total distributed work:
-    * rounds+1 scans + one small aggregation — the shape that survives a
+    * one scan-side literal argmax over the corpus whose only exchange is
+    * a candidate-keyed count (bounded by partitions × candidates). Total
+    * distributed work: rounds+2 scans + small aggregations — the shape
+    * that survives a
     * 100 TB corpus where a driver k-means++ over the raw data cannot.
     */
   def kmeansParallelSeed(corpus: DataFrame, idCol: String, vecCol: String,
@@ -562,15 +565,24 @@ object Similarity {
       r += 1
     }
 
-    // weight pass: every corpus point votes for its nearest candidate
-    // (one broadcast argmax — ties break to the smaller candidate index)
+    // weight pass: every corpus point votes for its nearest candidate.
+    // The argmax runs SCAN-SIDE over the driver-held candidate literals
+    // (the minD2Update idiom — struct-greatest over codegen'd VecDots,
+    // ties to the smaller candidate index via the negated-index field);
+    // the only shuffle is groupBy(ci).count(), whose partial aggregation
+    // bounds the exchange at partitions × candidates. The earlier
+    // crossJoin + groupBy(id) form shuffled every (id, ci, dp) row —
+    // an O(corpus) exchange with no map-side reduction, exactly the
+    // cost this file's no-join scale doctrine exists to avoid.
     import sp.implicits._
-    val candDf = candVecs.zipWithIndex
-      .map { case (v, i) => (i, v) }.toSeq.toDF("ci", "cvec")
-    val weights = state.crossJoin(broadcast(candDf))
-      .select(col("id"), col("ci"), dot(col("uvec"), col("cvec")).as("dp"))
-      .groupBy(col("id"))
-      .agg(max_by(col("ci"), struct(col("dp"), -col("ci"))).as("ci"))
+    val candStructs = candVecs.toIndexedSeq.zipWithIndex.map { case (v, i) =>
+      struct(dot(col("uvec"), typedlit(v)).as("dp"), lit(-i).as("ni"))
+    }
+    val best =
+      if (candStructs.length == 1) candStructs.head
+      else greatest(candStructs: _*)
+    val weights = state
+      .select((-best.getField("ni")).cast("int").as("ci"))
       .groupBy(col("ci")).count().collect()
       .map(row => row.getInt(0) -> row.getLong(1)).toMap
     graft.CheckpointBlocks.release(state)

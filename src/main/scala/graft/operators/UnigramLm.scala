@@ -52,53 +52,77 @@ object UnigramLm {
                                 traces: Seq[Seq[Double]],
                                 coverageMisses: Long)
 
-  private def roundSig(x: Double): Double =
-    if (x == 0.0 || !java.lang.Double.isFinite(x)) x
-    else BigDecimal(x).round(new java.math.MathContext(12)).toDouble
+  private def roundSig(x: Double): Double = graft.functions.Num.roundSig(x)
 
-  /** Forward lattice: α₀..α_N as an (N+1)-array, α_j = Σ_i α_{i-1} ·
-    * p(w[i..j]) over pieces ending at j (length ≤ maxLen). α_N is the
-    * total probability of the word under the model.
+  private val NegInf = lit(Double.NegativeInfinity)
+
+  /** Streaming log-sum-exp fold over `idx`: each `term(i)` is a
+    * log-space mass (−∞ = zero). The accumulator carries (running max m,
+    * Σ exp(term − m)), the classic one-pass LSE — so the lattice never
+    * leaves log space. A raw-probability product underflows
+    * Double.MIN_VALUE around 150 characters (≈1e-2..1e-3 per piece),
+    * silently zeroing α_N for long URLs/base64/hash tokens and
+    * miscounting them as coverage misses.
     */
-  private def alphaCol(w: Column, vmap: Column, maxLen: Int): Column =
+  private def lseFold(idx: Column, term: Column => Column): Column =
+    aggregate(
+      idx,
+      struct(NegInf.as("m"), lit(0.0).as("s")),
+      (acc, i) => {
+        val x = term(i)
+        val m = acc.getField("m")
+        val s = acc.getField("s")
+        when(x === NegInf, acc)
+          .when(x <= m, struct(m.as("m"), (s + exp(x - m)).as("s")))
+          // m = −∞ is safe here: exp(m − x) = 0, so s·0 + 1 = 1
+          .otherwise(struct(x.as("m"), (s * exp(m - x) + 1.0).as("s")))
+      },
+      acc => when(acc.getField("s") > 0,
+        acc.getField("m") + log(acc.getField("s"))).otherwise(NegInf))
+
+  /** Forward lattice in LOG space: log α₀..log α_N as an (N+1)-array,
+    * α_j = Σ_i α_{i-1} · p(w[i..j]) over pieces ending at j (length ≤
+    * maxLen). log α_N is the word's log-probability under the model;
+    * −∞ means unsegmentable. `vlog` maps piece → log p.
+    */
+  private def alphaCol(w: Column, vlog: Column, maxLen: Int): Column =
     aggregate(
       sequence(lit(1), length(w)),
-      array(lit(1.0)),
+      array(lit(0.0)),
       (acc, j) => concat(acc, array(
-        aggregate(sequence(greatest(lit(1), j - maxLen + 1), j), lit(0.0),
-          (s0, i) => s0 +
-            coalesce(element_at(vmap, w.substr(i, j - i + 1)), lit(0.0)) *
+        lseFold(sequence(greatest(lit(1), j - maxLen + 1), j),
+          i => coalesce(element_at(vlog, w.substr(i, j - i + 1)), NegInf) +
             element_at(acc, i)))))
 
-  /** Backward lattice, stored REVERSED: element 1 is β_N = 1, element
-    * N−j+1 is β_j = Σ_e p(w[j+1..e]) · β_e.
+  /** Backward lattice in LOG space, stored REVERSED: element 1 is
+    * log β_N = 0, element N−j+1 is log β_j over β_j = Σ_e p(w[j+1..e]) · β_e.
     */
-  private def betaCol(w: Column, vmap: Column, maxLen: Int): Column =
+  private def betaCol(w: Column, vlog: Column, maxLen: Int): Column =
     aggregate(
       sequence(length(w) - 1, lit(0), lit(-1)),
-      array(lit(1.0)),
+      array(lit(0.0)),
       (acc, j) => concat(acc, array(
-        aggregate(sequence(j + 1, least(length(w), j + maxLen)), lit(0.0),
-          (s0, e) => s0 +
-            coalesce(element_at(vmap, w.substr(j + 1, e - j)), lit(0.0)) *
+        lseFold(sequence(j + 1, least(length(w), j + maxLen)),
+          e => coalesce(element_at(vlog, w.substr(j + 1, e - j)), NegInf) +
             element_at(acc, length(w) - e + 1)))))
 
   /** Every in-vocabulary piece occurrence (i..j) of the word with its
-    * unnormalized posterior mass α_{i-1}·p·β_j — divide by α_N for the
-    * expected count. Requires columns `al` (alpha) and `be` (reversed
-    * beta) alongside `w`.
+    * unnormalized LOG posterior mass log α_{i-1} + log p + log β_j —
+    * subtract log α_N and exp for the expected count (the ratio is ≤ 1,
+    * so the exp cannot overflow). Requires columns `al` (log-alpha) and
+    * `be` (reversed log-beta) alongside `w`.
     */
-  private def occCol(w: Column, vmap: Column, maxLen: Int): Column = {
+  private def occCol(w: Column, vlog: Column, maxLen: Int): Column = {
     val n = length(w)
     filter(
       flatten(transform(sequence(lit(1), n), i =>
         transform(sequence(i, least(n, i + maxLen - 1)), j =>
           struct(
             w.substr(i, j - i + 1).as("piece"),
-            (element_at(col("al"), i) *
-              coalesce(element_at(vmap, w.substr(i, j - i + 1)), lit(0.0)) *
-              element_at(col("be"), n - j + 1)).as("num"))))),
-      s => s.getField("num") > 0)
+            (element_at(col("al"), i) +
+              coalesce(element_at(vlog, w.substr(i, j - i + 1)), NegInf) +
+              element_at(col("be"), n - j + 1)).as("lognum"))))),
+      s => s.getField("lognum") > NegInf)
   }
 
   /** Viterbi DP table: entry j+1 = (best log-score of w[1..j], start
@@ -161,6 +185,10 @@ object UnigramLm {
       // alphabet-bounded filter for the chars) — the substring space
       // grows with the word vocabulary and must never be collected
       // whole to the driver.
+      // checkpointed: the top-seedSize slice and the single-char slice
+      // both read it — without the checkpoint each collect() would
+      // recompute the substring explode + shuffle (the most expensive
+      // step of seeding) from scratch
       val subsDf = v.select(
           explode(flatten(transform(sequence(lit(1), length(col("w"))), i =>
             transform(
@@ -168,11 +196,15 @@ object UnigramLm {
               l => col("w").substr(i, l + 1))))).as("piece"),
           col("freq"))
         .groupBy(col("piece")).agg(sum(col("freq")).as("wt"))
-      val top = subsDf.orderBy(col("wt").desc, col("piece")).limit(seedSize)
-        .collect().map(r => r.getString(0) -> r.getLong(1))
-      val chars = subsDf.filter(length(col("piece")) === 1)
-        .collect().map(r => r.getString(0) -> r.getLong(1))
-      val seed = (chars ++ top).toMap
+        .localCheckpoint(true)
+      val seed =
+        try {
+          val top = subsDf.orderBy(col("wt").desc, col("piece")).limit(seedSize)
+            .collect().map(r => r.getString(0) -> r.getLong(1))
+          val chars = subsDf.filter(length(col("piece")) === 1)
+            .collect().map(r => r.getString(0) -> r.getLong(1))
+          (chars ++ top).toMap
+        } finally graft.CheckpointBlocks.release(subsDf)
       val total0 = seed.values.map(_.toDouble).sum
       var probs: Map[String, Double] =
         seed.map { case (p, wt) => p -> roundSig(wt / total0) }
@@ -182,21 +214,23 @@ object UnigramLm {
       def emPhase(): Seq[Double] = {
         val trace = Seq.newBuilder[Double]
         (1 to rounds).foreach { _ =>
-          val vmap = typedlit(probs)
+          // log-prob map built on the DRIVER (Spark's ln(0) is NULL, and
+          // the lattice needs a clean −∞-for-zero convention)
+          val vlog = typedlit(probs.map { case (p, pr) => p -> math.log(pr) })
           val scored = v.select(col("w"), col("freq"),
-              alphaCol(col("w"), vmap, maxLen).as("al"),
-              betaCol(col("w"), vmap, maxLen).as("be"))
+              alphaCol(col("w"), vlog, maxLen).as("al"),
+              betaCol(col("w"), vlog, maxLen).as("be"))
             .withColumn("aN", element_at(col("al"), length(col("w")) + 1))
-          val ll = scored.filter(col("aN") > 0)
-            .agg(sum(col("freq") * log(col("aN"))).as("ll"),
+          val ll = scored.filter(col("aN") > NegInf)
+            .agg(sum(col("freq") * col("aN")).as("ll"),
               count(lit(1)).as("n")).head()
           misses = vCount - ll.getLong(1)
           trace += roundSig(if (ll.isNullAt(0)) 0.0 else ll.getDouble(0))
-          val counts = scored.filter(col("aN") > 0)
+          val counts = scored.filter(col("aN") > NegInf)
             .select(col("freq"), col("aN"),
-              explode(occCol(col("w"), vmap, maxLen)).as("o"))
+              explode(occCol(col("w"), vlog, maxLen)).as("o"))
             .groupBy(col("o.piece").as("piece"))
-            .agg(sum(col("freq") * col("o.num") / col("aN")).as("c"))
+            .agg(sum(col("freq") * exp(col("o.lognum") - col("aN"))).as("c"))
             .collect().map(r => r.getString(0) -> r.getDouble(1))
           val totalC = counts.map(_._2).sum
           probs = counts.map { case (p, c) => p -> roundSig(c / totalC) }.toMap

@@ -54,7 +54,7 @@ class KmeansParallelSpec extends SparkSpecBase {
     s.costs.sliding(2).foreach { case Seq(a, b) =>
       assert(b <= a + 1e-9 * math.max(1.0, a.abs), s"psi rose $a -> $b in ${s.costs}")
     }
-    s.candidateCounts.foreach(n => assert(n <= 16L * 4, s"draw $n exceeds cap"))
+    s.candidateCounts.foreach(n => assert(n <= Similarity.KppRoundCap.toLong * 4, s"draw $n exceeds cap"))
     assert(s.centroids.count() === 8)
   }
 

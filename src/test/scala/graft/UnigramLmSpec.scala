@@ -79,6 +79,32 @@ class UnigramLmSpec extends SparkSpecBase {
       assert(m.probs.contains(c), s"char $c pruned away"))
   }
 
+  test("log-space lattice covers a 300-char token that underflows raw-probability DP") {
+    // A whitespace-free 300-char word (URL/base64/hash shape): with
+    // per-piece probs around 1e-1..1e-2 the raw-probability alpha
+    // product sits near 1e-150..1e-300 — the pre-log-space lattice
+    // underflowed alpha_N to exactly 0 for such words, silently
+    // excluding them from the E-step and miscounting them as coverage
+    // misses (a permanently red x101g on real web data).
+    val long = ("ab" * 140) + "cdcdcdcdcdcdcdcdcdcd" // 300 chars
+    val vocab = (Seq((long, 1L)) ++
+      Seq(("abab", 50L), ("cdcd", 40L))).toDF("w", "freq")
+    val m = UnigramLm.fit(vocab, maxLen = 2, seedSize = 20, target = 8, rounds = 3)
+    assert(m.coverageMisses === 0,
+      s"300-char token must be covered, not an underflow miss: ${m.probs}")
+    m.traces.foreach { trace =>
+      trace.foreach(ll => assert(java.lang.Double.isFinite(ll), s"non-finite ll in $trace"))
+      trace.sliding(2).foreach { case Seq(a, b) =>
+        assert(b >= a - 1e-8 * math.max(1.0, a.abs), s"likelihood fell $a -> $b in $trace")
+      }
+    }
+    // and the trained model still Viterbi round-trips the long word
+    val enc = Seq(long).toDF("w")
+      .select(UnigramLm.viterbiPieces(col("w"), typedlit(m.probs), 2).as("ps"))
+      .select(concat_ws("", col("ps")).as("rt")).head().getString(0)
+    assert(enc === long)
+  }
+
   test("x101 declared queries: vocab + encode yield rows, gate is empty") {
     val vocab = SparkEntry.queries("x101_unigram_vocab")(spark, sfDir)
     assert(vocab.count() > 0)
