@@ -408,6 +408,23 @@ object ExtensionQueries {
       Components.pageRank(edges, iters = 5).orderBy(col("node"))
     }),
 
+    // Per-node triangle counts over the part co-purchase graph (parts
+    // sharing an order; per-order pair fan-out is bounded by the
+    // order's line count, so the edge build scales linearly in
+    // lineitem). Degree-ordered orientation bounds the wedge relation
+    // at m^(3/2) whatever the degree skew — see
+    // Components.triangleCounts. FULL SQL oracle: counting is integer
+    // and the canonical a<b<c enumeration is three equi-joins DuckDB
+    // expresses directly.
+    "x103_triangle_count" -> ((s, d) => {
+      val li = Tables(s, d, "lineitem")
+      val pairs = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("p1"))
+        .join(li.select(col("l_orderkey").as("ok"), col("l_partkey").as("p2")), "ok")
+        .filter(col("p1") < col("p2"))
+        .select(col("p1").as("a"), col("p2").as("b"))
+      Components.triangleCounts(pairs).orderBy(col("node"))
+    }),
+
     // Fuzzy entity-resolution join: customers matched to single-char-
     // corrupted clones (deterministic substitution, SQL-expressible) at
     // levenshtein <= 2, through the lossless length-band blocker. The
@@ -615,7 +632,8 @@ object ExtensionQueries {
         case _ =>
       }
       kpp.seed.candidateCounts.zipWithIndex.foreach { case (n, i) =>
-        if (n > 16L * 8) viol += ((f"draw_$i%02d", s"$n candidates exceeds cap"))
+        if (n > Similarity.KppRoundCap.toLong * 8)
+          viol += ((f"draw_$i%02d", s"$n candidates exceeds cap"))
       }
       kpp.refined.objectives.sliding(2).zipWithIndex.foreach {
         case (Seq(a, b), i) if b < a - 1e-9 * math.max(1.0, a.abs) =>
@@ -884,6 +902,24 @@ object ExtensionQueries {
 
   val oracleSql: Map[String, String] = Map(
     "x71_pagerank" -> pagerankOracle,
+
+    "x103_triangle_count" ->
+      """WITH e AS (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |), t AS (
+        |  SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc
+        |  FROM e e1
+        |  JOIN e e2 ON e2.a = e1.b
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        |), n AS (
+        |  SELECT ta AS node FROM t
+        |  UNION ALL SELECT tb FROM t
+        |  UNION ALL SELECT tc FROM t
+        |)
+        |SELECT node, COUNT(*) AS triangles
+        |FROM n GROUP BY node ORDER BY node""".stripMargin,
 
     "x72_fuzzy_join" ->
       """WITH l AS (

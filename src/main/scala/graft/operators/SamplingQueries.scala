@@ -61,8 +61,46 @@ object SamplingQueries {
     "x22s_split_sizes" -> ((s, d) =>
       queries("x22_split_assign")(s, d)
         .groupBy(col("split")).agg(count(lit(1)).as("cnt"))
-        .orderBy(col("split")))
+        .orderBy(col("split"))),
+
+    // Weighted priority sample (Efraimidis–Spirakis A-ES in its
+    // exponential-clocks form): each doc gets key ln(u)/w with u a
+    // 48-bit md5 uniform and w its whitespace token count (the x10
+    // convention, already cross-engine hash-green); the top-k by key is
+    // EXACTLY a w-weighted sample without replacement — the
+    // deterministic, engine-portable weighted counterpart of x21 (the
+    // op behind "sample 1B training tokens ∝ quality/length weight").
+    // u is exact in both engines: a 48-bit integer is exactly
+    // representable in a double and /2^48 is a power-of-two scale;
+    // ranking uses the ROUNDED key (9 dp) with doc_id tiebreak so a
+    // last-ulp ln() difference cannot flip the selection. Top-k plans
+    // as TakeOrderedAndProject (per-partition heaps + driver merge,
+    // the x42 shape) — never a global sort.
+    "x104_weighted_sample" -> ((s, d) =>
+      weightedSample(
+        Tables(s, d, "documents")
+          .select(col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).as("ws_tokens")),
+        "doc_id", col("ws_tokens"), k = 100))
   )
+
+  /** Efraimidis–Spirakis A-ES weighted sample without replacement
+    * (exponential-clocks form): the top-k rows by key ln(u)/w, u a
+    * 48-bit md5 uniform of the id — exactly a w-weighted sample, as
+    * deterministic and partitioning/engine-portable as [[hashPrefix]].
+    * Returns `docs` plus the rounded `priority` key, ordered
+    * (priority desc, id) and limited to k.
+    */
+  def weightedSample(docs: DataFrame, idCol: String, weight: Column,
+                     k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val v = conv(substring(md5(col(idCol).cast("string")), 1, 12),
+      16, 10).cast("double")
+    val u = (v + lit(0.5)) / lit(281474976710656.0) // 16^12 = 2^48
+    docs.withColumn("priority", round(log(u) / weight, 9))
+      .orderBy(col("priority").desc, col(idCol))
+      .limit(k)
+  }
 
   /** Deterministic stratified (class-balancing) sample: per-class keep
     * fractions expressed as per-class hash-prefix thresholds — here the
@@ -129,7 +167,31 @@ object SamplingQueries {
     docs.filter(hashPrefix(col(idCol)) <= bound)
   }
 
+  /** DuckDB has no hex→integer conversion, so the oracle expands the
+    * 12-hex-char uniform as an explicit base-16 positional sum (12
+    * strpos terms) — value-identical to Spark's conv(h, 16, 10).
+    */
+  private val hexSum: String = (0 until 12).map { i =>
+    val pow = BigInt(16).pow(11 - i)
+    s"(strpos('0123456789abcdef', substr(h, ${i + 1}, 1)) - 1) * $pow"
+  }.mkString(" + ")
+
   val oracleSql: Map[String, String] = Map(
+    "x104_weighted_sample" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS INT) AS ws_tokens,
+         |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS h
+         |  FROM documents
+         |), p AS (
+         |  SELECT doc_id, ws_tokens,
+         |    round(ln((CAST($hexSum AS DOUBLE) + 0.5) / 281474976710656.0)
+         |          / ws_tokens, 9) AS priority
+         |  FROM t
+         |)
+         |SELECT doc_id, ws_tokens, priority FROM p
+         |ORDER BY priority DESC, doc_id LIMIT 100""".stripMargin,
+
     "x21_hash_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '19'

@@ -141,4 +141,40 @@ class ComponentsSpec extends SparkSpecBase {
     assert(Components.pageRankAuto(star, 3, broadcastNodeLimit = 1L)
       .as[(Long, Long)].collect().toMap === bc)
   }
+
+  private def tri(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Components.triangleCounts(edges.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+
+  test("triangleCounts: K4, pendant and triangle-free shapes count exactly") {
+    // K4: every node sits in C(3,2) = 3 triangles; the pendant (5) and
+    // the separate path (10-11-12) sit in none and must be absent
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val got = tri(k4 ++ Seq((4L, 5L), (10L, 11L), (11L, 12L)))
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), got)
+    // two triangles sharing an edge: shared nodes count both
+    val bowtie = tri(Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L), (3L, 4L)))
+    assert(bowtie === Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L), bowtie)
+    // triangle-free graph: empty result
+    assert(tri(Seq((1L, 2L), (2L, 3L), (3L, 4L))) === Map.empty)
+  }
+
+  test("triangleCounts is invariant to edge direction, duplicates and self-loops") {
+    val clean = tri(Seq((1L, 2L), (2L, 3L), (1L, 3L)))
+    val messy = tri(Seq((2L, 1L), (1L, 2L), (3L, 2L), (1L, 3L), (3L, 1L), (2L, 2L)))
+    assert(clean === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    assert(messy === clean)
+  }
+
+  test("triangleCounts on a skewed hub graph (the orientation's reason to exist)") {
+    // star hub 0 with 40 spokes, spokes chained pairwise: triangles are
+    // exactly (0, 2i+1, 2i+2); the hub's 40 edges must all be charged
+    // to the degree-2 spokes by the orientation, never fanned out from
+    // the hub itself (behavioral check: counts are exact under skew)
+    val spokes = (1L to 40L).map(i => (0L, i))
+    val chains = (0L until 20L).map(i => (2 * i + 1, 2 * i + 2))
+    val got = tri(spokes ++ chains)
+    assert(got(0L) === 20L)
+    (1L to 40L).foreach(i => assert(got(i) === 1L, s"spoke $i"))
+  }
 }

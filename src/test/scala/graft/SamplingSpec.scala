@@ -118,4 +118,37 @@ class SamplingSpec extends SparkSpecBase {
       .as[(String, Long)].collect().toMap
     assert(rate === fromPairs)
   }
+
+  test("x104 priorities match an independent JVM re-derivation of the A-ES key") {
+    val got = SparkEntry.queries("x104_weighted_sample")(spark, sfDir)
+      .as[(Long, Int, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (id, w, pri) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex12 = md.take(6).map(b => f"$b%02x").mkString
+      val u = (java.lang.Long.parseLong(hex12, 16) + 0.5) / 281474976710656.0
+      val want = BigDecimal(math.log(u) / w)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(pri === want, s"doc $id: got $pri want $want")
+    }
+    // and the emitted set IS the top-k of the full corpus by that key
+    assert(got.sortBy { case (id, _, p) => (-p, id) }.toSeq === got.toSeq)
+  }
+
+  test("weightedSample favors heavy rows and is partitioning-invariant") {
+    // ids 1..400: weight 1 below 200, weight 9 above — expected heavy
+    // share of an 80-draw A-ES sample is ~90%; the fixture is fixed so
+    // the assertion is deterministic, the bound leaves hash-luck room
+    val rows = (1L to 400L).map(i => (i, if (i <= 200) 1.0 else 9.0))
+    val df = rows.toDF("id", "w")
+    val s1 = SamplingQueries.weightedSample(df, "id", col("w"), 80)
+      .as[(Long, Double, Double)].collect()
+    val heavy = s1.count(_._2 == 9.0)
+    assert(heavy > 60, s"heavy rows in sample: $heavy of 80")
+    // identical selection and order under a different partitioning
+    val s2 = SamplingQueries.weightedSample(df.repartition(7), "id", col("w"), 80)
+      .as[(Long, Double, Double)].collect()
+    assert(s1.toSeq === s2.toSeq)
+  }
 }
