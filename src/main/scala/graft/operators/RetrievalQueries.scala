@@ -252,10 +252,177 @@ object RetrievalQueries {
         .join(comp, Seq("node"), "left")
         .select(col("node"), coalesce(col("root"), col("node")).as("root"))
         .orderBy(col("node"))
+    }),
+
+    // MMR diversified re-ranking over the dup-synthesized corpus: the
+    // exact-duplicate pairs the fixture plants (id and id + 10000) are
+    // what a plain top-k serves twice and MMR's diversity term prunes.
+    // Rows-only (the greedy loop is not DuckDB-expressible) — verified
+    // by the x105g contracts below.
+    "x105_mmr_rerank" -> ((s, d) => {
+      val corpus = vecsWithDups(s, d)
+      mmrRerank(corpus.filter(col("id") < 10), corpus, "id", "embedding",
+        poolK = MmrPoolK, k = MmrK, lambda = 0.5)
+    }),
+
+    // Gate (empty-set oracle), four clauses: (a) rank-1 = the highest-
+    // cosine candidate (the diversity term is zero for an empty
+    // selection); (b) per-query output is exactly k distinct pool
+    // members; (c) lambda = 1 degenerates to the plain top-k, order
+    // included (the relevance-only limit of the MMR objective);
+    // (d) diversity advantage on the dup corpus: mean pairwise cosine
+    // among MMR selections <= that of the plain top-k (the planted
+    // exact duplicates give plain top-k a sim-1.0 pair MMR avoids).
+    "x105g_mmr_gate" -> ((s, d) => {
+      import s.implicits._
+      val corpus = vecsWithDups(s, d)
+      val pool = collectMmrPool(corpus.filter(col("id") < 10), corpus,
+        "id", "embedding", MmrPoolK)
+      mmrGateRows(s, pool, MmrK, mmrFromPool(pool, MmrK, lambda = 0.5))
     })
   )
 
+  private val MmrPoolK = 30
+  private val MmrK = 10
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR'98): greedy diversified top-k — each step takes the
+    * candidate maximizing λ·sim(c, q) − (1−λ)·max_{s∈S} cos(c, s).
+    *
+    * Scale shape: the corpus-sized work is the shortlist itself (here
+    * brute-force for exactness; at scale the x95 ADC-shortlist +
+    * rerank pipeline produces the same (qid, nid, sim) relation). The
+    * greedy loop is inherently sequential per query, so it runs on the
+    * DRIVER over the EXPLICITLY BOUNDED Q·poolK pool — the x95
+    * bounded-shortlist convention — never as a corpus-sized iteration.
+    * Deterministic: scores round to 6dp with smaller-nid tie-break.
+    */
+  def mmrRerank(queries: DataFrame, corpus: DataFrame, idCol: String,
+                vecCol: String, poolK: Int, k: Int, lambda: Double): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1]: $lambda")
+    val sp = queries.sparkSession
+    import sp.implicits._
+    val pool = collectMmrPool(queries, corpus, idCol, vecCol, poolK)
+    mmrFromPool(pool, k, lambda)
+      .toDF("qid", "rank", "nid", "mmr")
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** (qid → candidates (nid, sim-to-query, unit vector)) in shortlist
+    * rank order — the bounded driver-side pool the greedy loop runs on.
+    */
+  private[graft] def collectMmrPool(
+      queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      poolK: Int): Map[Long, IndexedSeq[(Long, Double, Array[Double])]] = {
+    val shortlist = Similarity.bruteForceTopK(queries, corpus, idCol, vecCol, poolK)
+    val rows = shortlist
+      .join(corpus.select(col(idCol).cast("long").as("nid"),
+        col(vecCol).cast("array<double>").as("nvec")), "nid")
+      .select(col("qid").cast("long"), col("rank"), col("nid"), col("sim"),
+        col("nvec"))
+      .collect()
+    rows.groupBy(_.getLong(0)).map { case (qid, rs) =>
+      qid -> rs.sortBy(_.getInt(1)).map { r =>
+        val v = r.getSeq[Double](4).toArray
+        val n = math.sqrt(v.map(x => x * x).sum)
+        (r.getLong(2), r.getDouble(3), if (n > 0) v.map(_ / n) else v)
+      }.toIndexedSeq
+    }
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def cos6(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    round6(s)
+  }
+
+  /** The greedy loop over a collected pool — pure driver arithmetic,
+    * exposed so the gate and specs can drive it with a shared pool.
+    */
+  private[graft] def mmrFromPool(
+      pool: Map[Long, IndexedSeq[(Long, Double, Array[Double])]],
+      k: Int, lambda: Double): Seq[(Long, Int, Long, Double)] =
+    pool.toSeq.sortBy(_._1).flatMap { case (qid, cands) =>
+      val selected = scala.collection.mutable.ArrayBuffer[(Long, Double, Array[Double])]()
+      val remaining = scala.collection.mutable.ArrayBuffer(cands: _*)
+      val out = Seq.newBuilder[(Long, Int, Long, Double)]
+      var rank = 1
+      while (rank <= k && remaining.nonEmpty) {
+        var bestIdx = 0
+        var bestScore = Double.NegativeInfinity
+        var bestNid = Long.MaxValue
+        var i = 0
+        while (i < remaining.length) {
+          val (nid, sim, v) = remaining(i)
+          val div =
+            if (selected.isEmpty) 0.0
+            else selected.iterator.map(s => cos6(v, s._3)).max
+          val score = round6(lambda * sim - (1 - lambda) * div)
+          if (score > bestScore || (score == bestScore && nid < bestNid)) {
+            bestIdx = i; bestScore = score; bestNid = nid
+          }
+          i += 1
+        }
+        val chosen = remaining.remove(bestIdx)
+        selected += chosen
+        out += ((qid, rank, chosen._1, bestScore))
+        rank += 1
+      }
+      out.result()
+    }
+
+  /** The x105g body over an explicit pool and selection — the spec hook
+    * proving each clause FIRES on a tampered selection. The declared
+    * query passes the real `mmrFromPool` output.
+    */
+  private[graft] def mmrGateRows(
+      s: SparkSession,
+      pool: Map[Long, IndexedSeq[(Long, Double, Array[Double])]],
+      k: Int, mmr: Seq[(Long, Int, Long, Double)]): DataFrame = {
+    import s.implicits._
+    val viol = Seq.newBuilder[(String, String)]
+    val byQ = mmr.groupBy(_._1)
+    pool.toSeq.sortBy(_._1).foreach { case (qid, cands) =>
+      val got = byQ.getOrElse(qid, Seq.empty).sortBy(_._2)
+      // (a) rank 1 is the top-cosine candidate (tie -> smaller nid)
+      val top1 = cands.maxBy { case (nid, sim, _) => (sim, -nid) }._1
+      if (got.headOption.exists(_._3 != top1))
+        viol += ((s"rank1_q$qid", s"got ${got.headOption.map(_._3)} want $top1"))
+      // (b) exactly k distinct pool members
+      val nids = got.map(_._3)
+      val want = math.min(k, cands.size)
+      if (nids.size != want || nids.distinct.size != nids.size ||
+          !nids.forall(cands.map(_._1).toSet))
+        viol += ((s"members_q$qid", s"${nids.size} rows, ${nids.distinct.size} distinct"))
+      // (c) lambda = 1 degenerates to the plain top-k, order included
+      val relevOnly = mmrFromPool(Map(qid -> cands), k, lambda = 1.0).map(_._3)
+      val plain = cands.sortBy { case (nid, sim, _) => (-sim, nid) }
+        .take(want).map(_._1)
+      if (relevOnly != plain)
+        viol += ((s"lambda1_q$qid", s"$relevOnly != $plain"))
+      // (d) diversity advantage vs plain top-k on the dup corpus
+      def meanPairCos(sel: Seq[Long]): Double = {
+        val vs = sel.flatMap(n => cands.find(_._1 == n)).map(_._3)
+        val ps = for (i <- vs.indices; j <- (i + 1) until vs.size)
+          yield cos6(vs(i), vs(j))
+        if (ps.isEmpty) 0.0 else ps.sum / ps.size
+      }
+      val dMmr = meanPairCos(nids)
+      val dPlain = meanPairCos(plain)
+      if (dMmr > dPlain + 1e-9)
+        viol += ((s"diversity_q$qid", f"mmr $dMmr%.6f > plain $dPlain%.6f"))
+    }
+    viol.result().toDF("clause", "violation").orderBy(col("clause"))
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "x105g_mmr_gate" ->
+      """SELECT CAST(NULL AS VARCHAR) AS clause, CAST(NULL AS VARCHAR) AS violation
+        |WHERE false""".stripMargin,
+
     "x62_bm25_topk" ->
       """WITH tok AS (
         |  SELECT doc_id,

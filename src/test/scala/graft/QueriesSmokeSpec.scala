@@ -54,7 +54,8 @@ class QueriesSmokeSpec extends SparkSpecBase {
     "x99a_pca_advantage_gate",
     "x99r_pca_recall",
     "x101g_unigram_gate",
-    "x102g_kcenter_gate")
+    "x102g_kcenter_gate",
+    "x105g_mmr_gate")
 
   test("every declared query emits SCALAR columns only (driver pandas-sort compat)") {
     // the driver's correctness harness canonicalizes with a pandas

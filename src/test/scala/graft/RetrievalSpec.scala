@@ -59,4 +59,73 @@ class RetrievalSpec extends SparkSpecBase {
     // roots are fixpoints: root(root(x)) == root(x)
     out.values.toSet.foreach { r: Long => assert(out(r) === r) }
   }
+
+  test("mmr greedy: hand pool — diversity term demotes the near-duplicate") {
+    // A (sim .9) and B (sim .89) point the same way; C (sim .5) is
+    // orthogonal. Plain top-2 = [A, B]; MMR at lambda=.5 must pick C
+    // second: B scores .5*.89 - .5*1.0 = -.055 < C's .5*.5 - 0 = .25
+    val e1 = Array(1.0, 0.0)
+    val e2 = Array(0.0, 1.0)
+    val pool = Map(1L -> IndexedSeq(
+      (100L, 0.9, e1), (200L, 0.89, e1), (300L, 0.5, e2)))
+    val got = RetrievalQueries.mmrFromPool(pool, k = 2, lambda = 0.5)
+    assert(got.map(t => (t._2, t._3)) === Seq((1, 100L), (2, 300L)), got)
+    // lambda = 1: relevance only -> plain top-2
+    val rel = RetrievalQueries.mmrFromPool(pool, k = 2, lambda = 1.0)
+    assert(rel.map(_._3) === Seq(100L, 200L))
+    // score tie at equal sims breaks to the smaller nid
+    val tiePool = Map(1L -> IndexedSeq((7L, 0.8, e1), (3L, 0.8, e2)))
+    assert(RetrievalQueries.mmrFromPool(tiePool, 1, 1.0).head._3 === 3L)
+  }
+
+  test("x105: declared query demotes planted duplicates; gate is empty") {
+    val out = SparkEntry.queries("x105_mmr_rerank")(spark, sfDir)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(out.nonEmpty)
+    // every query id < 10 has an exact copy at +10000 with cosine 1.0:
+    // MMR at lambda=.5 must never serve both a vector and its planted
+    // copy (score of the second of the pair is .5*sim - .5*1.0 < 0,
+    // always beaten by any candidate with sim > 0 diversity < 1)
+    out.groupBy(_._1).foreach { case (qid, rows) =>
+      val nids = rows.map(_._3).toSet
+      (0L until 20L).foreach { i =>
+        assert(!(nids.contains(i) && nids.contains(i + 10000)),
+          s"qid $qid serves both $i and its exact copy")
+      }
+    }
+    assert(SparkEntry.queries("x105g_mmr_gate")(spark, sfDir).count() === 0)
+  }
+
+  test("each x105g clause FIRES on a tampered selection") {
+    import graft.operators.Pq
+    val corpus = Pq.corpusWithDups(spark, sfDir)
+    val pool = RetrievalQueries.collectMmrPool(
+      corpus.filter(col("id") < 10), corpus, "id", "embedding", 30)
+    val good = RetrievalQueries.mmrFromPool(pool, 10, 0.5)
+    def clauses(sel: Seq[(Long, Int, Long, Double)]): Set[String] =
+      RetrievalQueries.mmrGateRows(spark, pool, 10, sel)
+        .select("clause").as[String].collect().toSet
+    assert(clauses(good) === Set.empty)
+    // swap ranks 1 and 2 of one query -> rank1 clause
+    val q0 = good.filter(_._1 == good.head._1)
+    val swapped = good.map {
+      case (q, 1, n, s) if q == q0.head._1 => (q, 1, q0(1)._3, s)
+      case (q, 2, n, s) if q == q0.head._1 => (q, 2, q0.head._3, s)
+      case r => r
+    }
+    assert(clauses(swapped).exists(_.startsWith("rank1_")))
+    // drop a row -> members clause
+    assert(clauses(good.tail).exists(_.startsWith("members_")))
+    // diversity clause: a synthetic pool where the plain top-2 [A, C]
+    // is orthogonal (mean pairwise cos 0) but a valid tampered
+    // selection [A, B] is co-directional (mean 1.0) — rank1/members/
+    // lambda1 stay clean, ONLY diversity fires
+    val e1 = Array(1.0, 0.0)
+    val e2 = Array(0.0, 1.0)
+    val synth = Map(5L -> IndexedSeq((1L, 0.9, e1), (2L, 0.7, e1), (3L, 0.8, e2)))
+    val bad = Seq((5L, 1, 1L, 0.45), (5L, 2, 2L, 0.35))
+    val fired = RetrievalQueries.mmrGateRows(spark, synth, 2, bad)
+      .select("clause").as[String].collect().toSet
+    assert(fired === Set("diversity_q5"), fired)
+  }
 }
