@@ -329,6 +329,36 @@ object ScaleCheck {
       Thread.sleep(500)
     }
 
+    // Triangle-count scaling: k disjoint id-offset copies of the part
+    // co-purchase graph — copies never connect, so edges, wedges and
+    // triangles all grow linearly in k and seconds must too. The
+    // degree-ordered orientation additionally caps the wedge relation
+    // at m^1.5 WITHIN a copy (the skew defense the spec pins on a hub
+    // graph); a super-linear trend here means the orientation stopped
+    // doing its job.
+    import graft.operators.Components
+    if (keep("tri")) for (k <- scales) {
+      val spark = freshSession()
+      val li = Tables(spark, sfDir, "lineitem")
+      val base = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("p1"))
+        .join(li.select(col("l_orderkey").as("ok"), col("l_partkey").as("p2")), "ok")
+        .filter(col("p1") < col("p2"))
+        .select(col("p1").as("a"), col("p2").as("b"))
+      val edges = (0 until k).map { i =>
+        base.select((col("a") + i * 1000000L).as("a"),
+          (col("b") + i * 1000000L).as("b"))
+      }.reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(true)
+      val (sec, rows) = time(Components.triangleCounts(edges).count())
+      println(f"""{"op":"tri","scale":$k,"sec":$sec%.2f,"rows":$rows}""")
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      System.gc()
+      Thread.sleep(500)
+    }
+
     // Unigram-LM EM scaling: disjoint token spaces make the distinct-
     // word relation grow linearly in k while the piece table stays
     // capped (seedSize + chars) — each EM round is one scan of the word
