@@ -84,6 +84,7 @@ object Bench {
           graft.operators.Opq.clearMemo()
           graft.operators.Pca.clearMemo()
           graft.operators.UnigramLm.clearMemo()
+          graft.operators.RetrievalQueries.clearMemo()
           spark.catalog.clearCache()
           // localCheckpoint blocks (Dedup/BPE iteration state) are NOT
           // dropped by clearCache; left in place they GC-pressure later

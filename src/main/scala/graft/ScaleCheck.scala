@@ -46,17 +46,28 @@ object ScaleCheck {
     spark
   }
 
-  /** k id-offset copies of `base` (offset stride 1M — well above any
-    * test corpus), each transformed by `perCopy`, rebalanced and
-    * pinned.
+  /** Copy-id offset stride — well above any test corpus' id range. */
+  private val CopyStride = 1000000L
+
+  /** k copies of `base`, each produced by `perCopy` (which applies its
+    * own id offsets), unioned, rebalanced and pinned — the ONE
+    * replication policy every probe shares.
+    */
+  private def replicateWith(spark: SparkSession, base: DataFrame, k: Int)
+                           (perCopy: (DataFrame, Int) => DataFrame): DataFrame =
+    (0 until k).map(i => perCopy(base, i))
+      .reduce(_ unionByName _)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .localCheckpoint(true)
+
+  /** [[replicateWith]] for single-`id`-column relations: the offset is
+    * applied for you, `perCopy` only transforms the payload.
     */
   private def replicate(spark: SparkSession, base: DataFrame, k: Int)
                        (perCopy: (DataFrame, Int) => DataFrame): DataFrame =
-    (0 until k).map { i =>
-      perCopy(base.withColumn("id", col("id") + i * 1000000L), i)
-    }.reduce(_ unionByName _)
-      .repartition(spark.sparkContext.defaultParallelism)
-      .localCheckpoint(true)
+    replicateWith(spark, base, k) { (df, i) =>
+      perCopy(df.withColumn("id", col("id") + i * CopyStride), i)
+    }
 
   /** Median of 3 passes: single-pass numbers at the 16x scale swing
     * >2x run-to-run — the same measurement policy Bench adopted. Rows
@@ -344,12 +355,10 @@ object ScaleCheck {
         .join(li.select(col("l_orderkey").as("ok"), col("l_partkey").as("p2")), "ok")
         .filter(col("p1") < col("p2"))
         .select(col("p1").as("a"), col("p2").as("b"))
-      val edges = (0 until k).map { i =>
-        base.select((col("a") + i * 1000000L).as("a"),
-          (col("b") + i * 1000000L).as("b"))
-      }.reduce(_ unionByName _)
-        .repartition(spark.sparkContext.defaultParallelism)
-        .localCheckpoint(true)
+      val edges = replicateWith(spark, base, k) { (df, i) =>
+        df.select((col("a") + i * CopyStride).as("a"),
+          (col("b") + i * CopyStride).as("b"))
+      }
       val (sec, rows) = time(Components.triangleCounts(edges).count())
       println(f"""{"op":"tri","scale":$k,"sec":$sec%.2f,"rows":$rows}""")
       spark.stop()

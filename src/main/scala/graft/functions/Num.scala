@@ -14,4 +14,17 @@ object Num {
   def roundSig(x: Double): Double =
     if (x == 0.0 || !java.lang.Double.isFinite(x)) x
     else BigDecimal(x).round(new java.math.MathContext(12)).toDouble
+
+  /** Driver-side dot product (left-to-right accumulation — the same
+    * order VecDot uses, so driver re-derivations of codegen'd scores
+    * are bit-identical). One definition for every operator that does
+    * driver geometry over bounded pools (k-means‖ recluster, k-center
+    * certificates, MMR redundancy).
+    */
+  def dot(a: IndexedSeq[Double], b: IndexedSeq[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
 }

@@ -248,34 +248,38 @@ object Components {
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true) // feeds the degree agg + three join sides
-    val deg = e.select(col("u").as("n")).unionByName(e.select(col("v").as("n")))
-      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
-    // orient low-(deg, id) -> high-(deg, id)
-    val oriented = e
-      .join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
-      .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
-      .select(
-        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("u"))
-          .otherwise(col("v")).as("src"),
-        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
-          .otherwise(col("u")).as("dst"))
-      .localCheckpoint(true)
-    // wedges src->mid->far, closed by the src->far oriented edge; the
-    // orientation is a total order, so each triangle matches exactly once
-    val tri = oriented.as("e1")
-      .join(oriented.as("e2"), col("e1.dst") === col("e2.src"))
-      .select(col("e1.src").as("ta"), col("e1.dst").as("tb"), col("e2.dst").as("tc"))
-      .join(oriented.as("e3"),
-        col("ta") === col("e3.src") && col("tc") === col("e3.dst"), "left_semi")
-    // the result is node-sized — eagerly checkpoint IT, then release the
-    // edge-sized intermediates (a finally-release before the caller's
-    // action would hand back a frame over destroyed blocks)
-    val out = tri
-      .select(explode(array(col("ta"), col("tb"), col("tc"))).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
-      .localCheckpoint(true)
-    graft.CheckpointBlocks.release(oriented)
-    graft.CheckpointBlocks.release(e)
-    out
+    var oriented: DataFrame = null
+    // finally-release is safe BECAUSE the result is eagerly checkpointed
+    // inside the try (releasing before that materialization would hand
+    // back a frame over destroyed blocks); without it, a failed wedge
+    // join would pin two edge-sized block sets for the session
+    try {
+      val deg = e.select(col("u").as("n")).unionByName(e.select(col("v").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      // orient low-(deg, id) -> high-(deg, id)
+      oriented = e
+        .join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
+        .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
+        .select(
+          when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("u"))
+            .otherwise(col("v")).as("src"),
+          when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
+            .otherwise(col("u")).as("dst"))
+        .localCheckpoint(true)
+      // wedges src->mid->far, closed by the src->far oriented edge; the
+      // orientation is a total order, so each triangle matches exactly once
+      val tri = oriented.as("e1")
+        .join(oriented.as("e2"), col("e1.dst") === col("e2.src"))
+        .select(col("e1.src").as("ta"), col("e1.dst").as("tb"), col("e2.dst").as("tc"))
+        .join(oriented.as("e3"),
+          col("ta") === col("e3.src") && col("tc") === col("e3.dst"), "left_semi")
+      // node-sized result, eagerly checkpointed before the releases
+      tri.select(explode(array(col("ta"), col("tb"), col("tc"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+        .localCheckpoint(true)
+    } finally {
+      if (oriented != null) graft.CheckpointBlocks.release(oriented)
+      graft.CheckpointBlocks.release(e)
+    }
   }
 }

@@ -103,11 +103,8 @@ object Coreset {
   }
 
   /** Spherical distance between two unit vectors on the driver. */
-  private def sphD2(a: IndexedSeq[Double], b: IndexedSeq[Double]): Double = {
-    var s = 0.0; var i = 0
-    while (i < a.length) { s += a(i) * b(i); i += 1 }
-    2.0 - 2.0 * s
-  }
+  private def sphD2(a: IndexedSeq[Double], b: IndexedSeq[Double]): Double =
+    2.0 - 2.0 * graft.functions.Num.dot(a, b)
 
   /** The x102g measurement as violation rows (empty = contracts hold).
     * `skewTrace` corrupts the recorded trace and `dropCenter` replaces

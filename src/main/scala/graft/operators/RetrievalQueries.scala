@@ -260,9 +260,10 @@ object RetrievalQueries {
     // Rows-only (the greedy loop is not DuckDB-expressible) — verified
     // by the x105g contracts below.
     "x105_mmr_rerank" -> ((s, d) => {
-      val corpus = vecsWithDups(s, d)
-      mmrRerank(corpus.filter(col("id") < 10), corpus, "id", "embedding",
-        poolK = MmrPoolK, k = MmrK, lambda = 0.5)
+      import s.implicits._
+      mmrFromPool(mmrPool(s, d), MmrK, lambda = 0.5)
+        .toDF("qid", "rank", "nid", "mmr")
+        .orderBy(col("qid"), col("rank"))
     }),
 
     // Gate (empty-set oracle), four clauses: (a) rank-1 = the highest-
@@ -274,16 +275,38 @@ object RetrievalQueries {
     // among MMR selections <= that of the plain top-k (the planted
     // exact duplicates give plain top-k a sim-1.0 pair MMR avoids).
     "x105g_mmr_gate" -> ((s, d) => {
-      import s.implicits._
-      val corpus = vecsWithDups(s, d)
-      val pool = collectMmrPool(corpus.filter(col("id") < 10), corpus,
-        "id", "embedding", MmrPoolK)
-      mmrGateRows(s, pool, MmrK, mmrFromPool(pool, MmrK, lambda = 0.5))
+      val pool = mmrPool(s, d)
+      mmrGateRows(s, pool, MmrK, mmrFromPool(pool, MmrK, lambda = 0.5),
+        lambda = 0.5)
     })
   )
 
   private val MmrPoolK = 30
   private val MmrK = 10
+
+  private val mmrPoolMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Map[Long, IndexedSeq[(Long, Double, Array[Double])]]]()
+
+  /** Driver-state pool memo only (no cluster blocks to release). */
+  def clearMemo(): Unit = mmrPoolMemo.clear()
+
+  /** The shared x105 candidate pool, collected once per (session, dir):
+    * the brute-force shortlist is the pair's only corpus-sized work, and
+    * both declared queries (plus the spec's schema pass) consume it.
+    */
+  private def mmrPool(
+      s: SparkSession, d: String): Map[Long, IndexedSeq[(Long, Double, Array[Double])]] = {
+    val key = (s, d)
+    Option(mmrPoolMemo.get(key)).getOrElse {
+      MemoEviction.register(s, "mmr-pool") { () =>
+        mmrPoolMemo.keySet.removeIf(_._1 eq s)
+      }
+      val corpus = vecsWithDups(s, d)
+      val p = collectMmrPool(corpus.filter(col("id") < 10), corpus,
+        "id", "embedding", MmrPoolK)
+      Option(mmrPoolMemo.putIfAbsent(key, p)).getOrElse(p)
+    }
+  }
 
   /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
     * SIGIR'98): greedy diversified top-k — each step takes the
@@ -333,11 +356,8 @@ object RetrievalQueries {
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
-  private def cos6(a: Array[Double], b: Array[Double]): Double = {
-    var s = 0.0; var i = 0
-    while (i < a.length) { s += a(i) * b(i); i += 1 }
-    round6(s)
-  }
+  private def cos6(a: Array[Double], b: Array[Double]): Double =
+    round6(graft.functions.Num.dot(a, b))
 
   /** The greedy loop over a collected pool — pure driver arithmetic,
     * exposed so the gate and specs can drive it with a shared pool.
@@ -381,14 +401,21 @@ object RetrievalQueries {
   private[graft] def mmrGateRows(
       s: SparkSession,
       pool: Map[Long, IndexedSeq[(Long, Double, Array[Double])]],
-      k: Int, mmr: Seq[(Long, Int, Long, Double)]): DataFrame = {
+      k: Int, mmr: Seq[(Long, Int, Long, Double)],
+      lambda: Double = 0.5): DataFrame = {
     import s.implicits._
     val viol = Seq.newBuilder[(String, String)]
     val byQ = mmr.groupBy(_._1)
     pool.toSeq.sortBy(_._1).foreach { case (qid, cands) =>
       val got = byQ.getOrElse(qid, Seq.empty).sortBy(_._2)
-      // (a) rank 1 is the top-cosine candidate (tie -> smaller nid)
-      val top1 = cands.maxBy { case (nid, sim, _) => (sim, -nid) }._1
+      // (a) rank 1 maximizes the SAME first-step score mmrFromPool uses
+      // — round6(lambda*sim) with smaller-nid tie — not raw sim: two
+      // sims that collapse at 6dp after the lambda scale are a
+      // legitimate rounded tie, and judging them by raw sim would flag
+      // a correct selection
+      val top1 = cands.maxBy { case (nid, sim, _) =>
+        (round6(lambda * sim), -nid)
+      }._1
       if (got.headOption.exists(_._3 != top1))
         viol += ((s"rank1_q$qid", s"got ${got.headOption.map(_._3)} want $top1"))
       // (b) exactly k distinct pool members

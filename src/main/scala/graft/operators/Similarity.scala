@@ -620,11 +620,8 @@ object Similarity {
   private def recluster(cands: IndexedSeq[IndexedSeq[Double]],
                         w: IndexedSeq[Double], k: Int): IndexedSeq[IndexedSeq[Double]] = {
     if (cands.isEmpty) return IndexedSeq.empty
-    def dotv(a: IndexedSeq[Double], b: IndexedSeq[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { s += a(i) * b(i); i += 1 }
-      s
-    }
+    def dotv(a: IndexedSeq[Double], b: IndexedSeq[Double]): Double =
+      graft.functions.Num.dot(a, b)
     def unit(a: IndexedSeq[Double]): IndexedSeq[Double] = {
       val n = math.sqrt(dotv(a, a))
       if (n > 0) a.map(_ / n) else a
