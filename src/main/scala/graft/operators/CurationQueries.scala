@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.GraftFunctions.tokens
+import graft.functions.GraftFunctions.{tokens, windowGrams}
 
 /** Web-corpus curation operators (SURVEY §7.4 extension family): the
   * C4/Gopher/RefinedWeb-style passes a training-data pipeline runs
@@ -63,6 +63,72 @@ object CurationQueries {
       .withColumn("r_alpha_words", rAlpha)
       .withColumn("r_stopwords", rStop)
       .withColumn("pass", rWc && rMwl && rSym && rAlpha && rStop)
+  }
+
+  /** Gopher repetition-rule thresholds (Rae et al. 2021, Table A1) as
+    * integer percents: a document is dropped when the character
+    * fraction covered by the most frequent word n-gram (n = 2..4) or by
+    * duplicated word n-grams (n = 5..10) exceeds the threshold.
+    */
+  val topGramMaxPct: Seq[(Int, Int)] = Seq(2 -> 20, 3 -> 18, 4 -> 16)
+  val dupGramMaxPct: Seq[(Int, Int)] =
+    Seq(5 -> 15, 6 -> 14, 7 -> 13, 8 -> 12, 9 -> 11, 10 -> 10)
+
+  /** Gopher repetition rules — the half of the Gopher quality table
+    * [[gopherRules]] does NOT cover: per document, the fraction of
+    * characters (of the single-space token join) covered by (a) every
+    * occurrence of the heaviest word n-gram for n = 2..4 and (b) every
+    * occurrence of word n-grams appearing more than once for n = 5..10.
+    * Occurrence chars follow the standard reimplementation
+    * simplification (overlapping occurrences double-count, fractions
+    * cap at 1.0); the keep flag compares `100 * chars <= pct * total`
+    * in exact integers so no float-rounding seam can flip it
+    * cross-engine — the reported fractions are round-6 informational
+    * columns. Pure scan-side HOFs over the shared [[windowGrams]]
+    * convention: zero shuffle at any corpus size, O(grams x distinct)
+    * per row (documents are bounded; a 100 TB corpus runs this in the
+    * scan-project stage).
+    */
+  def repetitionRules(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ts = tokens(col(textCol))
+    val base = docs.select(col(idCol), ts.as("__ts"),
+      greatest(length(array_join(ts, " ")), lit(1)).cast("long").as("__total"))
+    // chars covered by all occurrences of the heaviest n-gram
+    def topChars(n: Int): Column = {
+      val g = windowGrams(col("__ts"), n)
+      array_max(transform(array_distinct(g),
+        x => size(filter(g, y => y === x)).cast("long") *
+          length(x).cast("long")))
+    }
+    // chars covered by occurrences of n-grams appearing more than once
+    def dupChars(n: Int): Column = {
+      val g = windowGrams(col("__ts"), n)
+      aggregate(array_distinct(g), lit(0L), (acc, x) => {
+        val c = size(filter(g, y => y === x)).cast("long")
+        acc + when(c > 1L, c * length(x).cast("long")).otherwise(lit(0L))
+      })
+    }
+    val charCols =
+      topGramMaxPct.map { case (n, _) => topChars(n).as(s"__top$n") } ++
+        dupGramMaxPct.map { case (n, _) => dupChars(n).as(s"__dup$n") }
+    val withChars =
+      base.select(col(idCol) +: col("__total") +: charCols: _*)
+    val fracCols =
+      topGramMaxPct.map { case (n, _) =>
+        round(least(col(s"__top$n").cast("double") /
+          col("__total").cast("double"), lit(1.0)), 6).as(s"top$n")
+      } ++
+        dupGramMaxPct.map { case (n, _) =>
+          round(least(col(s"__dup$n").cast("double") /
+            col("__total").cast("double"), lit(1.0)), 6).as(s"dup$n")
+        }
+    val keep =
+      (topGramMaxPct.map { case (n, p) =>
+        col(s"__top$n") * 100 <= col("__total") * p
+      } ++ dupGramMaxPct.map { case (n, p) =>
+        col(s"__dup$n") * 100 <= col("__total") * p
+      }).reduce(_ && _)
+    withChars.select(col(idCol) +: fracCols :+ keep.as("rep_keep"): _*)
   }
 
   /** Canonicalize a URL for dedup keying (the C4/RefinedWeb hygiene
@@ -314,6 +380,22 @@ object CurationQueries {
           sum(col("n_tokens")).cast("long").as("sum_tokens"),
           round(avg(col("quality")), 6).as("avg_quality"))
         .orderBy(col("source"))
+    }),
+
+    // Gopher repetition rules: top-n-gram (n=2..4) and duplicated-n-gram
+    // (n=5..10) character fractions + the composite keep bit. The corpus
+    // is short-range word salad (top-2-gram fractions split it: ~13/500
+    // exceed 20% at sf0.01) but has no 5+-token repeats, so a
+    // deterministic repeated phrase rides doc_id % 11 == 0 docs — same
+    // literal on both engines, the x44/x49 convention — making every
+    // dup-n clause observable in the declared output.
+    "x106_repetition_rules" -> ((s, d) => {
+      val aug = Tables(s, d, "documents").select(col("doc_id"),
+        concat(col("text"), when(col("doc_id") % 11 === 0,
+          repeat(lit(" spark shuffle merge sort hash join"), 4))
+          .otherwise(lit("")))
+          .as("t"))
+      repetitionRules(aug, "doc_id", "t").orderBy(col("doc_id"))
     })
   )
 
@@ -511,6 +593,73 @@ object CurationQueries {
         |  CAST(sum(f.n_tokens) AS BIGINT) AS sum_tokens,
         |  round(avg(f.quality), 6) AS avg_quality
         |FROM h JOIN f USING (doc_id)
-        |GROUP BY h.source ORDER BY h.source""".stripMargin
+        |GROUP BY h.source ORDER BY h.source""".stripMargin,
+
+    "x106_repetition_rules" -> x106Sql
   )
+
+  /** The x106 oracle, generated per n so the two engines' gram/threshold
+    * tables cannot drift: mirrors [[windowGrams]]' position convention
+    * (1..greatest(len-(n-1), 1); shorter-than-n docs yield one short
+    * gram) and the exact-integer keep comparison.
+    */
+  private def x106Sql: String = {
+    def gramCte(n: Int): String =
+      s"""c$n AS (
+         |  SELECT doc_id, any_value(total) AS total, gram,
+         |    count(*) AS c, length(gram) AS l
+         |  FROM (SELECT doc_id, total,
+         |          array_to_string(ts[i : i + ${n - 1}], ' ') AS gram
+         |        FROM tot,
+         |          unnest(generate_series(1, greatest(len(ts) - ${n - 1}, 1))) AS t(i))
+         |  GROUP BY doc_id, gram
+         |)""".stripMargin
+    def topCte(n: Int, pct: Int): String =
+      s"""m$n AS (
+         |  SELECT doc_id,
+         |    round(least(CAST(max(c * l) AS DOUBLE) / any_value(total), 1.0), 6) AS top$n,
+         |    max(c * l) * 100 <= any_value(total) * $pct AS k$n
+         |  FROM c$n GROUP BY doc_id
+         |)""".stripMargin
+    def dupCte(n: Int, pct: Int): String =
+      s"""m$n AS (
+         |  SELECT doc_id,
+         |    round(least(CAST(coalesce(sum(CASE WHEN c > 1 THEN c * l END), 0) AS DOUBLE)
+         |                / any_value(total), 1.0), 6) AS dup$n,
+         |    coalesce(sum(CASE WHEN c > 1 THEN c * l END), 0) * 100
+         |      <= any_value(total) * $pct AS k$n
+         |  FROM c$n GROUP BY doc_id
+         |)""".stripMargin
+    val ns = topGramMaxPct.map(_._1) ++ dupGramMaxPct.map(_._1)
+    val ctes =
+      (ns.map(gramCte) ++
+        topGramMaxPct.map { case (n, p) => topCte(n, p) } ++
+        dupGramMaxPct.map { case (n, p) => dupCte(n, p) }).mkString(",\n")
+    val fracs =
+      (topGramMaxPct.map { case (n, _) => s"top$n" } ++
+        dupGramMaxPct.map { case (n, _) => s"dup$n" }).mkString(", ")
+    val keep = ns.map(n => s"k$n").mkString(" AND ")
+    val joins = ns.tail.map(n => s"JOIN m$n USING (doc_id)").mkString(" ")
+    s"""WITH aug AS (
+       |  SELECT doc_id,
+       |    concat(text, CASE WHEN doc_id % 11 = 0
+       |      THEN repeat(' spark shuffle merge sort hash join', 4)
+       |      ELSE '' END) AS t
+       |  FROM documents
+       |),
+       |tok AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(trim(t)), '\\s+'), x -> x <> '') AS ts
+       |  FROM aug
+       |),
+       |tot AS (
+       |  SELECT doc_id, ts,
+       |    greatest(length(array_to_string(ts, ' ')), 1) AS total
+       |  FROM tok
+       |),
+       |$ctes
+       |SELECT doc_id, $fracs, ($keep) AS rep_keep
+       |FROM m${ns.head} $joins
+       |ORDER BY doc_id""".stripMargin
+  }
 }

@@ -190,4 +190,77 @@ class CurationSpec extends SparkSpecBase {
     assert(rows(32) === ((32, 1L, 17L, 15L, 0L)), "n=17 spills to 32 with 15 pad")
     assert(rows(2048) === ((2048, 1L, 2048L, 0L, 1L)), "n=2049 truncates into the cap")
   }
+
+  test("x106 repetition rules: hand-computed fractions, cap, short-doc convention") {
+    val docs = Seq(
+      // [ab,cd,ab,cd,ab], join = 14 chars. 2-grams: "ab cd"x2,"cd ab"x2
+      // (len 5 each) -> top2 = 10/14; 3-grams: "ab cd ab"x2 (len 8) ->
+      // 16/14 caps at 1.0; 4-grams both unique (len 11) -> 11/14; the
+      // single 5-gram occurs once -> every dup_n = 0
+      (1L, "ab cd ab cd ab"),
+      // 12 x "a", join = 23 chars: all eight 5-grams are the same
+      // 9-char gram (cnt 8 -> 72 chars) -> dup5 caps at 1.0
+      (2L, Seq.fill(12)("a").mkString(" ")),
+      // shorter than every n: one short gram per n, cnt 1 -> dup_n = 0,
+      // and the whole doc IS its top gram -> top_n = 1.0 (the
+      // windowGrams short-doc convention; Gopher length rules gate
+      // such docs out before repetition rules run)
+      (3L, "x y"))
+      .toDF("doc_id", "text")
+    val got = CurationQueries.repetitionRules(docs, "doc_id", "text")
+      .orderBy($"doc_id")
+      .as[(Long, Double, Double, Double, Double, Double, Double, Double, Double, Double, Boolean)]
+      .collect()
+    val r1 = got(0)
+    assert(r1._2 === math.rint(10.0 / 14.0 * 1e6) / 1e6, "top2 = 10/14")
+    assert(r1._3 === 1.0, "top3 caps at 1.0")
+    assert(r1._4 === math.rint(11.0 / 14.0 * 1e6) / 1e6, "top4 = 11/14")
+    assert(Seq(r1._5, r1._6, r1._7, r1._8, r1._9, r1._10).forall(_ === 0.0),
+      "no duplicated 5..10-grams in a 5-token doc")
+    assert(!r1._11, "top2 over 20% drops the doc")
+    val r2 = got(1)
+    assert(r2._5 === 1.0, "dup5 caps at 1.0 on an all-equal-gram doc")
+    assert(!r2._11)
+    val r3 = got(2)
+    assert(r3._2 === 1.0 && r3._4 === 1.0, "short doc: top_n = whole doc")
+    assert(r3._5 === 0.0 && !r3._11)
+  }
+
+  test("x106 declared query: planted %11 phrase fires every dup clause, corpus splits") {
+    val out = CurationQueries.queries("x106_repetition_rules")(spark, sfDir)
+      .select($"doc_id", $"dup5", $"dup10", $"rep_keep")
+      .as[(Long, Double, Double, Boolean)].collect()
+    assert(out.length === 500)
+    val (planted, natural) = out.partition(_._1 % 11 == 0)
+    // the corpus is short-range word salad: no natural 5-gram repeats
+    // (verified against DuckDB at both sf0.001 and sf0.01)
+    assert(natural.forall(r => r._2 === 0.0 && r._3 === 0.0))
+    // the planted 6-token phrase x4 duplicates every 5..10-gram inside
+    // its run: dup5 AND dup10 both observable, and the doc drops
+    assert(planted.nonEmpty)
+    assert(planted.forall(r => r._2 > 0.0 && r._3 > 0.0 && !r._4))
+    // the top-2-gram clause splits the natural corpus on its own
+    assert(natural.exists(!_._4) && natural.exists(_._4))
+  }
+
+  test("x106 keep bit is the exact-integer conjunction of the declared thresholds") {
+    // recompute keep from the reported fractions: because the flag is
+    // integer-exact and the fractions are round-6, the two can disagree
+    // only within 5e-7 of a threshold — assert agreement away from seams
+    val rows = CurationQueries.queries("x106_repetition_rules")(spark, sfDir)
+      .collect()
+    val thr = (CurationQueries.topGramMaxPct.map { case (n, p) => s"top$n" -> p } ++
+      CurationQueries.dupGramMaxPct.map { case (n, p) => s"dup$n" -> p }).toMap
+    rows.foreach { r =>
+      val fracs = thr.map { case (c, p) =>
+        (r.getAs[Double](c), p / 100.0)
+      }
+      val nearSeam = fracs.exists { case (f, t) => math.abs(f - t) < 5e-7 }
+      if (!nearSeam) {
+        val expect = fracs.forall { case (f, t) => f <= t }
+        assert(r.getAs[Boolean]("rep_keep") === expect,
+          s"doc ${r.get(0)}: fractions $fracs")
+      }
+    }
+  }
 }
