@@ -14,14 +14,15 @@ import graft.sources.WarcCodec
   * packed training sequences:
   *
   *   WARC -> htmlToText -> URL canonicalize/blocklist/dedup ->
-  *   language filter -> Gopher rule gate (opt-in) -> quality gates
+  *   language filter -> Gopher rule gate (opt-in) -> Gopher repetition
+  *   gate (opt-in) -> quality gates
   *   (score / repetition / length) -> PII redaction -> exact dedup ->
   *   near-dup keep-canonical (MinHash-LSH + connected components) ->
   *   paragraph-frequency dedup -> decontamination vs a held-out eval
   *   split (broadcast Bloom) -> sequence packing
   *
   * Every stage is one of the individually-declared operators (x39, x50,
-  * x08, x49, x09/x30, x35/x36, x01, x03/x24, x40, x38, x28) — this job
+  * x08, x49, x106, x09/x30, x35/x36, x01, x03/x24, x40, x38, x28) — this job
   * only composes
   * them, so the correctness of each stage is already oracle-checked;
   * the e2e spec asserts the corpus-level counts of the composition.
@@ -43,6 +44,7 @@ object CorpusPipeline {
       languages: Set[String] = Set("en"),
       blockedHosts: Set[String] = Set.empty,
       gopherRules: Boolean = false,
+      repetitionGate: Boolean = false,
       minTokens: Int = 5,
       minQuality: Double = 0.3,
       maxRepetition: Double = 0.5,
@@ -62,7 +64,7 @@ object CorpusPipeline {
     */
   final case class Report(
       ingested: Long, quarantinedBlobs: Long, keptUrl: Long,
-      keptLanguage: Long, keptGopher: Long,
+      keptLanguage: Long, keptGopher: Long, keptRepetition: Long,
       keptQuality: Long, afterExactDedup: Long, afterNearDedup: Long,
       afterParaDedup: Long, afterDecontamination: Long,
       packs: Long, packedTokens: Long)
@@ -110,6 +112,19 @@ object CorpusPipeline {
       CurationQueries.gopherRules(
           CurationQueries.gopherStats(docs, "doc_id", "text"))
         .filter(col("pass")).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+
+  /** Gopher REPETITION gate (x106, opt-in like [[gopherFilter]]): drop
+    * documents whose top-n-gram / duplicated-n-gram character fractions
+    * exceed the published thresholds. Strictly stronger than the x30
+    * trigram ratio in [[qualityFilter]] at catching long-range
+    * boilerplate loops (repeated paragraphs duplicate 5..10-grams long
+    * before they move a distinct-trigram ratio).
+    */
+  private[graft] def repetitionFilter(docs: DataFrame): DataFrame =
+    docs.join(
+      CurationQueries.repetitionRules(docs, "doc_id", "text")
+        .filter(col("rep_keep")).select(col("doc_id")),
       Seq("doc_id"), "left_semi")
 
   private[graft] def languageFilter(docs: DataFrame, cfg: Config): DataFrame =
@@ -162,8 +177,13 @@ object CorpusPipeline {
     // assume prose in a known language), before the blended score
     val gopherKept = if (cfg.gopherRules) gopherFilter(langKept) else langKept
 
+    // 4b. Gopher repetition gate (x106, opt-in) — the n-gram repetition
+    // half of the Gopher table, next to its length/symbol half above
+    val repKept =
+      if (cfg.repetitionGate) repetitionFilter(gopherKept) else gopherKept
+
     // 5. quality gates (x09 score, x30 repetition, length floor)
-    val qualKept = qualityFilter(gopherKept, cfg)
+    val qualKept = qualityFilter(repKept, cfg)
 
     // 6. PII redaction (x36) BEFORE dedup: redaction canonicalizes text,
     // so two docs differing only in a contact line dedup together
@@ -222,6 +242,7 @@ object CorpusPipeline {
         keptUrl = urlKept.count(),
         keptLanguage = langKept.count(),
         keptGopher = gopherKept.count(),
+        keptRepetition = repKept.count(),
         keptQuality = qualKept.count(),
         afterExactDedup = exact.count(),
         afterNearDedup = canonical.count(),

@@ -439,8 +439,10 @@ class CorpusStream(spark: SparkSession, workDir: String,
       CorpusPipeline.urlFilter(docs, cfg), cfg)
     val gated =
       if (cfg.gopherRules) CorpusPipeline.gopherFilter(langKept) else langKept
+    val repGated =
+      if (cfg.repetitionGate) CorpusPipeline.repetitionFilter(gated) else gated
     val cur = CorpusPipeline.redactPii(
-      CorpusPipeline.qualityFilter(gated, cfg))
+      CorpusPipeline.qualityFilter(repGated, cfg))
       .localCheckpoint(true)
 
     // exact dedup: in-batch keep-first, then anti-join the store's

@@ -71,6 +71,8 @@ class CorpusPipelineSpec extends SparkSpecBase {
     assert(r.report.keptUrl === 11, "all fixture URLs are canonically distinct")
     assert(r.report.keptGopher === r.report.keptLanguage,
       "gopher gate defaults off: a pure pass-through in the ledger")
+    assert(r.report.keptRepetition === r.report.keptGopher,
+      "repetition gate defaults off: a pure pass-through in the ledger")
     assert(r.report.quarantinedBlobs === 1)
     assert(r.quarantined.select("path").as[String].head().endsWith("bad.warc.gz"))
     // language: the Spanish doc and the all-punctuation doc ("und") drop

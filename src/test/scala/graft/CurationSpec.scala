@@ -243,6 +243,20 @@ class CurationSpec extends SparkSpecBase {
     assert(natural.exists(!_._4) && natural.exists(_._4))
   }
 
+  test("repetitionFilter gate: a looping doc drops, a clean doc passes") {
+    // long enough that one occurrence of the longest 4-gram stays under
+    // 16% of the chars (the top-n rules presume Gopher's length gate
+    // ran first; a 15-word doc can trip top3 on a single long gram)
+    val clean = (1L, (1 to 32).map(i => f"w$i%02d").mkString(" "))
+    val loop = (2L,
+      "breaking news update " + Seq.fill(4)("click here to subscribe now today").mkString(" "))
+    val docs = Seq(clean, loop).toDF("doc_id", "text")
+    val kept = graft.CorpusPipeline.repetitionFilter(docs)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L),
+      "the 6-token phrase x4 duplicates every 5..10-gram in its run")
+  }
+
   test("x106 keep bit is the exact-integer conjunction of the declared thresholds") {
     // recompute keep from the reported fractions: because the flag is
     // integer-exact and the fractions are round-6, the two can disagree
