@@ -328,7 +328,18 @@ object UnigramLm {
     if (m.coverageMisses > 0)
       viol += (("coverage", s"${m.coverageMisses} words unsegmentable"))
     val vmap = typedlit(m.probs)
-    val data = BpeQueries.wordVocab(Tables(s, d, "documents"), "text")
+    // The distinct-word relation is CHECKPOINTED to pin the Viterbi scan
+    // ABOVE the token aggregation: the roundtrip predicate below is a
+    // deterministic function of the grouping column alone, so Catalyst's
+    // push-through-aggregate would otherwise run the whole lattice once
+    // per CORPUS TOKEN instead of once per distinct word (measured 162 s
+    // vs ~1 s at sf0.1 — the shingleTable re-evaluation trap, aggregate
+    // edition). Vocabulary-sized, the same class fit() checkpoints; the
+    // blocks ride the returned frame and fall to the session's regular
+    // persistent-RDD cleanup (Bench drops them between passes).
+    val words = BpeQueries.wordVocab(Tables(s, d, "documents"), "text")
+      .select(col("w")).localCheckpoint(true)
+    val data = words
       .select(col("w"), viterbiPieces(col("w"), vmap, MaxLen).as("ps"))
       .select(col("w"), col("ps"),
         concat_ws("", col("ps")).as("rt"),
