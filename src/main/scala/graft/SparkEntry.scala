@@ -40,7 +40,9 @@ object SparkEntry {
       Opq.queries ++
       Pca.queries ++
       UnigramLm.queries ++
-      Coreset.queries
+      Coreset.queries ++
+      EncodingRepair.queries ++
+      ExportQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -68,5 +70,7 @@ object SparkEntry {
       Opq.oracleSql ++
       Pca.oracleSql ++
       UnigramLm.oracleSql ++
-      Coreset.oracleSql
+      Coreset.oracleSql ++
+      EncodingRepair.oracleSql ++
+      ExportQueries.oracleSql
 }
