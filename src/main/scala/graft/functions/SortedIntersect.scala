@@ -117,11 +117,107 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
   override def prettyName: String = "graft_sorted_intersect_count"
 }
 
+/** The common ELEMENTS of two ASCENDING-sorted array<bigint> columns,
+  * as a two-pointer merge — the sibling of [[SortedLongIntersectCount]]
+  * for consumers that need the members, not just the size (per-node
+  * triangle attribution explodes them). No per-row hash set, no boxing:
+  * `array_intersect` allocates an OpenHashSet per invocation, which on
+  * a million-edge adjacency join is pure GC churn. Inputs must be
+  * sorted ascending and duplicate-free (sort_array(collect_list(...))
+  * over a distinct producer); nulls (array or element) yield null.
+  */
+case class SortedLongIntersect(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect requires array<bigint> args, got " +
+          s"${left.dataType} / ${right.dataType}")
+  }
+
+  private def mayHoldNulls: Boolean =
+    left.dataType.asInstanceOf[ArrayType].containsNull ||
+      right.dataType.asInstanceOf[ArrayType].containsNull
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (mayHoldNulls) {
+      var j = 0
+      val nx = x.numElements()
+      while (j < nx) { if (x.isNullAt(j)) return null; j += 1 }
+      j = 0
+      val ny = y.numElements()
+      while (j < ny) { if (y.isNullAt(j)) return null; j += 1 }
+    }
+    SortedIntersectKernel.intersect(x, y)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nullGuard =
+        if (mayHoldNulls) {
+          val j = ctx.freshName("j")
+          s"""
+             |for (int $j = 0; $j < $a.numElements() && !${ev.isNull}; $j++)
+             |  if ($a.isNullAt($j)) ${ev.isNull} = true;
+             |for (int $j = 0; $j < $b.numElements() && !${ev.isNull}; $j++)
+             |  if ($b.isNullAt($j)) ${ev.isNull} = true;
+           """.stripMargin
+        } else ""
+      s"""
+         |$nullGuard
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = graft.functions.SortedIntersectKernel.intersect($a, $b);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedLongIntersect =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_sorted_intersect"
+}
+
 /** Shared kernel for [[SortedLongIntersectCountAtLeast]] — a plain
   * object so whole-stage codegen can call it through the static
   * forwarder (`SortedIntersectKernel.countAtLeast(...)` is valid Java).
   */
 object SortedIntersectKernel {
+
+  /** Intersection elements of two sorted-ascending long arrays, as
+    * ArrayData (packed primitives, no boxing). Callable from generated
+    * Java (the [[SortedLongIntersect]] codegen).
+    */
+  def intersect(x: ArrayData, y: ArrayData): ArrayData = {
+    val nx = x.numElements()
+    val ny = y.numElements()
+    val buf = new Array[Long](math.min(nx, ny))
+    var i = 0
+    var k = 0
+    var c = 0
+    while (i < nx && k < ny) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(k)
+      if (xv == yv) { buf(c) = xv; c += 1; i += 1; k += 1 }
+      else if (xv < yv) i += 1
+      else k += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOfRange(buf, 0, c))
+  }
 
   /** Exact |A ∩ B| if it reaches `minReq`, else -1 — the PPJoin+
     * suffix-filter contract (Xiao et al., WWW'08 §4) adapted to

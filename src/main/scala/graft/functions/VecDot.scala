@@ -197,6 +197,17 @@ object GraftExtensions {
       HilbertIndex(args(0), args(1))
     })
 
+  private val sortedIntersectArrayDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_sorted_intersect"),
+    new ExpressionInfo(classOf[SortedLongIntersect].getName,
+      "graft_sorted_intersect"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2,
+        "graft_sorted_intersect takes exactly 2 arguments")
+      SortedLongIntersect(args(0), args(1))
+    })
+
   private val sortedIntersectAtLeastDescriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_sorted_intersect_count_at_least"),
@@ -210,7 +221,8 @@ object GraftExtensions {
 
   private[functions] val descriptors =
     Seq(vecDotDescriptor, bloomAggDescriptor, mightContainDescriptor,
-      sortedIntersectDescriptor, sortedIntersectAtLeastDescriptor,
+      sortedIntersectDescriptor, sortedIntersectArrayDescriptor,
+      sortedIntersectAtLeastDescriptor,
       unicodeNormalizeDescriptor, hilbertDescriptor)
 
   /** Idempotent registration on a live session (for sessions not built
@@ -235,6 +247,9 @@ object GraftExtensions {
 
   def sortedIntersectCount(a: Column, b: Column): Column =
     call_function("graft_sorted_intersect_count", a, b)
+
+  def sortedIntersect(a: Column, b: Column): Column =
+    call_function("graft_sorted_intersect", a, b)
 
   def sortedIntersectCountAtLeast(a: Column, b: Column, minRequired: Column): Column =
     call_function("graft_sorted_intersect_count_at_least", a, b,

@@ -420,14 +420,27 @@ class CorpusStream(spark: SparkSession, workDir: String,
     // the micro-batch frame lives in the runner's cloned session —
     // make sure that registry has the native functions too
     graft.functions.GraftExtensions.register(paths.sparkSession)
+    // Per-batch checkpoint registry: every eager localCheckpoint below
+    // is batch-scoped state, fully consumed (written to parquet) before
+    // the batch ends — without an explicit release the blocks linger
+    // until driver GC happens to collect the frame and ContextCleaner
+    // gets around to it, which on a long-running stream accumulates as
+    // storage-memory pressure batch after batch (the ScaleCheck
+    // lesson). The finally makes the release deterministic, including
+    // on a failing batch (the runner will replay it anyway).
+    val cps = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    def cp(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint(true); cps += c; c
+    }
+    try {
     // record-range fan-out: a batch containing one oversized blob (the
     // 1 GB CommonCrawl member case) parses as MANY tasks over disjoint
     // gzip-member ranges instead of one straggler task — the
     // release_batcher-style per-unit batch expansion applied inside the
     // micro-batch (blobs <= targetSplitBytes take the whole-file path)
-    val raw = WarcCodec.rawDocumentsForPathsSharded(spark,
+    val raw = cp(WarcCodec.rawDocumentsForPathsSharded(spark,
       paths.select("path").as[String], targetSplitBytes)
-      .toDF().localCheckpoint(true)
+      .toDF())
     val docs = WarcCodec.documentsFromRaw(raw)
 
     // curation: the SAME stage transforms the batch pipeline runs, in
@@ -441,9 +454,8 @@ class CorpusStream(spark: SparkSession, workDir: String,
       if (cfg.gopherRules) CorpusPipeline.gopherFilter(langKept) else langKept
     val repGated =
       if (cfg.repetitionGate) CorpusPipeline.repetitionFilter(gated) else gated
-    val cur = CorpusPipeline.redactPii(
-      CorpusPipeline.qualityFilter(repGated, cfg))
-      .localCheckpoint(true)
+    val cur = cp(CorpusPipeline.redactPii(
+      CorpusPipeline.qualityFilter(repGated, cfg)))
 
     // exact dedup: in-batch keep-first, then anti-join the store's
     // hashes (id-level state probe; the store never re-shuffles itself).
@@ -453,10 +465,9 @@ class CorpusStream(spark: SparkSession, workDir: String,
     // unseen at its time, so stored content_hash values are globally
     // unique by construction — deduplicating them again would add a
     // full aggregation pass over corpus history per batch
-    val exactKept = Dedup.exactKeepFirst(cur, "doc_id", "text")
+    val exactKept = cp(Dedup.exactKeepFirst(cur, "doc_id", "text")
       .withColumn("content_hash", md5(lower(trim(col("text")))))
-      .join(curated.select(col("content_hash")), Seq("content_hash"), "left_anti")
-      .localCheckpoint(true)
+      .join(curated.select(col("content_hash")), Seq("content_hash"), "left_anti"))
 
     // near-dup vs the persisted index (the x34 FromIndex shape: stored
     // bands + stored verification arrays, zero recompute over corpus
@@ -464,10 +475,9 @@ class CorpusStream(spark: SparkSession, workDir: String,
     // is canonical history); surviving in-batch pairs canonicalize by
     // connected component.
     val newSh = Dedup.shingleTable(exactKept, "doc_id", "text", cfg.shingleN)
-    val pairs = Dedup.incrementalMinhashLshPairsFromIndex(
+    val pairs = cp(Dedup.incrementalMinhashLshPairsFromIndex(
       bandIndex, docArrIndex, newSh,
-      cfg.numPerm, cfg.bands, cfg.nearDupThreshold)
-      .localCheckpoint(true)
+      cfg.numPerm, cfg.bands, cfg.nearDupThreshold))
     val newIds = exactKept.select(col("doc_id"))
     val vsIndex = pairs
       .join(newIds.select(col("doc_id").as("a")), Seq("a"), "left_semi")
@@ -483,8 +493,7 @@ class CorpusStream(spark: SparkSession, workDir: String,
       .join(afterIndex.select(col("doc_id").as("a")), Seq("a"), "left_semi")
       .join(afterIndex.select(col("doc_id").as("b")), Seq("b"), "left_semi")
       .select(col("a"), col("b"))
-    val accepted = Components.keepCanonical(afterIndex, "doc_id", inBatchPairs)
-      .localCheckpoint(true)
+    val accepted = cp(Components.keepCanonical(afterIndex, "doc_id", inBatchPairs))
 
     // semantic leg (opt-in): hashed-TF embeddings for the ACCEPTED docs,
     // near-dup FLAGS against the persisted vector index (+ in-batch),
@@ -493,9 +502,8 @@ class CorpusStream(spark: SparkSession, workDir: String,
     // recompute over embedding history.
     // shared by the semantic + PQ legs: one embedding computation for
     // the batch (both consume the same hashed-TF vectors)
-    lazy val newVecs = accepted.select(col("doc_id"),
-      TextAnalysis.hashedTfEmbedding(col("text"), SemDim).as("emb"))
-      .localCheckpoint(true)
+    lazy val newVecs = cp(accepted.select(col("doc_id"),
+      TextAnalysis.hashedTfEmbedding(col("text"), SemDim).as("emb")))
     semanticThreshold.foreach { thr =>
       // a crash-REPLAYED batch finds its own half-written index rows on
       // disk; anti-joining the batch's ids off the index side makes the
@@ -581,9 +589,8 @@ class CorpusStream(spark: SparkSession, workDir: String,
     overwriteBatch(raw.filter(col("blob_error").isNotNull)
       .select(col("path"), col("blob_error")), dlqPath, batchId)
     overwriteBatch(accepted, curatedPath, batchId)
-    val acceptedSh = newSh
-      .join(accepted.select(col("doc_id").as("id")), Seq("id"), "left_semi")
-      .localCheckpoint(true)
+    val acceptedSh = cp(newSh
+      .join(accepted.select(col("doc_id").as("id")), Seq("id"), "left_semi"))
     overwriteBatch(Dedup.lshBandTable(acceptedSh, cfg.numPerm, cfg.bands),
       bandPath, batchId)
     overwriteBatch(Dedup.docShingleArrays(acceptedSh), docArrPath, batchId)
@@ -597,6 +604,7 @@ class CorpusStream(spark: SparkSession, workDir: String,
         .toDF("batch_id", "ingested", "curated_in", "exact_dropped",
           "near_dropped", "accepted"),
       ledgerPath, batchId)
+    } finally cps.foreach(graft.CheckpointBlocks.release)
   }
 }
 
