@@ -45,6 +45,7 @@ object CorpusPipeline {
       blockedHosts: Set[String] = Set.empty,
       gopherRules: Boolean = false,
       repetitionGate: Boolean = false,
+      encodingFix: Boolean = false,
       minTokens: Int = 5,
       minQuality: Double = 0.3,
       maxRepetition: Double = 0.5,
@@ -127,6 +128,18 @@ object CorpusPipeline {
         .filter(col("rep_keep")).select(col("doc_id")),
       Seq("doc_id"), "left_semi")
 
+  /** Mojibake repair (x107, opt-in): rewrite the text column through
+    * the guarded decode-encode roundtrip BEFORE language ID, the
+    * quality features, and every content hash downstream — a
+    * mojibake'd re-crawl of a clean page must repair to BYTE equality
+    * so exact dedup collapses the pair; unrepairable text (real
+    * Latin-1, binary junk) passes through untouched by the full-parse
+    * guard. Drops nothing, so the ledger needs no new stage count.
+    */
+  private[graft] def fixEncoding(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      graft.operators.EncodingRepair.fixedText(col("text")))
+
   private[graft] def languageFilter(docs: DataFrame, cfg: Config): DataFrame =
     docs.withColumn("lang", TextAnalysis.languageId(col("text")))
       .filter(col("lang").isInCollection(cfg.languages))
@@ -166,9 +179,14 @@ object CorpusPipeline {
       .select(col("path"), col("blob_error"))
     val docs = WarcCodec.documentsFromRaw(raw)
 
+    // 1b. encoding repair (x107, opt-in) — before language ID and every
+    // content hash: mojibake corrupts the language markers and defeats
+    // byte-equality dedup against the clean original
+    val fixed = if (cfg.encodingFix) fixEncoding(docs) else docs
+
     // 2. URL hygiene (x50): canonical-URL dedup + host blocklist, the
     // cheapest drop in the chain, so it goes first
-    val urlKept = urlFilter(docs, cfg)
+    val urlKept = urlFilter(fixed, cfg)
 
     // 3. language filter (x08)
     val langKept = languageFilter(urlKept, cfg)

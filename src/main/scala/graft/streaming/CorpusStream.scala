@@ -448,8 +448,12 @@ class CorpusStream(spark: SparkSession, workDir: String,
     // language ID). URL dedup here is within-batch; a re-crawl landing
     // in a LATER batch is still caught by the content-hash anti-join
     // against the store below.
+    // encoding repair first (x107, opt-in): before language ID and the
+    // content hashes — see the batch pipeline's stage 1b
+    val fixed =
+      if (cfg.encodingFix) CorpusPipeline.fixEncoding(docs) else docs
     val langKept = CorpusPipeline.languageFilter(
-      CorpusPipeline.urlFilter(docs, cfg), cfg)
+      CorpusPipeline.urlFilter(fixed, cfg), cfg)
     val gated =
       if (cfg.gopherRules) CorpusPipeline.gopherFilter(langKept) else langKept
     val repGated =

@@ -6,8 +6,8 @@ import graft.streaming.CorpusStream
 
 /** Incremental corpus ingestion e2e: two ingest runs over a growing
   * WARC directory. The second run must process ONLY the new blob (file
-  * checkpoint), dedup its docs against the PERSISTED corpus state —
-  * exact-hash store and LSH shingle index — and canonicalize in-batch
+  * checkpoint), dedup its docs against the PERSISTED corpus state \u2014
+  * exact-hash store and LSH shingle index \u2014 and canonicalize in-batch
   * near-dups, with the per-batch ledger accounting for every drop.
   */
 class CorpusStreamSpec extends SparkSpecBase {
@@ -49,7 +49,7 @@ class CorpusStreamSpec extends SparkSpecBase {
     writeWarc(warcDir, "b.warc", Seq(
       "http://b/1" -> d1, "http://b/2" -> d2near, "http://b/3" -> e,
       "http://b/4" -> f, "http://b/5" -> fNear))
-    // plus a poisoned blob: valid gzip magic, garbage deflate body — it
+    // plus a poisoned blob: valid gzip magic, garbage deflate body \u2014 it
     // must dead-letter without costing b.warc's records
     Files.write(Paths.get(warcDir, "c.warc.gz"),
       Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0) ++
@@ -91,7 +91,7 @@ class CorpusStreamSpec extends SparkSpecBase {
       "index holds exactly the accepted docs")
 
     // third run with nothing new: a no-op batch (or none at all), state
-    // unchanged — the restart-safety floor
+    // unchanged \u2014 the restart-safety floor
     val s3 = new CorpusStream(spark, workDir)
     s3.ingest(warcDir).awaitTermination()
     assert(s3.curated.count() === 4)
@@ -139,7 +139,7 @@ class CorpusStreamSpec extends SparkSpecBase {
     assert(s5.curated.count() === 5)
   }
 
-  /** One gzip member per record — the CommonCrawl layout, which makes
+  /** One gzip member per record \u2014 the CommonCrawl layout, which makes
     * member boundaries safe split points.
     */
   private def gzMember(b: Array[Byte]): Array[Byte] = {
@@ -198,7 +198,7 @@ class CorpusStreamSpec extends SparkSpecBase {
       "dissimilar docs must not flag")
 
     // c = a's words REORDERED: trigram shingles share almost nothing
-    // (passes MinHash), but the bag-of-words TF vector is identical —
+    // (passes MinHash), but the bag-of-words TF vector is identical \u2014
     // cosine 1.0, exactly the duplicate class the semantic leg exists for
     val c = "the lazy dog jumps over the quick brown fox and runs across the wide park is"
     val dNew = "morning frost covers the quiet meadow and is melting where sunlight touches it"
@@ -248,7 +248,7 @@ class CorpusStreamSpec extends SparkSpecBase {
 
     // c embeds P at token positions 8..14; its trigram jaccard vs a is
     // ~0.2 (well under the 0.7 near-dup bar), so it SURVIVES lexical
-    // dedup — passage flagging is what catches the shared span
+    // dedup \u2014 passage flagging is what catches the shared span
     val c = s"children play games beside the rivers and $P during summer"
     val dNew = "sailors mend the canvas sails beneath harbor lights each evening"
     writeWarc(warcDir, "b.warc", Seq("http://p/c" -> c, "http://p/d" -> dNew))
@@ -267,7 +267,7 @@ class CorpusStreamSpec extends SparkSpecBase {
 
     // spans survive compaction; a third-batch echo of P (plus c's
     // "and silver..." junction window) resolves against the COMPACTED
-    // index — spans [7..14], extended one token left by the junction
+    // index \u2014 spans [7..14], extended one token left by the junction
     s.compact()
     assert(stream().passageSpans.count() === 1)
     val e = s"quiet monks copy the ancient scrolls and $P without haste"
@@ -327,7 +327,7 @@ class CorpusStreamSpec extends SparkSpecBase {
     assert(flags.head._3 >= 0.99)
 
     // passage leg: d's embedded 9-token run flags against b's stored
-    // windows — and nothing else does
+    // windows \u2014 and nothing else does
     val spans = s.passageSpans.as[(String, Long, Long, Long)].collect().toSeq
     assert(spans.map(_._1) === Seq(idOf(d)),
       s"exactly d must carry a duplicated passage, got $spans")
@@ -349,7 +349,7 @@ class CorpusStreamSpec extends SparkSpecBase {
       led.map(_._4).sum === 0, s"ledger: $led")
 
     // PQ leg: the code table covers every accepted doc with exactly M
-    // codes — codebook trained on the FIRST drain, batches from the
+    // codes \u2014 codebook trained on the FIRST drain, batches from the
     // second and third drains encoded by FRESH CorpusStream instances
     // reloading the stored codebook (each drain() constructs a new
     // instance over the same workDir: the restart path IS the test)
@@ -358,17 +358,17 @@ class CorpusStreamSpec extends SparkSpecBase {
     assert(codeCounts.size === 5 && codeCounts.values.forall(_ == 8L),
       s"every doc carries exactly M=8 codes: $codeCounts")
     // drift ledger: one telemetry row per batch, no TRUE verdict (the
-    // 2-doc training baseline is below Ks, so verdicts are null —
+    // 2-doc training baseline is below Ks, so verdicts are null \u2014
     // telemetry without a degenerate-baseline false alarm)
     assert(s.pqDrift.count() === 3, s"ledger: ${s.pqDrift.collect().toSeq}")
     assert(s.pqDrift.filter($"drifted" === true).count() === 0,
       s"drift ledger: ${s.pqDrift.collect().toSeq}")
 
     // streaming two-stage retrieval (the x95 contract across restarts):
-    // querying a's text must surface BOTH zero-distance members — a
+    // querying a's text must surface BOTH zero-distance members \u2014 a
     // itself (indexed by drain 1, before any restart) and c, its
     // bag-of-words twin (indexed by drain 2, a different stream
-    // instance) — at ranks 1-2 with exact re-ranked distance 0
+    // instance) \u2014 at ranks 1-2 with exact re-ranked distance 0
     val top = s.searchPq(Seq(("q1", a)).toDF("qid", "text"),
         "qid", "text", k = 3)
       .as[(String, String, Int, Double)].collect().toSeq.sortBy(_._3)
@@ -381,7 +381,7 @@ class CorpusStreamSpec extends SparkSpecBase {
   }
 
   // a WARC record with NO WARC-Target-URI header at all (some archives
-  // omit it on conversion records) — url decodes as ""
+  // omit it on conversion records) \u2014 url decodes as ""
   private def recBytesNoUri(text: String,
                             date: String = "2026-01-01T00:00:00Z"): Array[Byte] = {
     val payload = text.getBytes("ISO-8859-1")
@@ -396,7 +396,7 @@ class CorpusStreamSpec extends SparkSpecBase {
     val t1 = "the quick brown fox jumps over the lazy dog and runs in the park"
     val t2 = "the weather report says rain is coming and the wind is strong today"
     // three URL-less records: two distinct texts plus a re-fetch of the
-    // first at a later date — URL dedup must pass all three through
+    // first at a later date \u2014 URL dedup must pass all three through
     // (empty URLs share a canonical key, and keep-min over it would
     // silently keep one), leaving the CONTENT hash stage to drop
     // exactly the re-fetch
@@ -416,7 +416,7 @@ class CorpusStreamSpec extends SparkSpecBase {
     assert(led === Seq((3L, 3L, 1L, 0L, 2L)),
       s"ledger must charge the duplicate to the exact stage only, got $led")
 
-    // a later batch: one more URL-less doc plus a re-crawl of t1 — the
+    // a later batch: one more URL-less doc plus a re-crawl of t1 \u2014 the
     // store's content hashes still catch the cross-batch duplicate
     val t3 = "the children play games in the garden while the sun is warm and bright"
     Files.write(Paths.get(warcDir, "nouri2.warc"),
@@ -463,7 +463,7 @@ class CorpusStreamSpec extends SparkSpecBase {
     assert(s0.sessions.count() === 0, "no session may close before the watermark allows")
 
     // batch 2: an OUT-OF-ORDER fetch for host a (10:05, above the 10:00
-    // watermark — must extend the open session, not start a new one) and
+    // watermark \u2014 must extend the open session, not start a new one) and
     // a far-future advancer on host c
     Files.write(Paths.get(warcDir, "b.warc"),
       recBytesAt("http://a.example/3", "2026-01-01T10:05:00Z",
@@ -489,7 +489,7 @@ class CorpusStreamSpec extends SparkSpecBase {
     assert(closed.contains((CS.hostHash("b.example"),
       "2026-01-01T10:05:00Z", "2026-01-01T10:05:00Z", 1L)))
 
-    // batch 4: host z fetch at 10:00 — far below the 13:10 watermark.
+    // batch 4: host z fetch at 10:00 \u2014 far below the 13:10 watermark.
     // Late data must be DROPPED, never opened as a zombie session.
     Files.write(Paths.get(warcDir, "d.warc"),
       recBytesAt("http://z.example/1", "2026-01-01T10:00:00Z",
@@ -508,5 +508,46 @@ class CorpusStreamSpec extends SparkSpecBase {
       "a fetch older than the watermark must be dropped, not sessionized")
     // the document leg processed every batch too: all curated docs landed
     assert(s2.curated.count() >= 8)
+  }
+
+  test("encoding-repair leg: a mojibake'd re-crawl dedups against the clean page") {
+    import graft.operators.EncodingRepair
+    // a crawl that stored text double-encoded (UTF-8 bytes mis-decoded
+    // as Latin-1, re-encoded as UTF-8) \u2014 the archive-corpus classic
+    def recRaw(uri: String, payload: Array[Byte]): Array[Byte] =
+      (s"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: $uri\r\n" +
+        s"WARC-Date: 2026-01-01T00:00:00Z\r\nContent-Length: ${payload.length}\r\n\r\n")
+        .getBytes("ISO-8859-1") ++ payload ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    val clean =
+      "the caf\u00e9 menu lists the na\u00efve recipes and the stra\u00dfe address of the old shop"
+    val moji = EncodingRepair.mojibake(clean)
+    assert(moji !== clean)
+    def blob(dir: String): Unit = Files.write(Paths.get(dir, "m.warc"),
+      recRaw("http://m/clean", clean.getBytes("UTF-8")) ++
+        recRaw("http://m/moji", moji.getBytes("UTF-8")))
+
+    // gate ON: the mojibake'd copy repairs to byte equality BEFORE the
+    // content hash, so exact dedup collapses the pair
+    val warcOn = Files.createTempDirectory("cswarc-encfix").toString
+    val workOn = Files.createTempDirectory("cswork-encfix").toString
+    blob(warcOn)
+    val sOn = new CorpusStream(spark, workOn,
+      cfg = graft.CorpusPipeline.Config(encodingFix = true))
+    sOn.ingest(warcOn).awaitTermination()
+    val texts = sOn.curated.select("text").as[String].collect().toSeq
+    assert(texts === Seq(clean),
+      s"repair must restore the clean text and dedup the pair: $texts")
+    val led = sOn.ledger.select("exact_dropped").as[Long].collect().sum
+    assert(led === 1, "the mojibake'd copy must ledger as an exact drop")
+
+    // gate OFF (default): the pair survives as two distinct documents \u2014
+    // proving the collapse above is the repair's doing
+    val warcOff = Files.createTempDirectory("cswarc-encoff").toString
+    val workOff = Files.createTempDirectory("cswork-encoff").toString
+    blob(warcOff)
+    val sOff = new CorpusStream(spark, workOff)
+    sOff.ingest(warcOff).awaitTermination()
+    assert(sOff.curated.count() === 2,
+      "without the gate the mojibake'd copy is a distinct document")
   }
 }
