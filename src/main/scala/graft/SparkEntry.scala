@@ -42,7 +42,8 @@ object SparkEntry {
       UnigramLm.queries ++
       Coreset.queries ++
       EncodingRepair.queries ++
-      ExportQueries.queries
+      ExportQueries.queries ++
+      C4Rules.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -72,5 +73,6 @@ object SparkEntry {
       UnigramLm.oracleSql ++
       Coreset.oracleSql ++
       EncodingRepair.oracleSql ++
-      ExportQueries.oracleSql
+      ExportQueries.oracleSql ++
+      C4Rules.oracleSql
 }
