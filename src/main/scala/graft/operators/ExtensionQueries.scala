@@ -687,6 +687,47 @@ object ExtensionQueries {
         .agg(countDistinct(col("eval_id")).as("leaked"))
         .orderBy(col("split"))),
 
+    // --- content-group split (the FIX for what x100 audits) ------------
+    // Split by the hash of the NORMALIZED CONTENT instead of the doc
+    // id: byte-equal duplicates share the split key, so exact-dup
+    // train/eval leakage is impossible BY CONSTRUCTION rather than
+    // audited after the fact (sklearn's GroupShuffleSplit idea, with
+    // content as the group). Same scan-level-predicate properties as
+    // x22 — no RNG, no shuffle, membership stable under partitioning
+    // and corpus growth. For NEAR-dup-proof splits, swap the group key
+    // for the x23/x24 canonical cluster id (not SQL-expressible, which
+    // is why the declared form groups on exact content). FULL oracle.
+    "x110_group_split" -> ((s, d) => {
+      val h = md5(lower(trim(col("text"))))
+      val split =
+        when(SamplingQueries.hashPrefix(h) <= SamplingQueries.TrainHi, "train")
+          .when(SamplingQueries.hashPrefix(h) <= SamplingQueries.ValHi, "val")
+          .otherwise("test")
+      docsWithDups(s, d).filter(col("text").isNotNull)
+        .select(col("id"), split.as("split"))
+        .orderBy(col("id"))
+    }),
+
+    // Gate: the x100 leakage audit run against the GROUP split — empty
+    // by construction (equal content hash => equal split key). The
+    // oracle is the HONEST full audit SQL (DuckDB computes the same
+    // empty join), not an empty-set literal.
+    "x110g_group_leakage_gate" -> ((s, d) => {
+      val h = md5(lower(trim(col("text"))))
+      val split =
+        when(SamplingQueries.hashPrefix(h) <= SamplingQueries.TrainHi, "train")
+          .when(SamplingQueries.hashPrefix(h) <= SamplingQueries.ValHi, "val")
+          .otherwise("test")
+      val docs = docsWithDups(s, d).filter(col("text").isNotNull)
+        .select(col("id"), h.as("h"), split.as("split"))
+      docs.filter(col("split") === "train")
+        .select(col("id").as("train_id"), col("h"))
+        .join(docs.filter(col("split") =!= "train")
+          .select(col("id").as("eval_id"), col("split"), col("h")), Seq("h"))
+        .select(col("train_id"), col("eval_id"), col("split"))
+        .orderBy(col("train_id"), col("eval_id"))
+    }),
+
     // --- skew handling ----------------------------------------------------
     // salted shuffle join: identical relation to the plain join (the
     // oracle IS the unsalted SQL); the salt spreads each hot orderkey
@@ -1136,6 +1177,29 @@ object ExtensionQueries {
          |FROM h t JOIN h e ON t.h = e.h
          |WHERE t.split = 'train' AND e.split <> 'train'
          |GROUP BY e.split ORDER BY e.split""".stripMargin,
+
+    "x110_group_split" ->
+      s"""WITH $docsWithDupsSql
+         |SELECT id,
+         |  CASE WHEN substr(md5(md5(lower(trim(text)))), 1, 2) <= 'cb' THEN 'train'
+         |       WHEN substr(md5(md5(lower(trim(text)))), 1, 2) <= 'e5' THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM docs WHERE text IS NOT NULL
+         |ORDER BY id""".stripMargin,
+
+    "x110g_group_leakage_gate" ->
+      s"""WITH $docsWithDupsSql,
+         |lab AS (
+         |  SELECT id, md5(lower(trim(text))) AS h,
+         |    CASE WHEN substr(md5(md5(lower(trim(text)))), 1, 2) <= 'cb' THEN 'train'
+         |         WHEN substr(md5(md5(lower(trim(text)))), 1, 2) <= 'e5' THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM docs WHERE text IS NOT NULL
+         |)
+         |SELECT t.id AS train_id, e.id AS eval_id, e.split
+         |FROM lab t JOIN lab e ON t.h = e.h
+         |WHERE t.split = 'train' AND e.split <> 'train'
+         |ORDER BY train_id, eval_id""".stripMargin,
 
     "x98g_kpp_invariants_gate" ->
       """SELECT CAST(NULL AS VARCHAR) AS clause, CAST(NULL AS VARCHAR) AS violation

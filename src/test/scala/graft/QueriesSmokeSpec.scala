@@ -55,7 +55,9 @@ class QueriesSmokeSpec extends SparkSpecBase {
     "x99r_pca_recall",
     "x101g_unigram_gate",
     "x102g_kcenter_gate",
-    "x105g_mmr_gate")
+    "x105g_mmr_gate",
+    "x107g_mojibake_gate",
+    "x110g_group_leakage_gate")
 
   test("every declared query emits SCALAR columns only (driver pandas-sort compat)") {
     // the driver's correctness harness canonicalizes with a pandas

@@ -109,6 +109,23 @@ class SamplingSpec extends SparkSpecBase {
     }
   }
 
+  test("x110 group split co-locates every duplicate pair; leakage gate is empty") {
+    val split = SparkEntry.queries("x110_group_split")(spark, sfDir)
+      .as[(Long, String)].collect().toMap
+    // the verbatim copies (id<50 -> id+10000) MUST share their split —
+    // the contract the id split provably violates (x100 finds leaks)
+    (0L until 50L).filter(split.contains).foreach { id =>
+      assert(split(id) === split(id + 10000),
+        s"copy pair ($id, ${id + 10000}) split apart: ${split(id)} vs ${split(id + 10000)}")
+    }
+    // all three splits populated (the content hash spreads like any md5)
+    assert(split.values.toSet === Set("train", "val", "test"))
+    assert(SparkEntry.queries("x110g_group_leakage_gate")(spark, sfDir).count() === 0,
+      "content-group splitting makes exact-dup leakage impossible")
+    // the contrast that motivates the operator: the id split DOES leak
+    assert(SparkEntry.queries("x100_split_leakage")(spark, sfDir).count() > 0)
+  }
+
   test("x100s rates agree with the pair relation") {
     val pairs = SparkEntry.queries("x100_split_leakage")(spark, sfDir)
     val fromPairs = pairs.groupBy("split")
