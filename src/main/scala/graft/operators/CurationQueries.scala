@@ -187,7 +187,49 @@ object CurationQueries {
   val blockedHosts: Seq[String] =
     Seq("www.src3.example.com", "www.src17.example.com")
 
+  /** x111: operating curve of the x09 quality score — for each
+    * threshold t ∈ {0, 0.05, …, 1.0}, how many documents and tokens
+    * survive `quality >= t`. The table an engineer reads to pick the
+    * threshold that meets a token budget, computed in ONE corpus scan:
+    * per-doc scores quantize to integer micro-units (round-6 quality ×
+    * 1e6 — exact in BIGINT, so the bucket boundary can never float
+    * apart cross-engine), aggregate into ≤21 buckets, and each bucket
+    * row EXPLODES its covered thresholds (i ≤ bucket ⟺ q ≥ i·0.05) —
+    * suffix sums via a generator and a 21-group aggregate, no join, no
+    * global window, no second scan. `frac_kept` divides by one driver
+    * scalar (the x42/x51 count shape).
+    */
+  private def thresholdSweep(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables(s, d, "documents")
+    val total = docs.count().toDouble
+    val q = TextAnalysis.qualityFeatures(docs, "doc_id", "text")
+      .select(round(col("quality") * 1e6).cast("long").as("qi"),
+        col("n_tokens"))
+    val bAgg = q
+      .select(expr("least(qi div 50000, 20)").as("bucket"),
+        col("n_tokens"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("n_tokens")).as("tk"))
+    val zeros = s.range(0, 21)
+      .select(col("id").as("i"), lit(0L).as("n"), lit(0L).as("tk"))
+    bAgg
+      .select(explode(sequence(lit(0L), col("bucket"))).as("i"),
+        col("n"), col("tk"))
+      .unionByName(zeros)
+      .groupBy(col("i"))
+      .agg(sum(col("n")).as("n_kept"), sum(col("tk")).as("tokens_kept"))
+      .select((col("i") * 5).cast("int").as("thr_pct"),
+        col("n_kept"),
+        round(col("n_kept").cast("double") / total, 6).as("frac_kept"),
+        col("tokens_kept"))
+      .orderBy(col("thr_pct"))
+  }
+
   val queries: Map[String, Q] = Map(
+    // quality-threshold operating curve (FULL SQL oracle) — see
+    // [[thresholdSweep]]
+    "x111_threshold_sweep" -> ((s, d) => thresholdSweep(s, d)),
+
     // Gopher rule gate: integer counts + per-rule booleans + the
     // composite pass bit. A deterministic symbol-noise suffix rides on
     // doc_id % 7 == 0 docs (the corpus itself is clean word-salad) so
@@ -400,6 +442,28 @@ object CurationQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the x09 quality formula (round 6), quantized to integer
+    // micro-units so the bucket boundary is exact in both engines
+    "x111_threshold_sweep" ->
+      """WITH q AS (
+        |  SELECT CAST(round(round(
+        |    least(CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) / 100.0, 1.0) * 0.5 +
+        |    (1.0 - least(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE) / greatest(length(text), 1) * 5.0, 1.0)) * 0.3 +
+        |    least(CAST(len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\s+')), ['the','a','of','and','is'])) AS DOUBLE)
+        |          / greatest(len(list_distinct(string_split_regex(lower(trim(text)), '\s+'))), 1) * 10.0, 1.0) * 0.2, 6) * 1000000) AS BIGINT) AS qi,
+        |    len(string_split_regex(lower(trim(text)), '\s+')) AS toks
+        |  FROM documents
+        |), b AS (
+        |  SELECT least(qi // 50000, 20) AS bucket, count(*) AS n, sum(toks) AS tk
+        |  FROM q GROUP BY 1
+        |), t AS (SELECT unnest(generate_series(0, 20)) AS i)
+        |SELECT CAST(i * 5 AS INT) AS thr_pct,
+        |  CAST(coalesce(sum(b.n), 0) AS BIGINT) AS n_kept,
+        |  round(CAST(coalesce(sum(b.n), 0) AS DOUBLE) / (SELECT count(*) FROM documents), 6) AS frac_kept,
+        |  CAST(coalesce(sum(b.tk), 0) AS BIGINT) AS tokens_kept
+        |FROM t LEFT JOIN b ON b.bucket >= t.i
+        |GROUP BY i ORDER BY thr_pct""".stripMargin,
+
     "x49_gopher_rules" ->
       """WITH a AS (
         |  SELECT doc_id,

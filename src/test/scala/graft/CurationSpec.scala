@@ -277,4 +277,27 @@ class CurationSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("x111 threshold sweep: monotone, exhaustive at 0, agrees with a direct filter") {
+    val rows = SparkEntry.queries("x111_threshold_sweep")(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.length === 21 && rows.map(_._1).toSeq === (0 to 100 by 5))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    assert(rows.head._2 === docs.count(), "threshold 0 keeps everything")
+    assert(rows.head._3 === 1.0)
+    // non-increasing in the threshold, both counts and tokens
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 <= a._2 && b._4 <= a._4, s"$a -> $b")
+    }
+    // spot-check three thresholds against a direct quality filter
+    import org.apache.spark.sql.functions._
+    val q = graft.operators.TextAnalysis
+      .qualityFeatures(docs, "doc_id", "text")
+      .select((round(col("quality") * 1e6)).cast("long").as("qi"))
+    Seq(5, 10, 50).foreach { pct =>
+      val direct = q.filter(col("qi") >= pct * 10000L).count()
+      val swept = rows.find(_._1 === pct).get._2
+      assert(swept === direct, s"thr $pct%: sweep $swept vs direct $direct")
+    }
+  }
 }
