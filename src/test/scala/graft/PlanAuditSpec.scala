@@ -159,4 +159,45 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(plan.collect { case j: BroadcastHashJoinExec => j }.size === 1,
       s"expected one broadcast stats join, got:\n$plan")
   }
+
+  test("x107 mojibake repair is scan-side: no join, no aggregate") {
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val plan = SparkEntry.queries("x107_mojibake_repair")(spark, sfDir)
+      .queryExecution.sparkPlan
+    // detection + guarded repair are pure string expressions over one
+    // parquet scan — any join or aggregate means the shape regressed
+    assert(plan.collect { case j: BaseJoinExec => j }.isEmpty,
+      s"x107 must not join:\n$plan")
+    assert(plan.collect { case a: BaseAggregateExec => a }.isEmpty,
+      s"x107 must not aggregate:\n$plan")
+  }
+
+  test("x108's manifest is one map-side-combined aggregation: a single shuffle") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val plan = SparkEntry.queries("x108_shard_manifest")(spark, sfDir)
+      .queryExecution.sparkPlan
+    // partial+final HashAggregate around AT MOST one hash exchange (the
+    // NShards-row combine; a single-partition input needs none at all);
+    // the orderBy's range exchange moves ≤16 rows
+    val aggs = plan.collect { case a: BaseAggregateExec => a }
+    assert(aggs.size === 2, s"expected partial+final aggregate, got:\n$plan")
+    val hashEx = plan.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.toString.contains("hashpartitioning") => e
+    }
+    assert(hashEx.size <= 1, s"at most one hash exchange may move data:\n$plan")
+  }
+
+  test("x111's threshold sweep never joins: bucket aggregates + a generator") {
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val plan = SparkEntry.queries("x111_threshold_sweep")(spark, sfDir)
+      .queryExecution.sparkPlan
+    // the 21-row curve must derive from bucket aggregates through an
+    // explode — a per-threshold join against the corpus would rescan it
+    // 21 times at 100 TB
+    assert(plan.collect { case j: BaseJoinExec => j }.isEmpty,
+      s"x111 must not join:\n$plan")
+  }
 }
