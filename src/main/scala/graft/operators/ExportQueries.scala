@@ -36,9 +36,11 @@ object ExportQueries {
 
   private def h: Column = md5(col("doc_id").cast("string"))
 
-  /** Shard id in [0, NShards): 16-bit md5 prefix mod NShards. */
-  def shardOf: Column =
-    pmod(conv(substring(h, 1, 4), 16, 10).cast("long"), lit(NShards.toLong))
+  /** Shard id in [0, nShards): 16-bit md5 prefix mod nShards. Works for
+    * any id type (string ids hash through the same cast).
+    */
+  def shardOf(nShards: Int = NShards): Column =
+    pmod(conv(substring(h, 1, 4), 16, 10).cast("long"), lit(nShards.toLong))
 
   /** 48-bit md5 uniform of the doc id (the x104 convention) — the
     * per-doc term of the order-independent manifest checksum.
@@ -46,10 +48,10 @@ object ExportQueries {
   def docHash48: Column = conv(substring(h, 1, 12), 16, 10).cast("long")
 
   /** Per-doc shard assignment + manifest inputs. */
-  def shardAssign(docs: DataFrame): DataFrame =
+  def shardAssign(docs: DataFrame, nShards: Int = NShards): DataFrame =
     docs.select(col("doc_id"),
       TextAnalysis.tokenCount(col("text")).as("ws_tokens"),
-      shardOf.as("shard"), docHash48.as("__h"))
+      shardOf(nShards).as("shard"), docHash48.as("__h"))
 
   /** The manifest: one row per shard, derived entirely from the
     * assignment columns.

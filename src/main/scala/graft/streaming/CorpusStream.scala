@@ -55,7 +55,8 @@ class CorpusStream(spark: SparkSession, workDir: String,
                    targetSplitBytes: Long = 128L << 20,
                    semanticThreshold: Option[Double] = None,
                    passageK: Option[Int] = None,
-                   pqM: Option[Int] = None) {
+                   pqM: Option[Int] = None,
+                   exportShards: Option[Int] = None) {
   import spark.implicits._
 
   // declared BEFORE the requires below — constructor order means a val
@@ -79,6 +80,8 @@ class CorpusStream(spark: SparkSession, workDir: String,
   private val semDupPath = s"$workDir/semdups"
   private val winPath = s"$workDir/windows"
   private val passSpanPath = s"$workDir/passagespans"
+  private val exportPath = s"$workDir/export"
+  private val exportManifestPath = s"$workDir/exportmanifest"
   private val pqCodesPath = s"$workDir/pqcodes"
   private val pqCbPath = s"$workDir/pqcodebook"
   private val pqMetaPath = s"$workDir/pqmeta"
@@ -256,6 +259,22 @@ class CorpusStream(spark: SparkSession, workDir: String,
   // the persisted window-hash index, id-keyed for replay idempotency
   private def storedWindowIndex: DataFrame = readOr(winPath,
     Seq.empty[(String, Long)].toDF("id", "w"))
+
+  /** Per-batch export manifests (shard, n_docs, n_tokens, min_doc,
+    * max_doc, checksum, batch_id) — the x108 handoff contract riding
+    * the stream: each batch ships its accepted docs shard-partitioned
+    * under export/batch=N/shard=K and ledgers the manifest a trainer
+    * re-derives and byte-compares. Checksums are per-batch; the
+    * cumulative per-shard checksum is bit_xor over batches (xor is
+    * associative — exactly why the manifest uses it).
+    */
+  def exportManifests: DataFrame = readOr(exportManifestPath,
+    Seq.empty[(Long, Long, Long, String, String, Long, Long)]
+      .toDF("shard", "n_docs", "n_tokens", "min_doc", "max_doc",
+        "checksum", "batch_id"))
+
+  /** Exported shard files (partition discovery over every batch). */
+  def exportedDocs: DataFrame = spark.read.parquet(exportPath)
 
   /** The maintained PQ code table (id, m, code) — M small ints per
     * accepted document, encoded at ingest time against the STORED
@@ -593,6 +612,25 @@ class CorpusStream(spark: SparkSession, workDir: String,
     overwriteBatch(raw.filter(col("blob_error").isNotNull)
       .select(col("path"), col("blob_error")), dlqPath, batchId)
     overwriteBatch(accepted, curatedPath, batchId)
+
+    // export leg (opt-in): ship the batch's ACCEPTED docs
+    // shard-partitioned (the x108 contract riding the stream) and
+    // ledger the manifest the trainer re-derives from the files it
+    // received. Same replay discipline as every store: overwrite by
+    // batchId, so a crash-replayed batch rewrites identical shards and
+    // an identical manifest.
+    exportShards.foreach { nsh =>
+      import graft.operators.ExportQueries
+      accepted
+        .withColumn("shard", ExportQueries.shardOf(nsh))
+        .write.mode("overwrite").partitionBy("shard")
+        .parquet(s"$exportPath/batch=$batchId")
+      overwriteBatch(
+        ExportQueries.manifest(
+            ExportQueries.shardAssign(accepted, nsh))
+          .withColumn("batch_id", lit(batchId)),
+        exportManifestPath, batchId)
+    }
     val acceptedSh = cp(newSh
       .join(accepted.select(col("doc_id").as("id")), Seq("id"), "left_semi"))
     overwriteBatch(Dedup.lshBandTable(acceptedSh, cfg.numPerm, cfg.bands),

@@ -550,4 +550,45 @@ class CorpusStreamSpec extends SparkSpecBase {
     assert(sOff.curated.count() === 2,
       "without the gate the mojibake'd copy is a distinct document")
   }
+
+  test("export leg: shard files re-derive the ledgered manifests across batches and a restart") {
+    import graft.operators.ExportQueries
+    import org.apache.spark.sql.functions._
+    val warcDir = Files.createTempDirectory("cswarc-exp").toString
+    val workDir = Files.createTempDirectory("cswork-exp").toString
+    val nsh = 4
+    writeWarc(warcDir, "a.warc", Seq(
+      "http://x/1" -> "the harbor lights guide the evening boats back to the quiet docks",
+      "http://x/2" -> "the garden wall keeps the old roses safe from the north wind"))
+    new CorpusStream(spark, workDir, exportShards = Some(nsh))
+      .ingest(warcDir).awaitTermination()
+    writeWarc(warcDir, "b.warc", Seq(
+      "http://x/3" -> "the winter market sells warm bread beside the frozen fountain square",
+      "http://x/4" -> "the night train crosses the valley before the first light returns"))
+    // RESTART between batches: a fresh instance continues the ledger
+    val s = new CorpusStream(spark, workDir, exportShards = Some(nsh))
+    s.ingest(warcDir).awaitTermination()
+
+    // trainer-side re-derivation from the SHIPPED FILES must equal the
+    // cumulative ledger (per-shard: counts/tokens sum, ids min/max,
+    // checksums xor \u2014 xor associativity is why the manifest uses it)
+    val fromFiles = ExportQueries.manifest(
+        ExportQueries.shardAssign(s.exportedDocs.select("doc_id", "text"), nsh))
+      .collect().toSeq
+    val fromLedger = s.exportManifests.groupBy(col("shard"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        min(col("min_doc")).as("min_doc"), max(col("max_doc")).as("max_doc"),
+        expr("bit_xor(checksum)").as("checksum"))
+      .orderBy(col("shard")).collect().toSeq
+    assert(fromFiles === fromLedger,
+      s"shipped files must re-derive the ledger:\n$fromFiles\nvs\n$fromLedger")
+    // and both equal the manifest over the curated store \u2014 export can
+    // never disagree with the corpus state about membership
+    val fromCurated = ExportQueries.manifest(
+        ExportQueries.shardAssign(s.curated.select("doc_id", "text"), nsh))
+      .collect().toSeq
+    assert(fromFiles === fromCurated)
+    assert(s.exportManifests.select("batch_id").distinct().count() === 2,
+      "both batches ledgered")
+  }
 }
