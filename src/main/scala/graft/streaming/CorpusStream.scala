@@ -140,8 +140,11 @@ class CorpusStream(spark: SparkSession, workDir: String,
   def compact(): Unit =
     Seq(curatedPath, bandPath, docArrPath, ledgerPath, dlqPath,
       vecPath, vecBucketPath, semDupPath, winPath, passSpanPath,
-      pqCodesPath, pqDriftPath)
+      pqCodesPath, pqDriftPath, exportManifestPath)
       .foreach(compactOne)
+    // exportPath is deliberately NOT compacted: its batch=N/shard=K
+    // layout IS the trainer handoff format — folding it would destroy
+    // the shard partitioning the manifests describe.
 
   private def compactOne(path: String): Unit = {
     val dir = new java.io.File(path)
