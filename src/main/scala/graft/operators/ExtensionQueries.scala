@@ -687,6 +687,40 @@ object ExtensionQueries {
         .agg(countDistinct(col("eval_id")).as("leaked"))
         .orderBy(col("split"))),
 
+    // --- corpus dedup-planning profiles ---------------------------------
+    // Duplicate-multiplicity profile: how the corpus' duplication mass
+    // distributes over cluster sizes (csize=1 singletons, csize=k
+    // k-way copies) — the table that sizes a dedup run before paying
+    // for it. Two map-side-combinable aggregations: the first is the
+    // x01 exact-dedup shuffle shape (content-hash keyed), the second
+    // groups the CLUSTER-SIZED relation by an integer. FULL oracle.
+    "x112_dup_profile" -> ((s, d) => {
+      val h = md5(lower(trim(col("text"))))
+      docsWithDups(s, d).filter(col("text").isNotNull)
+        .select(h.as("h"))
+        .groupBy(col("h")).agg(count(lit(1)).as("csize"))
+        .groupBy(col("csize")).agg(count(lit(1)).as("n_clusters"),
+          sum(col("csize")).as("n_docs"))
+        .orderBy(col("csize"))
+    }),
+
+    // Corpus-wide heavy 5-grams (the WIMBD-style "what repeats most"
+    // profile) over the dup-synthesized corpus: top-10 by count with a
+    // gram-asc tie-break and each gram's share of total 5-gram mass.
+    // One explode + a map-side-combinable count; the top-k plans as
+    // TakeOrderedAndProject (per-partition heaps), never a global
+    // sort. Total mass is one driver scalar (the x42/x51 shape). FULL
+    // oracle.
+    "x113_top_ngrams" -> ((s, d) => {
+      val grams = docsWithDups(s, d).filter(col("text").isNotNull)
+        .select(explode(windowGrams(tokens(col("text")), 5)).as("g"))
+      val total = grams.count().toDouble
+      grams.groupBy(col("g")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("g")).limit(10)
+        .select(col("g").as("gram"), col("n"),
+          round(col("n") / lit(total), 6).as("mass_frac"))
+    }),
+
     // --- content-group split (the FIX for what x100 audits) ------------
     // Split by the hash of the NORMALIZED CONTENT instead of the doc
     // id: byte-equal duplicates share the split key, so exact-dup
@@ -1177,6 +1211,30 @@ object ExtensionQueries {
          |FROM h t JOIN h e ON t.h = e.h
          |WHERE t.split = 'train' AND e.split <> 'train'
          |GROUP BY e.split ORDER BY e.split""".stripMargin,
+
+    "x112_dup_profile" ->
+      s"""WITH $docsWithDupsSql,
+         |g AS (
+         |  SELECT md5(lower(trim(text))) AS h, count(*) AS csize
+         |  FROM docs WHERE text IS NOT NULL GROUP BY 1
+         |)
+         |SELECT csize, count(*) AS n_clusters, CAST(sum(csize) AS BIGINT) AS n_docs
+         |FROM g GROUP BY csize ORDER BY csize""".stripMargin,
+
+    "x113_top_ngrams" ->
+      s"""WITH $docsWithDupsSql,
+         |tok AS (
+         |  SELECT id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS ts
+         |  FROM docs WHERE text IS NOT NULL
+         |),
+         |w AS (
+         |  SELECT array_to_string(ts[i : i + 4], ' ') AS g
+         |  FROM tok, unnest(generate_series(1, greatest(len(ts) - 4, 1))) AS t(i)
+         |),
+         |c AS (SELECT g, count(*) AS n FROM w GROUP BY g)
+         |SELECT g AS gram, n,
+         |  round(CAST(n AS DOUBLE) / (SELECT count(*) FROM w), 6) AS mass_frac
+         |FROM c ORDER BY n DESC, g LIMIT 10""".stripMargin,
 
     "x110_group_split" ->
       s"""WITH $docsWithDupsSql

@@ -272,4 +272,23 @@ class DedupSimilaritySpec extends SparkSpecBase {
         d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
     d(a.length)(b.length)
   }
+
+  test("x112 dup profile accounts for every fixture doc; x113 top grams rank dups first") {
+    import org.apache.spark.sql.functions.col
+    val prof = SparkEntry.queries("x112_dup_profile")(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSeq
+    // docsWithDups = 500 originals + 50 verbatim copies + 30 tail-
+    // modified (content-distinct) copies at sf0.001
+    assert(prof.map(_._3).sum === 580, s"every doc accounted: $prof")
+    val two = prof.find(_._1 === 2).get
+    assert(two._2 === 50, "the 50 verbatim copy pairs form the 2-clusters")
+    assert(prof.find(_._1 === 1).get._3 === 480, "480 singletons remain")
+    val top = SparkEntry.queries("x113_top_ngrams")(spark, sfDir)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(top.size === 10)
+    // the duplicated docs' grams dominate: every top entry counts >= 2,
+    // and ordering is (count desc, gram asc)
+    assert(top.forall(_._2 >= 2), s"top grams must repeat: $top")
+    assert(top === top.sortBy(t => (-t._2, t._1)))
+  }
 }
