@@ -707,15 +707,19 @@ object ExtensionQueries {
     // Corpus-wide heavy 5-grams (the WIMBD-style "what repeats most"
     // profile) over the dup-synthesized corpus: top-10 by count with a
     // gram-asc tie-break and each gram's share of total 5-gram mass.
-    // One explode + a map-side-combinable count; the top-k plans as
-    // TakeOrderedAndProject (per-partition heaps), never a global
-    // sort. Total mass is one driver scalar (the x42/x51 shape). FULL
-    // oracle.
+    // ONE corpus explode: per-gram counts aggregate map-side and the
+    // top-k plans as TakeOrderedAndProject (per-partition heaps, never
+    // a global sort). The TOTAL never explodes anything — per doc it
+    // is just max(len-4, 1), summed in a scan-side aggregate (the
+    // original form re-ran the 15M-row explode for a bare count, 8 s
+    // at sf0.1 for what a token-length sum answers). FULL oracle.
     "x113_top_ngrams" -> ((s, d) => {
-      val grams = docsWithDups(s, d).filter(col("text").isNotNull)
-        .select(explode(windowGrams(tokens(col("text")), 5)).as("g"))
-      val total = grams.count().toDouble
-      grams.groupBy(col("g")).agg(count(lit(1)).as("n"))
+      val docs = docsWithDups(s, d).filter(col("text").isNotNull)
+      val total = docs
+        .select(greatest(size(tokens(col("text"))) - 4, lit(1)).as("nw"))
+        .agg(sum(col("nw"))).head().getLong(0).toDouble
+      docs.select(explode(windowGrams(tokens(col("text")), 5)).as("g"))
+        .groupBy(col("g")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("g")).limit(10)
         .select(col("g").as("gram"), col("n"),
           round(col("n") / lit(total), 6).as("mass_frac"))
