@@ -147,6 +147,14 @@ object Bench {
       val hit = results.filter(r => names.contains(r._1))
       if (hit.isEmpty) None else Some(hit.map(_._2).sum)
     }
+    // carried normalized by the calibration probe: the r13 artifacts
+    // proved the box baseline drifts ~50% intra-day on identical code
+    // (calib 7.97 vs 12.29 same session), so the round-over-round signal
+    // is carried/calib — box contention inflates numerator and
+    // denominator together and divides out, where the raw carried number
+    // leaves the reader to do that arithmetic by hand
+    val carriedPerCalib: Option[Double] =
+      carriedSec.filter(_ => calibSec > 0).map(_ / calibSec)
     // The driver retains only a ~2000-char stdout tail and json-parses
     // what it finds there. Short-keying the full per-query map (rounds
     // 10-11) still overflowed at 172 queries (~2.4 KB) and only grows
@@ -180,7 +188,8 @@ object Bench {
       // carried = subtotal over the previous round's committed query set
       val env = s""""calib":${jnum(calibSec)}""" +
         loadAvg.fold("")(l => s""","load":${jnum(l)}""") +
-        carriedSec.fold("")(c => s""","carried":${jnum(c)}""")
+        carriedSec.fold("")(c => s""","carried":${jnum(c)}""") +
+        carriedPerCalib.fold("")(r => s""","carried_per_calib":${jnum(r)}""")
       s"""{"metric":"total","value":${jnum(total)},"unit":"sec","passes":$repeat,"n_queries":${results.size},"n_errors":${allErrs.size},$env,"slowest":$slowest,"errors":$se,"sf":"$sfDir","per_query":"target/bench.json"}"""
     }
     // raw per-pass samples (sorted) — lets a reader judge the spread that
@@ -194,7 +203,8 @@ object Bench {
     def lineWith(extra: String): String = {
       val env = s""""calib":${jnum(calibSec)}""" +
         loadAvg.fold("")(l => s""","load":${jnum(l)}""") +
-        carriedSec.fold("")(c => s""","carried":${jnum(c)}""")
+        carriedSec.fold("")(c => s""","carried":${jnum(c)}""") +
+        carriedPerCalib.fold("")(r => s""","carried_per_calib":${jnum(r)}""")
       s"""{"metric":"total","value":${jnum(total)},"unit":"sec","passes":$repeat,$env,"queries":$qs,"errors":$errs$extra,"sf":"$sfDir"}"""
     }
     // durable copy FIRST (full line incl. raw passes): the driver

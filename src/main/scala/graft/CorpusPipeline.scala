@@ -179,17 +179,20 @@ object CorpusPipeline {
       .select(col("path"), col("blob_error"))
     val docs = WarcCodec.documentsFromRaw(raw)
 
-    // 1b. encoding repair (x107, opt-in) — before language ID and every
-    // content hash: mojibake corrupts the language markers and defeats
-    // byte-equality dedup against the clean original
-    val fixed = if (cfg.encodingFix) fixEncoding(docs) else docs
-
     // 2. URL hygiene (x50): canonical-URL dedup + host blocklist, the
-    // cheapest drop in the chain, so it goes first
-    val urlKept = urlFilter(fixed, cfg)
+    // cheapest drop in the chain — and it never reads the text column,
+    // so it goes first, ahead of every text-scanning stage
+    val urlKept = urlFilter(docs, cfg)
+
+    // 2b. encoding repair (x107, opt-in) — before language ID and every
+    // content hash (mojibake corrupts the language markers and defeats
+    // byte-equality dedup against the clean original), but after the
+    // URL stage so the repair regexes aren't paid for docs the cheap
+    // drop above is about to discard
+    val fixed = if (cfg.encodingFix) fixEncoding(urlKept) else urlKept
 
     // 3. language filter (x08)
-    val langKept = languageFilter(urlKept, cfg)
+    val langKept = languageFilter(fixed, cfg)
 
     // 4. Gopher rule gate (x49, opt-in) — after language ID (the rules
     // assume prose in a known language), before the blended score

@@ -247,8 +247,13 @@ object Components {
     * support, same convention as the oracle's).
     */
   /** Adjacency-broadcast cutoff for [[triangleCounts]]: ~8M oriented
-    * edges ≈ 64 MB of packed neighbor ids — comfortably inside executor
-    * memory, far past the declared dimension-bounded graphs. Above it
+    * edges is 64 MB of PACKED neighbor ids, but the thing that actually
+    * ships is the UnsafeRow-encoded (node, sorted-array) relation
+    * inside a hashed relation — array headers, row pointers, and the
+    * map's load factor put the materialized broadcast at roughly 2-4×
+    * the packed payload, i.e. a few hundred MB resident on the driver
+    * and every executor near the cap. That is an acceptable ceiling for
+    * a deliberate "small graph" fast path and nothing more; above it
     * the joins stay partitioned (sort-merge), the honest billion-edge
     * shape.
     */

@@ -445,14 +445,18 @@ object CurationQueries {
     // the x09 quality formula (round 6), quantized to integer
     // micro-units so the bucket boundary is exact in both engines
     "x111_threshold_sweep" ->
-      """WITH q AS (
-        |  SELECT CAST(round(round(
-        |    least(CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) / 100.0, 1.0) * 0.5 +
-        |    (1.0 - least(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE) / greatest(length(text), 1) * 5.0, 1.0)) * 0.3 +
-        |    least(CAST(len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\s+')), ['the','a','of','and','is'])) AS DOUBLE)
-        |          / greatest(len(list_distinct(string_split_regex(lower(trim(text)), '\s+'))), 1) * 10.0, 1.0) * 0.2, 6) * 1000000) AS BIGINT) AS qi,
-        |    len(string_split_regex(lower(trim(text)), '\s+')) AS toks
+      """WITH tk AS (
+        |  SELECT text,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ts
         |  FROM documents
+        |), q AS (
+        |  SELECT CAST(round(round(
+        |    least(CAST(len(ts) AS DOUBLE) / 100.0, 1.0) * 0.5 +
+        |    (1.0 - least(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE) / greatest(length(text), 1) * 5.0, 1.0)) * 0.3 +
+        |    least(CAST(len(list_intersect(list_distinct(ts), ['the','a','of','and','is'])) AS DOUBLE)
+        |          / greatest(len(list_distinct(ts)), 1) * 10.0, 1.0) * 0.2, 6) * 1000000) AS BIGINT) AS qi,
+        |    len(ts) AS toks
+        |  FROM tk
         |), b AS (
         |  SELECT least(qi // 50000, 20) AS bucket, count(*) AS n, sum(toks) AS tk
         |  FROM q GROUP BY 1

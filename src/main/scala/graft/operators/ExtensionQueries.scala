@@ -364,6 +364,42 @@ object ExtensionQueries {
       |    FROM documents WHERE doc_id >= 50 AND doc_id < 80
       |)""".stripMargin
 
+  /** The near-dup cluster chain over the `docs` CTE — exact >= 0.5
+    * Jaccard pairs, symmetric transitive closure as a recursive CTE
+    * (UNION dedups, so it terminates; tractable because dedup clusters
+    * are tiny), min reachable node per node as `cc(node, root)`.
+    * Shared by every oracle that consumes the cluster relation
+    * (x23/x24/x110n/x110ng) so the copies can never drift. Callers must
+    * open with WITH RECURSIVE and may also reference the intermediate
+    * `pairs(a, b)`.
+    */
+  private val nearDupCcSql =
+    """tok AS (SELECT id, string_split_regex(lower(trim(text)), '\s+') AS ts FROM docs),
+      |sh AS (
+      |  SELECT DISTINCT id, array_to_string(ts[i:i+2], ' ') AS shingle
+      |  FROM tok, unnest(generate_series(1, greatest(len(ts) - 2, 1))) AS t(i)
+      |  WHERE array_to_string(ts[i:i+2], ' ') <> ''
+      |),
+      |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+      |inter AS (
+      |  SELECT x.id AS a, y.id AS b, count(*) AS icnt
+      |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.id < y.id
+      |  GROUP BY 1, 2
+      |),
+      |pairs AS (
+      |  SELECT a, b FROM (
+      |    SELECT a, b, CAST(icnt AS DOUBLE) / (sa.sz + sb.sz - icnt) AS jaccard
+      |    FROM inter JOIN sizes sa ON sa.id = a JOIN sizes sb ON sb.id = b
+      |  ) WHERE jaccard >= 0.5
+      |),
+      |edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+      |reach(u, v) AS (
+      |  SELECT u, v FROM edges
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+      |),
+      |cc AS (SELECT u AS node, least(u, min(v)) AS root FROM reach GROUP BY u)""".stripMargin
+
   /** embeddings ∪ exact copies (id+10000 for id<20). */
   // ONE definition of the x05 dup-synthesized corpus (id<20 copied to
   // id+10000), shared with the PQ/IVF-PQ and SemDeDup consumers —
@@ -732,9 +768,9 @@ object ExtensionQueries {
     // audited after the fact (sklearn's GroupShuffleSplit idea, with
     // content as the group). Same scan-level-predicate properties as
     // x22 — no RNG, no shuffle, membership stable under partitioning
-    // and corpus growth. For NEAR-dup-proof splits, swap the group key
-    // for the x23/x24 canonical cluster id (not SQL-expressible, which
-    // is why the declared form groups on exact content). FULL oracle.
+    // and corpus growth. NEAR-dup pairs can still straddle (their
+    // content hashes are independent) — x110n below closes that by
+    // grouping on the x23/x24 canonical cluster id. FULL oracle.
     "x110_group_split" -> ((s, d) => {
       val h = md5(lower(trim(col("text"))))
       val split =
@@ -764,6 +800,58 @@ object ExtensionQueries {
           .select(col("id").as("eval_id"), col("split"), col("h")), Seq("h"))
         .select(col("train_id"), col("eval_id"), col("split"))
         .orderBy(col("train_id"), col("eval_id"))
+    }),
+
+    // --- cluster-group split (NEAR-dup-proof, the x110 escalation) -----
+    // x110's content-hash group key makes exact-dup leakage impossible,
+    // but a NEAR-dup pair (the x02/x23 >= 0.5-Jaccard relation) hashes
+    // to two independent keys and can straddle train/eval — exactly the
+    // paraphrase leakage x97 demonstrated matters. Here the group key
+    // is the x23/x24 canonical CLUSTER id (connected components over
+    // the verified near-dup pairs; a singleton's cluster is itself), so
+    // any two docs related by ANY chain of near-duplication share the
+    // split key by construction. The cluster map is a (node, root) pair
+    // per CLUSTERED doc only — at corpus scale a small fraction of the
+    // corpus, one equi-join against the scan (broadcastable when dup
+    // rates are web-typical); singletons take the null-root coalesce
+    // path and never shuffle. FULL oracle: DuckDB computes the same
+    // clusters with x23's recursive-CTE transitive closure.
+    "x110n_cluster_group_split" -> ((s, d) => {
+      val g = coalesce(col("root"), col("id")).cast("long")
+      val split =
+        when(SamplingQueries.hashPrefix(g) <= SamplingQueries.TrainHi, "train")
+          .when(SamplingQueries.hashPrefix(g) <= SamplingQueries.ValHi, "val")
+          .otherwise("test")
+      docsWithDups(s, d).filter(col("text").isNotNull)
+        .join(dupClusters(s, d).withColumnRenamed("node", "id"),
+          Seq("id"), "left")
+        .select(col("id"), split.as("split"))
+        .orderBy(col("id"))
+    }),
+
+    // Gate: the near-dup leakage audit x110's content split CANNOT pass
+    // (NearDupSplitSpec proves the same join is non-empty there) run
+    // against the CLUSTER split — empty by construction: a >= 0.5-
+    // Jaccard pair is an edge, edges land in one component, components
+    // have one root, roots have one split. The oracle is the HONEST
+    // full audit SQL (recursive-CTE clusters + the pair relation +
+    // the same anti-equality join), not an empty-set literal.
+    "x110ng_cluster_leakage_gate" -> ((s, d) => {
+      val g = coalesce(col("root"), col("id")).cast("long")
+      val split =
+        when(SamplingQueries.hashPrefix(g) <= SamplingQueries.TrainHi, "train")
+          .when(SamplingQueries.hashPrefix(g) <= SamplingQueries.ValHi, "val")
+          .otherwise("test")
+      val lab = docsWithDups(s, d).filter(col("text").isNotNull)
+        .join(dupClusters(s, d).withColumnRenamed("node", "id"),
+          Seq("id"), "left")
+        .select(col("id"), split.as("split"))
+      jaccardPairs(s, d).select(col("a"), col("b"))
+        .join(lab.select(col("id").as("a"), col("split").as("split_a")), Seq("a"))
+        .join(lab.select(col("id").as("b"), col("split").as("split_b")), Seq("b"))
+        .filter(col("split_a") =!= col("split_b"))
+        .select(col("a"), col("b"), col("split_a"), col("split_b"))
+        .orderBy(col("a"), col("b"))
     }),
 
     // --- skew handling ----------------------------------------------------
@@ -1068,65 +1156,16 @@ object ExtensionQueries {
          |  FROM inter JOIN sizes sa ON sa.id = a JOIN sizes sb ON sb.id = b
          |) WHERE jaccard >= 0.5 ORDER BY a, b""".stripMargin,
 
-    // Connected components in DuckDB: symmetric transitive closure as a
-    // recursive CTE (UNION dedups, so it terminates), then min reachable
-    // node per node — tractable because dedup clusters are tiny.
+    // Connected components in DuckDB: the shared nearDupCcSql chain
+    // (recursive-CTE transitive closure over the >= 0.5 Jaccard pairs).
     "x23_dedup_clusters" ->
       s"""WITH RECURSIVE $docsWithDupsSql,
-         |tok AS (SELECT id, string_split_regex(lower(trim(text)), '\\s+') AS ts FROM docs),
-         |sh AS (
-         |  SELECT DISTINCT id, array_to_string(ts[i:i+2], ' ') AS shingle
-         |  FROM tok, unnest(generate_series(1, greatest(len(ts) - 2, 1))) AS t(i)
-         |  WHERE array_to_string(ts[i:i+2], ' ') <> ''
-         |),
-         |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
-         |inter AS (
-         |  SELECT x.id AS a, y.id AS b, count(*) AS icnt
-         |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.id < y.id
-         |  GROUP BY 1, 2
-         |),
-         |pairs AS (
-         |  SELECT a, b FROM (
-         |    SELECT a, b, CAST(icnt AS DOUBLE) / (sa.sz + sb.sz - icnt) AS jaccard
-         |    FROM inter JOIN sizes sa ON sa.id = a JOIN sizes sb ON sb.id = b
-         |  ) WHERE jaccard >= 0.5
-         |),
-         |edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
-         |reach(u, v) AS (
-         |  SELECT u, v FROM edges
-         |  UNION
-         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
-         |)
-         |SELECT u AS node, least(u, min(v)) AS root FROM reach
-         |GROUP BY u ORDER BY node""".stripMargin,
+         |$nearDupCcSql
+         |SELECT node, root FROM cc ORDER BY node""".stripMargin,
 
     "x24_dedup_canonical" ->
       s"""WITH RECURSIVE $docsWithDupsSql,
-         |tok AS (SELECT id, string_split_regex(lower(trim(text)), '\\s+') AS ts FROM docs),
-         |sh AS (
-         |  SELECT DISTINCT id, array_to_string(ts[i:i+2], ' ') AS shingle
-         |  FROM tok, unnest(generate_series(1, greatest(len(ts) - 2, 1))) AS t(i)
-         |  WHERE array_to_string(ts[i:i+2], ' ') <> ''
-         |),
-         |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
-         |inter AS (
-         |  SELECT x.id AS a, y.id AS b, count(*) AS icnt
-         |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.id < y.id
-         |  GROUP BY 1, 2
-         |),
-         |pairs AS (
-         |  SELECT a, b FROM (
-         |    SELECT a, b, CAST(icnt AS DOUBLE) / (sa.sz + sb.sz - icnt) AS jaccard
-         |    FROM inter JOIN sizes sa ON sa.id = a JOIN sizes sb ON sb.id = b
-         |  ) WHERE jaccard >= 0.5
-         |),
-         |edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
-         |reach(u, v) AS (
-         |  SELECT u, v FROM edges
-         |  UNION
-         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
-         |),
-         |cc AS (SELECT u AS node, least(u, min(v)) AS root FROM reach GROUP BY u)
+         |$nearDupCcSql
          |SELECT id FROM docs
          |WHERE id NOT IN (SELECT node FROM cc WHERE root <> node)
          |ORDER BY id""".stripMargin,
@@ -1262,6 +1301,42 @@ object ExtensionQueries {
          |FROM lab t JOIN lab e ON t.h = e.h
          |WHERE t.split = 'train' AND e.split <> 'train'
          |ORDER BY train_id, eval_id""".stripMargin,
+
+    // FULL oracle for the cluster-group split: DuckDB recomputes the
+    // x23 clusters (shared nearDupCcSql chain) and hashes the same
+    // coalesce(root, id) group key. Spark's md5(CAST(long AS STRING))
+    // and DuckDB's md5(CAST(BIGINT AS VARCHAR)) agree on the decimal
+    // rendering, the x22 hashPrefix convention.
+    "x110n_cluster_group_split" ->
+      s"""WITH RECURSIVE $docsWithDupsSql,
+         |$nearDupCcSql,
+         |g AS (
+         |  SELECT d.id,
+         |    substr(md5(CAST(coalesce(cc.root, d.id) AS VARCHAR)), 1, 2) AS hp
+         |  FROM docs d LEFT JOIN cc ON cc.node = d.id
+         |  WHERE d.text IS NOT NULL
+         |)
+         |SELECT id,
+         |  CASE WHEN hp <= 'cb' THEN 'train'
+         |       WHEN hp <= 'e5' THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM g ORDER BY id""".stripMargin,
+
+    "x110ng_cluster_leakage_gate" ->
+      s"""WITH RECURSIVE $docsWithDupsSql,
+         |$nearDupCcSql,
+         |lab AS (
+         |  SELECT d.id,
+         |    CASE WHEN substr(md5(CAST(coalesce(cc.root, d.id) AS VARCHAR)), 1, 2) <= 'cb' THEN 'train'
+         |         WHEN substr(md5(CAST(coalesce(cc.root, d.id) AS VARCHAR)), 1, 2) <= 'e5' THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM docs d LEFT JOIN cc ON cc.node = d.id
+         |  WHERE d.text IS NOT NULL
+         |)
+         |SELECT p.a, p.b, la.split AS split_a, lb.split AS split_b
+         |FROM pairs p JOIN lab la ON la.id = p.a JOIN lab lb ON lb.id = p.b
+         |WHERE la.split <> lb.split
+         |ORDER BY a, b""".stripMargin,
 
     "x98g_kpp_invariants_gate" ->
       """SELECT CAST(NULL AS VARCHAR) AS clause, CAST(NULL AS VARCHAR) AS violation
