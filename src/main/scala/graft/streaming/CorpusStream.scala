@@ -83,6 +83,10 @@ class CorpusStream(spark: SparkSession, workDir: String,
   private val exportPath = s"$workDir/export"
   private val exportManifestPath = s"$workDir/exportmanifest"
   private val pqCodesPath = s"$workDir/pqcodes"
+  // versioned: pqcodebook/v=K per training event (v=0 initial, v>0
+  // drift rotations — old versions are kept: the crash-replay path
+  // reads v-1, and the dirs are M·Ks rows each). pqmeta is the
+  // version LEDGER (readOr batch dirs), its row the commit sentinel.
   private val pqCbPath = s"$workDir/pqcodebook"
   private val pqMetaPath = s"$workDir/pqmeta"
   private val pqDriftPath = s"$workDir/pqdrift"
@@ -111,17 +115,21 @@ class CorpusStream(spark: SparkSession, workDir: String,
 
   private def batchId(name: String): Long = name.stripPrefix("batch=").toLong
 
-  private def readOr(path: String, empty: => DataFrame): DataFrame = {
+  private def readOr(path: String, empty: => DataFrame,
+                     excludeBatch: Long = -1L): DataFrame = {
     val dir = new java.io.File(path)
     val mark = markOf(path)
     // list the dirs EXPLICITLY (no glob): a glob re-resolves at every
     // downstream job and logs spurious FileNotFoundExceptions when it
     // races a concurrent batch write. No basePath/partition discovery:
     // state consumers see the logical schema, not the storage layout.
+    // excludeBatch drops ONE batch dir from the view — the replay
+    // guard's "state as of before this batch" read (see processBatch).
     val files = Option(dir.listFiles()).getOrElse(Array.empty)
     val parts = files
       .filter(f => f.isDirectory &&
-        ((f.getName.startsWith("batch=") && batchId(f.getName) > mark) ||
+        ((f.getName.startsWith("batch=") && batchId(f.getName) > mark &&
+          batchId(f.getName) != excludeBatch) ||
           f.getName == s"base=$mark"))
       .map(_.getAbsolutePath)
     if (parts.isEmpty) empty
@@ -140,7 +148,7 @@ class CorpusStream(spark: SparkSession, workDir: String,
   def compact(): Unit =
     Seq(curatedPath, bandPath, docArrPath, ledgerPath, dlqPath,
       vecPath, vecBucketPath, semDupPath, winPath, passSpanPath,
-      pqCodesPath, pqDriftPath, exportManifestPath)
+      pqCodesPath, pqDriftPath, pqMetaPath, exportManifestPath)
       .foreach(compactOne)
     // exportPath is deliberately NOT compacted: its batch=N/shard=K
     // layout IS the trainer handoff format — folding it would destroy
@@ -176,18 +184,27 @@ class CorpusStream(spark: SparkSession, workDir: String,
         val newBase = new java.io.File(dir, s"base=$newMark")
         if (newBase.exists()) deleteRec(newBase)
         require(tmp.renameTo(newBase), s"compaction rename failed: $newBase")
-        // marker write-then-move: the swap point
-        val mtmp = java.nio.file.Files.write(
-          new java.io.File(dir, "._compacted_tmp").toPath,
-          newMark.toString.getBytes)
-        java.nio.file.Files.move(mtmp, new java.io.File(dir, "_compacted").toPath,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        moveMark(path, newMark)
         // now unreferenced: folded batch dirs + the previous base
         newBatches.foreach(deleteRec)
         val oldBase = new java.io.File(dir, s"base=$mark")
         if (mark >= 0 && oldBase.exists()) deleteRec(oldBase)
     }
+  }
+
+  /** Atomically advance a store's `_compacted` high-water mark
+    * (write-then-move — the swap point readers observe). Shared by
+    * [[compactOne]] and the PQ rotation's snapshot commit.
+    */
+  private def moveMark(path: String, mark: Long): Unit = {
+    val dir = new java.io.File(path)
+    dir.mkdirs()
+    val mtmp = java.nio.file.Files.write(
+      new java.io.File(dir, "._compacted_tmp").toPath,
+      mark.toString.getBytes)
+    java.nio.file.Files.move(mtmp, new java.io.File(dir, "_compacted").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   private def deleteRec(f: java.io.File): Unit = {
@@ -276,8 +293,17 @@ class CorpusStream(spark: SparkSession, workDir: String,
       .toDF("shard", "n_docs", "n_tokens", "min_doc", "max_doc",
         "checksum", "batch_id"))
 
-  /** Exported shard files (partition discovery over every batch). */
-  def exportedDocs: DataFrame = spark.read.parquet(exportPath)
+  /** Exported shard files (partition discovery over every batch).
+    * Degrades to an empty frame before the export leg has shipped
+    * anything (leg disabled, or no batch has run) — the readOr
+    * convention every sibling state accessor follows. Partition
+    * discovery needs the directory root, so the guard is existence
+    * rather than readOr's explicit batch-dir listing.
+    */
+  def exportedDocs: DataFrame =
+    if (new java.io.File(exportPath).isDirectory) spark.read.parquet(exportPath)
+    else Seq.empty[(String, String, String, String, String, Int, Int)]
+      .toDF("doc_id", "url", "date", "text", "content_hash", "batch", "shard")
 
   /** The maintained PQ code table (id, m, code) — M small ints per
     * accepted document, encoded at ingest time against the STORED
@@ -289,34 +315,59 @@ class CorpusStream(spark: SparkSession, workDir: String,
 
   /** Per-batch drift ledger (batch_id, batch_err_per_vec,
     * train_err_per_vec, drifted): the x96d health signal as stream
-    * telemetry — a `drifted = true` row is the retrain-the-codebook
-    * alarm; the append path itself never fails on drift (every vector
-    * assigns SOMEWHERE, which is exactly why the signal must exist).
+    * telemetry. A `drifted = true` row is the retrain-the-codebook
+    * alarm AND its own response: the same batch rotates the codebook
+    * (see the pqM leg) — the version ledger [[pqVersions]] records the
+    * rotation the drift row triggered. The append path itself never
+    * fails on drift (every vector assigns SOMEWHERE, which is exactly
+    * why the signal must exist).
     */
   def pqDrift: DataFrame = readOr(pqDriftPath,
     Seq.empty[(Long, Double, Double, Boolean)]
       .toDF("batch_id", "batch_err_per_vec", "train_err_per_vec", "drifted"))
 
-  /** Stored codebook as the Pq operator shape, None before training.
-    * Driver-state sized (M·Ks rows) by construction — the collect is
-    * the parameter-server load, not a corpus materialization.
+  /** Codebook version ledger (version, train_err_sum, train_n,
+    * batch_id), one row per training event: version 0 is the initial
+    * first-non-empty-batch training, each version > 0 row is a
+    * drift-triggered ROTATION — retrained on the full accumulated
+    * vector store at that batch, with every stored code re-encoded
+    * (the x96d alarm's response path). The row is the COMMIT sentinel
+    * of its training: centroids and the re-encoded code snapshot land
+    * first, readers switch only when the row appears, and a
+    * crash-replayed batch redoes the (deterministic) rotation
+    * byte-identically.
     */
-  private def storedCodebook: Option[(graft.operators.Pq.PqCodebook, Double, Long)] = {
-    // the SENTINEL is pqMetaPath — the LAST of the two training writes:
-    // a crash between "centroids written" and "meta written" must read
-    // as not-trained so the replayed batch retrains (deterministic) and
-    // overwrites both; gating on the first write would wedge the stream
-    // on a nonexistent meta dir forever
-    val d = new java.io.File(pqMetaPath)
-    if (!d.isDirectory) None
-    else {
-      val cents = spark.read.parquet(pqCbPath)
-      val meta = spark.read.parquet(pqMetaPath).head()
-      Some((graft.operators.Pq.PqCodebook(cents,
-          Seq(meta.getDouble(0)), Map.empty),
-        meta.getDouble(0), meta.getLong(1)))
-    }
+  def pqVersions: DataFrame = readOr(pqMetaPath,
+    Seq.empty[(Long, Double, Long, Long)]
+      .toDF("version", "train_err_sum", "train_n", "batch_id"))
+
+  /** The version ledger as driver rows, ascending version — one row
+    * per training event, parameter-server sized by construction.
+    */
+  private def pqMetaRows: Seq[(Long, Double, Long, Long)] =
+    pqVersions.collect().toSeq
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+
+  /** Load one committed codebook version as the Pq operator shape plus
+    * its training stats. Driver-state sized (M·Ks rows) by construction
+    * — the collect is the parameter-server load, not a corpus
+    * materialization.
+    */
+  private def loadCodebook(row: (Long, Double, Long, Long)):
+      (graft.operators.Pq.PqCodebook, Double, Long, Long) = {
+    val (ver, errSum, n, _) = row
+    val cents = spark.read.parquet(s"$pqCbPath/v=$ver")
+    (graft.operators.Pq.PqCodebook(cents, Seq(errSum), Map.empty),
+      errSum, n, ver)
   }
+
+  /** Current stored codebook (max committed version), None before the
+    * first training batch.
+    */
+  private def storedCodebook:
+      Option[(graft.operators.Pq.PqCodebook, Double, Long, Long)] =
+    pqMetaRows.lastOption.map(loadCodebook)
 
   /** Drain every unseen WARC blob, processing each through
     * [[processBatch]]. The default Trigger.AvailableNow drains and
@@ -422,7 +473,7 @@ class CorpusStream(spark: SparkSession, workDir: String,
                k: Int, shortlistK: Int = 50): DataFrame = {
     val m = pqM.getOrElse(
       throw new IllegalStateException("searchPq requires the pqM leg"))
-    val (cb, _, _) = storedCodebook.getOrElse(
+    val (cb, _, _, _) = storedCodebook.getOrElse(
       throw new IllegalStateException(
         "no stored PQ codebook yet — ingest a non-empty batch first"))
     val q = queryDocs.select(col(idCol).as("qid"),
@@ -470,12 +521,16 @@ class CorpusStream(spark: SparkSession, workDir: String,
     // language ID). URL dedup here is within-batch; a re-crawl landing
     // in a LATER batch is still caught by the content-hash anti-join
     // against the store below.
-    // encoding repair first (x107, opt-in): before language ID and the
-    // content hashes — see the batch pipeline's stage 1b
+    // encoding repair (x107, opt-in) AFTER the URL stage: urlFilter
+    // never reads text, so the repair regexes shouldn't be paid for
+    // docs the cheap URL-dedup/blocklist drop is about to discard —
+    // but it stays before language ID and the content hashes, which
+    // is all the correctness the repair protects (see stage 1b of the
+    // batch pipeline)
+    val urlKept = CorpusPipeline.urlFilter(docs, cfg)
     val fixed =
-      if (cfg.encodingFix) CorpusPipeline.fixEncoding(docs) else docs
-    val langKept = CorpusPipeline.languageFilter(
-      CorpusPipeline.urlFilter(fixed, cfg), cfg)
+      if (cfg.encodingFix) CorpusPipeline.fixEncoding(urlKept) else urlKept
+    val langKept = CorpusPipeline.languageFilter(fixed, cfg)
     val gated =
       if (cfg.gopherRules) CorpusPipeline.gopherFilter(langKept) else langKept
     val repGated =
@@ -491,9 +546,24 @@ class CorpusStream(spark: SparkSession, workDir: String,
     // unseen at its time, so stored content_hash values are globally
     // unique by construction — deduplicating them again would add a
     // full aggregation pass over corpus history per batch
+    // replay guard: a crash between the curated write and the stream
+    // checkpoint commit replays a batch whose own rows are ALREADY in
+    // the store — without excluding them, every replayed doc would
+    // anti-join ITSELF away and the rewrite would be an empty dir
+    // (silent data loss). The exclusion is by batch PROVENANCE (skip
+    // this batch's own store dir), not by doc id: a byte-identical
+    // re-crawl in a later batch carries the same content-derived
+    // doc_id and must still dedup against the prior batch's hash. If a
+    // compact() folded the uncommitted batch's rows into the base, the
+    // replayed dir lands at/below the mark and stays invisible — the
+    // store keeps serving the folded original either way.
+    val priorHashes = readOr(curatedPath,
+        Seq.empty[String].toDF("content_hash"),
+        excludeBatch = batchId)
+      .select(col("content_hash"))
     val exactKept = cp(Dedup.exactKeepFirst(cur, "doc_id", "text")
       .withColumn("content_hash", md5(lower(trim(col("text")))))
-      .join(curated.select(col("content_hash")), Seq("content_hash"), "left_anti"))
+      .join(priorHashes, Seq("content_hash"), "left_anti"))
 
     // near-dup vs the persisted index (the x34 FromIndex shape: stored
     // bands + stored verification arrays, zero recompute over corpus
@@ -549,30 +619,53 @@ class CorpusStream(spark: SparkSession, workDir: String,
 
     // PQ leg (opt-in): maintain the serving code table incrementally —
     // the x96 append contract riding the stream. The codebook trains
-    // ONCE (first non-empty batch; deterministic, so a crash-replayed
-    // training batch rebuilds the identical codebook) and every later
-    // batch encodes against the STORED codebook: per-batch cost reads
-    // the batch + the M·Ks-row codebook, never the stored codes
-    // (pq_incr ScaleCheck probe pins it flat). Drift telemetry rides
-    // pqDrift; codes overwrite-by-batchId like every other store.
+    // on the first non-empty batch (version 0; deterministic, so a
+    // crash-replayed training batch rebuilds the identical codebook)
+    // and every later batch encodes against the STORED codebook:
+    // per-batch cost reads the batch + the M·Ks-row codebook, never
+    // the stored codes (pq_incr ScaleCheck probe pins it flat).
+    // Drift telemetry rides pqDrift — and a drifted verdict now has a
+    // RESPONSE PATH: the same batch rotates the codebook (retrain on
+    // the full accumulated vector store, re-encode every stored code,
+    // commit as version+1 in the pqVersions ledger). Rotation is the
+    // one deliberately state-sized operation in the leg: it costs one
+    // pass over the accumulated vectors and fires only when the alarm
+    // does, which is exactly the trade a stale serving index is not.
     pqM.foreach { m =>
       import graft.operators.Pq
       val ds = SemDim / m
-      val cbOpt = storedCodebook.orElse {
-        if (newVecs.isEmpty) None
-        else {
-          val cb = Pq.train(newVecs, "doc_id", "emb", m, PqKs, PqIters)
-          val trainN = newVecs.count()
-          // centroids first, meta last: a crash between the writes is
-          // re-entered by the replayed batch, which retrains the same
-          // deterministic codebook and overwrites both
-          cb.centroids.coalesce(1).write.mode("overwrite").parquet(pqCbPath)
-          Seq((cb.errors.last, trainN)).toDF("train_err_sum", "train_n")
-            .coalesce(1).write.mode("overwrite").parquet(pqMetaPath)
-          Some((cb, cb.errors.last, trainN))
+      val metaRows = pqMetaRows
+      // committed-rotation replay fast path: a version-ledger row AT
+      // THIS batch id with version > 0 means the rotation below already
+      // committed before a crash-replay — serve the drift/codes rows
+      // against the PRE-rotation codebook so the replayed batch's
+      // on-disk writes are byte-identical to the first attempt, and
+      // skip re-rotating (centroids, snapshot and ledger row are
+      // already on disk, and re-encoding the corpus twice buys nothing)
+      val committedRotationHere =
+        metaRows.find(r => r._4 == batchId && r._1 > 0)
+      val cbOpt = committedRotationHere match {
+        case Some(r) => Some(loadCodebook(metaRows.find(_._1 == r._1 - 1).get))
+        case None => metaRows.lastOption.map(loadCodebook).orElse {
+          if (newVecs.isEmpty) None
+          else {
+            val cb = Pq.train(newVecs, "doc_id", "emb", m, PqKs, PqIters)
+            val trainN = newVecs.count()
+            // centroids first, ledger row last: the row is the commit —
+            // a crash between the writes is re-entered by the replayed
+            // batch, which retrains the same deterministic codebook and
+            // overwrites both
+            cb.centroids.coalesce(1).write.mode("overwrite")
+              .parquet(s"$pqCbPath/v=0")
+            overwriteBatch(
+              Seq((0L, cb.errors.last, trainN, batchId))
+                .toDF("version", "train_err_sum", "train_n", "batch_id"),
+              pqMetaPath, batchId)
+            Some((cb, cb.errors.last, trainN, 0L))
+          }
         }
       }
-      cbOpt.foreach { case (cb, trainSum, trainN) =>
+      cbOpt.foreach { case (cb, trainSum, trainN, ver) =>
         overwriteBatch(Pq.encode(newVecs, "doc_id", "emb", cb, m, ds),
           pqCodesPath, batchId)
         val (bSum, bN) = Pq.batchQuantizationError(newVecs, "doc_id", "emb",
@@ -592,6 +685,43 @@ class CorpusStream(spark: SparkSession, workDir: String,
             .toDF("batch_id", "batch_err_per_vec", "train_err_per_vec",
               "drifted"),
           pqDriftPath, batchId)
+        // drift response: rotate. The retrain corpus is the semantic
+        // leg's persisted vector store (which already contains THIS
+        // batch — its vecs landed above), so the rotation is a pure
+        // function of accumulated state and replays deterministically.
+        // Write order is the commit protocol: (1) centroids v+1,
+        // (2) full re-encode snapshot as the codes store's base dir,
+        // (3) the _compacted marker move (stale per-batch code dirs
+        // become invisible), (4) the version-ledger row — the commit.
+        // A crash anywhere before (4) leaves the ledger at v, and the
+        // replayed batch re-enters here and rewrites (1)-(4)
+        // identically; between (3) and (4) a reader pairs the v
+        // codebook with v+1 codes, a transiently degraded ADC shortlist
+        // whose exact re-rank (true vectors) stays correct.
+        if (verdict.contains(true) && committedRotationHere.isEmpty) {
+          val corpus = vecIndex.select(col("id"), col("vec"))
+            .localCheckpoint(true)
+          try {
+            // the store excludes zero-norm/NaN vectors (withNorm's
+            // contract); if nothing indexable has ever landed there is
+            // nothing to retrain ON or re-encode — keep the alarm row,
+            // skip the rotation
+            val n2 = corpus.count()
+            if (n2 > 0) {
+              val cb2 = Pq.train(corpus, "id", "vec", m, PqKs, PqIters)
+              cb2.centroids.coalesce(1).write.mode("overwrite")
+                .parquet(s"$pqCbPath/v=${ver + 1}")
+              Pq.encode(corpus, "id", "vec", cb2, m, ds)
+                .write.mode("overwrite")
+                .parquet(s"$pqCodesPath/base=$batchId")
+              moveMark(pqCodesPath, batchId)
+              overwriteBatch(
+                Seq((ver + 1, cb2.errors.last, n2, batchId))
+                  .toDF("version", "train_err_sum", "train_n", "batch_id"),
+                pqMetaPath, batchId)
+            }
+          } finally graft.CheckpointBlocks.release(corpus)
+        }
       }
     }
 
