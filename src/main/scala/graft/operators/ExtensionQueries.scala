@@ -215,6 +215,55 @@ object ExtensionQueries {
         nlist = 16, nprobe = 4)
     }
 
+  /** Stored IVF index over the embeddings table — consumed by the
+    * filtered-search family x114 and the operating curve x115, built
+    * once per (session, dir) like every shared index.
+    */
+  private def ivfIndexShared(s: SparkSession, d: String): Similarity.IvfIndex = {
+    // both halves ride the standard `once` memo (clearMemo releases
+    // their checkpoints like every other shared relation); the lazy
+    // build runs at most once per miss
+    lazy val built = {
+      val e = rebalanced(Tables(s, d, "embeddings"))
+      Similarity.ivfBuild(e, "vec_id", "embedding", nlist = 16)
+    }
+    Similarity.IvfIndex(
+      once(s, d, "ivf_index_centroids")(built.centroids),
+      once(s, d, "ivf_index_assignments")(built.assignments))
+  }
+
+  /** The x114 metadata predicate: vec_id % 97 == 0 — a deterministic
+    * stand-in (the x12 convention) for the HIGH-selectivity case
+    * filtered serving exists for ("nearest among docs with this rare
+    * license"): ~1% of the corpus survives, so a fixed nprobe must
+    * either under-fill top-k or miss filtered neighbors, and the
+    * measured-selectivity widening provably floors at nprobe = nlist
+    * (scan every cell) through sf0.1 — which is exactly why the recall
+    * gate can demand EQUALITY with brute-force-on-the-filtered-subset.
+    */
+  private val x114Pred = col("nid") % 97 === 0
+
+  /** Exhaustive scored relation over the FILTERED corpus — the x114
+    * gates' ground truth (precision: every emitted score appears here;
+    * recall: the top-k slice of this is fully recovered).
+    */
+  private def annFilteredExhaustive(s: SparkSession, d: String): DataFrame =
+    once(s, d, "ann_filtered_exhaustive") {
+      val e = rebalanced(Tables(s, d, "embeddings"))
+      Similarity.bruteForceTopK(
+        e.filter(col("vec_id") < 10),
+        e.filter(col("vec_id") % 97 === 0), "vec_id", "embedding",
+        k = Int.MaxValue)
+    }
+
+  private def annFiltered(s: SparkSession, d: String): DataFrame =
+    once(s, d, "ann_filtered") {
+      val e = rebalanced(Tables(s, d, "embeddings"))
+      Similarity.ivfSearchFiltered(ivfIndexShared(s, d),
+        e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nprobe = 4, pred = x114Pred, oversample = 20.0)
+    }
+
   /** Lloyd-refined IVF ANN top-k — consumed by x56 and x56p. */
   private def annIvfRefined(s: SparkSession, d: String): DataFrame =
     once(s, d, "ann_ivf_refined") {
@@ -601,6 +650,76 @@ object ExtensionQueries {
         case (Seq(a, b), i) if b < a - 1e-9 * math.max(1.0, a.abs) =>
           (i + 1, s"objective fell $a -> $b")
       }.toSeq.toDF("round", "violation").orderBy(col("round"))
+    }),
+
+    // --- filtered ANN search (x114) -------------------------------------
+    // "nearest among rows matching the predicate" with the predicate
+    // INSIDE the cell scan and the probe width widened from the
+    // MEASURED selectivity — see Similarity.ivfSearchFiltered. The
+    // x12-convention stand-in predicate is vec_id % 97 == 0 (~1% of
+    // the corpus — the rare-license shape). Rows-only (hash-seeded
+    // cells aren't SQL-expressible); the precision + recall gates below
+    // carry the oracles, and FilteredAnnSpec proves the naive
+    // filter-after-top-k form loses neighbors this operator keeps.
+    "x114_ann_filtered" -> ((s, d) =>
+      annFiltered(s, d).orderBy(col("qid"), col("rank"))),
+
+    // Gate (empty-set oracle): precision — every emitted (q, n, sim)
+    // appears in the exhaustive relation over the FILTERED corpus. A
+    // row = a fabricated score or a predicate leak (an unfiltered
+    // neighbor served past the filter).
+    "x114p_ann_filtered_precision" -> ((s, d) =>
+      annFiltered(s, d).select("qid", "nid", "sim")
+        .join(annFilteredExhaustive(s, d).select("qid", "nid", "sim"),
+          Seq("qid", "nid", "sim"), "left_anti")
+        .orderBy(col("qid"), col("nid"))),
+
+    // Gate (empty-set oracle): recall — the exact top-k over the
+    // filtered corpus, rank for rank, is fully recovered. THIS is the
+    // contract a post-search filter breaks: its top-k is computed
+    // before the predicate, so filtered true neighbors lose their
+    // slots to unfiltered rows and vanish.
+    "x114r_ann_filtered_recall" -> ((s, d) =>
+      annFilteredExhaustive(s, d).filter(col("rank") <= 5)
+        .select("qid", "rank", "nid", "sim")
+        .join(annFiltered(s, d).select("qid", "rank", "nid", "sim"),
+          Seq("qid", "rank", "nid", "sim"), "left_anti")
+        .orderBy(col("qid"), col("rank"))),
+
+    // --- IVF operating curve (x115) -------------------------------------
+    // recall@k and scan fraction per nprobe in one pass over the stored
+    // assignment relation (the x111 threshold-sweep pattern applied to
+    // ANN serving) — the table a deployment picks nprobe from. Rows-only
+    // (hash-seeded cells); the monotonicity + exhaustive-endpoint gate
+    // below carries the oracle.
+    "x115_ivf_operating_curve" -> ((s, d) =>
+      Similarity.ivfOperatingCurve(ivfIndexShared(s, d),
+        rebalanced(Tables(s, d, "embeddings")).filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+        .orderBy(col("nprobe"))),
+
+    // Gate (empty-set oracle): the curve must be a valid operating
+    // curve — recall non-decreasing in nprobe, scan fraction
+    // non-decreasing, and recall exactly 1.0 at nprobe = nlist (every
+    // cell probed = exhaustive search; the x56g shape, applied to the
+    // serving dial).
+    "x115g_ivf_curve_gate" -> ((s, d) => {
+      import s.implicits._
+      val rows = Similarity.ivfOperatingCurve(ivfIndexShared(s, d),
+          rebalanced(Tables(s, d, "embeddings")).filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5)
+        .orderBy(col("nprobe"))
+        .select(col("nprobe"), col("recall_at_k"), col("scan_frac"))
+        .as[(Int, Double, Double)].collect().toSeq
+      val mono = rows.sliding(2).collect {
+        case Seq((n1, r1, s1), (n2, r2, s2)) if r2 < r1 || s2 < s1 =>
+          (n2, s"curve fell: recall $r1 -> $r2, scan $s1 -> $s2")
+      }.toSeq
+      val endpoint = rows.lastOption.collect {
+        case (n, r, _) if r != 1.0 =>
+          (n, s"recall at nprobe = nlist is $r, not 1.0")
+      }.toSeq
+      (mono ++ endpoint).toDF("nprobe", "violation").orderBy(col("nprobe"))
     }),
 
     // Incremental IVF maintenance: new vectors broadcast-assign into the
@@ -1213,6 +1332,19 @@ object ExtensionQueries {
 
     "x56g_ivf_refine_gate" ->
       """SELECT CAST(NULL AS INT) AS round, CAST(NULL AS VARCHAR) AS violation
+        |WHERE false""".stripMargin,
+
+    "x114p_ann_filtered_precision" ->
+      """SELECT CAST(NULL AS BIGINT) AS qid, CAST(NULL AS BIGINT) AS nid,
+        |  CAST(NULL AS DOUBLE) AS sim WHERE false""".stripMargin,
+
+    "x114r_ann_filtered_recall" ->
+      """SELECT CAST(NULL AS BIGINT) AS qid, CAST(NULL AS INT) AS rank,
+        |  CAST(NULL AS BIGINT) AS nid, CAST(NULL AS DOUBLE) AS sim
+        |WHERE false""".stripMargin,
+
+    "x115g_ivf_curve_gate" ->
+      """SELECT CAST(NULL AS INT) AS nprobe, CAST(NULL AS VARCHAR) AS violation
         |WHERE false""".stripMargin,
 
     "x70p_ivf_append_precision" ->

@@ -724,6 +724,123 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nid"), col("sim"))
   }
 
+  /** Predicate-filtered IVF ANN search — "nearest among rows matching
+    * pred", the shape production vector serving almost always takes
+    * (a language, license, or date predicate rides every query). The
+    * predicate applies to the stored ASSIGNMENT relation inside the
+    * cell scan — on a persisted index Catalyst pushes it into the
+    * parquet read — never to the ranked output: filtering AFTER top-k
+    * silently degrades recall at high selectivity (the k winners are
+    * computed before the filter, so filtered true neighbors lose to
+    * unfiltered non-candidates and < k rows survive — FilteredAnnSpec
+    * proves the failure on the naive form). The probe width adapts to
+    * the MEASURED selectivity: with keptN/nlist expected filtered rows
+    * per cell, nprobe widens until the expected candidate pool covers
+    * oversample·k, capped at nlist (scan every cell — the honest floor
+    * at extreme selectivity, where any fixed nprobe must either
+    * under-fill or lie). Two count aggregates per query batch, driver
+    * scalars — the measured-decision convention (x20's hot keys, the
+    * passage index's broadcast bound).
+    */
+  def ivfSearchFiltered(index: IvfIndex, queries: DataFrame,
+                        idCol: String, vecCol: String, k: Int, nprobe: Int,
+                        pred: Column, oversample: Double = 4.0): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
+    require(oversample >= 1.0, "oversample must be >= 1.0")
+    val kept = index.assignments.filter(pred)
+    val keptN = kept.count()
+    val nlist = index.centroids.count()
+    val perCell = math.max(keptN.toDouble / math.max(nlist, 1L), 1e-9)
+    val probeEff = math.min(nlist,
+      math.max(nprobe.toLong, math.ceil(oversample * k / perCell).toLong)).toInt
+    val probes = ivfAssign(withNorm(queries, idCol, vecCol),
+        index.centroids, take = probeEff)
+      .select(col("id").as("qid"), col("vec").as("qvec"),
+        col("nrm").as("qnrm"), col("cell"))
+    val scored = probes.join(kept, Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        round(dot(col("qvec"), col("nvec")) / (col("qnrm") * col("nnrm")), 6)
+          .as("sim"))
+      .distinct()
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("sim"))
+  }
+
+  /** The nprobe OPERATING CURVE of a stored IVF index: for every
+    * nprobe in 1..nlist, recall@k against the exact relation and the
+    * fraction of stored rows a search at that nprobe scans — the table
+    * a deployment reads to pick nprobe for a recall target instead of
+    * folklore (the x111 threshold-sweep pattern applied to ANN
+    * serving). ONE exhaustive scoring pass (the ground truth — the
+    * same cost as a single exact search) plus bounded Q·nlist cell
+    * ranks; every nprobe value then falls out of generator suffix
+    * sums over integer buckets, no per-nprobe rescan, no join wider
+    * than the Q·k truth relation. recall is exact-arithmetic
+    * (count/count, rounded once at emit), so the curve hashes
+    * identically across runs.
+    */
+  def ivfOperatingCurve(index: IvfIndex, queries: DataFrame,
+                        idCol: String, vecCol: String, k: Int): DataFrame = {
+    val sp = queries.sparkSession
+    GraftExtensions.register(sp)
+    val q = withNorm(queries, idCol, vecCol)
+    // rank of EVERY cell per query by centroid cosine (Q·nlist rows,
+    // bounded: the probe order a search at any nprobe follows)
+    val cellRanks = {
+      val scored = q.crossJoin(broadcast(index.centroids))
+        .select(col("id").as("qid"), col("cell"),
+          (dot(col("vec"), col("cvec")) / (col("nrm") * col("cnrm")))
+            .as("csim"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("csim").desc, col("cell"))
+      scored.withColumn("crank", row_number().over(w))
+        .select(col("qid"), col("cell"), col("crank"))
+    }
+    val nlist = index.centroids.count()
+    val nQ = q.count()
+    val nCorpus = index.assignments.count()
+    // exact ground truth over the INDEXED rows (one Q x N scoring pass)
+    val qSide = q.select(col("id").as("qid"), col("vec").as("qvec"),
+      col("nrm").as("qnrm"))
+    val exact = {
+      val scored = qSide.join(index.assignments, col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"), col("cell"),
+          round(dot(col("qvec"), col("nvec")) / (col("qnrm") * col("nnrm")), 6)
+            .as("sim"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("nid"))
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    }
+    val truthN = exact.count().toDouble
+    // each truth pair becomes visible at nprobe >= crank of its cell;
+    // each (query, cell) contributes its cell's rows to the scan cost
+    // at nprobe >= crank — both are suffix sums over crank buckets
+    val hitAt = exact.join(cellRanks, Seq("qid", "cell"))
+      .groupBy(col("crank")).agg(count(lit(1)).as("hits"))
+    val cellSizes = index.assignments.groupBy(col("cell"))
+      .agg(count(lit(1)).as("csize"))
+    val scanAt = cellRanks.join(broadcast(cellSizes), Seq("cell"))
+      .groupBy(col("crank")).agg(sum(col("csize")).as("rows"))
+    val zeros = sp.range(1, nlist + 1)
+      .select(col("id").as("nprobe"), lit(0L).as("hits"), lit(0L).as("rows"))
+    hitAt.join(scanAt, Seq("crank"), "full_outer")
+      .select(explode(sequence(col("crank"), lit(nlist))).as("nprobe"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        coalesce(col("rows"), lit(0L)).as("rows"))
+      .unionByName(zeros)
+      .groupBy(col("nprobe"))
+      .agg(sum(col("hits")).as("h"), sum(col("rows")).as("r"))
+      .select(col("nprobe").cast("int").as("nprobe"),
+        round(col("h") / lit(math.max(truthN, 1.0)), 6).as("recall_at_k"),
+        round(col("r") / lit(math.max(nQ * nCorpus, 1L).toDouble), 6)
+          .as("scan_frac"))
+      .orderBy(col("nprobe"))
+  }
+
   /** ANN top-k via multi-table LSH: candidates are the union of
     * same-bucket collisions over `tables` independent hash tables
     * (OR-amplification — recall 1-(1-p^nbits)^tables per neighbor),

@@ -35,13 +35,22 @@ class PlanAuditSpec extends SparkSpecBase {
     * corpus row must be scored against every eval item (that IS the
     * decontamination check), so the BNLJ is the intended bounded shape.
     */
+  /** x115's exhaustive pass is its GROUND TRUTH by definition (the
+    * curve measures recall against the exact relation, so one
+    * brute-force scoring join is the price of the table — same shape
+    * and exemption rationale as x06); its Q × nlist cell-rank product
+    * is the bounded ivfAssign shape x82 documents. x114's gates embed
+    * the same filtered exhaustive reference.
+    */
   private val nestedLoopByDesign =
     Set("x06_ann_brute_topk", "x07p_ann_lsh_precision", "x16p_ann_ivf_precision",
       "x26g_heavy_hitters_recall",
       "x82_ann_ivfpq_topk", "x82r_ivfpq_dup_recall",
       "x82r2_ivfpq_near_dup_recall",
       "x95_ann_ivfpq_rerank", "x95g_ivfpq_rerank_gate",
-      "x83e_pixel_embed_topk", "x97_semantic_decontam")
+      "x83e_pixel_embed_topk", "x97_semantic_decontam",
+      "x114p_ann_filtered_precision", "x114r_ann_filtered_recall",
+      "x115_ivf_operating_curve")
 
   test("no declared query plans a cartesian product or an unintended nested-loop join") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -199,5 +208,16 @@ class PlanAuditSpec extends SparkSpecBase {
     // 21 times at 100 TB
     assert(plan.collect { case j: BaseJoinExec => j }.isEmpty,
       s"x111 must not join:\n$plan")
+  }
+
+  test("x115's per-nprobe rows derive from a generator, never a per-nprobe rescan") {
+    import org.apache.spark.sql.execution.GenerateExec
+    val plan = SparkEntry.queries("x115_ivf_operating_curve")(spark, sfDir)
+      .queryExecution.sparkPlan
+    // the x111 suffix-sum shape: crank buckets explode their covered
+    // nprobe values through ONE Generate — a join or window keyed by
+    // nprobe would rescan the assignment relation up to nlist times
+    assert(plan.collect { case g: GenerateExec => g }.nonEmpty,
+      s"x115 must expand nprobe via a generator:\n$plan")
   }
 }

@@ -73,7 +73,10 @@ class QueriesSmokeSpec extends SparkSpecBase {
     "x105g_mmr_gate",
     "x107g_mojibake_gate",
     "x110g_group_leakage_gate",
-    "x110ng_cluster_leakage_gate")
+    "x110ng_cluster_leakage_gate",
+    "x114p_ann_filtered_precision",
+    "x114r_ann_filtered_recall",
+    "x115g_ivf_curve_gate")
 
   test("every declared query emits SCALAR columns only (driver pandas-sort compat)") {
     // the driver's correctness harness canonicalizes with a pandas

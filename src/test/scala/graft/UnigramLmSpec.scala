@@ -71,6 +71,74 @@ class UnigramLmSpec extends SparkSpecBase {
     assert(enc === Seq("ab", "ab"), enc)
   }
 
+  /** Independent reference Viterbi: a 15-line driver-side DP sharing
+    * NOTHING with the Catalyst lattice (no HOFs, no log-space folds —
+    * plain doubles and arrays), with the same tie rule (equal scores
+    * prefer the smaller start index, i.e. the longer final piece).
+    * The parity tests below pin fit→encode against it so a lattice
+    * regression cannot hide behind the gate's self-consistency.
+    */
+  private def referencePieces(w: String, probs: Map[String, Double],
+                              maxLen: Int): Option[Seq[String]] = {
+    val n = w.length
+    val best = Array.fill(n + 1)(Double.NegativeInfinity)
+    val back = Array.fill(n + 1)(-1)
+    best(0) = 0.0
+    for (j <- 1 to n; i <- math.max(0, j - maxLen) until j) {
+      probs.get(w.substring(i, j)).foreach { p =>
+        val s = best(i) + math.log(p)
+        // strictly-greater keeps the FIRST (smallest) start index on ties
+        if (s > best(j)) { best(j) = s; back(j) = i }
+      }
+    }
+    if (back(n) < 0) None
+    else {
+      var j = n
+      val rev = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (j > 0) { rev += w.substring(back(j), j); j = back(j) }
+      Some(rev.reverse.toSeq)
+    }
+  }
+
+  test("fit→encode parity: held-out words segment exactly as hand-derived") {
+    // hand derivation on the planted-units corpus (maxLen 2): EM loads
+    // probability onto "ab" and "cd" far above their constituent chars
+    // (asserted in the fit test), so for any word tiled by units plus
+    // isolated noise chars the best lattice path is units-first:
+    //   ababab -> [ab, ab, ab]   (3 unit pieces beat any char split)
+    //   cdab   -> [cd, ab]
+    //   xcdy   -> [x, cd, y]     (noise chars survive as singletons)
+    //   abe    -> [ab, e]
+    val m = UnigramLm.fit(unitVocab, maxLen = 2, seedSize = 20, target = 8,
+      rounds = 4)
+    val vmap = typedlit(m.probs)
+    val got = Seq("ababab", "cdab", "xcdy", "abe").toDF("w")
+      .select(col("w"), UnigramLm.viterbiPieces(col("w"), vmap, 2).as("ps"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(got("ababab") === Seq("ab", "ab", "ab"), got)
+    assert(got("cdab") === Seq("cd", "ab"), got)
+    assert(got("xcdy") === Seq("x", "cd", "y"), got)
+    assert(got("abe") === Seq("ab", "e"), got)
+  }
+
+  test("fit→encode parity: the Catalyst lattice matches the independent reference DP") {
+    val m = UnigramLm.fit(unitVocab, maxLen = 2, seedSize = 20, target = 8,
+      rounds = 4)
+    val vmap = typedlit(m.probs)
+    // every training word plus held-out tilings, unsegmentable shapes
+    // included (both sides must agree on null)
+    val words = Seq("abab", "abcd", "cdcd", "xaby", "cde", "ababab",
+      "cdab", "xcdy", "abe", "abz", "aaaa", "dcba", "e", "x")
+    val got = words.toDF("w")
+      .select(col("w"), UnigramLm.viterbiPieces(col("w"), vmap, 2).as("ps"))
+      .as[(String, Option[Seq[String]])].collect().toMap
+    words.foreach { w =>
+      val exp = referencePieces(w, m.probs, maxLen = 2)
+      assert(got(w) === exp,
+        s"lattice/reference divergence on '$w': got ${got(w)}, expected $exp")
+    }
+  }
+
   test("prune keeps single chars: rare-char words stay segmentable after a hard prune") {
     val m = UnigramLm.fit(unitVocab, maxLen = 2, seedSize = 20, target = 2, rounds = 2)
     assert(m.coverageMisses === 0,
