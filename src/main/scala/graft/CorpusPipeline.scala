@@ -188,8 +188,14 @@ object CorpusPipeline {
     // content hash (mojibake corrupts the language markers and defeats
     // byte-equality dedup against the clean original), but after the
     // URL stage so the repair regexes aren't paid for docs the cheap
-    // drop above is about to discard
-    val fixed = if (cfg.encodingFix) fixEncoding(urlKept) else urlKept
+    // drop above is about to discard. CHECKPOINTED: downstream stages
+    // reference the text column many times, and without the barrier
+    // projection collapse embeds the repair regexes in every reference
+    // (and the resulting mega-projection can overflow codegen into
+    // interpreted eval, where nothing de-duplicates them)
+    val fixed =
+      if (cfg.encodingFix) fixEncoding(urlKept).localCheckpoint(true)
+      else urlKept
 
     // 3. language filter (x08)
     val langKept = languageFilter(fixed, cfg)

@@ -98,7 +98,15 @@ object GraftFunctions {
     * formulation).
     */
   def windowGrams(ts: Column, k: Int): Column =
-    transform(
-      sequence(lit(1), greatest(size(ts) - (k - 1), lit(1))),
-      i => array_join(slice(ts, i, lit(k)), " "))
+    // `ts` binds ONCE through the outer lambda variable (transform over
+    // a 1-element array — Catalyst's `let`). Higher-order functions are
+    // never codegen'd, and in interpreted eval a lambda body re-executes
+    // every captured NON-variable subtree per element: the direct form
+    // re-tokenized the whole document once per window position — O(L²)
+    // in document length, a silent quadratic on the exact long-document
+    // tail a web corpus always carries.
+    element_at(transform(array(ts), t =>
+      transform(
+        sequence(lit(1), greatest(size(t) - (k - 1), lit(1))),
+        i => array_join(slice(t, i, lit(k)), " "))), 1)
 }

@@ -256,10 +256,16 @@ object Contamination {
     */
   private[graft] def md5TfCounts(textCol: Column, dim: Int): Column = {
     require(dim >= 1 && dim <= 256, s"dim must be in [1, 256], got $dim")
-    val bks = transform(coalesce(tokens(textCol), array()),
-      t => md5Bucket(t, dim))
-    transform(sequence(lit(0), lit(dim - 1)),
-      i => size(filter(bks, b => b === i)).cast("double"))
+    // the bucket array binds ONCE through a lambda variable (transform
+    // over a 1-element array): capturing the computed `bks` expression
+    // directly would re-tokenize and re-md5 the document per OUTPUT
+    // BUCKET under interpreted HOF eval — an O(dim · tokens) hidden
+    // multiplier on every embedded doc (the windowGrams lesson)
+    element_at(transform(
+      array(transform(coalesce(tokens(textCol), array()),
+        t => md5Bucket(t, dim))),
+      bks => transform(sequence(lit(0), lit(dim - 1)),
+        i => size(filter(bks, b => b === i)).cast("double"))), 1)
   }
 
   /** Semantic decontamination report: for every corpus document, its

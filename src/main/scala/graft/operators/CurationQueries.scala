@@ -93,21 +93,24 @@ object CurationQueries {
     val ts = tokens(col(textCol))
     val base = docs.select(col(idCol), ts.as("__ts"),
       greatest(length(array_join(ts, " ")), lit(1)).cast("long").as("__total"))
-    // chars covered by all occurrences of the heaviest n-gram
-    def topChars(n: Int): Column = {
-      val g = windowGrams(col("__ts"), n)
-      array_max(transform(array_distinct(g),
-        x => size(filter(g, y => y === x)).cast("long") *
-          length(x).cast("long")))
-    }
+    // chars covered by all occurrences of the heaviest n-gram. The
+    // gram array binds ONCE through a lambda variable (the windowGrams
+    // lesson): capturing the computed `g` expression in the per-gram
+    // lambdas would rebuild the whole window array once per DISTINCT
+    // gram under interpreted HOF eval — O(distinct · L) array builds on
+    // exactly the long documents the rules exist to judge.
+    def topChars(n: Int): Column =
+      element_at(transform(array(windowGrams(col("__ts"), n)), g =>
+        array_max(transform(array_distinct(g),
+          x => size(filter(g, y => y === x)).cast("long") *
+            length(x).cast("long")))), 1)
     // chars covered by occurrences of n-grams appearing more than once
-    def dupChars(n: Int): Column = {
-      val g = windowGrams(col("__ts"), n)
-      aggregate(array_distinct(g), lit(0L), (acc, x) => {
-        val c = size(filter(g, y => y === x)).cast("long")
-        acc + when(c > 1L, c * length(x).cast("long")).otherwise(lit(0L))
-      })
-    }
+    def dupChars(n: Int): Column =
+      element_at(transform(array(windowGrams(col("__ts"), n)), g =>
+        aggregate(array_distinct(g), lit(0L), (acc, x) => {
+          val c = size(filter(g, y => y === x)).cast("long")
+          acc + when(c > 1L, c * length(x).cast("long")).otherwise(lit(0L))
+        })), 1)
     val charCols =
       topGramMaxPct.map { case (n, _) => topChars(n).as(s"__top$n") } ++
         dupGramMaxPct.map { case (n, _) => dupChars(n).as(s"__dup$n") }

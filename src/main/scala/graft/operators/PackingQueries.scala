@@ -136,13 +136,14 @@ object PackingQueries {
     * short gram -> ratio 0, mirroring the shingle convention of the
     * dedup family ([[graft.functions.GraftFunctions.shingles]]).
     */
-  def repetitionRatio(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val grams = windowGrams(tokens(col(textCol)), 3)
+  def repetitionRatio(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    // the gram array binds once (HOFs never codegen, so the duplicated
+    // subtree would otherwise evaluate twice per row — distinct + size)
     docs.select(col(idCol),
-      round(lit(1.0) -
-        size(array_distinct(grams)).cast("double") /
-          size(grams).cast("double"), 6).as("rep_ratio"))
-  }
+      element_at(transform(array(windowGrams(tokens(col(textCol)), 3)), g =>
+        round(lit(1.0) -
+          size(array_distinct(g)).cast("double") /
+            size(g).cast("double"), 6)), 1).as("rep_ratio"))
 
   val queries: Map[String, Q] = Map(
     "x28_pack_sequences" -> ((s, d) =>

@@ -154,8 +154,12 @@ object Pca {
     */
   def reconstruct(model: PcaModel, code: Column): Column = {
     val cols = (0 until model.dim).map(i => model.basis.map(_(i)))
-    zip_with(typedlit(cols), typedlit(model.mean),
-      (c, mu) => mu + GraftExtensions.vecDot(c, code))
+    // `code` binds once: callers pass computed expressions (project(...)
+    // in the gates), and capturing one in the per-coordinate lambda
+    // would re-run the k-dot projection d times per row
+    element_at(transform(array(code), cd =>
+      zip_with(typedlit(cols), typedlit(model.mean),
+        (c, mu) => mu + GraftExtensions.vecDot(c, cd))), 1)
   }
 
   // ---------------------------------------------------------------------

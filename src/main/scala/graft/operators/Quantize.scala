@@ -31,13 +31,28 @@ object Quantize {
     * and an all-zero code array (the division guard).
     */
   def quantize(df: DataFrame, idCol: String, embCol: String): DataFrame = {
-    val maxabs = array_max(transform(col(embCol), x => abs(x))).cast("double")
-    val scale = maxabs / lit(127.0)
-    df.select(col(idCol),
-      when(maxabs > 0, scale).otherwise(lit(0.0)).as("scale"),
-      when(maxabs > 0,
-          transform(col(embCol), x => round(x.cast("double") / scale).cast("int")))
-        .otherwise(transform(col(embCol), _ => lit(0))).as("qvec"))
+    // max|emb| binds ONCE through a lambda variable (the windowGrams
+    // lesson): captured directly in the per-element lambda, the
+    // array_max(transform(abs)) subtree would re-reduce the whole
+    // vector per OUTPUT CODE under interpreted HOF eval — O(dim²) per
+    // row on the quantize hot path
+    val sq = element_at(transform(
+      array(array_max(transform(col(embCol), x => abs(x))).cast("double")),
+      ma => {
+        val scale = ma / lit(127.0)
+        struct(
+          when(ma > 0, scale).otherwise(lit(0.0)).as("scale"),
+          when(ma > 0,
+              transform(col(embCol),
+                x => round(x.cast("double") / scale).cast("int")))
+            .otherwise(transform(col(embCol), _ => lit(0))).as("qvec"))
+      }), 1)
+    // two-step select: the struct is referenced twice, and a collapsed
+    // single projection would evaluate it twice per row (CollapseProject
+    // keeps non-cheap aliases materialized)
+    df.select(col(idCol), sq.as("__sq"))
+      .select(col(idCol), col("__sq").getField("scale").as("scale"),
+        col("__sq").getField("qvec").as("qvec"))
   }
 
   /** Vectors violating the quantization contract against their

@@ -32,13 +32,33 @@ object TextAnalysis {
   /** Language-ID: argmax of marker scores, deterministic tie-break by the
     * declaration order in [[langMarkers]]; "und" (undetermined) when all
     * scores are zero.
+    *
+    * The token set and the per-language scores each bind ONCE through
+    * lambda variables (transform over a 1-element array — Catalyst's
+    * `let`). The naive fold referenced the tokenize-distinct subtree
+    * ~20 times (scores, the duplicated `best`, the when-chain); under
+    * whole-stage codegen subexpression elimination absorbs that, but a
+    * wide curation projection (repair + language + quality in one
+    * collapsed Project) overflows the codegen limits and falls back to
+    * interpreted eval, where every reference re-tokenized the document
+    * — a scan stage gone quadratic-ish on long documents.
     */
   def languageId(textCol: Column): Column = {
-    val scored = langMarkers.map { case (l, _) => (l, langScore(textCol, l)) }
-    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
-    scored.foldRight(lit("und"): Column) { case ((l, s), acc) =>
-      when(s > 0 && s === best, lit(l)).otherwise(acc)
-    }
+    val scoresOnce = transform(array(array_distinct(tokens(textCol))), ts => {
+      def score(ms: Seq[String]): Column =
+        size(array_intersect(ts, array(ms.map(lit): _*))).cast("double") /
+          greatest(size(ts), lit(1)).cast("double")
+      array(langMarkers.map { case (_, ms) => score(ms) }: _*)
+    })
+    element_at(transform(scoresOnce, sc => {
+      val scored = langMarkers.zipWithIndex.map { case ((l, _), i) =>
+        (l, element_at(sc, i + 1))
+      }
+      val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+      scored.foldRight(lit("und"): Column) { case ((l, s), acc) =>
+        when(s > 0 && s === best, lit(l)).otherwise(acc)
+      }
+    }), 1)
   }
 
   /** Whitespace token count. */
@@ -92,11 +112,19 @@ object TextAnalysis {
     */
   def hashedTfEmbedding(textCol: Column, dim: Int): Column = {
     require(dim >= 1, s"dim must be >= 1, got $dim")
-    val counts = transform(sequence(lit(0), lit(dim - 1)),
-      i => size(filter(tokens(textCol),
-        t => pmod(xxhash64(t), lit(dim.toLong)) === i.cast("long"))).cast("double"))
-    val nrm = sqrt(aggregate(counts, lit(0.0), (a, x) => a + x * x))
-    transform(counts, x => when(nrm > 0, x / nrm).otherwise(lit(0.0)))
+    // two `let` bindings (transform over a 1-element array): the token
+    // array and the raw count vector each evaluate ONCE. The direct
+    // form re-tokenized per bucket (dim×) and re-aggregated the count
+    // vector per output element (the captured `nrm` subtree) — an
+    // O(dim² · tokens) interpreted-HOF blowup on every embedded doc.
+    element_at(transform(array(tokens(textCol)), ts =>
+      element_at(transform(array(transform(sequence(lit(0), lit(dim - 1)),
+          i => size(filter(ts,
+            t => pmod(xxhash64(t), lit(dim.toLong)) === i.cast("long")))
+            .cast("double"))), cs => {
+        val nrm = sqrt(aggregate(cs, lit(0.0), (a, x) => a + x * x))
+        transform(cs, x => when(nrm > 0, x / nrm).otherwise(lit(0.0)))
+      }), 1)), 1)
   }
 
   /** Corpus-trained bigram language-model score per document — the

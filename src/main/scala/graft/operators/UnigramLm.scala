@@ -150,21 +150,27 @@ object UnigramLm {
     * Unsegmentable words (no positive-probability path) yield null.
     */
   def viterbiPieces(w: Column, vmap: Column, maxLen: Int): Column = {
-    val dp = viterbiDp(w, vmap, maxLen)
-    val n = length(w)
-    val seg = aggregate(
-      sequence(lit(1), n),
-      struct(n.cast("int").as("pos"), array().cast("array<string>").as("ps")),
-      (st, _) => {
-        val pos = st.getField("pos")
-        val ptr = element_at(dp, pos + 1).getField("p")
-        when(pos > 0,
-          struct((ptr - 1).cast("int").as("pos"),
-            concat(array(w.substr(ptr, pos - ptr + 1)), st.getField("ps")).as("ps")))
-          .otherwise(st)
-      },
-      st => st.getField("ps"))
-    when(element_at(dp, n + 1).getField("s") > lit(-1e29), seg)
+    // the DP table binds ONCE through a lambda variable (the
+    // windowGrams lesson): captured directly, the backtrack fold would
+    // re-run the full O(N·maxLen) DP at every one of its N steps under
+    // interpreted HOF eval — quadratic per word, worst exactly on the
+    // long URL/base64 tokens the log-space lattice exists to cover
+    element_at(transform(array(viterbiDp(w, vmap, maxLen)), dp => {
+      val n = length(w)
+      val seg = aggregate(
+        sequence(lit(1), n),
+        struct(n.cast("int").as("pos"), array().cast("array<string>").as("ps")),
+        (st, _) => {
+          val pos = st.getField("pos")
+          val ptr = element_at(dp, pos + 1).getField("p")
+          when(pos > 0,
+            struct((ptr - 1).cast("int").as("pos"),
+              concat(array(w.substr(ptr, pos - ptr + 1)), st.getField("ps")).as("ps")))
+            .otherwise(st)
+        },
+        st => st.getField("ps"))
+      when(element_at(dp, n + 1).getField("s") > lit(-1e29), seg)
+    }), 1)
   }
 
   /** Train on the (w, freq) word vocabulary: seed with the top

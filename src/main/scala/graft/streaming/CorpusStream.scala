@@ -528,8 +528,12 @@ class CorpusStream(spark: SparkSession, workDir: String,
     // is all the correctness the repair protects (see stage 1b of the
     // batch pipeline)
     val urlKept = CorpusPipeline.urlFilter(docs, cfg)
+    // checkpointed like the batch pipeline's stage 2b: downstream
+    // stages reference text many times and must see the repaired
+    // STRING, not a re-executed repair expression per reference
     val fixed =
-      if (cfg.encodingFix) CorpusPipeline.fixEncoding(urlKept) else urlKept
+      if (cfg.encodingFix) cp(CorpusPipeline.fixEncoding(urlKept))
+      else urlKept
     val langKept = CorpusPipeline.languageFilter(fixed, cfg)
     val gated =
       if (cfg.gopherRules) CorpusPipeline.gopherFilter(langKept) else langKept

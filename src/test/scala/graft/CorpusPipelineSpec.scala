@@ -4,6 +4,8 @@ import java.io.ByteArrayOutputStream
 import java.nio.file.{Files, Paths}
 import java.util.zip.GZIPOutputStream
 
+import org.apache.spark.sql.functions.col
+
 /** End-to-end spec of the composed corpus pipeline: a WARC directory
   * with one representative document per curation rule (plus a poisoned
   * blob) flows through the full chain, and the corpus-level ledger is
@@ -106,6 +108,153 @@ class CorpusPipelineSpec extends SparkSpecBase {
     assert(r.report.packs >= 1 && r.report.packs <= 5)
     val packed = r.packed.select("doc_id", "n_tok", "bin").as[(String, Int, Long)].collect()
     assert(packed.length === 5 && packed.forall(_._3 === 0L))
+  }
+
+  test("FineWeb in one Config: every leg on, every ledger stage non-trivially exercised") {
+    import graft.operators.EncodingRepair
+    // THE full-recipe demonstration: URL hygiene + blocklist, language,
+    // Gopher rules, Gopher repetition, encoding repair, quality, PII,
+    // exact/near/paragraph dedup, decontamination, packing — all from
+    // ONE Config, with a fixture doc (or blob) engineered to fall at
+    // each stage so the ledger proves the legs compose without a hidden
+    // ordering constraint.
+    val dir = Files.createTempDirectory("corpusfull").toString
+    val cfg = CorpusPipeline.Config(
+      blockedHosts = Set("spam.example"),
+      gopherRules = true,
+      repetitionGate = true,
+      encodingFix = true)
+
+    // Every doc that must SURVIVE the repetition gate is ~40 words: the
+    // Gopher top-n-gram thresholds are CHAR fractions, so on a short
+    // doc a single occurrence of the longest 4-gram already exceeds
+    // 16% — the published thresholds assume web-length documents, and
+    // so does this fixture.
+    val evalText = "the secret eval benchmark answer is forty two exactly as " +
+      "the hidden rubric states for every graded question inside the final " +
+      "assessment booklet pages"
+    val dClean = "the quick brown fox jumps over the lazy dog and runs across " +
+      "the sunny park while several children watch the colorful birds gather " +
+      "near the quiet stone fountain by the garden gate before the evening " +
+      "bells ring from the old tower"
+    val dEs = "el perro grande corre en la casa y de que es muy bonito"
+    // fails the Gopher symbol-word rule (6 of 16 words are symbol runs)
+    // while still lang-id'ing as English
+    val dGopherSym =
+      "the market report and the closing price data is higher ### ## !! ?? %% $$"
+    // an 8-token block repeated 3x: duplicated 5..10-grams cover most
+    // characters — the repetition gate's case, invisible to the Gopher
+    // length/symbol rules it passes
+    val dRep = ("oak maple birch cedar willow poplar aspen elm " * 3) +
+      "the story and end"
+    // hyphen-dense words, exactly two stopword markers: every Gopher
+    // rule passes (alpha words, symbol-free, sane lengths) but the
+    // punctuation ratio zeroes the x09 quality blend's 0.3 term and the
+    // big distinct-token set dilutes the stopword term ->
+    // quality = 0.5*0.28 + 0 + 0.2*(2/28*10) = 0.283 < 0.3
+    val dQual = {
+      val ws = (0 until 26).map(i =>
+        s"${('a' + i % 26).toChar}q-${('a' + (i * 3) % 26).toChar}w-${('a' + (i * 7) % 26).toChar}z")
+      s"the ${ws.take(13).mkString(" ")} is ${ws.drop(13).mkString(" ")}"
+    }
+    val dAccent = "the café menu lists the naïve recipes and the straße " +
+      "address of the old corner shop where hungry visitors order the small " +
+      "almond cakes and strong black coffee before walking slowly to the " +
+      "busy train station across the bright market square"
+    val dMoji = EncodingRepair.mojibake(dAccent)
+    val nearBase = "the weather report says heavy rain is coming and the " +
+      "northern wind is strong today across the rocky coast where local " +
+      "fishermen tie their small boats and wait inside the warm harbor " +
+      "taverns until the morning light returns over the calm"
+    val dNearA = s"$nearBase water"
+    val dNearB = s"$nearBase waves"
+    val dContam = evalText + " plus sixteen extra training filler words " +
+      "appended after the quoted benchmark passage to keep this document " +
+      "long enough"
+    val dPii = "please contact us at alice@example.com for more info about " +
+      "the new program and its launch while the support team answers the " +
+      "common questions from the early partner group during the open " +
+      "office hours on every second friday afternoon this month"
+    val para0 = "the alpha beta gamma delta epsilon zeta eta"
+    val tailA = "the red and green signals glow over the broad valley bridge " +
+      "while tired drivers follow the long mountain road toward home under " +
+      "heavy clouds that drift slowly past the tall northern peaks"
+    val tailB = "the one and two numbers appear beside the faded chalk lines " +
+      "while young students copy the short history notes before lunch and " +
+      "later solve the printed practice sheets inside the bright classroom"
+    val d9a = s"$para0 $tailA"
+    val d9b = s"$para0 $tailB"
+
+    def recRaw(uri: String, payload: Array[Byte]): Array[Byte] =
+      (s"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: $uri\r\n" +
+        s"WARC-Date: 2026-01-01T00:00:00Z\r\nContent-Length: ${payload.length}\r\n\r\n")
+        .getBytes("ISO-8859-1") ++ payload ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    val docs = Seq(
+      "http://k/1" -> dClean,
+      "http://k/1?utm_source=feed" -> dClean, // canonical-URL re-crawl
+      "http://spam.example/x" -> "the spam offers and deals are cheap today for you",
+      "http://k/2" -> dEs,
+      "http://k/3" -> dGopherSym,
+      "http://k/4" -> dRep,
+      "http://k/5" -> dQual,
+      "http://k/6" -> dAccent,
+      "http://k/7" -> dMoji, // double-encoded re-crawl of dAccent
+      "http://k/8" -> dClean, // verbatim copy under a fresh URL
+      "http://k/9" -> dNearA,
+      "http://k/10" -> dNearB,
+      "http://k/11" -> dContam,
+      "http://k/12" -> dPii,
+      "http://k/13" -> d9a,
+      "http://k/14" -> d9b)
+    Files.write(Paths.get(dir, "corpus.warc"),
+      docs.map { case (u, t) => recRaw(u, t.getBytes("UTF-8")) }.reduce(_ ++ _))
+    // poisoned blob: a big parseable filler record (drops at the Gopher
+    // stopword rule: 14k words, one distinct marker), then a member
+    // with a corrupted deflate body -> the DLQ channel
+    val m1 = memberOf(recBytes("http://bad/partial",
+      "the archive keeps repeating this exact phrase " * 2000))
+    val m2 = memberOf(recBytes("http://bad/lost", "never seen"))
+    (10 until m2.length - 8).foreach(i => m2(i) = 0x55.toByte)
+    Files.write(Paths.get(dir, "bad.warc.gz"), m1 ++ m2)
+
+    val heldOut = Seq(("e1", evalText)).toDF("doc_id", "text")
+    val r = CorpusPipeline.run(spark, dir, heldOut, cfg)
+
+    assert(r.report.quarantinedBlobs === 1)
+    assert(r.report.ingested === 17, "16 corpus docs + the pre-poison filler")
+    assert(r.report.keptUrl === 15,
+      "the utm re-crawl and the blocklisted host drop at the URL stage")
+    assert(r.report.keptLanguage === 14, "the Spanish doc drops")
+    assert(r.report.keptGopher === 12,
+      "the symbol-heavy doc and the one-stopword filler drop on Gopher rules")
+    assert(r.report.keptRepetition === 11, "the looped 8-gram doc drops")
+    assert(r.report.keptQuality === 10, "the hyphen doc drops below quality 0.3")
+    assert(r.report.afterExactDedup === 8,
+      "the REPAIRED mojibake re-crawl and the verbatim copy both collapse")
+    assert(r.report.afterNearDedup === 7, "the one-word variant collapses")
+    assert(r.report.afterParaDedup === 7,
+      "paragraph dedup trims text, never drops whole fixture docs")
+    assert(r.report.afterDecontamination === 6, "the eval-bearing doc drops")
+
+    val curatedTexts = r.curated.select("text").as[String].collect().toSeq
+    assert(curatedTexts.count(_ === dAccent) === 1,
+      "encoding repair must leave exactly the clean accented original")
+    assert(!curatedTexts.contains(dMoji))
+    assert(curatedTexts.exists(_.contains("<EMAIL>")) &&
+      !curatedTexts.exists(_.contains("alice@example.com")))
+    assert(!curatedTexts.exists(_.contains("secret eval benchmark")))
+    assert(!curatedTexts.exists(_.contains("alpha beta")),
+      "the corpus-duplicated opening paragraph is gone from both carriers")
+    assert(curatedTexts.contains(tailA) && curatedTexts.contains(tailB))
+
+    // pack conservation: every curated token lands in a pack, none
+    // invented — the handoff contract of the packing stage
+    val curatedTok = r.curated
+      .select(graft.operators.TextAnalysis.tokenCount(col("text")).as("n"))
+      .as[Int].collect().map(_.toLong).sum
+    assert(r.report.packedTokens === curatedTok,
+      s"packed ${r.report.packedTokens} != curated $curatedTok tokens")
+    assert(r.report.packs >= 1)
   }
 
   test("urlFilter: URL-less docs bypass canonical dedup instead of collapsing") {
