@@ -973,6 +973,40 @@ object ExtensionQueries {
         .orderBy(col("a"), col("b"))
     }),
 
+    // --- near-dup threshold operating curve (x116) ----------------------
+    // The x111/x115 sweep applied to the dedup dial: for each Jaccard
+    // threshold in {0.50, 0.55, …, 1.00}, how many verified pairs
+    // survive and how many documents carry at least one >= thr pair
+    // (the upper bound on docs a dedup at thr would touch) — the
+    // planning table that picks the near-dup threshold for a retention
+    // target BEFORE paying for the full dedup (the x112/x113 family).
+    // ONE pass over the x02 pair relation: integer centi-Jaccard
+    // buckets (jc DIV 5 >= i ⟺ jaccard >= i·0.05 exactly on the
+    // 5%-grid — no float seam), per-doc MAX bucket, generator suffix
+    // sums; no join, no per-threshold rescan. FULL oracle.
+    "x116_neardup_threshold_curve" -> ((s, d) => {
+      val withJc = jaccardPairs(s, d)
+        .select(col("a"), col("b"),
+          expr("CAST(round(jaccard * 100) AS INT) DIV 5").as("bk"))
+      val pAt = withJc.groupBy(col("bk")).agg(count(lit(1)).as("np"))
+        .select(explode(sequence(lit(10L), col("bk").cast("long"))).as("i"),
+          col("np"), lit(0L).as("nd"))
+      val dAt = withJc
+        .select(explode(array(col("a"), col("b"))).as("id"), col("bk"))
+        .groupBy(col("id")).agg(max(col("bk")).as("mbk"))
+        .groupBy(col("mbk")).agg(count(lit(1)).as("nd"))
+        .select(explode(sequence(lit(10L), col("mbk").cast("long"))).as("i"),
+          lit(0L).as("np"), col("nd"))
+      val zeros = s.range(10, 21)
+        .select(col("id").as("i"), lit(0L).as("np"), lit(0L).as("nd"))
+      pAt.unionByName(dAt).unionByName(zeros)
+        .groupBy(col("i"))
+        .agg(sum(col("np")).as("n_pairs"), sum(col("nd")).as("n_docs"))
+        .select((col("i") * 5).cast("int").as("thr_pct"),
+          col("n_pairs"), col("n_docs"))
+        .orderBy(col("thr_pct"))
+    }),
+
     // --- skew handling ----------------------------------------------------
     // salted shuffle join: identical relation to the plain join (the
     // oracle IS the unsalted SQL); the salt spreads each hot orderkey
@@ -1439,6 +1473,41 @@ object ExtensionQueries {
     // coalesce(root, id) group key. Spark's md5(CAST(long AS STRING))
     // and DuckDB's md5(CAST(BIGINT AS VARCHAR)) agree on the decimal
     // rendering, the x22 hashPrefix convention.
+    // same pair chain as x02 (inter/sizes), then the integer
+    // centi-Jaccard bucket arithmetic the engine uses verbatim
+    "x116_neardup_threshold_curve" ->
+      s"""WITH $docsWithDupsSql,
+         |tok AS (SELECT id, string_split_regex(lower(trim(text)), '\\s+') AS ts FROM docs),
+         |sh AS (
+         |  SELECT DISTINCT id, array_to_string(ts[i:i+2], ' ') AS shingle
+         |  FROM tok, unnest(generate_series(1, greatest(len(ts) - 2, 1))) AS t(i)
+         |  WHERE array_to_string(ts[i:i+2], ' ') <> ''
+         |),
+         |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+         |inter AS (
+         |  SELECT x.id AS a, y.id AS b, count(*) AS icnt
+         |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.id < y.id
+         |  GROUP BY 1, 2
+         |),
+         |p2 AS (
+         |  SELECT a, b, CAST(round(jaccard * 100) AS INT) // 5 AS bk FROM (
+         |    SELECT a, b, CAST(icnt AS DOUBLE) / (sa.sz + sb.sz - icnt) AS jaccard
+         |    FROM inter JOIN sizes sa ON sa.id = a JOIN sizes sb ON sb.id = b
+         |  ) WHERE jaccard >= 0.5
+         |),
+         |pb AS (SELECT bk, count(*) AS np FROM p2 GROUP BY bk),
+         |db AS (
+         |  SELECT id, max(bk) AS mbk FROM (
+         |    SELECT a AS id, bk FROM p2 UNION ALL SELECT b, bk FROM p2
+         |  ) GROUP BY id
+         |),
+         |dbb AS (SELECT mbk, count(*) AS nd FROM db GROUP BY mbk),
+         |t AS (SELECT unnest(generate_series(10, 20)) AS i)
+         |SELECT CAST(i * 5 AS INT) AS thr_pct,
+         |  CAST(coalesce((SELECT sum(np) FROM pb WHERE pb.bk >= t.i), 0) AS BIGINT) AS n_pairs,
+         |  CAST(coalesce((SELECT sum(nd) FROM dbb WHERE dbb.mbk >= t.i), 0) AS BIGINT) AS n_docs
+         |FROM t ORDER BY thr_pct""".stripMargin,
+
     "x110n_cluster_group_split" ->
       s"""WITH RECURSIVE $docsWithDupsSql,
          |$nearDupCcSql,
