@@ -34,14 +34,24 @@ object CurationQueries {
     * predicate — no float ratio crosses the oracle boundary.
     */
   def gopherStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ts = tokens(col(textCol))
-    docs.select(col(idCol),
+    // the token array binds ONCE (the windowGrams lesson): five stat
+    // columns referenced it, and whenever a wide curation projection
+    // overflows codegen into interpreted eval nothing de-duplicates the
+    // five tokenize subtrees — a 5x scan multiplier on every document
+    val g = element_at(transform(array(tokens(col(textCol))), ts => struct(
       size(ts).as("n_words"),
-      length(regexp_replace(col(textCol), "\\s+", "")).as("n_nonspace_chars"),
       size(filter(ts, t => t.rlike("[a-z]"))).as("n_alpha_words"),
       size(filter(ts, t => t.rlike("^[^a-z0-9]+$"))).as("n_symbol_words"),
       size(array_intersect(array_distinct(ts),
-        array(stopMarkers.map(lit): _*))).as("n_stop_distinct"))
+        array(stopMarkers.map(lit): _*))).as("n_stop_distinct"))), 1)
+    docs.select(col(idCol), g.as("__g"),
+        length(regexp_replace(col(textCol), "\\s+", "")).as("n_nonspace_chars"))
+      .select(col(idCol),
+        col("__g").getField("n_words").as("n_words"),
+        col("n_nonspace_chars"),
+        col("__g").getField("n_alpha_words").as("n_alpha_words"),
+        col("__g").getField("n_symbol_words").as("n_symbol_words"),
+        col("__g").getField("n_stop_distinct").as("n_stop_distinct"))
   }
 
   /** Gopher quality rules over the stats columns, as integer/boolean

@@ -76,22 +76,37 @@ object TextAnalysis {
     */
   def qualityFeatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
-    val nTok = tokenCount(t)
     val nChar = length(t)
-    val stopRatio = langScore(t, "en")
-    val punct = regexp_count(t, lit("[^a-zA-Z0-9\\s]")).cast("double") /
-      greatest(nChar, lit(1)).cast("double")
-    val meanTokLen = nChar.cast("double") / greatest(nTok, lit(1)).cast("double")
-    docs.select(col(idCol),
-      nChar.as("n_chars"),
-      nTok.as("n_tokens"),
-      round(meanTokLen, 6).as("mean_token_len"),
-      round(stopRatio, 6).as("stopword_ratio"),
-      round(punct, 6).as("punct_ratio"),
-      round(
-        least(nTok.cast("double") / 100.0, lit(1.0)) * 0.5 +
-          (lit(1.0) - least(punct * 5.0, lit(1.0))) * 0.3 +
-          least(stopRatio * 10.0, lit(1.0)) * 0.2, 6).as("quality"))
+    // token count and stopword ratio derive from ONE bound token array
+    // (the windowGrams lesson — the direct form tokenized up to 4x per
+    // row whenever a wide curation projection fell out of codegen);
+    // the punct count is a single regexp the same binding carries
+    val feats = element_at(transform(array(tokens(t)), ts => {
+      val nTok = size(ts)
+      val dts = array_distinct(ts)
+      val stopRatio =
+        size(array_intersect(dts, array(langMarkers.toMap.apply("en").map(lit): _*)))
+          .cast("double") / greatest(size(dts), lit(1)).cast("double")
+      val punct = regexp_count(t, lit("[^a-zA-Z0-9\\s]")).cast("double") /
+        greatest(nChar, lit(1)).cast("double")
+      struct(
+        nTok.as("n_tokens"),
+        round(nChar.cast("double") / greatest(nTok, lit(1)).cast("double"), 6)
+          .as("mean_token_len"),
+        round(stopRatio, 6).as("stopword_ratio"),
+        round(punct, 6).as("punct_ratio"),
+        round(
+          least(nTok.cast("double") / 100.0, lit(1.0)) * 0.5 +
+            (lit(1.0) - least(punct * 5.0, lit(1.0))) * 0.3 +
+            least(stopRatio * 10.0, lit(1.0)) * 0.2, 6).as("quality"))
+    }), 1)
+    docs.select(col(idCol), nChar.as("n_chars"), feats.as("__f"))
+      .select(col(idCol), col("n_chars"),
+        col("__f").getField("n_tokens").as("n_tokens"),
+        col("__f").getField("mean_token_len").as("mean_token_len"),
+        col("__f").getField("stopword_ratio").as("stopword_ratio"),
+        col("__f").getField("punct_ratio").as("punct_ratio"),
+        col("__f").getField("quality").as("quality"))
   }
 
   /** Content-defined document fingerprint: md5 over the sorted distinct

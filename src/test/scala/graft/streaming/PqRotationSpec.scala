@@ -149,5 +149,32 @@ class PqRotationSpec extends graft.SparkSpecBase {
       .as[(String, String, Int, Double)].collect().toSeq
     assert(top3.head._2 === idOf3(mixB) &&
       math.abs(top3.head._4) <= 1e-9, s"got $top3")
+
+    // compaction AFTER a rotation: the rotation already owns the codes
+    // store's mark (base=1), compact() folds the post-rotation batch
+    // dirs into a NEW base and sweeps the rotation-orphaned pre-v1
+    // dirs — the serving surface must be unchanged through it, and a
+    // further batch must keep appending against v1
+    s3.compact()
+    val s4 = stream()
+    assert(s4.pqCodes.select("id").distinct().count() === 46)
+    assert(s4.pqVersions.count() === 2, "compaction must not invent versions")
+    assert(s4.pqDrift.count() === 3, "compaction must not drop ledger rows")
+    writeWarc(warcDir, "d.warc", Seq("http://r/40" -> proseDoc(40)))
+    stream().ingest(warcDir).awaitTermination()
+    val s5 = stream()
+    assert(s5.curated.count() === 47,
+      s"ledger: ${s5.ledger.collect().toSeq}")
+    assert(s5.pqDrift.count() === 4,
+      s"drift: ${s5.pqDrift.collect().toSeq}")
+    assert(s5.pqCodes.select("id").distinct().count() === 47)
+    assert(s5.pqVersions.count() === 2, "no rotation on the healthy batch")
+    val idOf5 = s5.curated.select("text", "doc_id").as[(String, String)]
+      .collect().toMap
+    val top5 = s5.searchPq(Seq(("q", proseDoc(40))).toDF("qid", "text"),
+        "qid", "text", k = 1)
+      .as[(String, String, Int, Double)].collect().toSeq
+    assert(top5.head._2 === idOf5(proseDoc(40)) &&
+      math.abs(top5.head._4) <= 1e-9, s"got $top5")
   }
 }
