@@ -802,7 +802,6 @@ object Similarity {
     }
     val nlist = index.centroids.count()
     val nQ = q.count()
-    val nCorpus = index.assignments.count()
     // exact ground truth over the INDEXED rows (one Q x N scoring pass)
     val qSide = q.select(col("id").as("qid"), col("vec").as("qvec"),
       col("nrm").as("qnrm"))
@@ -815,15 +814,29 @@ object Similarity {
         .orderBy(col("sim").desc, col("nid"))
       scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
     }
-    val truthN = exact.count().toDouble
-    // each truth pair becomes visible at nprobe >= crank of its cell;
-    // each (query, cell) contributes its cell's rows to the scan cost
-    // at nprobe >= crank — both are suffix sums over crank buckets
-    val hitAt = exact.join(cellRanks, Seq("qid", "cell"))
+    // each truth pair becomes visible at nprobe >= crank of its cell —
+    // collected per-crank: <= nlist rows BY CONSTRUCTION, and the one
+    // collect yields both the histogram and the recall denominator, so
+    // the exhaustive pass runs exactly ONCE (a driver-side count of the
+    // truth relation would re-run the Q x N scoring for a scalar)
+    val hitRows = exact.join(cellRanks, Seq("qid", "cell"))
       .groupBy(col("crank")).agg(count(lit(1)).as("hits"))
-    val cellSizes = index.assignments.groupBy(col("cell"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val truthN = hitRows.map(_._2).sum.toDouble
+    // per-cell sizes: <= nlist rows; their sum is the corpus size, so
+    // no separate count scan either
+    val sizeRows = index.assignments.groupBy(col("cell"))
       .agg(count(lit(1)).as("csize"))
-    val scanAt = cellRanks.join(broadcast(cellSizes), Seq("cell"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val nCorpus = sizeRows.valuesIterator.sum
+    import sp.implicits._
+    val hitAt = hitRows.toDF("crank", "hits")
+    // scan cost: each (query, cell) contributes its cell's rows at
+    // nprobe >= crank — suffix sums over crank buckets via the
+    // generator (the x111 shape, no per-nprobe rescan)
+    val sizeLit = typedlit(sizeRows)
+    val scanAt = cellRanks
+      .select(col("crank"), element_at(sizeLit, col("cell")).as("csize"))
       .groupBy(col("crank")).agg(sum(col("csize")).as("rows"))
     val zeros = sp.range(1, nlist + 1)
       .select(col("id").as("nprobe"), lit(0L).as("hits"), lit(0L).as("rows"))

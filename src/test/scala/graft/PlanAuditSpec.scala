@@ -210,6 +210,17 @@ class PlanAuditSpec extends SparkSpecBase {
       s"x111 must not join:\n$plan")
   }
 
+  test("x116's threshold curve never joins: bucket aggregates + a generator") {
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val plan = SparkEntry.queries("x116_neardup_threshold_curve")(spark, sfDir)
+      .queryExecution.sparkPlan
+    // the pair relation arrives pre-materialized (shared memo); the
+    // 11-row curve must fall out of bucket aggregates and a generator —
+    // a per-threshold join against the pairs would rescan them 11 times
+    assert(plan.collect { case j: BaseJoinExec => j }.isEmpty,
+      s"x116 must not join:\n$plan")
+  }
+
   test("x115's per-nprobe rows derive from a generator, never a per-nprobe rescan") {
     import org.apache.spark.sql.execution.GenerateExec
     val plan = SparkEntry.queries("x115_ivf_operating_curve")(spark, sfDir)
