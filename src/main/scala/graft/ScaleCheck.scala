@@ -234,6 +234,59 @@ object ScaleCheck {
       Thread.sleep(500)
     }
 
+    // PQ codebook ROTATION (the x96d response path): retrain + full
+    // re-encode over the accumulated store. This is the one
+    // deliberately state-sized operation in the streaming PQ leg, so
+    // the probe's PASS shape is LINEAR in store size (the flat-cost
+    // probes above pin the per-batch append path; this pins that the
+    // rotation's cost is one honest pass, not super-linear).
+    if (keep("pq_rotate")) for (k <- scales) {
+      val spark = freshSession()
+      import graft.operators.Pq
+      def embBase: DataFrame = Tables(spark, sfDir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val dim = embBase.select(size(col("vec"))).head().getInt(0)
+      val storedVecs = replicate(spark, embBase, k)((df, _) => df)
+        .localCheckpoint(true)
+      val (sec, rows) = time {
+        val cb2 = Pq.train(storedVecs, "id", "vec", m = 8, ks = 16, iters = 1)
+        Pq.encode(storedVecs, "id", "vec", cb2, m = 8, ds = dim / 8).count()
+      }
+      println(f"""{"op":"pq_rotate","scale":$k,"sec":$sec%.2f,"rows":$rows}""")
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      System.gc()
+      Thread.sleep(500)
+    }
+
+    // Filtered IVF search (x114): fixed 10 queries, fixed-selectivity
+    // predicate, corpus replicated — candidate work is selectivity ×
+    // probed cells, so seconds must grow (sub-)linearly in the corpus;
+    // a predicate-defeating rank blowup shows up as super-linear.
+    if (keep("ivf_filt")) for (k <- scales) {
+      val spark = freshSession()
+      import graft.operators.Similarity
+      def embBase: DataFrame = Tables(spark, sfDir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val corpus = replicate(spark, embBase, k)((df, _) => df)
+      val idx = Similarity.ivfBuild(corpus, "id", "vec", nlist = 16)
+      val stored = Similarity.IvfIndex(
+        idx.centroids.localCheckpoint(true),
+        idx.assignments.localCheckpoint(true))
+      val queries = embBase.filter(col("id") < 10).localCheckpoint(true)
+      val (sec, rows) = time {
+        Similarity.ivfSearchFiltered(stored, queries, "id", "vec",
+          k = 5, nprobe = 4, pred = col("nid") % 3 === 0).count()
+      }
+      println(f"""{"op":"ivf_filt","scale":$k,"sec":$sec%.2f,"rows":$rows}""")
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      System.gc()
+      Thread.sleep(500)
+    }
+
     // ANN corpus scaling: FIXED 10 queries against a replicated corpus
     // (ids offset; vectors identical — the replicas are real neighbors,
     // which is fine for top-k, whose output stays k per query). Brute
