@@ -468,18 +468,34 @@ class CorpusStream(spark: SparkSession, workDir: String,
     * they embed with the same hashed-TF function the ingest used, so a
     * query equal to an ingested document scores exact distance 0.
     * Throws before the first codebook-training batch (nothing to serve).
+    *
+    * `pred` (optional) is a metadata predicate over the CURATED store's
+    * columns (url, date, content_hash, …) — "nearest among docs from
+    * this host/license" — applied BEFORE the ADC scan (one semi-join of
+    * the code table against the filtered ids), the x114 discipline: a
+    * post-shortlist filter computes top-k' among unfiltered docs first,
+    * so at high selectivity the true filtered neighbors lose their
+    * shortlist slots and vanish. Filtering the codes directly also
+    * SHRINKS the scan instead of wasting it.
     */
   def searchPq(queryDocs: DataFrame, idCol: String, textCol: String,
-               k: Int, shortlistK: Int = 50): DataFrame = {
+               k: Int, shortlistK: Int = 50,
+               pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val m = pqM.getOrElse(
       throw new IllegalStateException("searchPq requires the pqM leg"))
     val (cb, _, _, _) = storedCodebook.getOrElse(
       throw new IllegalStateException(
         "no stored PQ codebook yet — ingest a non-empty batch first"))
+    val codes = pred match {
+      case None => pqCodes
+      case Some(p) => pqCodes.join(
+        curated.filter(p).select(col("doc_id").as("id")),
+        Seq("id"), "left_semi")
+    }
     val q = queryDocs.select(col(idCol).as("qid"),
       TextAnalysis.hashedTfEmbedding(col(textCol), SemDim).as("emb"))
     val shortlist = graft.operators.Pq.adcTopK(
-      q.withColumnRenamed("qid", "id"), pqCodes, cb, "id", "emb",
+      q.withColumnRenamed("qid", "id"), codes, cb, "id", "emb",
       m, SemDim / m, shortlistK)
     graft.operators.IvfPq.rerank(shortlist,
       q.select(col("qid").as("id"), col("emb").as("vec")),

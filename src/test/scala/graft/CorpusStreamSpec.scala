@@ -378,6 +378,27 @@ class CorpusStreamSpec extends SparkSpecBase {
       s"re-ranked distance of exact members must be 0, got $top")
     assert(top.size === 3 && math.abs(top(2)._4) > 1e-6,
       s"rank 3 is a genuine non-duplicate, got $top")
+
+    // FILTERED serving (the x114 discipline riding searchPq): the same
+    // query restricted to host c.example must return c ALONE at
+    // distance 0 (a, the global co-winner, is on host a.example and
+    // must not leak past the predicate); restricted to e.example the
+    // zero-distance twins vanish entirely and the bakery doc wins at a
+    // genuine nonzero distance — the result a post-shortlist filter
+    // could only produce by luck, and at high selectivity not at all
+    import org.apache.spark.sql.functions.{col => c_}
+    val onC = s.searchPq(Seq(("q1", a)).toDF("qid", "text"),
+        "qid", "text", k = 3,
+        pred = Some(c_("url").startsWith("http://c.example/")))
+      .as[(String, String, Int, Double)].collect().toSeq.sortBy(_._3)
+    assert(onC.map(_._2) === Seq(idOf(c), idOf(d)), s"got $onC")
+    assert(math.abs(onC.head._4) <= 1e-6)
+    val onE = s.searchPq(Seq(("q1", a)).toDF("qid", "text"),
+        "qid", "text", k = 3,
+        pred = Some(c_("url").startsWith("http://e.example/")))
+      .as[(String, String, Int, Double)].collect().toSeq
+    assert(onE.size === 1 && onE.head._4 > 1e-6,
+      s"only the bakery doc is on e.example, got $onE")
   }
 
   // a WARC record with NO WARC-Target-URI header at all (some archives
