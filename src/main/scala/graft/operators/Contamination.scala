@@ -359,6 +359,44 @@ object Contamination {
         .orderBy(col("doc_id"))
     }),
 
+    // --- decontamination threshold operating curve (x117) --------------
+    // the fourth of the engine's operating-curve dials (x111 quality,
+    // x115 nprobe, x116 near-dup Jaccard): for each maxContamFrac in
+    // {0%, 2%, …, 40%}, the TRAIN docs (and their tokens) a
+    // decontamination pass at that threshold would drop for
+    // eval-window overlap — the table that trades leakage risk against
+    // retained tokens before running the pipeline. One pass: per-train-
+    // doc exact contaminated-window fraction (the x33 relation with
+    // the sides swapped), integer micro-unit buckets (fi > j·20000 ⟺
+    // frac > j·2% exactly — the x111 quantization), generator prefix
+    // expansion; no join, no per-threshold rescan. FULL oracle.
+    "x117_decontam_threshold_curve" -> ((s, d) => {
+      val w = windowsMemo(s, d)
+      val trainFrac = decontaminationFromWindows(
+        winSplit(w, train = true), winSplit(w, train = false))
+      val toks = Tables(s, d, "documents")
+        .select(col("doc_id").as("id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("tk"))
+      val contrib = trainFrac.join(toks, Seq("id"))
+        .select(round(col("contam_frac") * 1e6).cast("long").as("fi"),
+          col("tk"))
+        // fi = 0 never drops; filtering first keeps the DIV operands
+        // non-negative (Spark truncates toward zero, DuckDB floors —
+        // they only agree on non-negatives)
+        .filter(col("fi") > 0)
+        .select(explode(sequence(lit(0L),
+            least(expr("(fi - 1) DIV 20000"), lit(20L)))).as("j"),
+          lit(1L).as("one"), col("tk"))
+      val zeros = s.range(0, 21)
+        .select(col("id").as("j"), lit(0L).as("one"), lit(0L).as("tk"))
+      contrib.unionByName(zeros)
+        .groupBy(col("j"))
+        .agg(sum(col("one")).as("n_dropped"), sum(col("tk")).as("tokens_dropped"))
+        .select((col("j") * 2).cast("int").as("thr_pct"),
+          col("n_dropped"), col("tokens_dropped"))
+        .orderBy(col("thr_pct"))
+    }),
+
     // broadcast-Bloom variant of x33 (rows-only: the sketch's bit layout
     // is engine-specific; certified by the x38g gate below)
     "x38_decontam_bloom" -> ((s, d) => {
@@ -448,6 +486,46 @@ object Contamination {
         |  CAST(NULL AS DOUBLE) AS contam_frac,
         |  CAST(NULL AS DOUBLE) AS bloom_frac
         |WHERE false""".stripMargin,
+
+    // x33's window/side arithmetic with the sides swapped (train docs
+    // vs the eval window set), then the engine's integer micro-unit
+    // bucket arithmetic verbatim
+    "x117_decontam_threshold_curve" ->
+      s"""WITH tok AS (SELECT doc_id, $TokArr AS ts FROM documents),
+         |w AS (
+         |  SELECT DISTINCT doc_id AS id,
+         |    md5(array_to_string(ts[i : i + 4], ' ')) AS w
+         |  FROM tok, unnest(generate_series(1, greatest(len(ts) - 4, 1))) AS t(i)
+         |),
+         |ev AS (
+         |  SELECT DISTINCT w.w FROM w
+         |  WHERE substr(md5(CAST(id AS VARCHAR)), 1, 2) BETWEEN 'e6' AND 'ff'
+         |),
+         |tr AS (
+         |  SELECT id, w.w FROM w
+         |  WHERE substr(md5(CAST(id AS VARCHAR)), 1, 2) BETWEEN '00' AND 'cb'
+         |),
+         |fr AS (
+         |  SELECT id,
+         |    round(avg(CASE WHEN ev.w IS NOT NULL THEN 1.0 ELSE 0.0 END), 6) AS f
+         |  FROM tr LEFT JOIN ev ON tr.w = ev.w GROUP BY id
+         |),
+         |tk AS (
+         |  SELECT doc_id AS id,
+         |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS BIGINT) AS tk
+         |  FROM documents
+         |),
+         |c AS (
+         |  SELECT least((CAST(round(f * 1000000) AS BIGINT) - 1) // 20000, 20) AS cap, tk.tk
+         |  FROM fr JOIN tk USING (id)
+         |  WHERE CAST(round(f * 1000000) AS BIGINT) > 0
+         |),
+         |t2 AS (SELECT unnest(generate_series(0, 20)) AS j)
+         |SELECT CAST(j * 2 AS INT) AS thr_pct,
+         |  CAST(coalesce(sum(CASE WHEN c.cap >= t2.j THEN 1 END), 0) AS BIGINT) AS n_dropped,
+         |  CAST(coalesce(sum(CASE WHEN c.cap >= t2.j THEN c.tk END), 0) AS BIGINT) AS tokens_dropped
+         |FROM t2 LEFT JOIN c ON c.cap >= t2.j
+         |GROUP BY j ORDER BY thr_pct""".stripMargin,
 
     "x97_semantic_decontam" ->
       s"""WITH tok AS (
