@@ -256,6 +256,17 @@ object ExtensionQueries {
         k = Int.MaxValue)
     }
 
+  /** The x115 operating curve, computed once per (session, dir): the
+    * exhaustive ground-truth pass is the family's most expensive job,
+    * and x115 + x115g both consume the identical 16-row table.
+    */
+  private def ivfCurveShared(s: SparkSession, d: String): DataFrame =
+    once(s, d, "ivf_operating_curve") {
+      Similarity.ivfOperatingCurve(ivfIndexShared(s, d),
+        rebalanced(Tables(s, d, "embeddings")).filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+    }
+
   private def annFiltered(s: SparkSession, d: String): DataFrame =
     once(s, d, "ann_filtered") {
       val e = rebalanced(Tables(s, d, "embeddings"))
@@ -693,10 +704,7 @@ object ExtensionQueries {
     // (hash-seeded cells); the monotonicity + exhaustive-endpoint gate
     // below carries the oracle.
     "x115_ivf_operating_curve" -> ((s, d) =>
-      Similarity.ivfOperatingCurve(ivfIndexShared(s, d),
-        rebalanced(Tables(s, d, "embeddings")).filter(col("vec_id") < 10),
-        "vec_id", "embedding", k = 5)
-        .orderBy(col("nprobe"))),
+      ivfCurveShared(s, d).orderBy(col("nprobe"))),
 
     // Gate (empty-set oracle): the curve must be a valid operating
     // curve — recall non-decreasing in nprobe, scan fraction
@@ -705,10 +713,7 @@ object ExtensionQueries {
     // serving dial).
     "x115g_ivf_curve_gate" -> ((s, d) => {
       import s.implicits._
-      val rows = Similarity.ivfOperatingCurve(ivfIndexShared(s, d),
-          rebalanced(Tables(s, d, "embeddings")).filter(col("vec_id") < 10),
-          "vec_id", "embedding", k = 5)
-        .orderBy(col("nprobe"))
+      val rows = ivfCurveShared(s, d).orderBy(col("nprobe"))
         .select(col("nprobe"), col("recall_at_k"), col("scan_frac"))
         .as[(Int, Double, Double)].collect().toSeq
       val mono = rows.sliding(2).collect {

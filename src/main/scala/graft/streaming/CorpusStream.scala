@@ -143,13 +143,33 @@ class CorpusStream(spark: SparkSession, workDir: String,
     * written BEFORE the `_compacted` marker moves atomically; until the
     * marker lands, readers keep using the old base + batch dirs, and a
     * stale half-written base dir is simply overwritten by the next
-    * attempt. Call between [[ingest]] drains (single writer).
+    * attempt. Call between [[ingest]] drains (single writer) — and
+    * only between COMPLETED drains: folding an uncommitted batch's
+    * dirs into the base would defeat the replay guard's
+    * batch-provenance exclusion (the replayed batch would dedup
+    * against its own folded rows, and the export leg — which has no
+    * mark by design — would overwrite its real shards with an empty
+    * rewrite). The guard below refuses instead of corrupting.
     */
-  def compact(): Unit =
+  def compact(): Unit = {
+    // uncommitted-batch detector: the stream checkpoint records an
+    // offsets file per STARTED batch and a commits file per FINISHED
+    // one; a pending replay shows as offsets ahead of commits
+    def maxId(sub: String): Long = {
+      val d = new java.io.File(s"$workDir/chk/$sub")
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .flatMap(f => f.getName.toLongOption).foldLeft(-1L)(math.max)
+    }
+    val (off, com) = (maxId("offsets"), maxId("commits"))
+    require(off == com,
+      s"batch $off started but not committed — a crashed drain is " +
+        "pending replay; run ingest() to completion before compacting " +
+        "(folding the uncommitted batch would defeat the replay guard)")
     Seq(curatedPath, bandPath, docArrPath, ledgerPath, dlqPath,
       vecPath, vecBucketPath, semDupPath, winPath, passSpanPath,
       pqCodesPath, pqDriftPath, pqMetaPath, exportManifestPath)
       .foreach(compactOne)
+  }
     // exportPath is deliberately NOT compacted: its batch=N/shard=K
     // layout IS the trainer handoff format — folding it would destroy
     // the shard partitioning the manifests describe.
@@ -337,9 +357,23 @@ class CorpusStream(spark: SparkSession, workDir: String,
     * crash-replayed batch redoes the (deterministic) rotation
     * byte-identically.
     */
-  def pqVersions: DataFrame = readOr(pqMetaPath,
-    Seq.empty[(Long, Double, Long, Long)]
-      .toDF("version", "train_err_sum", "train_n", "batch_id"))
+  def pqVersions: DataFrame = {
+    // a workDir written before codebook versioning stored the meta as
+    // flat parquet at this path's ROOT; silently reading it as "never
+    // trained" would retrain v=0 on one batch while the stored codes
+    // keep the OLD codebook's assignments — a permanently mixed code
+    // table. Refuse loudly instead.
+    val legacy = Option(new java.io.File(pqMetaPath).listFiles())
+      .getOrElse(Array.empty)
+      .exists(f => f.isFile && f.getName.startsWith("part-"))
+    require(!legacy,
+      s"$pqMetaPath holds a pre-versioning flat layout — this engine " +
+        "reads only the versioned ledger (pqmeta/batch=N + " +
+        "pqcodebook/v=K); re-ingest into a fresh workDir")
+    readOr(pqMetaPath,
+      Seq.empty[(Long, Double, Long, Long)]
+        .toDF("version", "train_err_sum", "train_n", "batch_id"))
+  }
 
   /** The version ledger as driver rows, ascending version — one row
     * per training event, parameter-server sized by construction.
@@ -731,9 +765,23 @@ class CorpusStream(spark: SparkSession, workDir: String,
               val cb2 = Pq.train(corpus, "id", "vec", m, PqKs, PqIters)
               cb2.centroids.coalesce(1).write.mode("overwrite")
                 .parquet(s"$pqCbPath/v=${ver + 1}")
+              // write-then-rename (the compactOne discipline): on a
+              // crash-REPLAYED rotation the mark already points at
+              // base=N, and an in-place overwrite would first delete
+              // the live marked base — a second crash mid-write would
+              // leave readers a partial dir that fails schema
+              // inference. With the rename, the worst window is a
+              // missing base (readOr simply skips it: degraded, never
+              // crashing) until the next replay completes.
+              val codesDir = new java.io.File(pqCodesPath)
+              codesDir.mkdirs()
+              val tmp = new java.io.File(codesDir, ".rot_tmp")
+              if (tmp.exists()) deleteRec(tmp)
               Pq.encode(corpus, "id", "vec", cb2, m, ds)
-                .write.mode("overwrite")
-                .parquet(s"$pqCodesPath/base=$batchId")
+                .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+              val base = new java.io.File(codesDir, s"base=$batchId")
+              if (base.exists()) deleteRec(base)
+              require(tmp.renameTo(base), s"rotation rename failed: $base")
               moveMark(pqCodesPath, batchId)
               overwriteBatch(
                 Seq((ver + 1, cb2.errors.last, n2, batchId))

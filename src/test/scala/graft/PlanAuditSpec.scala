@@ -221,14 +221,21 @@ class PlanAuditSpec extends SparkSpecBase {
       s"x116 must not join:\n$plan")
   }
 
-  test("x115's per-nprobe rows derive from a generator, never a per-nprobe rescan") {
+  test("the operating-curve operator expands nprobe via a generator, never a per-nprobe rescan") {
     import org.apache.spark.sql.execution.GenerateExec
-    val plan = SparkEntry.queries("x115_ivf_operating_curve")(spark, sfDir)
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    // pin the OPERATOR's plan (the declared x115 serves a shared
+    // checkpointed memo, which hides the shape): the x111 suffix-sum
+    // form — crank buckets explode their covered nprobe values through
+    // ONE Generate; a join or window keyed by nprobe would rescan the
+    // assignment relation up to nlist times
+    val e = Tables(spark, sfDir, "embeddings")
+    val plan = Similarity.ivfOperatingCurve(
+        Similarity.ivfBuild(e, "vec_id", "embedding", nlist = 8),
+        e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3)
       .queryExecution.sparkPlan
-    // the x111 suffix-sum shape: crank buckets explode their covered
-    // nprobe values through ONE Generate — a join or window keyed by
-    // nprobe would rescan the assignment relation up to nlist times
     assert(plan.collect { case g: GenerateExec => g }.nonEmpty,
-      s"x115 must expand nprobe via a generator:\n$plan")
+      s"the curve must expand nprobe via a generator:\n$plan")
   }
 }
