@@ -690,12 +690,32 @@ object ExtensionQueries {
     // contract a post-search filter breaks: its top-k is computed
     // before the predicate, so filtered true neighbors lose their
     // slots to unfiltered rows and vanish.
-    "x114r_ann_filtered_recall" -> ((s, d) =>
+    "x114r_ann_filtered_recall" -> ((s, d) => {
+      // precondition, not hope: rank-for-rank equality with brute force
+      // only holds when the measured-selectivity widening SATURATES
+      // (probeEff == nlist — every cell scanned, the search IS
+      // exhaustive-over-kept). That is provably the case for this
+      // fixture through sf0.1, but a larger sf could push keptN past
+      // the saturation point and a true neighbor in an unprobed cell
+      // would fail the gate even though the operator behaves as
+      // designed — so the gate asserts the regime it is valid in and
+      // raises a diagnostic (not a silent red row) outside it.
+      val idx = ivfIndexShared(s, d)
+      val keptN = idx.assignments.filter(x114Pred).count()
+      val nlist = idx.centroids.count()
+      val probeEff = Similarity.filteredProbeWidth(keptN, nlist,
+        k = 5, nprobe = 4, oversample = 20.0)
+      require(probeEff == nlist,
+        s"x114r recall-EQUALITY gate requires widening saturation " +
+          s"(probeEff $probeEff == nlist $nlist); at this scale the " +
+          s"search is legitimately approximate — gate on recall@k >= " +
+          s"threshold instead")
       annFilteredExhaustive(s, d).filter(col("rank") <= 5)
         .select("qid", "rank", "nid", "sim")
         .join(annFiltered(s, d).select("qid", "rank", "nid", "sim"),
           Seq("qid", "rank", "nid", "sim"), "left_anti")
-        .orderBy(col("qid"), col("rank"))),
+        .orderBy(col("qid"), col("rank"))
+    }),
 
     // --- IVF operating curve (x115) -------------------------------------
     // recall@k and scan fraction per nprobe in one pass over the stored

@@ -745,24 +745,61 @@ object Similarity {
   def ivfSearchFiltered(index: IvfIndex, queries: DataFrame,
                         idCol: String, vecCol: String, k: Int, nprobe: Int,
                         pred: Column, oversample: Double = 4.0): DataFrame = {
-    require(nprobe >= 1, "nprobe must be >= 1")
-    require(oversample >= 1.0, "oversample must be >= 1.0")
     val kept = index.assignments.filter(pred)
+    // one measurement pass over the filtered relation per CALL — a
+    // serving layer issuing many batches against one (index, pred)
+    // should measure once and call the kept-relation form below
+    // (keptN from a persisted per-cell stats table shares even that
+    // pass with the index build)
     val keptN = kept.count()
     val nlist = index.centroids.count()
+    val probeEff = filteredProbeWidth(keptN, nlist, k, nprobe, oversample)
+    ivfSearchFilteredKept(index.centroids, kept, queries, idCol, vecCol,
+      k, probeEff)
+  }
+
+  /** Probe width for a filtered search at measured selectivity: widen
+    * from `nprobe` until the EXPECTED filtered candidate pool covers
+    * oversample·k, capped at nlist (scan every cell — the honest floor
+    * at extreme selectivity). Pure arithmetic over two measured
+    * scalars, exposed so gates can assert saturation (probeEff ==
+    * nlist) before demanding recall equality with brute force.
+    */
+  def filteredProbeWidth(keptN: Long, nlist: Long, k: Int, nprobe: Int,
+                         oversample: Double): Int = {
+    require(nprobe >= 1, "nprobe must be >= 1")
+    require(oversample >= 1.0, "oversample must be >= 1.0")
     val perCell = math.max(keptN.toDouble / math.max(nlist, 1L), 1e-9)
-    val probeEff = math.min(nlist,
+    math.min(math.max(nlist, 1L),
       math.max(nprobe.toLong, math.ceil(oversample * k / perCell).toLong)).toInt
+  }
+
+  /** The measured-width half of [[ivfSearchFiltered]]: search `kept`
+    * (the pre-filtered assignment relation) at an already-decided probe
+    * width. This is the repeated-serving entry point — the caller
+    * filters + counts ONCE (or keeps per-cell counts beside the
+    * persisted index) and every query batch pays only the cell-scan
+    * join, no re-measurement pass.
+    */
+  def ivfSearchFilteredKept(centroids: DataFrame, kept: DataFrame,
+                            queries: DataFrame, idCol: String, vecCol: String,
+                            k: Int, probeEff: Int): DataFrame = {
+    require(probeEff >= 1, "probeEff must be >= 1")
     val probes = ivfAssign(withNorm(queries, idCol, vecCol),
-        index.centroids, take = probeEff)
+        centroids, take = probeEff)
       .select(col("id").as("qid"), col("vec").as("qvec"),
         col("nrm").as("qnrm"), col("cell"))
+    // no distinct: every stored vector lives in exactly ONE cell
+    // (ivfAssign take=1 at build/append) and a query's probe cells are
+    // distinct ranks of one window, so (qid, nid) is unique by
+    // construction — a dedup exchange here would re-shuffle the
+    // operator's dominant intermediate for nothing (the multi-TABLE
+    // LSH searches genuinely need it; this one never does)
     val scored = probes.join(kept, Seq("cell"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         round(dot(col("qvec"), col("nvec")) / (col("qnrm") * col("nnrm")), 6)
           .as("sim"))
-      .distinct()
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w))

@@ -238,4 +238,31 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(plan.collect { case g: GenerateExec => g }.nonEmpty,
       s"the curve must expand nprobe via a generator:\n$plan")
   }
+
+  test("filtered ANN search re-shuffles its candidate relation exactly once (the top-k window)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    // pin the OPERATOR's plan (the declared x114 serves a shared
+    // checkpointed memo): (qid, nid) is unique by construction — one
+    // cell per stored vector, distinct probe ranks per query — so the
+    // candidate relation must flow cell-join → top-k window with ONE
+    // hash exchange. A defensive distinct() regression would add a
+    // second exchange over the operator's dominant intermediate.
+    val e = Tables(spark, sfDir, "embeddings")
+    val idx = Similarity.ivfBuild(e, "vec_id", "embedding", nlist = 8)
+    val plan = Similarity.ivfSearchFilteredKept(idx.centroids,
+        idx.assignments.filter(col("nid") % 3 === 0),
+        e.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 3, probeEff = 2)
+      .queryExecution.sparkPlan
+    val hashEx = plan.collect {
+      case x: ShuffleExchangeExec
+        if x.outputPartitioning.toString.contains("hashpartitioning") => x
+    }
+    // two windows hash-exchange: the bounded Q-row probe ranking and
+    // the top-k over candidates — nothing else may shuffle
+    assert(hashEx.size <= 2,
+      s"expected <=2 hash exchanges (probe rank + top-k), got ${hashEx.size}:\n$plan")
+  }
 }
