@@ -85,6 +85,7 @@ object Bench {
           graft.operators.Pca.clearMemo()
           graft.operators.UnigramLm.clearMemo()
           graft.operators.RetrievalQueries.clearMemo()
+          graft.operators.QualityClassifier.clearMemo()
           spark.catalog.clearCache()
           // localCheckpoint blocks (Dedup/BPE iteration state) are NOT
           // dropped by clearCache; left in place they GC-pressure later

@@ -43,7 +43,8 @@ object SparkEntry {
       Coreset.queries ++
       EncodingRepair.queries ++
       ExportQueries.queries ++
-      C4Rules.queries
+      C4Rules.queries ++
+      QualityClassifier.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -74,5 +75,6 @@ object SparkEntry {
       Coreset.oracleSql ++
       EncodingRepair.oracleSql ++
       ExportQueries.oracleSql ++
-      C4Rules.oracleSql
+      C4Rules.oracleSql ++
+      QualityClassifier.oracleSql
 }

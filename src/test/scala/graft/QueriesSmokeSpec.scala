@@ -76,7 +76,9 @@ class QueriesSmokeSpec extends SparkSpecBase {
     "x110ng_cluster_leakage_gate",
     "x114p_ann_filtered_precision",
     "x114r_ann_filtered_recall",
-    "x115g_ivf_curve_gate")
+    "x115g_ivf_curve_gate",
+    "x118g_lr_train_gate",
+    "x118a_lr_advantage_gate")
 
   test("every declared query emits SCALAR columns only (driver pandas-sort compat)") {
     // the driver's correctness harness canonicalizes with a pandas
