@@ -197,6 +197,44 @@ object ScaleCheck {
       Thread.sleep(500)
     }
 
+    // Streaming-decontamination scaling (the CorpusStream decontam-leg
+    // cost model): a FIXED 500-doc batch screened against an eval
+    // window index replicated 1x/4x/16x. The Bloom builds OUTSIDE the
+    // timer (registration-time work, once per eval-set change); the
+    // timed path is the per-batch probe — batch windows against
+    // broadcast sketch bytes — which must be FLAT in eval index size
+    // (mightContain hashes a constant number of bits regardless of
+    // sketch length; only the one-time build and the shipped bytes
+    // grow).
+    import graft.operators.Contamination
+    if (keep("decontam_incr")) for (k <- scales) {
+      val spark = freshSession()
+      def docBase: DataFrame = Tables(spark, sfDir, "documents")
+        .select(col("doc_id").as("id"), col("text"))
+      val baseW = Contamination.tokenWindows(docBase, "id", "text", k = 5)
+        .select(col("w")).distinct()
+      val evalIdx = (0 until k).map { i =>
+        if (i == 0) baseW
+        else baseW.select(xxhash64(col("w"), lit(i)).as("w"))
+      }.reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(true)
+      val bloom = Contamination.bloomOfWindows(evalIdx)
+      val batch = docBase.orderBy("id").limit(500)
+        .select((col("id") + 100000000L).as("id"), col("text"))
+        .localCheckpoint(true)
+      val (sec, rows) = time(
+        Contamination.bloomFracAgainst(
+            Contamination.tokenWindows(batch, "id", "text", k = 5), bloom)
+          .filter(col("bloom_frac") > 0.2).count())
+      println(f"""{"op":"decontam_incr","scale":$k,"sec":$sec%.2f,"rows":$rows}""")
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      System.gc()
+      Thread.sleep(500)
+    }
+
     // Incremental PQ-code maintenance scaling (the x96 cost model): a
     // FIXED 500-vector batch encoded + drift-checked against a stored
     // codebook while the stored CODES relation sits at 1x/4x/16x. The

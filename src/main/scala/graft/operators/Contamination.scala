@@ -133,7 +133,16 @@ object Contamination {
     * construction, and the whole point of the operator.
     */
   def decontaminationBloomFrac(evalW: DataFrame, trainW: DataFrame,
-                               bitsPerItem: Int = 10): DataFrame = {
+                               bitsPerItem: Int = 10): DataFrame =
+    bloomFracAgainst(evalW, bloomOfWindows(trainW, bitsPerItem))
+
+  /** The build half: aggregate a window relation into Bloom sketch
+    * bytes — a BOUNDED driver artifact a caller persists or caches and
+    * probes across many batches (the streaming decontamination leg
+    * builds it once per eval-index registration, not once per
+    * micro-batch).
+    */
+  def bloomOfWindows(trainW: DataFrame, bitsPerItem: Int = 10): Array[Byte] = {
     val spark = trainW.sparkSession
     graft.functions.GraftExtensions.register(spark)
     val items = math.max(trainW.count(), 1L)
@@ -158,10 +167,17 @@ object Contamination {
     val maxItems = spark.conf
       .getOption("spark.sql.optimizer.runtime.bloomFilter.maxNumItems")
       .flatMap(_.toLongOption).getOrElse(4000000L)
-    val bloom = trainW.agg(
+    trainW.agg(
       graft.functions.GraftExtensions.bloomAgg(
         col("w"), lit(math.min(items, maxItems)), lit(numBits)).as("bf"))
       .head().getAs[Array[Byte]](0)
+  }
+
+  /** The probe half: per-id window fraction that MIGHT be in the
+    * sketch — pure scan-side work against broadcast-literal bytes.
+    */
+  def bloomFracAgainst(evalW: DataFrame, bloom: Array[Byte]): DataFrame = {
+    graft.functions.GraftExtensions.register(evalW.sparkSession)
     evalW.groupBy(col("id"))
       .agg(round(avg(
         when(graft.functions.GraftExtensions.mightContain(lit(bloom), col("w")),

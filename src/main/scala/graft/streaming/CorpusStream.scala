@@ -6,7 +6,8 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.{LongType, StringType, StructType, TimestampType}
 
 import graft.CorpusPipeline
-import graft.operators.{Components, Dedup, PassageDedup, Similarity, TextAnalysis}
+import graft.operators.{Components, Contamination, Dedup, PassageDedup,
+  Similarity, TextAnalysis}
 import graft.sources.WarcCodec
 
 /** Incremental corpus ingestion — the growing-corpus form of
@@ -90,6 +91,11 @@ class CorpusStream(spark: SparkSession, workDir: String,
   private val pqCbPath = s"$workDir/pqcodebook"
   private val pqMetaPath = s"$workDir/pqmeta"
   private val pqDriftPath = s"$workDir/pqdrift"
+  // reference state, not batch-keyed: the registered eval split's
+  // distinct window hashes ([[indexEvalSet]]) — the decontamination
+  // leg's probe target
+  private val evalWindowPath = s"$workDir/evalwindows"
+  private val contamLedgerPath = s"$workDir/contamledger"
   private val SemBits = 8
   private val SemTables = 8
   private val PqKs = 16
@@ -167,7 +173,8 @@ class CorpusStream(spark: SparkSession, workDir: String,
         "(folding the uncommitted batch would defeat the replay guard)")
     Seq(curatedPath, bandPath, docArrPath, ledgerPath, dlqPath,
       vecPath, vecBucketPath, semDupPath, winPath, passSpanPath,
-      pqCodesPath, pqDriftPath, pqMetaPath, exportManifestPath)
+      pqCodesPath, pqDriftPath, pqMetaPath, exportManifestPath,
+      contamLedgerPath)
       .foreach(compactOne)
   }
     // exportPath is deliberately NOT compacted: its batch=N/shard=K
@@ -299,6 +306,54 @@ class CorpusStream(spark: SparkSession, workDir: String,
   // the persisted window-hash index, id-keyed for replay idempotency
   private def storedWindowIndex: DataFrame = readOr(winPath,
     Seq.empty[(String, Long)].toDF("id", "w"))
+
+  /** Register (or replace) the held-out eval split the ingest must
+    * decontaminate against: persist its DISTINCT window hashes (the x33
+    * relation at cfg.contamWindow) under the workDir. Registering
+    * ENABLES the decontamination leg — every later batch drops arriving
+    * docs whose eval-window fraction exceeds cfg.maxContamFrac, exactly
+    * the batch recipe's stage 10 — so a long-lived ingest can no longer
+    * ship docs the batch pipeline would have refused. Call between
+    * drains (single writer, like [[compact]]); docs already shipped
+    * before registration are not retroactively rewritten (re-screen the
+    * accumulated store offline with the same x38 relation if the eval
+    * set arrives late).
+    */
+  def indexEvalSet(evalDocs: DataFrame, idCol: String, textCol: String): Unit = {
+    Contamination.tokenWindows(evalDocs, idCol, textCol, cfg.contamWindow)
+      .select(col("w")).distinct()
+      .write.mode("overwrite").parquet(evalWindowPath)
+    evalBloomCache = None
+  }
+
+  private def evalIndexRegistered: Boolean = {
+    val d = new java.io.File(evalWindowPath)
+    d.isDirectory && Option(d.listFiles()).getOrElse(Array.empty)
+      .exists(_.getName.startsWith("part-"))
+  }
+
+  /** The Bloom sketch of the registered eval windows — built ONCE per
+    * (instance, registration) from the persisted index and probed by
+    * every batch: per-batch decontamination cost is a scan-side probe
+    * of the batch's own windows against broadcast bytes, flat in eval
+    * index size (the sketch grows, the probe does not — the x38 scale
+    * argument riding the stream).
+    */
+  @volatile private var evalBloomCache: Option[Array[Byte]] = None
+  private def evalBloom: Option[Array[Byte]] =
+    if (!evalIndexRegistered) None
+    else evalBloomCache.orElse {
+      val b = Contamination.bloomOfWindows(spark.read.parquet(evalWindowPath))
+      evalBloomCache = Some(b)
+      Some(b)
+    }
+
+  /** Per-batch decontamination ledger (batch_id, checked,
+    * contam_dropped) — rows appear only while the leg is enabled.
+    */
+  def contamLedger: DataFrame = readOr(contamLedgerPath,
+    Seq.empty[(Long, Long, Long)]
+      .toDF("batch_id", "checked", "contam_dropped"))
 
   /** Per-batch export manifests (shard, n_docs, n_tokens, min_doc,
     * max_doc, checksum, batch_id) — the x108 handoff contract riding
@@ -643,7 +698,36 @@ class CorpusStream(spark: SparkSession, workDir: String,
       .join(afterIndex.select(col("doc_id").as("a")), Seq("a"), "left_semi")
       .join(afterIndex.select(col("doc_id").as("b")), Seq("b"), "left_semi")
       .select(col("a"), col("b"))
-    val accepted = cp(Components.keepCanonical(afterIndex, "doc_id", inBatchPairs))
+    val acceptedPreContam =
+      cp(Components.keepCanonical(afterIndex, "doc_id", inBatchPairs))
+
+    // decontamination leg (opt-in via indexEvalSet): the batch recipe's
+    // stage 10 riding the stream — drop arriving docs whose window
+    // fraction against the registered eval split exceeds the threshold,
+    // BEFORE any state append, so neither the curated store nor any
+    // index/export leg ever carries an eval-contaminated doc. The probe
+    // is the batch's own windows against the instance-cached Bloom of
+    // the PERSISTED eval index: per-batch cost is scan-side, flat in
+    // both corpus history and eval index size. Pure function of (batch,
+    // static reference state) — a crash-replayed batch recomputes the
+    // identical verdicts, no provenance guard needed.
+    val accepted = evalBloom match {
+      case None => acceptedPreContam
+      case Some(bloom) =>
+        val batchW = Contamination.tokenWindows(
+          acceptedPreContam, "doc_id", "text", cfg.contamWindow)
+        val contaminated = Contamination.bloomFracAgainst(batchW, bloom)
+          .filter(col("bloom_frac") > cfg.maxContamFrac)
+          .select(col("id").as("doc_id"))
+        val kept = cp(acceptedPreContam
+          .join(contaminated, Seq("doc_id"), "left_anti"))
+        val nChecked = acceptedPreContam.count()
+        overwriteBatch(
+          Seq((batchId, nChecked, nChecked - kept.count()))
+            .toDF("batch_id", "checked", "contam_dropped"),
+          contamLedgerPath, batchId)
+        kept
+    }
 
     // semantic leg (opt-in): hashed-TF embeddings for the ACCEPTED docs,
     // near-dup FLAGS against the persisted vector index (+ in-batch),
