@@ -157,7 +157,7 @@ class CorpusStream(spark: SparkSession, workDir: String,
     * mark by design — would overwrite its real shards with an empty
     * rewrite). The guard below refuses instead of corrupting.
     */
-  def compact(): Unit = {
+  def compact(acknowledgeNoCheckpoint: Boolean = false): Unit = {
     // uncommitted-batch detector: the stream checkpoint records an
     // offsets file per STARTED batch and a commits file per FINISHED
     // one; a pending replay shows as offsets ahead of commits
@@ -166,16 +166,44 @@ class CorpusStream(spark: SparkSession, workDir: String,
       Option(d.listFiles()).getOrElse(Array.empty)
         .flatMap(f => f.getName.toLongOption).foldLeft(-1L)(math.max)
     }
-    val (off, com) = (maxId("offsets"), maxId("commits"))
-    require(off == com,
-      s"batch $off started but not committed — a crashed drain is " +
-        "pending replay; run ingest() to completion before compacting " +
-        "(folding the uncommitted batch would defeat the replay guard)")
-    Seq(curatedPath, bandPath, docArrPath, ledgerPath, dlqPath,
+    val stores = Seq(curatedPath, bandPath, docArrPath, ledgerPath, dlqPath,
       vecPath, vecBucketPath, semDupPath, winPath, passSpanPath,
       pqCodesPath, pqDriftPath, pqMetaPath, exportManifestPath,
       contamLedgerPath)
-      .foreach(compactOne)
+    val (off, com) = (maxId("offsets"), maxId("commits"))
+    // a missing checkpoint with batch dirs on disk is NOT "no pending
+    // replay" — it is "this writer cannot tell" (state written through
+    // direct processBatch calls, or a checkpoint relocated/cleared).
+    // Silently treating unknown as safe would fold a possibly-
+    // uncommitted batch into the base, which is exactly the corruption
+    // the detector exists to refuse — so the caller must acknowledge it
+    // explicitly (it alone knows every batch completed).
+    val hasBatchDirs = stores.exists { p =>
+      Option(new java.io.File(p).listFiles()).getOrElse(Array.empty)
+        .exists(f => f.isDirectory && f.getName.startsWith("batch="))
+    }
+    if (off == -1L && com == -1L && hasBatchDirs)
+      require(acknowledgeNoCheckpoint,
+        s"$workDir holds batch dirs but no stream checkpoint — the " +
+          "uncommitted-batch detector cannot run. If every batch is " +
+          "known complete (e.g. state written via direct processBatch " +
+          "calls), pass acknowledgeNoCheckpoint = true")
+    else require(off == com,
+      s"batch $off started but not committed — a crashed drain is " +
+        "pending replay; run ingest() to completion before compacting " +
+        "(folding the uncommitted batch would defeat the replay guard)")
+    stores.foreach(compactOne)
+    // codebook-version GC: serving reads only the max committed version
+    // and a crash replay of the rotating batch reads max-1; older v=K
+    // dirs are dead weight a long-lived stream with repeated drift
+    // rotations would otherwise accumulate without bound
+    pqMetaRows.lastOption.foreach { case (maxVer, _, _, _) =>
+      Option(new java.io.File(pqCbPath).listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("v=") &&
+          f.getName.stripPrefix("v=").toLongOption.exists(_ < maxVer - 1))
+        .foreach(deleteRec)
+    }
   }
     // exportPath is deliberately NOT compacted: its batch=N/shard=K
     // layout IS the trainer handoff format — folding it would destroy
