@@ -108,10 +108,22 @@ object BpeQueries {
     * exposed so tests can pin the batching actually batches.
     */
   def learnMergesWithPasses(vocab: DataFrame, numMerges: Int,
+      batchSize: Int = 16): (Seq[Merge], Int) =
+    learnMergesOnWithPasses(vocab.select(col("w"), col("freq"),
+      chars(col("w")).as("syms")), numMerges, batchSize)
+
+  /** [[learnMerges]] over a PRE-SYMBOLIZED (w, freq, syms) vocabulary —
+    * the byte-level family passes UTF-8 byte symbols here and the
+    * learner runs unchanged (the alphabet is a parameter, not a fork).
+    */
+  def learnMergesOn(symVocab: DataFrame, numMerges: Int,
+                    batchSize: Int = 16): Seq[Merge] =
+    learnMergesOnWithPasses(symVocab, numMerges, batchSize)._1
+
+  def learnMergesOnWithPasses(symVocab: DataFrame, numMerges: Int,
       batchSize: Int = 16): (Seq[Merge], Int) = {
     require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
-    var v = vocab.select(col("w"), col("freq"),
-        chars(col("w")).as("syms"))
+    var v = symVocab.select(col("w"), col("freq"), col("syms"))
       .localCheckpoint(true)
     val out = Seq.newBuilder[Merge]
     var rank = 1
@@ -211,7 +223,118 @@ object BpeQueries {
       .groupBy(col("subword")).agg(sum(col("freq")).as("cnt"))
   }
 
+  // --- byte-level pretokenization (x119) ---------------------------------
+  // The production-tokenizer front end (GPT-2/Llama-class) the
+  // word-level family lacks: pretokenize RAW text with a regex (case
+  // and punctuation preserved, leading space glued to the word), then
+  // run BPE over the pretokens' UTF-8 BYTES — the alphabet is the 256
+  // byte values, so encode is TOTAL (no OOV; any unseen character
+  // falls back to its bytes) and decode is exact concatenation. Byte
+  // symbols are 2-hex-char strings ("61", "C3", …; fused symbols
+  // concatenate), which keeps the learner/encoder machinery above
+  // UNCHANGED — only the initial symbol array differs — and makes the
+  // DuckDB oracle a plain hex byte-walk.
+
+  /** GPT-2-STYLE pretokenizer pattern, restricted to the RE2-compatible
+    * core (no lookahead — DuckDB's engine): a letter run, a digit run,
+    * or a punctuation run, each optionally absorbing ONE leading space;
+    * residual whitespace runs stand alone. Explicit ASCII whitespace
+    * class on both engines (Java and RE2 disagree about  in \s).
+    */
+  private[graft] val PretokenPattern =
+    " ?[\\p{L}]+| ?[\\p{N}]+| ?[^ \\t\\n\\r\\p{L}\\p{N}]+|[ \\t\\n\\r]+"
+
+  /** Pretokens of a raw text column (they tile the text exactly —
+    * x119g clause B).
+    */
+  def pretokens(text: Column): Column =
+    regexp_extract_all(text, lit(PretokenPattern), lit(0))
+
+  /** UTF-8 bytes of a pretoken as 2-hex-char symbols — the byte-level
+    * alphabet (uppercase hex on both engines).
+    */
+  def byteSyms(pt: Column): Column =
+    regexp_extract_all(hex(encode(pt, "UTF-8")), lit(".."), lit(0))
+
+  /** (w, freq): corpus PRETOKEN vocabulary over raw text — the x119
+    * analog of [[wordVocab]] (case preserved, spaces glued).
+    */
+  def pretokenVocab(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode_outer(pretokens(col(textCol))).as("w"))
+      .filter(col("w").isNotNull)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+
+  /** The non-ASCII exercise rider for the declared x119 family (the
+    * x44 convention: same literal on both engines): multi-byte UTF-8
+    * suffix on doc_id % 5 == 0 docs, so byte fallback is actually on
+    * the measured path, not just possible.
+    */
+  private def augmentedDocs(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "documents").select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 5 === 0, lit(" café naïve"))
+          .otherwise(lit(""))).as("t"))
+
+  /** Byte-level merge table, memoized like [[learnedMerges]]. */
+  def learnedByteMerges(s: SparkSession, d: String,
+                        numMerges: Int = 10): Seq[Merge] = {
+    val k = (s, d, -numMerges) // negative key space: distinct from word-level
+    Option(mergeMemo.get(k)).getOrElse {
+      MemoEviction.register(s, "bpe") { () =>
+        mergeMemo.keySet.removeIf(_._1 eq s)
+      }
+      val vocab = pretokenVocab(augmentedDocs(s, d), "t")
+        .withColumn("syms", byteSyms(col("w")))
+      val v = learnMergesOn(vocab, numMerges)
+      Option(mergeMemo.putIfAbsent(k, v)).getOrElse(v)
+    }
+  }
+
   val queries: Map[String, Q] = Map(
+    // First-iteration byte-pair counts over the pretoken vocabulary,
+    // top-20 — the byte-level analog of x54, hash-checked against a
+    // DuckDB hex byte-walk.
+    "x119_byte_bpe_pair_counts" -> ((s, d) => {
+      val vocab = pretokenVocab(augmentedDocs(s, d), "t")
+      pairCounts(vocab.withColumn("syms", byteSyms(col("w"))), "syms")
+        .orderBy(col("cnt").desc, col("l"), col("r")).limit(20)
+    }),
+
+    // The learned byte-merge table (rows-only, the x54m convention —
+    // the gate below carries the contract).
+    "x119m_byte_bpe_learn" -> ((s, d) => {
+      import s.implicits._
+      learnedByteMerges(s, d)
+        .toDF("rank", "l", "r", "cnt").orderBy(col("rank"))
+    }),
+
+    // Gate (empty-set oracle): encode is TOTAL and decode exact.
+    // (a) pretokens tile every document — their concatenation IS the
+    //     raw text (incl. the multi-byte suffix docs);
+    // (b) for every distinct pretoken, the merged byte segmentation
+    //     concatenates back to the pretoken's exact UTF-8 hex — merges
+    //     only fuse, never drop or mint bytes, and every byte has a
+    //     symbol (no OOV by construction).
+    // decode(encode(x)) == x for every document follows by composing
+    // (b) over (a). Evaluated on the distinct-pretoken vocabulary (the
+    // x81g lesson: never re-run a merge fold per document).
+    "x119g_byte_bpe_roundtrip_gate" -> ((s, d) => {
+      val merges = learnedByteMerges(s, d)
+      val docs = augmentedDocs(s, d)
+      val tiling = docs
+        .filter(array_join(pretokens(col("t")), "") =!= col("t"))
+        .select(col("doc_id").cast("string").as("item"),
+          lit("pretokens do not tile the text").as("violation"))
+      val folded = merges.foldLeft(byteSyms(col("w")): Column)(
+        (acc, m) => applyMerge(acc, m.l, m.r))
+      val roundtrip = pretokenVocab(docs, "t")
+        .select(col("w"), array_join(folded, "").as("enc"))
+        .filter(col("enc") =!= hex(encode(col("w"), "UTF-8")))
+        .select(col("w").as("item"),
+          lit("byte segmentation broke the round trip").as("violation"))
+      tiling.unionByName(roundtrip).orderBy(col("item"))
+    }),
+
     // First-iteration weighted pair counts, top-20 under the total
     // deterministic order — the exact quantity the learner maximizes,
     // hash-checked against DuckDB's independent formulation.
@@ -302,6 +425,32 @@ object BpeQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // byte-level pair counts: an independent DuckDB hex byte-walk —
+    // same pretokenizer regex (RE2-compatible by construction), UTF-8
+    // bytes via hex(encode(w)) split into 2-char symbols
+    "x119_byte_bpe_pair_counts" ->
+      """WITH a AS (
+        |  SELECT text || CASE WHEN doc_id % 5 = 0 THEN ' café naïve' ELSE '' END AS t
+        |  FROM documents
+        |), w AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(regexp_extract_all(t, ' ?[\p{L}]+| ?[\p{N}]+| ?[^ \t\n\r\p{L}\p{N}]+|[ \t\n\r]+')) AS w
+        |    FROM a)
+        |  GROUP BY w
+        |), s AS (
+        |  SELECT freq, regexp_extract_all(hex(encode(w)), '..') AS cs FROM w
+        |), p AS (
+        |  SELECT cs[i] AS l, cs[i + 1] AS r, freq
+        |  FROM s, unnest(generate_series(1, len(cs) - 1)) AS u(i)
+        |  WHERE len(cs) >= 2
+        |)
+        |SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt
+        |FROM p GROUP BY l, r
+        |ORDER BY cnt DESC, l, r LIMIT 20""".stripMargin,
+
+    "x119g_byte_bpe_roundtrip_gate" ->
+      "SELECT CAST(NULL AS VARCHAR) AS item, CAST(NULL AS VARCHAR) AS violation WHERE 1 = 0",
+
     "x54_bpe_pair_counts" ->
       """WITH w AS (
         |  SELECT w, count(*) AS freq FROM (
