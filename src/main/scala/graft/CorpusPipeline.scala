@@ -58,7 +58,9 @@ object CorpusPipeline {
       contamWindow: Int = 5,
       maxContamFrac: Double = 0.2,
       packBudget: Int = 512,
-      packShards: Int = 8)
+      packShards: Int = 8,
+      splitAssign: Boolean = false,
+      splitClusterThreshold: Double = 0.5)
 
   /** Per-stage surviving-document counts — the corpus ledger a real
     * curation run reports (what was dropped, where, and why).
@@ -68,11 +70,16 @@ object CorpusPipeline {
       keptLanguage: Long, keptGopher: Long, keptRepetition: Long,
       keptQuality: Long, afterExactDedup: Long, afterNearDedup: Long,
       afterParaDedup: Long, afterDecontamination: Long,
-      packs: Long, packedTokens: Long)
+      packs: Long, packedTokens: Long,
+      splitTrain: Long = 0L, splitVal: Long = 0L, splitTest: Long = 0L)
 
+  /** `splits` is Some((doc_id, split)) when cfg.splitAssign is on — the
+    * x110n cluster-group assignment over the pipeline's own output.
+    */
   final case class Result(
       documents: DataFrame, quarantined: DataFrame, curated: DataFrame,
-      packed: DataFrame, report: Report)
+      packed: DataFrame, report: Report,
+      splits: Option[DataFrame] = None)
 
   // The curation stages below are reusable single-batch transforms — the
   // streaming ingest (graft.streaming.CorpusStream) runs the same chain
@@ -255,6 +262,39 @@ object CorpusPipeline {
     val curated = paraKept.join(contaminated, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
 
+    // 10b. cluster-group split assignment (x110n, opt-in): group key =
+    // the canonical near-dup CLUSTER id over the SHIPPED docs at a
+    // LOWER threshold than the dedup drop (dedup collapses >= 0.7
+    // clusters to one member; pairs in [splitClusterThreshold, 0.7)
+    // both survive and are exactly the paraphrase-leakage risk), so no
+    // near-dup chain can straddle train/eval by construction — the
+    // pipeline-level form of the x110ng guarantee. The cluster map is
+    // one (node, root) row per CLUSTERED doc; singletons take the
+    // null-root coalesce path and never shuffle.
+    val splits: Option[DataFrame] =
+      if (!cfg.splitAssign) None
+      else {
+        val splitPairs = Dedup.minhashLshPairs(curated, "doc_id", "text",
+          cfg.shingleN, cfg.numPerm, cfg.bands, cfg.splitClusterThreshold)
+        val roots = Components.connectedComponents(
+          splitPairs.select(col("a"), col("b")))
+        val g = coalesce(col("root"), col("doc_id"))
+        val split = when(graft.operators.SamplingQueries.hashPrefix(g) <=
+              graft.operators.SamplingQueries.TrainHi, "train")
+          .when(graft.operators.SamplingQueries.hashPrefix(g) <=
+            graft.operators.SamplingQueries.ValHi, "val")
+          .otherwise("test")
+        Some(curated.select(col("doc_id"))
+          .join(roots.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"), split.as("split"))
+          .localCheckpoint(true))
+      }
+    val splitCounts = splits.map { sdf =>
+      val m = sdf.groupBy(col("split")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      (m.getOrElse("train", 0L), m.getOrElse("val", 0L), m.getOrElse("test", 0L))
+    }.getOrElse((0L, 0L, 0L))
+
     // 11. sequence packing (x28, keyed variant for the md5 doc ids)
     val packed = PackingQueries.packSequencesKeyed(curated, "doc_id", "text",
       cfg.packBudget, cfg.packShards).localCheckpoint(true)
@@ -263,7 +303,8 @@ object CorpusPipeline {
         coalesce(sum(col("n_tok")), lit(0L)).as("tokens")).head()
 
     Result(docs, quarantined, curated, packed,
-      Report(
+      splits = splits,
+      report = Report(
         ingested = docs.count(),
         quarantinedBlobs = quarantined.count(),
         keptUrl = urlKept.count(),
@@ -276,6 +317,9 @@ object CorpusPipeline {
         afterParaDedup = paraKept.count(),
         afterDecontamination = curated.count(),
         packs = packStats.getLong(0),
-        packedTokens = packStats.getLong(1)))
+        packedTokens = packStats.getLong(1),
+        splitTrain = splitCounts._1,
+        splitVal = splitCounts._2,
+        splitTest = splitCounts._3))
   }
 }

@@ -27,15 +27,15 @@ object SamplingQueries {
     * Shared with every operator that must agree with the x22 split
     * (Contamination's decontamination check) — ONE definition.
     */
-  private[operators] def hashPrefix(key: Column): Column =
+  private[graft] def hashPrefix(key: Column): Column =
     substring(md5(key.cast("string")), 1, 2)
 
   /** The x22 split bounds: train = '00'..TrainHi, val = ..ValHi,
     * test = above ValHi. Operators that slice by split reuse these so a
     * ratio retune cannot silently diverge.
     */
-  private[operators] val TrainHi = "cb"
-  private[operators] val ValHi = "e5"
+  private[graft] val TrainHi = "cb"
+  private[graft] val ValHi = "e5"
 
   val queries: Map[String, Q] = base ++ stratified
 

@@ -123,7 +123,8 @@ class CorpusPipelineSpec extends SparkSpecBase {
       blockedHosts = Set("spam.example"),
       gopherRules = true,
       repetitionGate = true,
-      encodingFix = true)
+      encodingFix = true,
+      splitAssign = true)
 
     // Every doc that must SURVIVE the repetition gate is ~40 words: the
     // Gopher top-n-gram thresholds are CHAR fractions, so on a short
@@ -255,6 +256,56 @@ class CorpusPipelineSpec extends SparkSpecBase {
     assert(r.report.packedTokens === curatedTok,
       s"packed ${r.report.packedTokens} != curated $curatedTok tokens")
     assert(r.report.packs >= 1)
+
+    // split stage (x110n riding the recipe): total assignment over the
+    // shipped docs, ledgered, and the leakage audit over the SAME pair
+    // relation the stage clustered is empty on the pipeline's output
+    val splits = r.splits.getOrElse(fail("splitAssign on but no splits"))
+    assert(splits.count() === r.report.afterDecontamination)
+    assert(r.report.splitTrain + r.report.splitVal + r.report.splitTest ===
+      r.report.afterDecontamination)
+    val auditPairs = graft.operators.Dedup.minhashLshPairs(r.curated,
+      "doc_id", "text", cfg.shingleN, cfg.numPerm, cfg.bands,
+      cfg.splitClusterThreshold)
+    val straddle = auditPairs
+      .join(splits.select(col("doc_id").as("a"), col("split").as("sa")), Seq("a"))
+      .join(splits.select(col("doc_id").as("b"), col("split").as("sb")), Seq("b"))
+      .filter(col("sa") =!= col("sb"))
+    assert(straddle.count() === 0, "a near-dup pair straddles train/eval")
+  }
+
+  test("cluster split keeps a surviving [0.5, 0.7) near-dup pair in ONE split") {
+    // a pair too dissimilar for the 0.7 dedup drop but similar enough
+    // to leak paraphrases across splits — exactly the gap the cluster
+    // key closes. 31 shared words + 9-word divergent tails: 29 of 47
+    // union shingles shared, J = 0.617. paraMaxDf = 5 keeps the shared
+    // prefix chunks (paragraph dedup would otherwise strip them from
+    // both docs and destroy the pair before the split stage sees it).
+    val dir = Files.createTempDirectory("corpussplit").toString
+    val sharedWords = (1 to 14).flatMap(i => Seq("the", s"alpha$i")) ++
+      Seq("and", "is", "report")
+    val a = (sharedWords ++ (1 to 9).map(i => s"tailx$i")).mkString(" ")
+    val b = (sharedWords ++ (1 to 9).map(i => s"taily$i")).mkString(" ")
+    val c1 = "the quick brown fox jumps over the lazy dog and runs in the park"
+    val c2 = "the weather report says rain is coming and the wind is strong today"
+    Files.write(Paths.get(dir, "corpus.warc"), Seq(
+      "http://s/1" -> a, "http://s/2" -> b,
+      "http://s/3" -> c1, "http://s/4" -> c2)
+      .map { case (u, t) => recBytes(u, t) }.reduce(_ ++ _))
+    val heldOut = Seq(("e1", "completely unrelated benchmark material here"))
+      .toDF("doc_id", "text")
+    val cfg = CorpusPipeline.Config(splitAssign = true, paraMaxDf = 5)
+    val r = CorpusPipeline.run(spark, dir, heldOut, cfg)
+    assert(r.report.afterDecontamination === 4,
+      "the J=0.617 pair must survive the 0.7 dedup")
+    val splits = r.splits.get.collect()
+      .map(row => row.getString(0) -> row.getString(1)).toMap
+    val idOf = r.curated.select("text", "doc_id").as[(String, String)]
+      .collect().toMap
+    assert(splits(idOf(a)) === splits(idOf(b)),
+      s"the near-dup pair split apart: ${splits(idOf(a))} vs ${splits(idOf(b))}")
+    assert(splits.size === 4 && splits.values.forall(
+      Set("train", "val", "test")))
   }
 
   test("urlFilter: URL-less docs bypass canonical dedup instead of collapsing") {
