@@ -86,6 +86,7 @@ object Bench {
           graft.operators.UnigramLm.clearMemo()
           graft.operators.RetrievalQueries.clearMemo()
           graft.operators.QualityClassifier.clearMemo()
+          graft.operators.KnnGraph.clearMemo()
           spark.catalog.clearCache()
           // localCheckpoint blocks (Dedup/BPE iteration state) are NOT
           // dropped by clearCache; left in place they GC-pressure later

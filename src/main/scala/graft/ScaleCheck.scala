@@ -235,6 +235,32 @@ object ScaleCheck {
       Thread.sleep(500)
     }
 
+    // NN-Descent kNN-graph construction scaling (x120): the manifold
+    // corpus at 1x/4x/16x (replicated ids draw fresh latents from the
+    // same 4-D manifold — denser sampling of one geometry, the honest
+    // scale-up). Per-round work is bounded by the capped local join
+    // (<= 4k²·N candidate rows), so build seconds must grow (sub-)
+    // linearly in N — quadratic growth means an all-pairs relation
+    // leaked into the candidate generation.
+    if (keep("knng")) for (k <- scales) {
+      val spark = freshSession()
+      def base: DataFrame = graft.operators.KnnGraph
+        .graphCorpus(spark, sfDir)
+      val corpus = replicate(spark, base, k) { (df, i) =>
+        if (i == 0) df
+        else df.select((col("id") + i * 100000000L).as("id"), col("vec"))
+      }.localCheckpoint(true)
+      val (sec, rows) = time(
+        graft.operators.KnnGraph.build(corpus, "id", "vec",
+          k = 5, rounds = 2).count())
+      println(f"""{"op":"knng","scale":$k,"sec":$sec%.2f,"rows":$rows}""")
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      System.gc()
+      Thread.sleep(500)
+    }
+
     // Incremental PQ-code maintenance scaling (the x96 cost model): a
     // FIXED 500-vector batch encoded + drift-checked against a stored
     // codebook while the stored CODES relation sits at 1x/4x/16x. The

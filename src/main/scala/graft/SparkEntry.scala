@@ -44,7 +44,8 @@ object SparkEntry {
       EncodingRepair.queries ++
       ExportQueries.queries ++
       C4Rules.queries ++
-      QualityClassifier.queries
+      QualityClassifier.queries ++
+      KnnGraph.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -76,5 +77,6 @@ object SparkEntry {
       EncodingRepair.oracleSql ++
       ExportQueries.oracleSql ++
       C4Rules.oracleSql ++
-      QualityClassifier.oracleSql
+      QualityClassifier.oracleSql ++
+      KnnGraph.oracleSql
 }

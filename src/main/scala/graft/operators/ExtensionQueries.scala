@@ -305,7 +305,7 @@ object ExtensionQueries {
     * odds), while the distance-weighted oversampling draw spreads
     * across clusters by construction.
     */
-  private def clusteredCorpus(s: SparkSession, d: String): DataFrame =
+  private[graft] def clusteredCorpus(s: SparkSession, d: String): DataFrame =
     rebalanced(Tables(s, d, "embeddings")).select(col("vec_id").as("id"),
       transform(col("embedding"), (x, i) =>
         when(xxhash64(pmod(col("vec_id"), lit(8)).cast("int"), i) % 2 === 0,

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{KnnGraph, Similarity}
+
+/** x120: NN-Descent kNN-graph construction. */
+class KnnGraphSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def emb = Tables(spark, sfDir, "embeddings")
+    .select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  test("graph structure: degree <= k, no self loops, no duplicate edges, ranks contiguous") {
+    val g = KnnGraph.build(emb, "id", "vec", k = 5, rounds = 2)
+    assert(g.filter(col("id") === col("nid")).count() === 0)
+    assert(g.groupBy("id", "nid").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).count() === 0)
+    val deg = g.groupBy("id").agg(count(lit(1)).as("c"), max("rank").as("mr"))
+    assert(deg.filter(col("c") > 5).count() === 0)
+    assert(deg.filter(col("c") =!= col("mr")).count() === 0,
+      "ranks must be 1..degree")
+  }
+
+  private def clustered = graft.operators.KnnGraph
+    .graphCorpus(spark, sfDir)
+
+  test("introduction rounds recover exact neighbors the seed misses; objective monotone") {
+    // the low-intrinsic-dimension fixture: embedding corpora live on
+    // manifolds, which is the premise NN-Descent diffuses along
+    val (g, obj) = KnnGraph.buildWithObjective(clustered, "id", "vec",
+      k = 5, rounds = 3)
+    assert(obj.size === 4)
+    assert(obj.sliding(2).forall { case Seq(a, b) => b >= a },
+      s"objective fell: $obj")
+    assert(obj.last > obj.head, "rounds must improve on the random seed")
+    val exact = Similarity.bruteForceTopK(clustered, clustered, "id", "vec", 5)
+      .select(col("qid").as("id"), col("nid"))
+    val truthN = exact.count()
+    val hit = exact.join(g.select("id", "nid"), Seq("id", "nid"), "left_semi")
+      .count()
+    val recall = hit.toDouble / truthN
+    assert(recall >= 0.9, f"recall@5 $recall%.3f below 0.9 ($hit/$truthN)")
+    // and the seed ALONE is measurably worse — the rounds earn their keep
+    val (g0, _) = KnnGraph.buildWithObjective(clustered, "id", "vec",
+      k = 5, rounds = 0)
+    val hit0 = exact.join(g0.select("id", "nid"), Seq("id", "nid"), "left_semi")
+      .count()
+    assert(hit0 < hit, s"seed $hit0 !< refined $hit — rounds did nothing")
+  }
+
+  test("x120g gate: empty on the real build, fires on a tampered trajectory and a seed graph") {
+    assert(SparkEntry.queries("x120g_knn_graph_gate")(spark, sfDir).count() === 0)
+    val (g, obj) = KnnGraph.buildWithObjective(clustered, "id", "vec",
+      k = 5, rounds = 0)
+    // rounds=0: the hash seed almost surely misses exact neighbors ->
+    // the recall clause must fire
+    val seedViol = KnnGraph.gateRows(spark, sfDir, g, obj, minRecall = 0.9)
+      .collect().map(_.getString(0))
+    assert(seedViol.contains("recall"),
+      s"seed graph passed the recall clause: ${seedViol.toSeq}")
+    // a falling trajectory trips monotonicity
+    val tampered = KnnGraph.gateRows(spark, sfDir, g,
+      Seq(10L, 5L), minRecall = 0.0).collect().map(_.getString(0))
+    assert(tampered.exists(_.startsWith("monotone")))
+  }
+
+  test("determinism: two builds produce identical graphs") {
+    val a = KnnGraph.build(emb, "id", "vec", k = 4, rounds = 2)
+    val b = KnnGraph.build(emb, "id", "vec", k = 4, rounds = 2)
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+  }
+}
