@@ -289,6 +289,7 @@ object Pq {
     incShared.clear()
     corpusMemo.values.forEach(graft.CheckpointBlocks.release)
     corpusMemo.clear()
+    curveMemo.clear()
   }
 
   private def index(s: SparkSession, d: String,
@@ -408,7 +409,115 @@ object Pq {
       .unionByName(q.select(col("qid"), (col("qid") + 10000).as("nid")))
   }
 
+  // --- PQ (M, Ks) operating curve (x121) ----------------------------------
+
+  private val CurveMs = Seq(2, 4, 8)
+  private val CurveKss = Seq(16, 256)
+  private val CurveShortlist = 100
+
+  private val curveMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Seq[(Int, Int, Int, Double, Double)]]()
+
+  /** The (M, Ks) distortion/size/recall table — the last hand-picked
+    * constant in the ANN family gets its operating curve (the
+    * x111/x115/x116/x117 convention): for every M in {2,4,8} and Ks in
+    * {16,256}, the trained codebook's per-vector squared reconstruction
+    * error, the code size in bits (M·log2 Ks — what the serving index
+    * stores per vector), and recall@k of the full two-stage pipeline
+    * (ADC shortlist → exact re-rank, the x95 path) against the exact
+    * relation. One training per cell, memoized per (session, dir); the
+    * exact reference computes once and every cell reuses it. A
+    * deployment reads this table to pick (M, Ks) for a recall target at
+    * a byte budget instead of folklore.
+    */
+  private def mksCurve(s: SparkSession, d: String): Seq[(Int, Int, Int, Double, Double)] = {
+    val key = (s, d)
+    Option(curveMemo.get(key)).getOrElse {
+      MemoEviction.register(s, "pqcurve") { () =>
+        curveMemo.keySet.removeIf(_._1 eq s)
+      }
+      val corpus = corpusWithDups(s, d)
+      val dim = corpus.select(size(col("embedding"))).head().getInt(0)
+      val n = corpus.count()
+      val queries = corpus.filter(col("id") < 10)
+      // exact reference: rerank over the FULL (Q x N) shortlist — Q is
+      // 10 by construction, so the relation is bounded at any sf
+      val allPairs = queries.select(col("id").as("qid"))
+        .crossJoin(corpus.select(col("id").as("nid")))
+      val exact = graft.operators.IvfPq.rerank(allPairs, queries, corpus,
+        "id", "embedding", K).select(col("qid"), col("nid"))
+        .localCheckpoint(true)
+      val truthN = exact.count()
+      val rows = for (m <- CurveMs; ks <- CurveKss) yield {
+        val cb = train(corpus, "id", "embedding", m, ks, Iters)
+        val codes = encode(corpus, "id", "embedding", cb, m, dim / m)
+        val short = adcTopK(queries, codes, cb, "id", "embedding",
+          m, dim / m, CurveShortlist)
+        val rr = graft.operators.IvfPq.rerank(
+          short.select(col("qid"), col("nid")), queries, corpus,
+          "id", "embedding", K)
+        val hit = exact.join(rr.select(col("qid"), col("nid")),
+          Seq("qid", "nid"), "left_semi").count()
+        val bits = m * (31 - Integer.numberOfLeadingZeros(ks))
+        (m, ks, bits,
+          BigDecimal(cb.errors.last / n)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          BigDecimal(hit.toDouble / math.max(truthN, 1L))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      graft.CheckpointBlocks.release(exact)
+      Option(curveMemo.putIfAbsent(key, rows)).getOrElse(rows)
+    }
+  }
+
+  /** The x121g body over an explicit curve — the spec hook proving the
+    * clauses fire on a tampered table.
+    */
+  private[graft] def mksGateRows(s: SparkSession,
+      curve: Seq[(Int, Int, Int, Double, Double)]): DataFrame = {
+    import s.implicits._
+    val viol = Seq.newBuilder[(String, String)]
+    val byCell = curve.map { case (m, ks, _, e, r) => ((m, ks), (e, r)) }.toMap
+    // distortion monotone non-increasing in M at fixed Ks …
+    for (ks <- CurveKss; Seq(m1, m2) <- CurveMs.sliding(2))
+      if (byCell((m2, ks))._1 > byCell((m1, ks))._1)
+        viol += ((s"err_m_${m1}to${m2}_ks$ks",
+          s"err rose ${byCell((m1, ks))._1} -> ${byCell((m2, ks))._1}"))
+    // … and in Ks at fixed M (more centroids can only reconstruct better)
+    for (m <- CurveMs; Seq(k1, k2) <- CurveKss.sliding(2))
+      if (byCell((m, k2))._1 > byCell((m, k1))._1)
+        viol += ((s"err_ks_${k1}to${k2}_m$m",
+          s"err rose ${byCell((m, k1))._1} -> ${byCell((m, k2))._1}"))
+    // the table's richest cell must actually serve: two-stage recall
+    // floor at (max M, max Ks)
+    val best = byCell((CurveMs.max, CurveKss.max))._2
+    if (best < 0.9)
+      viol += (("recall_best", s"recall at richest cell $best < 0.9"))
+    curve.foreach { case (m, ks, bits, _, r) =>
+      if (r < 0.0 || r > 1.0)
+        viol += ((s"recall_range_${m}_$ks", s"recall $r outside [0,1]"))
+      if (bits != m * (31 - Integer.numberOfLeadingZeros(ks)))
+        viol += ((s"bits_${m}_$ks", s"code bits $bits wrong"))
+    }
+    viol.result().toDF("clause", "violation").orderBy(col("clause"))
+  }
+
   val queries: Map[String, Q] = Map(
+    // the (M, Ks) operating curve (rows-only: six trainings are driver
+    // loops); the x121g gate below carries the contract
+    "x121_pq_mks_curve" -> ((s, d) => {
+      import s.implicits._
+      mksCurve(s, d)
+        .toDF("m", "ks", "code_bits", "err_per_vec", "recall_at_k")
+        .orderBy(col("m"), col("ks"))
+    }),
+
+    // Gate (empty-set oracle): reconstruction error non-increasing in
+    // M at fixed Ks and in Ks at fixed M (more subspaces / more
+    // centroids can only reconstruct better), recall values sane, code
+    // bits exact, and the richest cell's two-stage recall above 0.9.
+    "x121g_pq_mks_gate" -> ((s, d) => mksGateRows(s, mksCurve(s, d))),
+
     // PQ ADC top-k (rows-only: k-means training is a driver loop) —
     // verified by the x80g/x80r gates below.
     "x80_ann_pq_topk" -> ((s, d) => {
@@ -519,6 +628,8 @@ object Pq {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "x121g_pq_mks_gate" ->
+      "SELECT CAST(NULL AS VARCHAR) AS clause, CAST(NULL AS VARCHAR) AS violation WHERE 1 = 0",
     "x80g_pq_train_gate" ->
       "SELECT CAST(NULL AS INT) AS round, CAST(NULL AS VARCHAR) AS violation WHERE 1 = 0",
     "x80r_pq_dup_recall" ->

@@ -80,7 +80,8 @@ class QueriesSmokeSpec extends SparkSpecBase {
     "x118g_lr_train_gate",
     "x118a_lr_advantage_gate",
     "x119g_byte_bpe_roundtrip_gate",
-    "x120g_knn_graph_gate")
+    "x120g_knn_graph_gate",
+    "x121g_pq_mks_gate")
 
   test("every declared query emits SCALAR columns only (driver pandas-sort compat)") {
     // the driver's correctness harness canonicalizes with a pandas
