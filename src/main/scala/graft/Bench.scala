@@ -216,6 +216,16 @@ object Bench {
     try {
       Files.createDirectories(Paths.get("target"))
       Files.writeString(Paths.get("target/bench.json"), lineWith(raw) + "\n")
+      // the NEXT round's carried list, mechanically: a full run dumps
+      // its sorted key set so the start-of-round refresh is
+      // `cp target/current_queries.txt src/main/resources/graft/
+      // carried_queries.txt` — the only remaining manual step the r14
+      // verdict flagged. Filtered runs skip the dump (a partial list
+      // silently shrinking the carried set is the failure mode the
+      // QueriesSmokeSpec stale-name check cannot see).
+      if (only.isEmpty)
+        Files.writeString(Paths.get("target/current_queries.txt"),
+          selected.map(_._1).mkString("", "\n", "\n"))
     } catch {
       case e: java.io.IOException =>
         System.err.println(s"[bench] WARNING: durable write failed: ${e.getMessage}")

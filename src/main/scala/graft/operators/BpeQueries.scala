@@ -195,7 +195,11 @@ object BpeQueries {
   private val mergeMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), Seq[Merge]]()
 
-  def clearMemo(): Unit = mergeMemo.clear()
+  def clearMemo(): Unit = {
+    mergeMemo.clear()
+    byteVocabMemo.values.forEach(graft.CheckpointBlocks.release)
+    byteVocabMemo.clear()
+  }
 
   def learnedMerges(s: SparkSession, d: String, numMerges: Int = 10): Seq[Merge] = {
     val k = (s, d, numMerges)
@@ -275,6 +279,33 @@ object BpeQueries {
         when(col("doc_id") % 5 === 0, lit(" café naïve"))
           .otherwise(lit(""))).as("t"))
 
+  /** The symbolized byte-level pretoken vocabulary, CHECKPOINTED and
+    * memoized per (session, dir): the learner, the pair-count query,
+    * and the round-trip gate all consume this relation, and a 10-deep
+    * merge fold applied on top of the UN-materialized explode+groupBy
+    * plan measured ~30× the fold-over-checkpoint cost (the projection
+    * fuses into the aggregate stage and drops out of codegen) — the
+    * barrier is the fix, same as the learner's own internal discipline.
+    */
+  private val byteVocabMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), org.apache.spark.sql.DataFrame]()
+
+  private def byteVocab(s: SparkSession, d: String): DataFrame = {
+    val k = (s, d)
+    Option(byteVocabMemo.get(k)).getOrElse {
+      MemoEviction.register(s, "bpebv") { () =>
+        byteVocabMemo.keySet.removeIf(_._1 eq s)
+      }
+      val v = pretokenVocab(augmentedDocs(s, d), "t")
+        .withColumn("syms", byteSyms(col("w")))
+        .localCheckpoint(true)
+      Option(byteVocabMemo.putIfAbsent(k, v)) match {
+        case Some(w) => graft.CheckpointBlocks.release(v); w
+        case None => v
+      }
+    }
+  }
+
   /** Byte-level merge table, memoized like [[learnedMerges]]. */
   def learnedByteMerges(s: SparkSession, d: String,
                         numMerges: Int = 10): Seq[Merge] = {
@@ -283,9 +314,7 @@ object BpeQueries {
       MemoEviction.register(s, "bpe") { () =>
         mergeMemo.keySet.removeIf(_._1 eq s)
       }
-      val vocab = pretokenVocab(augmentedDocs(s, d), "t")
-        .withColumn("syms", byteSyms(col("w")))
-      val v = learnMergesOn(vocab, numMerges)
+      val v = learnMergesOn(byteVocab(s, d), numMerges)
       Option(mergeMemo.putIfAbsent(k, v)).getOrElse(v)
     }
   }
@@ -294,11 +323,9 @@ object BpeQueries {
     // First-iteration byte-pair counts over the pretoken vocabulary,
     // top-20 — the byte-level analog of x54, hash-checked against a
     // DuckDB hex byte-walk.
-    "x119_byte_bpe_pair_counts" -> ((s, d) => {
-      val vocab = pretokenVocab(augmentedDocs(s, d), "t")
-      pairCounts(vocab.withColumn("syms", byteSyms(col("w"))), "syms")
-        .orderBy(col("cnt").desc, col("l"), col("r")).limit(20)
-    }),
+    "x119_byte_bpe_pair_counts" -> ((s, d) =>
+      pairCounts(byteVocab(s, d), "syms")
+        .orderBy(col("cnt").desc, col("l"), col("r")).limit(20)),
 
     // The learned byte-merge table (rows-only, the x54m convention —
     // the gate below carries the contract).
@@ -325,9 +352,9 @@ object BpeQueries {
         .filter(array_join(pretokens(col("t")), "") =!= col("t"))
         .select(col("doc_id").cast("string").as("item"),
           lit("pretokens do not tile the text").as("violation"))
-      val folded = merges.foldLeft(byteSyms(col("w")): Column)(
+      val folded = merges.foldLeft(col("syms"): Column)(
         (acc, m) => applyMerge(acc, m.l, m.r))
-      val roundtrip = pretokenVocab(docs, "t")
+      val roundtrip = byteVocab(s, d)
         .select(col("w"), array_join(folded, "").as("enc"))
         .filter(col("enc") =!= hex(encode(col("w"), "UTF-8")))
         .select(col("w").as("item"),

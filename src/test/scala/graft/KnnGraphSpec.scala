@@ -64,6 +64,27 @@ class KnnGraphSpec extends SparkSpecBase {
     assert(tampered.exists(_.startsWith("monotone")))
   }
 
+  test("x122 beam search serves exact neighbors from cold entry points") {
+    assert(SparkEntry.queries("x122g_knn_search_gate")(spark, sfDir).count() === 0)
+    val res = SparkEntry.queries("x122_knn_graph_search")(spark, sfDir)
+    assert(res.select("qid").distinct().count() === 10)
+    assert(res.filter(col("qid") === col("nid")).count() === 0)
+  }
+
+  test("x122g clauses fire on a hops=0 beam and a tampered trajectory") {
+    val corpus = clustered
+    val graph = KnnGraph.build(corpus, "id", "vec", k = 5, rounds = 3)
+    val (res0, obj0) = KnnGraph.searchWithObjective(graph, corpus,
+      "id", "vec", corpus.filter(col("id") < 10), k = 5, beam = 16, hops = 0)
+    val viol = KnnGraph.searchGateRows(spark, sfDir, res0, obj0,
+      minRecall = 0.9).collect().map(_.getString(0))
+    assert(viol.contains("recall"),
+      s"an entry-set-only beam passed recall: ${viol.toSeq}")
+    val tampered = KnnGraph.searchGateRows(spark, sfDir, res0,
+      Seq(10L, 4L), minRecall = 0.0).collect().map(_.getString(0))
+    assert(tampered.exists(_.startsWith("monotone")))
+  }
+
   test("determinism: two builds produce identical graphs") {
     val a = KnnGraph.build(emb, "id", "vec", k = 4, rounds = 2)
     val b = KnnGraph.build(emb, "id", "vec", k = 4, rounds = 2)
