@@ -57,6 +57,34 @@ object QualityClassifier {
         when(col(idCol) % 7 === 0, lit(" ### #! ##")).otherwise(lit("")))
         .as("t"))
 
+  /** Label-free micro-int feature surface of RAW text: (id, fq, fs,
+    * fp, fn) — the scoring-time half of [[labeledFrame]] (no
+    * augmentation, no Gopher join): a deployed model scores real
+    * documents, not the labeling fixture.
+    */
+  def featureFrame(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    TextAnalysis.qualityFeatures(docs, idCol, textCol)
+      .select(col(idCol),
+        round(col("quality") * 1e6).cast("long").as("fq"),
+        round(col("stopword_ratio") * 1e6).cast("long").as("fs"),
+        round(col("punct_ratio") * 1e6).cast("long").as("fp"),
+        (least(col("n_tokens"), lit(200)).cast("long") * lit(5000L)).as("fn"))
+
+  /** Score arbitrary documents with a trained (scaler, weights) model:
+    * (id, p6) micro probabilities — the deployable inference path (one
+    * scan-side projection; the model is a handful of literals).
+    */
+  def scoreDocs(docs: DataFrame, idCol: String, textCol: String,
+                sc: Scaler, w: Array[Long]): DataFrame = {
+    val f = featureFrame(docs, idCol, textCol)
+    val gs = featCols.zipWithIndex.map { case (c, i) =>
+      round((col(c) - lit(sc.meanU(i))) * lit(1000000.0) / lit(sc.stdU(i)))
+        .cast("long").as(s"g${i + 1}")
+    }
+    f.select(col(f.columns.head) +: gs: _*)
+      .select(col(f.columns.head), p6Expr(w).as("p6"))
+  }
+
   /** Labeled micro-int training surface: (id, y, fq, fs, fp, fn).
     * Features are the x09 quality surface (already rounded 6dp — the
     * micro cast is exact) over the AUGMENTED text; the label is the

@@ -96,6 +96,10 @@ class CorpusStream(spark: SparkSession, workDir: String,
   // leg's probe target
   private val evalWindowPath = s"$workDir/evalwindows"
   private val contamLedgerPath = s"$workDir/contamledger"
+  // reference state: the registered TRAINED quality model
+  // ([[indexQualityModel]]) — weights + scaler + threshold, one row
+  private val qualityModelPath = s"$workDir/qualitymodel"
+  private val qualityLedgerPath = s"$workDir/qualityledger"
   private val SemBits = 8
   private val SemTables = 8
   private val PqKs = 16
@@ -169,7 +173,7 @@ class CorpusStream(spark: SparkSession, workDir: String,
     val stores = Seq(curatedPath, bandPath, docArrPath, ledgerPath, dlqPath,
       vecPath, vecBucketPath, semDupPath, winPath, passSpanPath,
       pqCodesPath, pqDriftPath, pqMetaPath, exportManifestPath,
-      contamLedgerPath)
+      contamLedgerPath, qualityLedgerPath)
     val (off, com) = (maxId("offsets"), maxId("commits"))
     // a missing checkpoint with batch dirs on disk is NOT "no pending
     // replay" — it is "this writer cannot tell" (state written through
@@ -382,6 +386,56 @@ class CorpusStream(spark: SparkSession, workDir: String,
   def contamLedger: DataFrame = readOr(contamLedgerPath,
     Seq.empty[(Long, Long, Long)]
       .toDF("batch_id", "checked", "contam_dropped"))
+
+  /** Register (or replace) a TRAINED quality model (x118's deployment
+    * step: train offline on labeled docs, filter at ingest): micro-int
+    * weights, the train-split scaler, and the drop threshold (micro
+    * probability). Enables the learned-quality leg — every later batch
+    * drops docs scoring below the threshold, with its own ledger. The
+    * model is the caller's: weights from QualityClassifier.fit, from a
+    * previous corpus, or hand-set — the leg only evaluates. Call
+    * between drains (single writer); already-shipped docs are not
+    * retroactively rescreened.
+    */
+  def indexQualityModel(weights: Array[Long],
+                        scaler: graft.operators.QualityClassifier.Scaler,
+                        thresholdMicro: Long): Unit = {
+    require(weights.length == 5 && scaler.meanU.length == 4 &&
+      scaler.stdU.length == 4, "model shape: 5 weights, 4-feature scaler")
+    Seq((weights.toSeq, scaler.meanU.toSeq, scaler.stdU.toSeq,
+        scaler.n, thresholdMicro))
+      .toDF("w", "mean_u", "std_u", "train_n", "threshold_micro")
+      .coalesce(1).write.mode("overwrite").parquet(qualityModelPath)
+    qualityModelCache = None
+  }
+
+  @volatile private var qualityModelCache:
+      Option[(Array[Long], graft.operators.QualityClassifier.Scaler, Long)] = None
+
+  /** The registered model, instance-cached (a handful of literals). */
+  private def qualityModel:
+      Option[(Array[Long], graft.operators.QualityClassifier.Scaler, Long)] = {
+    val d = new java.io.File(qualityModelPath)
+    val present = d.isDirectory && Option(d.listFiles())
+      .getOrElse(Array.empty).exists(_.getName.startsWith("part-"))
+    if (!present) None
+    else qualityModelCache.orElse {
+      val r = spark.read.parquet(qualityModelPath).head()
+      val m = (r.getSeq[Long](0).toArray,
+        graft.operators.QualityClassifier.Scaler(r.getLong(3),
+          r.getSeq[Long](1).toArray, r.getSeq[Long](2).toArray),
+        r.getLong(4))
+      qualityModelCache = Some(m)
+      qualityModelCache
+    }
+  }
+
+  /** Per-batch learned-quality ledger (batch_id, scored, q_dropped) —
+    * rows appear only while the leg is enabled.
+    */
+  def qualityLedger: DataFrame = readOr(qualityLedgerPath,
+    Seq.empty[(Long, Long, Long)]
+      .toDF("batch_id", "scored", "q_dropped"))
 
   /** Per-batch export manifests (shard, n_docs, n_tokens, min_doc,
     * max_doc, checksum, batch_id) — the x108 handoff contract riding
@@ -672,8 +726,30 @@ class CorpusStream(spark: SparkSession, workDir: String,
       if (cfg.gopherRules) CorpusPipeline.gopherFilter(langKept) else langKept
     val repGated =
       if (cfg.repetitionGate) CorpusPipeline.repetitionFilter(gated) else gated
-    val cur = cp(CorpusPipeline.redactPii(
+    val cur0 = cp(CorpusPipeline.redactPii(
       CorpusPipeline.qualityFilter(repGated, cfg)))
+
+    // learned-quality leg (opt-in via indexQualityModel): the x118
+    // deployment — score the curated batch with the registered TRAINED
+    // classifier (one scan-side projection; the model is a handful of
+    // literals) and drop below-threshold docs BEFORE dedup pays for
+    // them. Pure function of (batch, static model) — replays are
+    // byte-identical; drops ledger per batch.
+    val cur = qualityModel match {
+      case None => cur0
+      case Some((w, sc, thr)) =>
+        val lowQ = graft.operators.QualityClassifier
+          .scoreDocs(cur0, "doc_id", "text", sc, w)
+          .filter(col("p6") < thr)
+          .select(col("doc_id"))
+        val kept = cp(cur0.join(lowQ, Seq("doc_id"), "left_anti"))
+        val nScored = cur0.count()
+        overwriteBatch(
+          Seq((batchId, nScored, nScored - kept.count()))
+            .toDF("batch_id", "scored", "q_dropped"),
+          qualityLedgerPath, batchId)
+        kept
+    }
 
     // exact dedup: in-batch keep-first, then anti-join the store's
     // hashes (id-level state probe; the store never re-shuffles itself).
