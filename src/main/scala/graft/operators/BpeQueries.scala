@@ -362,6 +362,61 @@ object BpeQueries {
       tiling.unionByName(roundtrip).orderBy(col("item"))
     }),
 
+    // Sequence packing by LEARNED-TOKENIZER counts (x123): production
+    // packs by what the model will actually see — byte-BPE subwords —
+    // not whitespace words. Per-doc count composes through the
+    // vocabulary (the x81 trick): the merge fold runs once per DISTINCT
+    // pretoken over the checkpointed vocab, per-doc counts are one
+    // occurrence join + a combinable sum, and the bin algebra is the
+    // shared x28 packer. Rows-only; the x123g gate carries the
+    // contract.
+    "x123_bpe_pack" -> ((s, d) => {
+      val merges = learnedByteMerges(s, d)
+      val folded = merges.foldLeft(col("syms"): Column)(
+        (acc, m) => applyMerge(acc, m.l, m.r))
+      val lens = byteVocab(s, d).select(col("w"), size(folded).as("n_sub"))
+      val occ = augmentedDocs(s, d)
+        .select(col("doc_id"), explode(pretokens(col("t"))).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      val counts = occ.join(lens, Seq("w"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c") * col("n_sub")).as("n_tok"))
+      PackingQueries.packCounted(counts, "doc_id", budget = 512,
+          pmod(xxhash64(col("doc_id")), lit(8L)))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Gate (empty-set oracle) for the x123 counting + packing
+    // composition: (a) token conservation — the packed counts sum to
+    // exactly Σ_w freq(w)·len(encode(w)) over the vocabulary (a
+    // dropped or duplicated pretoken in the occurrence join breaks the
+    // equality); (b) every document packs exactly once; (c) every
+    // bin_offset sits inside the budget.
+    "x123g_bpe_pack_gate" -> ((s, d) => {
+      import s.implicits._
+      val packed = queries("x123_bpe_pack")(s, d)
+      val merges = learnedByteMerges(s, d)
+      val folded = merges.foldLeft(col("syms"): Column)(
+        (acc, m) => applyMerge(acc, m.l, m.r))
+      val viol = Seq.newBuilder[(String, String)]
+      val packedSum = packed.agg(coalesce(sum(col("n_tok")), lit(0L)))
+        .head().getLong(0)
+      val vocabSum = byteVocab(s, d)
+        .select((col("freq") * size(folded)).as("t"))
+        .agg(coalesce(sum(col("t")), lit(0L))).head().getLong(0)
+      if (packedSum != vocabSum)
+        viol += (("conservation",
+          s"packed $packedSum != vocab-derived $vocabSum subwords"))
+      val docs = augmentedDocs(s, d).count()
+      val packRows = packed.count()
+      if (packRows != docs)
+        viol += (("one_row_per_doc", s"$packRows rows for $docs docs"))
+      val over = packed.filter(col("bin_offset") >= 512 ||
+        col("bin_offset") < 0).count()
+      if (over > 0) viol += (("offset_budget", s"$over offsets out of range"))
+      viol.result().toDF("clause", "violation").orderBy(col("clause"))
+    }),
+
     // First-iteration weighted pair counts, top-20 under the total
     // deterministic order — the exact quantity the learner maximizes,
     // hash-checked against DuckDB's independent formulation.
@@ -477,6 +532,9 @@ object BpeQueries {
 
     "x119g_byte_bpe_roundtrip_gate" ->
       "SELECT CAST(NULL AS VARCHAR) AS item, CAST(NULL AS VARCHAR) AS violation WHERE 1 = 0",
+
+    "x123g_bpe_pack_gate" ->
+      "SELECT CAST(NULL AS VARCHAR) AS clause, CAST(NULL AS VARCHAR) AS violation WHERE 1 = 0",
 
     "x54_bpe_pair_counts" ->
       """WITH w AS (

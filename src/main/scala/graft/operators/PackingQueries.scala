@@ -62,11 +62,20 @@ object PackingQueries {
       pmod(xxhash64(col(idCol)), lit(shards.toLong)))
 
   private def packCore(docs: DataFrame, idCol: String, textCol: String,
-                       budget: Int, shardExpr: Column): DataFrame = {
+                       budget: Int, shardExpr: Column): DataFrame =
+    packCounted(docs.select(col(idCol),
+      TA.tokenCount(col(textCol)).as("n_tok")), idCol, budget, shardExpr)
+
+  /** The packer over a PRECOMPUTED (id, n_tok) relation — the entry
+    * point for packing by a real tokenizer's counts (the byte-BPE
+    * x123 family) instead of whitespace words: the bin algebra is
+    * count-agnostic, only the counting differs.
+    */
+  def packCounted(counted: DataFrame, idCol: String,
+                  budget: Int, shardExpr: Column): DataFrame = {
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.select(col(idCol), TA.tokenCount(col(textCol)).as("n_tok"),
-        shardExpr.as("shard"))
+    counted.select(col(idCol), col("n_tok"), shardExpr.as("shard"))
       .withColumn("cum", sum(col("n_tok")).over(w))
       .select(col(idCol), col("n_tok"), col("shard"),
         floor((col("cum") - col("n_tok")) / lit(budget.toDouble)).as("bin"),

@@ -82,7 +82,8 @@ class QueriesSmokeSpec extends SparkSpecBase {
     "x119g_byte_bpe_roundtrip_gate",
     "x120g_knn_graph_gate",
     "x121g_pq_mks_gate",
-    "x122g_knn_search_gate")
+    "x122g_knn_search_gate",
+    "x123g_bpe_pack_gate")
 
   test("every declared query emits SCALAR columns only (driver pandas-sort compat)") {
     // the driver's correctness harness canonicalizes with a pandas
