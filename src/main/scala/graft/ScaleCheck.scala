@@ -235,6 +235,32 @@ object ScaleCheck {
       Thread.sleep(500)
     }
 
+    // Trained-classifier GD scaling (x118): one full 16-iteration
+    // training at 1x/4x/16x labeled rows (replicated docs with disjoint
+    // ids — fresh hash splits, same feature distribution). Each
+    // iteration is ONE map-side-combinable aggregate of (d+1)-sized
+    // partials against a checkpointed micro-int frame, so seconds must
+    // grow (sub-)linearly in rows — superlinear growth means the
+    // parameter-server shape broke (e.g. per-iteration text re-scans).
+    if (keep("qlr")) for (k <- scales) {
+      val spark = freshSession()
+      def docBase: DataFrame = Tables(spark, sfDir, "documents")
+        .select(col("doc_id").as("id"), col("text"))
+      val docs = replicate(spark, docBase, k)((df, _) => df)
+      val labeled = graft.operators.QualityClassifier
+        .labeledFrame(docs, "id", "text").localCheckpoint(true)
+      val (sec, rows) = time {
+        val tr = graft.operators.QualityClassifier.fit(labeled)
+        tr.trajectory.size.toLong
+      }
+      println(f"""{"op":"qlr","scale":$k,"sec":$sec%.2f,"rows":$rows}""")
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      System.gc()
+      Thread.sleep(500)
+    }
+
     // NN-Descent kNN-graph construction scaling (x120): the manifold
     // corpus at 1x/4x/16x (replicated ids draw fresh latents from the
     // same 4-D manifold — denser sampling of one geometry, the honest
