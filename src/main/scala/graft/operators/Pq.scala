@@ -448,23 +448,38 @@ object Pq {
         "id", "embedding", K).select(col("qid"), col("nid"))
         .localCheckpoint(true)
       val truthN = exact.count()
-      val rows = for (m <- CurveMs; ks <- CurveKss) yield {
-        val cb = train(corpus, "id", "embedding", m, ks, Iters)
-        val codes = encode(corpus, "id", "embedding", cb, m, dim / m)
-        val short = adcTopK(queries, codes, cb, "id", "embedding",
-          m, dim / m, CurveShortlist)
-        val rr = graft.operators.IvfPq.rerank(
-          short.select(col("qid"), col("nid")), queries, corpus,
-          "id", "embedding", K)
-        val hit = exact.join(rr.select(col("qid"), col("nid")),
-          Seq("qid", "nid"), "left_semi").count()
-        val bits = m * (31 - Integer.numberOfLeadingZeros(ks))
-        (m, ks, bits,
-          BigDecimal(cb.errors.last / n)
-            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
-          BigDecimal(hit.toDouble / math.max(truthN, 1L))
-            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-      }
+      // the 6 cells are INDEPENDENT trainings (separate lineages over
+      // the same checkpointed fixture): run them on concurrent driver
+      // threads so their per-iteration jobs interleave on the executor
+      // pool instead of serializing driver round-trips. Results
+      // assemble by cell index — determinism is per-cell, untouched.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val cells = for (m <- CurveMs; ks <- CurveKss) yield (m, ks)
+      val rows =
+        try Await.result(Future.sequence(cells.map { case (m, ks) =>
+          Future {
+            val cb = train(corpus, "id", "embedding", m, ks, Iters)
+            val codes = encode(corpus, "id", "embedding", cb, m, dim / m)
+            val short = adcTopK(queries, codes, cb, "id", "embedding",
+              m, dim / m, CurveShortlist)
+            val rr = graft.operators.IvfPq.rerank(
+              short.select(col("qid"), col("nid")), queries, corpus,
+              "id", "embedding", K)
+            val hit = exact.join(rr.select(col("qid"), col("nid")),
+              Seq("qid", "nid"), "left_semi").count()
+            val bits = m * (31 - Integer.numberOfLeadingZeros(ks))
+            (m, ks, bits,
+              BigDecimal(cb.errors.last / n)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+              BigDecimal(hit.toDouble / math.max(truthN, 1L))
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          }
+        }), Duration.Inf)
+        finally pool.shutdown()
       graft.CheckpointBlocks.release(exact)
       Option(curveMemo.putIfAbsent(key, rows)).getOrElse(rows)
     }
