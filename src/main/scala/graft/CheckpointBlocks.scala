@@ -33,4 +33,22 @@ object CheckpointBlocks {
       case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
       case _ => () // derived frame: never touch an upstream checkpoint
     }
+
+  /** `localCheckpoint(eager)` that also DROPS the checkpoint's origin
+    * constraints. A plain local checkpoint carries its input plan's
+    * constraints verbatim (LogicalRDD bypasses the prune-to-output
+    * filter); when the checkpointed frame is later self-joined or
+    * unioned, relation deduplication re-aliases one instance's output
+    * while the carried constraints still name the OLD expression ids,
+    * and Union constraint rewriting faults with `key not found: id#N`
+    * (Spark 4.1.2). Any checkpoint whose INPUT went through a Filter
+    * and whose result feeds a self-join/union must use this form —
+    * un-filtered inputs carry no constraints and are safe either way.
+    * Constraints are an optimizer hint only; dropping them never
+    * changes results. [[release]] works on the result as usual (same
+    * underlying checkpoint RDD).
+    */
+  def cleanCheckpoint(df: DataFrame): DataFrame =
+    org.apache.spark.sql.classic.GraftCleanCheckpoint.strip(
+      df.localCheckpoint(true))
 }

@@ -61,7 +61,8 @@ object KnnGraph {
   def buildWithObjective(corpus: DataFrame, idCol: String, vecCol: String,
                          k: Int, rounds: Int): (DataFrame, Seq[Long]) = {
     require(k >= 1 && rounds >= 0, "k >= 1 and rounds >= 0")
-    val v = Similarity.normedVecs(corpus, idCol, vecCol).localCheckpoint(true)
+    val v = graft.CheckpointBlocks.cleanCheckpoint(
+      Similarity.normedVecs(corpus, idCol, vecCol))
     try {
       val n = v.count()
       val nBuckets = math.max(n / 2, 1L)
@@ -165,11 +166,12 @@ object KnnGraph {
                           entries: Int = 4): (DataFrame, Seq[Long]) = {
     require(k >= 1 && beam >= k && hops >= 0 && entries >= 1,
       "k >= 1, beam >= k, hops >= 0, entries >= 1")
-    val v = Similarity.normedVecs(corpus, idCol, vecCol).localCheckpoint(true)
-    val q = Similarity.normedVecs(queries, idCol, vecCol)
-      .select(col("id").as("qid"), col("vec").as("qvec"),
-        col("nrm").as("qnrm"))
-      .localCheckpoint(true)
+    val v = graft.CheckpointBlocks.cleanCheckpoint(
+      Similarity.normedVecs(corpus, idCol, vecCol))
+    val q = graft.CheckpointBlocks.cleanCheckpoint(
+      Similarity.normedVecs(queries, idCol, vecCol)
+        .select(col("id").as("qid"), col("vec").as("qvec"),
+          col("nrm").as("qnrm")))
     try {
       // exact score of (qid, nid) pairs; self-matches excluded (the
       // x06/x16 family convention — a query that IS a corpus member
@@ -188,55 +190,11 @@ object KnnGraph {
         scored.withColumn("r", row_number().over(w))
           .filter(col("r") <= beam).select(col("qid"), col("nid"), col("sim"))
       }
-      // fixed entry set: the `entries` smallest-hash corpus nodes (a
-      // per-partition heap + driver merge, never a global sort)
-      val entry = v.select(col("id").as("nid"), xxhash64(col("id")).as("h"))
-        .orderBy(col("h")).limit(entries).select(col("nid"))
-      // two-layer adjacency: the kNN edges (local descent) + the
-      // salt-0 hash-pairing expander (long-range navigation) — the
-      // latter re-derives from ids alone, identical to the build seed
-      val n = v.count()
-      val nBuckets = math.max(n / 2, 1L)
-      val withJ = v.select(col("id"),
-        explode(sequence(lit(0), lit(k - 1))).as("j"))
-        .select(col("id"), col("j"),
-          pmod(xxhash64(col("id"), col("j")), lit(nBuckets)).as("bk"))
-      val longEdges = withJ.as("x").join(withJ.as("y"),
-          col("x.j") === col("y.j") && col("x.bk") === col("y.bk") &&
-            col("x.id") =!= col("y.id"))
-        .select(col("x.id").as("nid"), col("y.id").as("next"))
-      val adjacency = graph.select(col("id").as("nid"), col("nid").as("next"))
-        .unionByName(longEdges).distinct().localCheckpoint(true)
+      val adjacency = twoLayerAdjacency(graph, v, k).localCheckpoint(true)
       try {
-      var frontier = beamCap(scoreQ(
-        q.select(col("qid")).crossJoin(broadcast(entry))))
-        .localCheckpoint(true)
-      val objectives = Seq.newBuilder[Long]
-      def objective(f: DataFrame): Long = {
-        val w = Window.partitionBy(col("qid"))
-          .orderBy(col("sim").desc, col("nid"))
-        f.withColumn("r", row_number().over(w)).filter(col("r") <= k)
-          .agg(coalesce(sum(round(col("sim") * 1e6).cast("long")), lit(0L)))
-          .head().getLong(0)
-      }
-      objectives += objective(frontier)
-      (1 to hops).foreach { _ =>
-        val cand = frontier.select(col("qid"), col("nid"))
-          .join(adjacency, Seq("nid"))
-          .select(col("qid"), col("next").as("nid"))
-          .distinct()
-        val prev = frontier
-        frontier = beamCap(frontier.unionByName(scoreQ(cand)).distinct())
-          .localCheckpoint(true)
-        graft.CheckpointBlocks.release(prev)
-        objectives += objective(frontier)
-      }
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(col("sim").desc, col("nid"))
-      val out = frontier.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
-        .select(col("qid"), col("rank"), col("nid"), col("sim"))
-      (out, objectives.result())
+        val r = runBeam(adjacency, v, q, scoreQ, k, beam, hops, entries,
+          countCost = false)
+        (r.topK, r.objectives)
       } finally graft.CheckpointBlocks.release(adjacency)
     } finally {
       graft.CheckpointBlocks.release(q)
@@ -244,11 +202,261 @@ object KnnGraph {
     }
   }
 
+  /** Two-layer serving adjacency over a built graph: the kNN edges
+    * (local descent) + the salt-0 hash-pairing EXPANDER (long-range
+    * navigation — re-derives from ids alone, identical to the build
+    * seed, nothing extra stored). Caller checkpoints and releases.
+    */
+  private def twoLayerAdjacency(graph: DataFrame, v: DataFrame,
+                                k: Int): DataFrame = {
+    val n = v.count()
+    val nBuckets = math.max(n / 2, 1L)
+    val withJ = v.select(col("id"),
+      explode(sequence(lit(0), lit(k - 1))).as("j"))
+      .select(col("id"), col("j"),
+        pmod(xxhash64(col("id"), col("j")), lit(nBuckets)).as("bk"))
+    val longEdges = withJ.as("x").join(withJ.as("y"),
+        col("x.j") === col("y.j") && col("x.bk") === col("y.bk") &&
+          col("x.id") =!= col("y.id"))
+      .select(col("x.id").as("nid"), col("y.id").as("next"))
+    graph.select(col("id").as("nid"), col("nid").as("next"))
+      .unionByName(longEdges).distinct()
+  }
+
+  private case class BeamRun(topK: DataFrame, objectives: Seq[Long],
+                             candPairs: Long, handle: DataFrame)
+
+  /** One greedy beam search over a PREBUILT adjacency — the shared
+    * inner loop of serving (x122) and the beam operating curve (x124,
+    * which sweeps `beam` against one adjacency + one ground truth).
+    * `handle` is the final checkpointed frontier `topK` reads from;
+    * the caller releases it (via the memo, or immediately after
+    * consuming the slice). `candPairs` counts candidate pairs emitted
+    * to exact scoring (the serving-cost dial) when `countCost` is set;
+    * the counts are skipped on the serving path — no extra jobs.
+    */
+  private def runBeam(adjacency: DataFrame, v: DataFrame, q: DataFrame,
+                      scoreQ: DataFrame => DataFrame, k: Int, beam: Int,
+                      hops: Int, entries: Int, countCost: Boolean): BeamRun = {
+    def beamCap(scored: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("nid"))
+      scored.withColumn("r", row_number().over(w))
+        .filter(col("r") <= beam).select(col("qid"), col("nid"), col("sim"))
+    }
+    // fixed entry set: the `entries` smallest-hash corpus nodes (a
+    // per-partition heap + driver merge, never a global sort)
+    val entry = v.select(col("id").as("nid"), xxhash64(col("id")).as("h"))
+      .orderBy(col("h")).limit(entries).select(col("nid"))
+    val entryPairs = q.select(col("qid")).crossJoin(broadcast(entry))
+    var candPairs = if (countCost) entryPairs.count() else 0L
+    var frontier = beamCap(scoreQ(entryPairs)).localCheckpoint(true)
+    val objectives = Seq.newBuilder[Long]
+    def objective(f: DataFrame): Long = {
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("nid"))
+      f.withColumn("r", row_number().over(w)).filter(col("r") <= k)
+        .agg(coalesce(sum(round(col("sim") * 1e6).cast("long")), lit(0L)))
+        .head().getLong(0)
+    }
+    objectives += objective(frontier)
+    (1 to hops).foreach { _ =>
+      val cand = frontier.select(col("qid"), col("nid"))
+        .join(adjacency, Seq("nid"))
+        .select(col("qid"), col("next").as("nid"))
+        .distinct()
+      if (countCost) candPairs += cand.count()
+      val prev = frontier
+      frontier = beamCap(frontier.unionByName(scoreQ(cand)).distinct())
+        .localCheckpoint(true)
+      graft.CheckpointBlocks.release(prev)
+      objectives += objective(frontier)
+    }
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("nid"))
+    val out = frontier.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("sim"))
+    BeamRun(out, objectives.result(), candPairs, frontier)
+  }
+
   def search(graph: DataFrame, corpus: DataFrame, idCol: String,
              vecCol: String, queries: DataFrame, k: Int, beam: Int,
              hops: Int): DataFrame =
     searchWithObjective(graph, corpus, idCol, vecCol, queries,
       k, beam, hops)._1
+
+  /** Append a new vector batch into a BUILT kNN graph without a
+    * rebuild — the x70/x96 incremental-maintenance contract applied to
+    * the graph index family. Three bounded steps:
+    *
+    *  1. each batch vector beam-searches the EXISTING graph (the x122
+    *     walk — id-keyed joins, the corpus never scanned per query)
+    *     for candidate neighbors;
+    *  2. batch-internal pairs score exactly (|B|² with the batch
+    *     broadcast — the x84 measured-batch discipline applies to the
+    *     caller's batching);
+    *  3. each batch node keeps its top-k of (searched ∪ internal), and
+    *     every EXISTING node named by those edges re-cuts its own k
+    *     over (old edges ∪ reverse edges) — the HNSW bidirectional
+    *     link step. Re-pruning touches ONLY the ≤ |B|·k affected
+    *     nodes: their ids broadcast into a semi/anti-join split of the
+    *     stored graph, so the index is scanned once and never
+    *     shuffled; unaffected rows pass through byte-identical.
+    *
+    * Per-node sim-sums of existing nodes are non-decreasing BY
+    * CONSTRUCTION (each affected node keeps the best k of a superset
+    * of its old edges); the x125g gate pins that, plus coverage and a
+    * recall floor for the appended nodes.
+    */
+  def appendToGraph(graph: DataFrame, baseCorpus: DataFrame,
+                    batch: DataFrame, idCol: String, vecCol: String,
+                    k: Int, beam: Int, hops: Int,
+                    entries: Int = 4): DataFrame = {
+    require(k >= 1 && beam >= 2 * k && hops >= 0,
+      "k >= 1, beam >= 2k, hops >= 0")
+    val v = graft.CheckpointBlocks.cleanCheckpoint(
+      Similarity.normedVecs(baseCorpus, idCol, vecCol))
+    val b = graft.CheckpointBlocks.cleanCheckpoint(
+      Similarity.normedVecs(batch, idCol, vecCol))
+    try {
+      def scoreQ(pairs: DataFrame): DataFrame = pairs
+        .filter(col("qid") =!= col("nid"))
+        .join(v.select(col("id").as("nid"), col("vec").as("nvec"),
+          col("nrm").as("nnrm")), "nid")
+        .join(broadcast(b.select(col("id").as("qid"), col("vec").as("qvec"),
+          col("nrm").as("qnrm"))), "qid")
+        .select(col("qid"), col("nid"),
+          round(dot(col("qvec"), col("nvec")) / (col("qnrm") * col("nnrm")), 6)
+            .as("sim"))
+      val adjacency = twoLayerAdjacency(graph, v, k).localCheckpoint(true)
+      try {
+        // 1. candidates from the existing graph: the walk keeps a 2k
+        // slice so reverse edges draw from a richer pool than the
+        // final cut (the build's kBuild idea at serving time)
+        val q = b.select(col("id").as("qid"), col("vec").as("qvec"),
+          col("nrm").as("qnrm"))
+        val run = runBeam(adjacency, v, q, scoreQ, 2 * k, beam, hops,
+          entries, countCost = false)
+        val searched = run.topK
+          .select(col("qid").as("id"), col("nid"), col("sim"))
+        // 2. batch-internal exact pairs (ids are disjoint from base)
+        val internal = b.as("x").join(broadcast(b.as("y")),
+            col("x.id") =!= col("y.id"))
+          .select(col("x.id").as("id"), col("y.id").as("nid"),
+            round(dot(col("x.vec"), col("y.vec")) /
+              (col("x.nrm") * col("y.nrm")), 6).as("sim"))
+        // 3a. the new nodes' edges
+        val newEdges = topK(searched.unionByName(internal).distinct(), k)
+          .localCheckpoint(true)
+        graft.CheckpointBlocks.release(run.handle)
+        // 3b. reverse edges for EXISTING endpoints only (batch→batch
+        // pairs were already complete in `internal`)
+        val batchIds = b.select(col("id"))
+        val reverse = newEdges
+          .join(broadcast(batchIds), newEdges("nid") === batchIds("id"),
+            "left_anti")
+          .select(col("nid").as("id"), newEdges("id").as("nid"), col("sim"))
+        val affected = reverse.select(col("id")).distinct()
+        // fresh-alias every union branch: the stored graph (and the
+        // newEdges checkpoint) each appear in two branches' lineage,
+        // and Union constraint rewriting trips on the duplicated
+        // expression ids otherwise
+        def realias(df: DataFrame): DataFrame = df.select(
+          col("id").as("id"), col("nid").as("nid"), col("sim").as("sim"))
+        val old = graph.select(col("id"), col("nid"), col("sim"))
+        val repruned = realias(topK(
+          realias(old.join(broadcast(affected), Seq("id"), "left_semi"))
+            .unionByName(realias(reverse)).distinct(), k))
+        val untouched = realias(graph
+          .join(broadcast(affected), Seq("id"), "left_anti")
+          .select(col("id"), col("nid"), col("sim")))
+        val w = Window.partitionBy(col("id"))
+          .orderBy(col("sim").desc, col("nid"))
+        // materialize the merged graph, then the walk/new-edge blocks
+        // can all go — the caller holds (and releases) one checkpoint
+        val merged = untouched.unionByName(repruned)
+          .unionByName(realias(newEdges))
+          .withColumn("rank", row_number().over(w))
+          .select(col("id"), col("rank"), col("nid"), col("sim"))
+          .localCheckpoint(true)
+        graft.CheckpointBlocks.release(newEdges)
+        merged
+      } finally graft.CheckpointBlocks.release(adjacency)
+    } finally {
+      graft.CheckpointBlocks.release(b)
+      graft.CheckpointBlocks.release(v)
+    }
+  }
+
+  /** The BEAM-WIDTH operating curve of graph-ANN serving (the x115
+    * nprobe-curve discipline applied to the x122 dial): for each beam
+    * width, recall@k against the exact relation, candidate pairs
+    * exactly scored (the serving cost), and the final beam objective —
+    * the table a deployment reads to pick `beam` for a recall target.
+    *
+    * Unlike nprobe (nested probe sets → suffix sums), beam trajectories
+    * are NOT decomposable — a wider beam walks a genuinely different
+    * path — so each beam runs its own search. What IS shared, once per
+    * curve: the two-layer adjacency (corpus-sized, checkpointed), the
+    * normed corpus/query relations, and the ONE exhaustive ground-truth
+    * pass. Per-beam cost is then just the Q·beam·k hop joins — the
+    * whole sweep never rescans or reshuffles the corpus.
+    *
+    * recall_pm is integer per-mille (exact arithmetic, rounded once at
+    * emit) and cand_pairs exact counts, so the curve hashes identically
+    * across runs.
+    */
+  def beamOperatingCurve(graph: DataFrame, corpus: DataFrame, idCol: String,
+                         vecCol: String, queries: DataFrame, k: Int,
+                         beams: Seq[Int], hops: Int,
+                         entries: Int = 4): DataFrame = {
+    require(beams.nonEmpty && beams.forall(_ >= k),
+      "beams must be non-empty, each >= k")
+    val sp = corpus.sparkSession
+    val v = graft.CheckpointBlocks.cleanCheckpoint(
+      Similarity.normedVecs(corpus, idCol, vecCol))
+    val q = graft.CheckpointBlocks.cleanCheckpoint(
+      Similarity.normedVecs(queries, idCol, vecCol)
+        .select(col("id").as("qid"), col("vec").as("qvec"),
+          col("nrm").as("qnrm")))
+    try {
+      def scoreQ(pairs: DataFrame): DataFrame = pairs
+        .filter(col("qid") =!= col("nid"))
+        .join(v.select(col("id").as("nid"), col("vec").as("nvec"),
+          col("nrm").as("nnrm")), "nid")
+        .join(broadcast(q), "qid")
+        .select(col("qid"), col("nid"),
+          round(dot(col("qvec"), col("nvec")) / (col("qnrm") * col("nnrm")), 6)
+            .as("sim"))
+      val adjacency = twoLayerAdjacency(graph, v, k).localCheckpoint(true)
+      // ONE exhaustive pass — the ground truth every beam grades against
+      val exact = Similarity.bruteForceTopK(queries, corpus, idCol, vecCol, k)
+        .select(col("qid"), col("nid")).localCheckpoint(true)
+      try {
+        val truthN = exact.count()
+        val rows = beams.sorted.map { b =>
+          val r = runBeam(adjacency, v, q, scoreQ, k, b, hops, entries,
+            countCost = true)
+          val hit = exact.join(r.topK.select(col("qid"), col("nid")),
+            Seq("qid", "nid"), "left_semi").count()
+          graft.CheckpointBlocks.release(r.handle)
+          (b, hit, truthN,
+            if (truthN == 0) 0L else math.round(hit * 1000.0 / truthN),
+            r.candPairs, r.objectives.last)
+        }
+        import sp.implicits._
+        rows.toDF("beam", "hits", "truth_n", "recall_pm", "cand_pairs",
+          "objective")
+      } finally {
+        graft.CheckpointBlocks.release(exact)
+        graft.CheckpointBlocks.release(adjacency)
+      }
+    } finally {
+      graft.CheckpointBlocks.release(q)
+      graft.CheckpointBlocks.release(v)
+    }
+  }
 
   // --- declared family ----------------------------------------------------
 
@@ -264,6 +472,13 @@ object KnnGraph {
     searchMemo.values.forEach { case (df, _) =>
       graft.CheckpointBlocks.release(df) }
     searchMemo.clear()
+    curveMemo.values.forEach(graft.CheckpointBlocks.release(_))
+    curveMemo.clear()
+    appendMemo.values.forEach { case (m, g) =>
+      graft.CheckpointBlocks.release(m)
+      graft.CheckpointBlocks.release(g)
+    }
+    appendMemo.clear()
   }
 
   /** The declared family's corpus: a LOW-INTRINSIC-DIMENSION manifold
@@ -389,6 +604,143 @@ object KnnGraph {
     viol.result().toDF("clause", "violation").orderBy(col("clause"))
   }
 
+  // --- incremental append family (x125) ----------------------------------
+
+  /** Deterministic index/batch split of the manifold corpus: every
+    * eighth id arrives "later" — batch size proportional to the corpus
+    * at every sf, ids disjoint by construction.
+    */
+  private[graft] def appendSplit(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val c = graphCorpus(s, d)
+    (c.filter(pmod(col("id"), lit(8)) =!= 0),
+      c.filter(pmod(col("id"), lit(8)) === 0))
+  }
+
+  private val appendMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame)]()
+
+  /** (merged graph after append, base graph before it). */
+  private def appended(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val key = (s, d)
+    Option(appendMemo.get(key)).getOrElse {
+      MemoEviction.register(s, "knnga") { () =>
+        appendMemo.keySet.removeIf(_._1 eq s)
+      }
+      val (base, batch) = appendSplit(s, d)
+      val g0 = build(base, "id", "vec", K, Rounds)
+      val merged = appendToGraph(g0, base, batch, "id", "vec",
+        K, Beam, Hops)
+      val r = (merged, g0)
+      Option(appendMemo.putIfAbsent(key, r)).getOrElse(r)
+    }
+  }
+
+  /** The x125g body over an explicit (merged, base) pair — the spec
+    * hook proving the clauses fire (a hops=0 append misses exact
+    * neighbors; a merged graph that dropped a base node's good edge
+    * trips no_degrade).
+    */
+  private[graft] def appendGateRows(s: SparkSession, d: String,
+                                    merged: DataFrame, baseGraph: DataFrame,
+                                    minRecall: Double): DataFrame = {
+    import s.implicits._
+    val (base, batch) = appendSplit(s, d)
+    val viol = Seq.newBuilder[(String, String)]
+    // coverage: every batch id carries exactly K edges
+    val batchN = batch.count()
+    val covered = merged.join(batch.select(col("id")), Seq("id"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("c"))
+    val exactK = covered.filter(col("c") === K).count()
+    if (exactK != batchN)
+      viol += (("coverage",
+        s"$exactK of $batchN batch nodes carry exactly K=$K edges"))
+    // structure over the whole merged graph
+    val self = merged.filter(col("id") === col("nid")).count()
+    if (self > 0) viol += (("self_loops", s"$self self edges"))
+    val dup = merged.groupBy(col("id"), col("nid"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1).count()
+    if (dup > 0) viol += (("dup_edges", s"$dup duplicate edges"))
+    val over = merged.groupBy(col("id")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > K).count()
+    if (over > 0) viol += (("degree", s"$over nodes exceed K=$K"))
+    // recall: the appended nodes' edges vs the exhaustive kNN of the
+    // batch against the FULL post-append corpus
+    val full = graphCorpus(s, d)
+    val exact = Similarity.bruteForceTopK(batch, full, "id", "vec", K)
+      .select(col("qid").as("id"), col("nid"))
+    val truthN = exact.count()
+    val hit = exact.join(merged.select(col("id"), col("nid")),
+      Seq("id", "nid"), "left_semi").count()
+    if (truthN > 0 && hit * 1000L < math.round(minRecall * 1000) * truthN)
+      viol += (("recall",
+        s"$hit of $truthN exact batch neighbors present (< $minRecall)"))
+    // no_degrade: every base node's integer sim-sum is >= its
+    // pre-append sum (affected nodes keep the best k of a SUPERSET of
+    // their old edges; untouched rows pass through byte-identical)
+    def sums(g: DataFrame): DataFrame = g
+      .groupBy(col("id"))
+      .agg(sum(round(col("sim") * 1e6).cast("long")).as("s"))
+    val degraded = sums(baseGraph).as("b")
+      .join(sums(merged).as("m"), "id")
+      .filter(col("m.s") < col("b.s")).count()
+    if (degraded > 0)
+      viol += (("no_degrade", s"$degraded base nodes lost similarity mass"))
+    viol.result().toDF("clause", "violation").orderBy(col("clause"))
+  }
+
+  private val CurveBeams = Seq(K, 8, 16)
+
+  private val curveMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  private def curve(s: SparkSession, d: String): DataFrame = {
+    val key = (s, d)
+    Option(curveMemo.get(key)).getOrElse {
+      MemoEviction.register(s, "knngc") { () =>
+        curveMemo.keySet.removeIf(_._1 eq s)
+      }
+      val corpus = graphCorpus(s, d)
+      val r = beamOperatingCurve(built(s, d)._1, corpus, "id", "vec",
+        corpus.filter(col("id") < 10), K, CurveBeams, Hops)
+        .localCheckpoint(true)
+      Option(curveMemo.putIfAbsent(key, r)).getOrElse(r)
+    }
+  }
+
+  /** The x124g body over an explicit curve — the spec hook proving the
+    * clauses fire (a shuffled recall column trips monotonicity; a
+    * curve whose widest beam misses the floor trips the floor).
+    */
+  private[graft] def curveGateRows(s: SparkSession, curveDf: DataFrame,
+                                   minRecallPm: Long): DataFrame = {
+    import s.implicits._
+    val rows = curveDf.orderBy(col("beam"))
+      .select(col("beam"), col("hits"), col("truth_n"), col("recall_pm"),
+        col("cand_pairs"))
+      .collect()
+    val viol = Seq.newBuilder[(String, String)]
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        if (b.getLong(3) < a.getLong(3))
+          viol += ((f"recall_beam_${b.getInt(0)}%02d",
+            s"recall fell ${a.getLong(3)} -> ${b.getLong(3)}"))
+        if (b.getLong(4) < a.getLong(4))
+          viol += ((f"cost_beam_${b.getInt(0)}%02d",
+            s"cand_pairs fell ${a.getLong(4)} -> ${b.getLong(4)}"))
+      case _ =>
+    }
+    rows.foreach { r =>
+      if (r.getLong(1) > r.getLong(2))
+        viol += ((f"hits_beam_${r.getInt(0)}%02d",
+          s"hits ${r.getLong(1)} exceed truth ${r.getLong(2)}"))
+    }
+    if (rows.nonEmpty && rows.last.getLong(3) < minRecallPm)
+      viol += (("floor",
+        s"recall_pm ${rows.last.getLong(3)} at widest beam < $minRecallPm"))
+    viol.result().toDF("clause", "violation").orderBy(col("clause"))
+  }
+
   val queries: Map[String, Q] = Map(
     // the built graph: k·N rows (id, rank, nid, sim), deterministic by
     // construction. Rows-only (hash-seeded introduction rounds aren't
@@ -417,6 +769,37 @@ object KnnGraph {
     "x122g_knn_search_gate" -> ((s, d) => {
       val (result, objectives) = searched(s, d)
       searchGateRows(s, d, result, objectives, minRecall = 0.9)
+    }),
+
+    // the BEAM-WIDTH operating curve (x124): recall@K, exactly-scored
+    // candidate pairs, and final objective per beam in {5,8,16} over
+    // ONE shared adjacency + ONE exhaustive ground-truth pass — the
+    // table that prices the x122 serving dial. Rows-only (the walk
+    // isn't SQL-expressible); the x124g gate carries the contract.
+    "x124_knn_beam_curve" -> ((s, d) => curve(s, d).orderBy(col("beam"))),
+
+    // Gate (empty-set oracle): recall and cost monotone non-decreasing
+    // in beam, hits bounded by truth, and the widest beam clears the
+    // 0.9 recall floor (the curve ENDS somewhere worth operating).
+    "x124g_knn_beam_gate" -> ((s, d) =>
+      curveGateRows(s, curve(s, d), minRecallPm = 900L)),
+
+    // incremental graph MAINTENANCE (x125): every eighth vector
+    // arrives as a later batch and is appended without a rebuild —
+    // beam-search candidates + batch-internal exact pairs + reverse
+    // edges re-pruned on the ≤ |B|·k affected nodes only (broadcast
+    // id split; the stored graph is scanned once, never shuffled).
+    // Rows-only; the x125g gate carries the contract.
+    "x125_knn_graph_append" -> ((s, d) =>
+      appended(s, d)._1.orderBy(col("id"), col("rank"))),
+
+    // Gate (empty-set oracle): batch coverage at exactly K edges,
+    // structural soundness, recall@K for the appended nodes vs the
+    // exhaustive post-append relation, and no base node loses
+    // similarity mass (the superset-re-prune invariant).
+    "x125g_knn_append_gate" -> ((s, d) => {
+      val (merged, g0) = appended(s, d)
+      appendGateRows(s, d, merged, g0, minRecall = 0.9)
     })
   )
 
@@ -425,6 +808,12 @@ object KnnGraph {
       """SELECT CAST(NULL AS VARCHAR) AS clause, CAST(NULL AS VARCHAR) AS violation
         |WHERE false""".stripMargin,
     "x122g_knn_search_gate" ->
+      """SELECT CAST(NULL AS VARCHAR) AS clause, CAST(NULL AS VARCHAR) AS violation
+        |WHERE false""".stripMargin,
+    "x124g_knn_beam_gate" ->
+      """SELECT CAST(NULL AS VARCHAR) AS clause, CAST(NULL AS VARCHAR) AS violation
+        |WHERE false""".stripMargin,
+    "x125g_knn_append_gate" ->
       """SELECT CAST(NULL AS VARCHAR) AS clause, CAST(NULL AS VARCHAR) AS violation
         |WHERE false""".stripMargin
   )

@@ -85,6 +85,81 @@ class KnnGraphSpec extends SparkSpecBase {
     assert(tampered.exists(_.startsWith("monotone")))
   }
 
+  test("x124 beam operating curve: one row per beam, recall and cost monotone, gate empty") {
+    val curve = SparkEntry.queries("x124_knn_beam_curve")(spark, sfDir)
+      .collect()
+    assert(curve.map(_.getInt(0)).toSeq === Seq(5, 8, 16))
+    val recalls = curve.map(_.getLong(3)).toSeq
+    assert(recalls.sliding(2).forall { case Seq(a, b) => b >= a },
+      s"recall not monotone in beam: $recalls")
+    val costs = curve.map(_.getLong(4)).toSeq
+    assert(costs.sliding(2).forall { case Seq(a, b) => b >= a },
+      s"cand_pairs not monotone in beam: $costs")
+    assert(recalls.last >= 900L, s"widest beam recall $recalls below floor")
+    // a NARROW beam must actually be cheaper — the dial prices something
+    assert(costs.head < costs.last, s"cost flat across beams: $costs")
+    assert(SparkEntry.queries("x124g_knn_beam_gate")(spark, sfDir)
+      .count() === 0)
+  }
+
+  test("x124g clauses fire on a tampered curve and a floored one") {
+    import spark.implicits._
+    val falling = Seq(
+      (5, 10L, 10L, 900L, 100L), (8, 8L, 10L, 800L, 90L))
+      .toDF("beam", "hits", "truth_n", "recall_pm", "cand_pairs")
+    val viol = KnnGraph.curveGateRows(spark, falling, minRecallPm = 0L)
+      .collect().map(_.getString(0))
+    assert(viol.exists(_.startsWith("recall_beam")), viol.toSeq)
+    assert(viol.exists(_.startsWith("cost_beam")), viol.toSeq)
+    val weak = Seq((5, 5L, 10L, 500L, 100L))
+      .toDF("beam", "hits", "truth_n", "recall_pm", "cand_pairs")
+    val fl = KnnGraph.curveGateRows(spark, weak, minRecallPm = 900L)
+      .collect().map(_.getString(0))
+    assert(fl.contains("floor"), fl.toSeq)
+    val over = Seq((5, 12L, 10L, 1000L, 100L))
+      .toDF("beam", "hits", "truth_n", "recall_pm", "cand_pairs")
+    val ov = KnnGraph.curveGateRows(spark, over, minRecallPm = 0L)
+      .collect().map(_.getString(0))
+    assert(ov.exists(_.startsWith("hits_beam")), ov.toSeq)
+  }
+
+  test("x125 append: every batch node lands with K edges, gate empty") {
+    assert(SparkEntry.queries("x125g_knn_append_gate")(spark, sfDir)
+      .count() === 0)
+    val merged = SparkEntry.queries("x125_knn_graph_append")(spark, sfDir)
+    val (base, batch) = KnnGraph.appendSplit(spark, sfDir)
+    val batchN = batch.count()
+    assert(batchN > 0)
+    val deg = merged.join(batch.select("id"), Seq("id"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("c"))
+    assert(deg.filter(col("c") === 5).count() === batchN)
+    // base nodes that gained a batch neighbor exist — the reverse-edge
+    // step actually fired
+    val reverseHits = merged
+      .join(base.select("id"), Seq("id"), "left_semi")
+      .join(batch.select(col("id").as("nid")), Seq("nid"), "left_semi")
+      .count()
+    assert(reverseHits > 0, "no base node gained a batch neighbor")
+  }
+
+  test("x125g clauses fire on a hops=0 append and a degraded merge") {
+    val (base, batch) = KnnGraph.appendSplit(spark, sfDir)
+    val g0 = KnnGraph.build(base, "id", "vec", k = 5, rounds = 3)
+    // entry-set-only search (hops=0): candidates never walk to the
+    // true neighborhood -> the recall clause must fire
+    val merged0 = KnnGraph.appendToGraph(g0, base, batch, "id", "vec",
+      k = 5, beam = 10, hops = 0)
+    val viol = KnnGraph.appendGateRows(spark, sfDir, merged0, g0,
+      minRecall = 0.9).collect().map(_.getString(0))
+    assert(viol.contains("recall"),
+      s"a hops=0 append passed recall: ${viol.toSeq}")
+    // a merge that LOST similarity mass on base nodes trips no_degrade
+    val tampered = g0.withColumn("sim", col("sim") - lit(0.1))
+    val deg = KnnGraph.appendGateRows(spark, sfDir, tampered, g0,
+      minRecall = 0.0).collect().map(_.getString(0))
+    assert(deg.contains("no_degrade"), deg.toSeq)
+  }
+
   test("determinism: two builds produce identical graphs") {
     val a = KnnGraph.build(emb, "id", "vec", k = 4, rounds = 2)
     val b = KnnGraph.build(emb, "id", "vec", k = 4, rounds = 2)

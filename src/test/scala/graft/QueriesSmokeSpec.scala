@@ -83,7 +83,9 @@ class QueriesSmokeSpec extends SparkSpecBase {
     "x120g_knn_graph_gate",
     "x121g_pq_mks_gate",
     "x122g_knn_search_gate",
-    "x123g_bpe_pack_gate")
+    "x123g_bpe_pack_gate",
+    "x124g_knn_beam_gate",
+    "x125g_knn_append_gate")
 
   test("every declared query emits SCALAR columns only (driver pandas-sort compat)") {
     // the driver's correctness harness canonicalizes with a pandas
