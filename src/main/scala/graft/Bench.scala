@@ -87,6 +87,7 @@ object Bench {
           graft.operators.RetrievalQueries.clearMemo()
           graft.operators.QualityClassifier.clearMemo()
           graft.operators.KnnGraph.clearMemo()
+          graft.operators.DomainMixture.clearMemo()
           spark.catalog.clearCache()
           // localCheckpoint blocks (Dedup/BPE iteration state) are NOT
           // dropped by clearCache; left in place they GC-pressure later

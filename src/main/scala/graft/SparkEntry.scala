@@ -45,7 +45,8 @@ object SparkEntry {
       ExportQueries.queries ++
       C4Rules.queries ++
       QualityClassifier.queries ++
-      KnnGraph.queries
+      KnnGraph.queries ++
+      DomainMixture.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -78,5 +79,6 @@ object SparkEntry {
       ExportQueries.oracleSql ++
       C4Rules.oracleSql ++
       QualityClassifier.oracleSql ++
-      KnnGraph.oracleSql
+      KnnGraph.oracleSql ++
+      DomainMixture.oracleSql
 }

@@ -1,0 +1,352 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.tokens
+
+/** In-engine LEARNED domain-mixture weights (x126 family) — the
+  * DoReMi/Group-DRO step of a production pre-training recipe: instead
+  * of hand-picking per-domain sampling weights (x43's fixed config,
+  * x66's temperature formula), LEARN the mixture by exponentiated
+  * gradient against per-domain language-model losses, re-fit under the
+  * current mixture each round.
+  *
+  * The proxy model is the engine's own smoothed bigram LM (the x42
+  * CCNet scorer) trained on the MIXTURE-WEIGHTED corpus: weighted
+  * counts are a linear function of the per-domain count tables, so
+  * "re-training the proxy under new weights" is a weighted sum over
+  * the SAME per-(bigram, domain) relation — no text is ever touched
+  * again after the one count-building pass. Each round:
+  *
+  *   L_i(w)  = mean neg-logprob of domain i's bigrams under the
+  *             w-mixture LM              (one scan of the count table)
+  *   w'_i    ∝ w_i · exp(η·(L_i − Σ_j w_j·L_j)/1e6)   (driver update)
+  *
+  * Domains the current mixture under-serves (high loss) gain weight,
+  * the re-fit mixture LM then covers them better, and the trajectory
+  * walks toward the equal-difficulty equilibrium — the DoReMi
+  * balancing behavior, with the proxy-LM retraining made exact and
+  * cheap instead of a neural inner loop.
+  *
+  * Scale shape: corpus-sized work happens ONCE (tokenize → per-domain
+  * bigram/unigram count tables, two hash-keyed aggregations); the
+  * per-round work is one whole-stage-codegen scan + one map-side
+  * combinable aggregate over the per-bigram relation producing D
+  * partial sums — the Opq/Pca parameter-server reduction. Weights are
+  * bounded driver state (D entries).
+  *
+  * Cross-engine exactness (the x118 fixed-point discipline): counts
+  * and weights live on the micro (1e-6) integer surface; the only
+  * libm crossings are round(1e6·ln(num/den)) per distinct bigram and
+  * the driver's round(w·exp(·)) per domain-round (the x42/x65
+  * exp/ln convention); every sum is an exact integer sum, so the
+  * DuckDB oracle replays the identical trajectory through unrolled
+  * iteration CTEs.
+  */
+object DomainMixture {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Micro fixed-point: 1e6 integer units per 1.0. */
+  private val U = 1000000L
+
+  private[graft] val Iters = 5
+
+  /** η = 0.2 in micro units — per-round weight multiplier spans
+    * exp(±0.2·ΔL) for ΔL nats of excess loss.
+    */
+  private[graft] val Eta = 0.2
+
+  /** One (per-bigram) count relation: cb_<dom> = domain's count of the
+    * bigram, cu_<dom> = domain's count of the bigram's CONTEXT unigram
+    * (the x42 denominator convention), for the declared domain list.
+    * Caller releases the checkpoint.
+    */
+  def countTable(docs: DataFrame, textCol: String, domCol: String,
+                 doms: Seq[String]): DataFrame = {
+    require(doms.nonEmpty && doms == doms.sorted.distinct,
+      "doms must be sorted and distinct")
+    val ts = tokens(col(textCol))
+    val scoped = docs.filter(col(domCol).isin(doms.map(lit): _*))
+    val toks = scoped
+      .select(col(domCol).as("dom"), explode_outer(ts).as("tok"))
+      .filter(col("tok").isNotNull)
+    def domSums(prefix: String): Seq[org.apache.spark.sql.Column] =
+      doms.map(dm =>
+        sum(when(col("dom") === dm, 1L).otherwise(0L)).as(s"${prefix}_$dm"))
+    val cu = toks.groupBy(xxhash64(col("tok")).as("h1"))
+      .agg(domSums("cu").head, domSums("cu").tail: _*)
+    val bg = scoped
+      .select(col(domCol).as("dom"), ts.as("__ts"))
+      .filter(size(col("__ts")) >= 2)
+      .select(col("dom"), explode(zip_with(
+        slice(col("__ts"), lit(1), size(col("__ts")) - 1),
+        slice(col("__ts"), lit(2), size(col("__ts")) - 1),
+        (a, b) => struct(a.as("w1"), concat(a, lit(" "), b).as("g")))).as("p"))
+      .select(col("dom"),
+        xxhash64(col("p.w1")).as("h1"), xxhash64(col("p.g")).as("h2"))
+    val cb = bg.groupBy(col("h2"))
+      .agg((max(col("h1")).as("h1") +: domSums("cb")).head,
+        (max(col("h1")).as("h1") +: domSums("cb")).tail: _*)
+    graft.CheckpointBlocks.cleanCheckpoint(cb.join(cu, Seq("h1")).drop("h1"))
+  }
+
+  /** Exponentiated-gradient mixture trajectory over `iters` rounds:
+    * rows (iter, dom, w_micro, loss_micro) where loss_micro is each
+    * domain's mean bigram neg-logprob (micro nats) under THAT
+    * iteration's mixture LM. Row count = (iters+1)·|doms|.
+    */
+  def egMixture(docs: DataFrame, textCol: String, domCol: String,
+                doms: Seq[String], iters: Int, eta: Double): DataFrame = {
+    require(iters >= 0, "iters >= 0")
+    val sp = docs.sparkSession
+    val counts = countTable(docs, textCol, domCol, doms)
+    try {
+      val d = doms.size
+      // vocabulary size and per-domain bigram totals: one bounded agg
+      val vRow = counts.agg(
+        (count(lit(1)).as("nb") +:
+          doms.map(dm => sum(col(s"cb_$dm")).as(s"t_$dm"))).head,
+        (count(lit(1)).as("nb") +:
+          doms.map(dm => sum(col(s"cb_$dm")).as(s"t_$dm"))).tail: _*)
+        .head()
+      val tTot = doms.indices.map(j => math.max(vRow.getLong(j + 1), 1L))
+      // V = distinct CONTEXT unigrams is not derivable from the joined
+      // relation (bigram rows repeat contexts); count it directly —
+      // matches the oracle's COUNT over the unigram CTE
+      val v = docs.filter(col(domCol).isin(doms.map(lit): _*))
+        .select(explode_outer(tokens(col(textCol))).as("tok"))
+        .filter(col("tok").isNotNull)
+        .select(xxhash64(col("tok")).as("h1")).distinct().count()
+
+      /** Per-domain mean loss (micro nats) under mixture `w`. */
+      def loss(w: Seq[Long]): Seq[Long] = {
+        val num = doms.indices
+          .map(j => col(s"cb_${doms(j)}") * lit(w(j))).reduce(_ + _)
+        val den = doms.indices
+          .map(j => col(s"cu_${doms(j)}") * lit(w(j))).reduce(_ + _)
+        val t = round(log((num + lit(U)).cast("double") /
+          (den + lit(U) * lit(v)).cast("double")) * lit(1000000.0))
+          .cast("long")
+        val sums = counts.select(col("*") +: Seq(t.as("__t")): _*)
+          .agg(doms.map(dm => sum(col(s"cb_$dm") * col("__t")).as(s"s_$dm"))
+            .head,
+            doms.map(dm => sum(col(s"cb_$dm") * col("__t")).as(s"s_$dm"))
+              .tail: _*)
+          .head()
+        doms.indices.map(j =>
+          math.round(-sums.getLong(j).toDouble / tTot(j)))
+      }
+
+      /** EG step: upweight above-mixture-loss domains, renormalize on
+        * the integer surface.
+        */
+      def step(w: Seq[Long], l: Seq[Long]): Seq[Long] = {
+        val m = math.round(
+          doms.indices.map(j => w(j) * l(j)).sum / 1000000.0)
+        val u = doms.indices.map(j =>
+          math.round(w(j) * math.exp(eta * (l(j) - m) / 1000000.0)))
+        val uSum = u.sum
+        doms.indices.map(j => math.round(1000000.0 * u(j) / uSum))
+      }
+
+      val w0: Seq[Long] = Seq.fill(d)(math.round(1000000.0 / d))
+      val rows = Seq.newBuilder[(Int, String, Long, Long)]
+      var w = w0
+      var l = loss(w)
+      doms.indices.foreach(j => rows += ((0, doms(j), w(j), l(j))))
+      (1 to iters).foreach { k =>
+        w = step(w, l)
+        l = loss(w)
+        doms.indices.foreach(j => rows += ((k, doms(j), w(j), l(j))))
+      }
+      import sp.implicits._
+      rows.result().toDF("iter", "dom", "w_micro", "loss_micro")
+    } finally graft.CheckpointBlocks.release(counts)
+  }
+
+  // --- declared family ----------------------------------------------------
+
+  /** The declared fixture's domains: the documents table's language
+    * column — multilingual mixture balancing, the DoReMi deployment
+    * where proportional sampling starves small languages.
+    */
+  private[graft] val Doms = Seq("de", "en", "es", "fr", "zh")
+
+  private val memo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  def clearMemo(): Unit = {
+    memo.values.forEach(graft.CheckpointBlocks.release(_))
+    memo.clear()
+  }
+
+  private def trajectory(s: SparkSession, d: String): DataFrame = {
+    val key = (s, d)
+    Option(memo.get(key)).getOrElse {
+      MemoEviction.register(s, "doremi") { () =>
+        memo.keySet.removeIf(_._1 eq s)
+      }
+      val r = egMixture(graft.Tables(s, d, "documents"), "text", "lang",
+        Doms, Iters, Eta).localCheckpoint(true)
+      Option(memo.putIfAbsent(key, r)).getOrElse(r)
+    }
+  }
+
+  /** The x126g body over an explicit trajectory — the spec hook proving
+    * the clauses fire (a flat trajectory trips moved; a worsening one
+    * trips balance; a broken simplex trips sum).
+    */
+  private[graft] def gateRows(s: SparkSession, traj: DataFrame): DataFrame = {
+    import s.implicits._
+    val rows = traj.orderBy(col("iter"), col("dom")).collect()
+    val byIter = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (k, rs) =>
+        (k, rs.map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSeq)
+      }
+    val d = Doms.size
+    val viol = Seq.newBuilder[(String, String)]
+    byIter.foreach { case (k, rs) =>
+      val wSum = rs.map(_._2).sum
+      if (math.abs(wSum - 1000000L) > d)
+        viol += ((f"simplex_$k%02d", s"weights sum to $wSum"))
+      rs.foreach { case (dm, w, _) =>
+        if (w <= 0) viol += ((f"positive_$k%02d", s"$dm weight $w <= 0"))
+      }
+    }
+    def spread(rs: Seq[(String, Long, Long)]): Long =
+      rs.map(_._3).max - rs.map(_._3).min
+    val first = byIter.head._2
+    val last = byIter.last._2
+    if (byIter.size > 1) {
+      if (spread(last) >= spread(first))
+        viol += (("balance",
+          s"loss spread ${spread(first)} -> ${spread(last)} did not shrink"))
+      if (last.map(_._3).max > first.map(_._3).max)
+        viol += (("worst_loss",
+          s"max loss rose ${first.map(_._3).max} -> ${last.map(_._3).max}"))
+      // the EG direction: the iter-0 worst domain must gain weight at
+      // iter 1 (its loss exceeds the mixture mean by definition)
+      val worst0 = first.maxBy(_._3)._1
+      val w0 = first.find(_._1 == worst0).get._2
+      val w1 = byIter(1)._2.find(_._1 == worst0).get._2
+      if (w1 <= w0)
+        viol += (("direction",
+          s"worst domain $worst0 weight fell $w0 -> $w1 at iter 1"))
+    }
+    viol.result().toDF("clause", "violation").orderBy(col("clause"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // the learned-mixture trajectory: (iter, dom, w_micro, loss_micro)
+    // for iters 0..5 over the 5 language domains — FULL oracle (the
+    // DuckDB replay walks the identical fixed-point trajectory).
+    "x126_doremi_mix_weights" -> ((s, d) =>
+      trajectory(s, d).orderBy(col("iter"), col("dom"))),
+
+    // Gate (empty-set oracle): weights stay on the simplex and
+    // positive at every iteration, the loss spread across domains
+    // SHRINKS start -> end (the balancing objective), the worst
+    // domain's loss does not rise, and the iter-0 worst domain gains
+    // weight at iter 1 (the EG direction actually fires).
+    "x126g_mix_gate" -> ((s, d) => gateRows(s, trajectory(s, d)))
+  )
+
+  // --- DuckDB oracle (unrolled-CTE EG replay, the x118 pattern) ----------
+
+  private def domCols(prefix: String, expr: String => String): String =
+    Doms.map(dm => s"${expr(dm)} AS ${prefix}_$dm").mkString(",\n    ")
+
+  private def oracleHead: String = {
+    val inList = Doms.map(dm => s"'$dm'").mkString(", ")
+    raw"""WITH tok AS MATERIALIZED (
+      |  SELECT lang,
+      |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ts
+      |  FROM documents WHERE lang IN ($inList)
+      |), t AS MATERIALIZED (
+      |  SELECT lang, unnest(ts) AS w FROM tok
+      |), uni AS MATERIALIZED (
+      |  SELECT w,
+      |    ${domCols("cu", dm => s"CAST(sum(CASE WHEN lang = '$dm' THEN 1 ELSE 0 END) AS BIGINT)")}
+      |  FROM t GROUP BY w
+      |), v AS MATERIALIZED (
+      |  SELECT CAST(count(*) AS BIGINT) AS vv FROM uni
+      |), bgr AS MATERIALIZED (
+      |  SELECT lang, ts[i] AS w1, array_to_string(ts[i : i + 1], ' ') AS g
+      |  FROM tok, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+      |  WHERE len(ts) >= 2
+      |), bg AS MATERIALIZED (
+      |  SELECT g, max(w1) AS w1,
+      |    ${domCols("cb", dm => s"CAST(sum(CASE WHEN lang = '$dm' THEN 1 ELSE 0 END) AS BIGINT)")}
+      |  FROM bgr GROUP BY g
+      |), jx AS MATERIALIZED (
+      |  SELECT bg.*, ${Doms.map(dm => s"uni.cu_$dm").mkString(", ")}
+      |  FROM bg JOIN uni ON bg.w1 = uni.w
+      |), tt AS MATERIALIZED (
+      |  SELECT ${Doms.map(dm => s"greatest(CAST(sum(cb_$dm) AS BIGINT), 1) AS t_$dm").mkString(",\n    ")}
+      |  FROM bg
+      |), w0 AS (
+      |  SELECT ${Doms.map(dm => s"CAST(${math.round(1000000.0 / Doms.size)} AS BIGINT) AS w_$dm").mkString(", ")}
+      |)""".stripMargin
+  }
+
+  /** Loss CTE l$k from weights w$k. */
+  private def oracleLoss(k: Int): String = {
+    val num = Doms.map(dm => s"cb_$dm * w_$dm").mkString(" + ")
+    val den = Doms.map(dm => s"cu_$dm * w_$dm").mkString(" + ")
+    val sums = Doms.map(dm =>
+      s"CAST(round(-CAST(sum(cb_$dm * tq) AS DOUBLE) / max(t_$dm)) AS BIGINT) AS l_$dm")
+      .mkString(",\n    ")
+    s""",
+       |l$k AS MATERIALIZED (
+       |  SELECT
+       |    $sums
+       |  FROM (
+       |    SELECT jx.*, tt.*,
+       |      CAST(round(ln(CAST($num + 1000000 AS DOUBLE) /
+       |        CAST($den + 1000000 * vv AS DOUBLE)) * 1000000) AS BIGINT) AS tq
+       |    FROM jx CROSS JOIN w$k CROSS JOIN v CROSS JOIN tt
+       |  ) q
+       |)""".stripMargin
+  }
+
+  /** EG step CTE w$k from (w${k-1}, l${k-1}). */
+  private def oracleStep(k: Int): String = {
+    val m = Doms.map(dm => s"w_$dm * l_$dm").mkString(" + ")
+    val us = Doms.map(dm =>
+      s"CAST(round(w_$dm * exp($Eta * (l_$dm - m) / 1000000.0)) AS BIGINT) AS u_$dm")
+      .mkString(",\n    ")
+    val uSum = Doms.map(dm => s"u_$dm").mkString(" + ")
+    val ws = Doms.map(dm =>
+      s"CAST(round(1000000.0 * u_$dm / ($uSum)) AS BIGINT) AS w_$dm")
+      .mkString(",\n    ")
+    s""",
+       |m$k AS MATERIALIZED (
+       |  SELECT CAST(round(($m) / 1000000.0) AS BIGINT) AS m
+       |  FROM w${k - 1} CROSS JOIN l${k - 1}
+       |), u$k AS MATERIALIZED (
+       |  SELECT
+       |    $us
+       |  FROM w${k - 1} CROSS JOIN l${k - 1} CROSS JOIN m$k
+       |), w$k AS MATERIALIZED (
+       |  SELECT
+       |    $ws
+       |  FROM u$k
+       |)""".stripMargin
+  }
+
+  private def trajectoryOracle: String = {
+    val iters = (1 to Iters).map(k => oracleStep(k) + oracleLoss(k)).mkString
+    val emit = (0 to Iters).flatMap(k => Doms.map(dm =>
+      s"SELECT CAST($k AS INT) AS iter, '$dm' AS dom, w_$dm AS w_micro, l_$dm AS loss_micro FROM w$k CROSS JOIN l$k"))
+      .mkString("\nUNION ALL ")
+    oracleHead + oracleLoss(0) + iters +
+      s"\nSELECT * FROM (\n$emit\n) ORDER BY iter, dom"
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "x126_doremi_mix_weights" -> trajectoryOracle,
+    "x126g_mix_gate" ->
+      """SELECT CAST(NULL AS VARCHAR) AS clause, CAST(NULL AS VARCHAR) AS violation
+        |WHERE false""".stripMargin
+  )
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.DomainMixture
+
+/** x126: DoReMi-style learned domain-mixture weights. */
+class DomainMixtureSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def traj = SparkEntry.queries("x126_doremi_mix_weights")(
+    spark, sfDir)
+
+  test("trajectory shape: (iters+1) x domains rows, uniform start") {
+    val rows = traj.orderBy("iter", "dom").collect()
+    assert(rows.length === 6 * 5)
+    val it0 = rows.filter(_.getInt(0) == 0)
+    assert(it0.map(_.getString(1)).toSeq === Seq("de", "en", "es", "fr", "zh"))
+    assert(it0.forall(_.getLong(2) === 200000L), "iter 0 must be uniform")
+  }
+
+  test("EG balancing: the mixture moves toward high-loss domains and shrinks the spread") {
+    val rows = traj.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val first = rows.filter(_._1 == 0)
+    val last = rows.filter(_._1 == 5)
+    def spread(rs: Array[(Int, String, Long, Long)]): Long =
+      rs.map(_._4).max - rs.map(_._4).min
+    assert(spread(last) < spread(first),
+      s"loss spread must shrink: ${spread(first)} -> ${spread(last)}")
+    val worst0 = first.maxBy(_._4)._2
+    val w0 = first.find(_._2 == worst0).get._3
+    val w5 = last.find(_._2 == worst0).get._3
+    assert(w5 > w0, s"worst domain $worst0 must gain weight: $w0 -> $w5")
+    // and somebody paid for it — the simplex is zero-sum
+    assert(last.exists(r => r._3 < first.find(_._2 == r._2).get._3))
+  }
+
+  test("x126g gate: empty on the real trajectory, clauses fire on tampered ones") {
+    assert(SparkEntry.queries("x126g_mix_gate")(spark, sfDir).count() === 0)
+    // flat losses (spread cannot shrink) -> balance fires
+    val flat = Seq(
+      (0, "a", 500000L, 100L), (0, "b", 500000L, 200L),
+      (1, "a", 500000L, 100L), (1, "b", 500000L, 200L))
+      .toDF("iter", "dom", "w_micro", "loss_micro")
+    val fl = DomainMixture.gateRows(spark, flat).collect().map(_.getString(0))
+    assert(fl.contains("balance"), fl.toSeq)
+    assert(fl.contains("direction"), fl.toSeq)
+    // broken simplex -> simplex fires
+    val broken = Seq((0, "a", 900000L, 100L), (0, "b", 300000L, 200L))
+      .toDF("iter", "dom", "w_micro", "loss_micro")
+    val br = DomainMixture.gateRows(spark, broken).collect().map(_.getString(0))
+    assert(br.exists(_.startsWith("simplex")), br.toSeq)
+    // a non-positive weight -> positive fires
+    val neg = Seq((0, "a", 1000001L, 100L), (0, "b", -1L, 200L))
+      .toDF("iter", "dom", "w_micro", "loss_micro")
+    val ng = DomainMixture.gateRows(spark, neg).collect().map(_.getString(0))
+    assert(ng.exists(_.startsWith("positive")), ng.toSeq)
+  }
+
+  test("determinism: two trajectories are identical") {
+    val docs = Tables(spark, sfDir, "documents")
+    val a = DomainMixture.egMixture(docs, "text", "lang",
+      DomainMixture.Doms, iters = 2, eta = DomainMixture.Eta)
+    val b = DomainMixture.egMixture(docs, "text", "lang",
+      DomainMixture.Doms, iters = 2, eta = DomainMixture.Eta)
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+  }
+}
