@@ -199,6 +199,7 @@ object BpeQueries {
     mergeMemo.clear()
     byteVocabMemo.values.forEach(graft.CheckpointBlocks.release)
     byteVocabMemo.clear()
+    curveMemo.clear()
   }
 
   def learnedMerges(s: SparkSession, d: String, numMerges: Int = 10): Seq[Merge] = {
@@ -317,6 +318,87 @@ object BpeQueries {
       val v = learnMergesOn(byteVocab(s, d), numMerges)
       Option(mergeMemo.putIfAbsent(k, v)).getOrElse(v)
     }
+  }
+
+  // --- vocab-size operating curve (x127) ----------------------------------
+
+  private[graft] val CurveMerges = Seq(0, 4, 8, 16, 24)
+
+  private val curveMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Seq[(Int, Long, Long, Long, Long)]]()
+
+  /** The tokenizer VOCAB-SIZE operating curve (the x115/x121/x124
+    * discipline applied to the last hand-picked tokenizer constant):
+    * one row per merge budget m — effective subword vocabulary, total
+    * corpus tokens, total corpus bytes, and bytes/token (micro) — the
+    * table a deployment reads to trade vocabulary size against
+    * sequence-length compression.
+    *
+    * ONE training at the largest budget serves every point: BPE's
+    * greedy merge sequence is PREFIX-NESTED (the first m merges of a
+    * 24-merge run ARE the m-merge run — pinned by spec), so each
+    * curve point is a prefix-sliced merge fold over the checkpointed
+    * pretoken vocabulary (the x119g fold-over-checkpoint rule; corpus
+    * text is never re-touched). Costs: one learner run + |curve|
+    * vocab-sized scans.
+    */
+  private[graft] def vocabCurve(s: SparkSession, d: String)
+      : Seq[(Int, Long, Long, Long, Long)] = {
+    val key = (s, d)
+    Option(curveMemo.get(key)).getOrElse {
+      MemoEviction.register(s, "bpecv") { () =>
+        curveMemo.keySet.removeIf(_._1 eq s)
+      }
+      val merges = learnedByteMerges(s, d, numMerges = CurveMerges.max)
+      val bv = byteVocab(s, d)
+      val totalBytes = bv
+        .agg(coalesce(sum(col("freq") * size(col("syms"))), lit(0L)))
+        .head().getLong(0)
+      val r = CurveMerges.map { m =>
+        val folded = merges.take(m).foldLeft(col("syms"): Column)(
+          (acc, mm) => applyMerge(acc, mm.l, mm.r))
+        val row = bv.select(explode(folded).as("sub"), col("freq"))
+          .agg(countDistinct(col("sub")).as("v"),
+            coalesce(sum(col("freq")), lit(0L)).as("toks"))
+          .head()
+        val toks = math.max(row.getLong(1), 1L)
+        (m, row.getLong(0), row.getLong(1), totalBytes,
+          math.round(1000000.0 * totalBytes / toks))
+      }
+      Option(curveMemo.putIfAbsent(key, r)).getOrElse(r)
+    }
+  }
+
+  /** The x127g body over an explicit curve — the spec hook proving the
+    * clauses fire (a rising token column trips monotone; a minted
+    * subword trips vocab_bound; a broken m=0 anchor trips anchor).
+    */
+  private[graft] def curveGateRows(s: SparkSession,
+      curve: Seq[(Int, Long, Long, Long, Long)]): DataFrame = {
+    import s.implicits._
+    val viol = Seq.newBuilder[(String, String)]
+    val sorted = curve.sortBy(_._1)
+    sorted.headOption.foreach { case (m, _, toks, bytes, _) =>
+      if (m == 0 && toks != bytes)
+        viol += (("anchor", s"m=0 tokens $toks != bytes $bytes"))
+    }
+    sorted.sliding(2).foreach {
+      case Seq(a, b) =>
+        if (b._3 > a._3)
+          viol += ((f"monotone_${b._1}%02d",
+            s"tokens rose ${a._3} -> ${b._3}"))
+      case _ =>
+    }
+    val alphabet = sorted.head._2
+    sorted.foreach { case (m, v, _, _, _) =>
+      if (v > alphabet + m)
+        viol += ((f"vocab_bound_$m%02d",
+          s"$v subwords exceed alphabet $alphabet + $m merges"))
+    }
+    if (sorted.size > 1 && sorted.last._3 >= sorted.head._3)
+      viol += (("improvement",
+        s"tokens ${sorted.head._3} -> ${sorted.last._3}: merges earned nothing"))
+    viol.result().toDF("clause", "violation").orderBy(col("clause"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -503,10 +585,31 @@ object BpeQueries {
           when(col("recon") =!= col("w"), lit("round-trip broken"))
             .otherwise(lit("subword outside merge closure")).as("violation"))
         .orderBy(col("w"))
-    })
+    }),
+
+    // the tokenizer VOCAB-SIZE operating curve (x127): one row per
+    // merge budget — subword vocab, total tokens, total bytes,
+    // bytes/token — from ONE 24-merge training prefix-sliced per
+    // point. Rows-only (the greedy learner isn't SQL-expressible);
+    // the x127g gate carries the contract.
+    "x127_bpe_vocab_curve" -> ((s, d) => {
+      import s.implicits._
+      vocabCurve(s, d).toDF("n_merges", "vocab_subwords", "total_tokens",
+          "total_bytes", "bytes_per_token_micro")
+        .orderBy(col("n_merges"))
+    }),
+
+    // Gate (empty-set oracle): the m=0 anchor (tokens == bytes —
+    // byte-fallback totality), tokens monotone non-increasing in the
+    // merge budget, vocab bounded by alphabet + m (merges only fuse,
+    // never mint), and the widest budget strictly beats m=0.
+    "x127g_bpe_curve_gate" -> ((s, d) =>
+      curveGateRows(s, vocabCurve(s, d)))
   )
 
   val oracleSql: Map[String, String] = Map(
+    "x127g_bpe_curve_gate" ->
+      "SELECT CAST(NULL AS VARCHAR) AS clause, CAST(NULL AS VARCHAR) AS violation WHERE 1 = 0",
     // byte-level pair counts: an independent DuckDB hex byte-walk —
     // same pretokenizer regex (RE2-compatible by construction), UTF-8
     // bytes via hex(encode(w)) split into 2-char symbols

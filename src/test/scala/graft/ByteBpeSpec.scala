@@ -86,4 +86,48 @@ class ByteBpeSpec extends SparkSpecBase {
       array_join(col("syms"), "") =!= hex(encode(col("w"), "UTF-8")))
     assert(bad.count() > 0, "a lossy symbolization must fail the hex check")
   }
+
+  test("x127 vocab-size curve: anchored at bytes, monotone, gate empty") {
+    val curve = SparkEntry.queries("x127_bpe_vocab_curve")(spark, sfDir)
+      .orderBy("n_merges").collect()
+    assert(curve.map(_.getInt(0)).toSeq === Seq(0, 4, 8, 16, 24))
+    val m0 = curve.head
+    assert(m0.getLong(2) === m0.getLong(3), "m=0 tokens must equal bytes")
+    assert(m0.getLong(4) === 1000000L)
+    val toks = curve.map(_.getLong(2)).toSeq
+    assert(toks.sliding(2).forall { case Seq(a, b) => b <= a },
+      s"tokens not monotone: $toks")
+    assert(toks.last < toks.head, "24 merges must compress the corpus")
+    assert(SparkEntry.queries("x127g_bpe_curve_gate")(spark, sfDir)
+      .count() === 0)
+  }
+
+  test("BPE merge sequences are prefix-nested: m-merge run == first m of a larger run") {
+    val bv = BpeQueries.pretokenVocab(
+      Tables(spark, sfDir, "documents").select(col("text").as("t")), "t")
+      .withColumn("syms", BpeQueries.byteSyms(col("w")))
+    val m8 = BpeQueries.learnMergesOn(bv, 8)
+    val m16 = BpeQueries.learnMergesOn(bv, 16)
+    assert(m16.take(m8.size) === m8,
+      "the curve's prefix-slice reuse depends on greedy nesting")
+  }
+
+  test("x127g clauses fire on tampered curves") {
+    // rising tokens -> monotone; minted vocab -> vocab_bound;
+    // broken anchor -> anchor; no improvement -> improvement
+    val bad = Seq(
+      (0, 10L, 90L, 100L, 1000000L),  // anchor broken (90 != 100)
+      (4, 20L, 95L, 100L, 950000L),   // tokens rose, vocab 20 > 10+4
+      (8, 12L, 95L, 100L, 950000L))
+    val viol = BpeQueries.curveGateRows(spark, bad)
+      .collect().map(_.getString(0))
+    assert(viol.contains("anchor"), viol.toSeq)
+    assert(viol.exists(_.startsWith("monotone")), viol.toSeq)
+    assert(viol.exists(_.startsWith("vocab_bound")), viol.toSeq)
+    val flat = Seq((0, 10L, 100L, 100L, 1000000L),
+      (4, 12L, 100L, 100L, 1000000L))
+    val fl = BpeQueries.curveGateRows(spark, flat)
+      .collect().map(_.getString(0))
+    assert(fl.contains("improvement"), fl.toSeq)
+  }
 }
