@@ -287,6 +287,63 @@ object ScaleCheck {
       Thread.sleep(500)
     }
 
+    // Incremental kNN-graph append scaling (x125): a FIXED batch (the
+    // sf corpus' every-eighth split) appended to graphs built over
+    // 1x/4x/16x corpora. Cost model: the beam walk probes the stored
+    // adjacency by id-keyed joins (scan-bounded per hop, never
+    // shuffled) and the re-prune touches only the <= |B|·k affected
+    // nodes — so append seconds may grow with the adjacency SCAN but
+    // never super-linearly (a rebuild or an all-pairs leak would).
+    // The base build is excluded from the timing.
+    if (keep("knng_app")) for (k <- scales) {
+      val spark = freshSession()
+      val (base0, batch) = graft.operators.KnnGraph.appendSplit(spark, sfDir)
+      val corpus = replicate(spark, base0, k) { (df, i) =>
+        if (i == 0) df
+        else df.select((col("id") + i * 100000000L).as("id"), col("vec"))
+      }
+      val graph = graft.operators.KnnGraph.build(corpus, "id", "vec",
+        k = 5, rounds = 2)
+      val (sec, rows) = time {
+        val merged = graft.operators.KnnGraph.appendToGraph(
+          graph, corpus, batch, "id", "vec", k = 5, beam = 16, hops = 6)
+        val c = merged.count()
+        graft.CheckpointBlocks.release(merged)
+        c
+      }
+      println(f"""{"op":"knng_app","scale":$k,"sec":$sec%.2f,"rows":$rows}""")
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      System.gc()
+      Thread.sleep(500)
+    }
+
+    // Learned domain-mixture scaling (x126): the documents corpus
+    // replicated VERBATIM (ids offset, text untouched) — corpus size
+    // grows 16x while the DISTINCT-bigram relation stays flat, so the
+    // one count-building pass scales with the scan and the six EG
+    // rounds stay constant: total seconds must grow well UNDER
+    // linearly. (Disjoint-token replication would instead grow the
+    // count table itself — a different, also-linear regime; the
+    // verbatim form isolates the per-round claim.)
+    if (keep("doremi")) for (k <- scales) {
+      val spark = freshSession()
+      def base: DataFrame = Tables(spark, sfDir, "documents")
+        .select(col("doc_id").as("id"), col("text"), col("lang"))
+      val docs = replicate(spark, base, k)((df, _) => df)
+      val (sec, rows) = time(
+        graft.operators.DomainMixture.egMixture(docs, "text", "lang",
+          graft.operators.DomainMixture.Doms, iters = 5,
+          eta = graft.operators.DomainMixture.Eta).count())
+      println(f"""{"op":"doremi","scale":$k,"sec":$sec%.2f,"rows":$rows}""")
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      System.gc()
+      Thread.sleep(500)
+    }
+
     // Incremental PQ-code maintenance scaling (the x96 cost model): a
     // FIXED 500-vector batch encoded + drift-checked against a stored
     // codebook while the stored CODES relation sits at 1x/4x/16x. The
