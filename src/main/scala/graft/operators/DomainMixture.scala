@@ -51,10 +51,14 @@ object DomainMixture {
 
   private[graft] val Iters = 5
 
-  /** η = 0.2 in micro units — per-round weight multiplier spans
-    * exp(±0.2·ΔL) for ΔL nats of excess loss.
+  /** η = 50: per-round weight multiplier exp(η·ΔL) for ΔL nats of
+    * excess loss. The declared fixture's languages are same-genre
+    * synthetic prose, so cross-domain excess is a few MILLI-nats — a
+    * DoReMi-default η ~ 1 would walk the simplex imperceptibly; η is a
+    * step size and is sized to the loss scale (the gate still pins
+    * stability: spread shrinks, no oscillation past equilibrium).
     */
-  private[graft] val Eta = 0.2
+  private[graft] val Eta = 50.0
 
   /** One (per-bigram) count relation: cb_<dom> = domain's count of the
     * bigram, cu_<dom> = domain's count of the bigram's CONTEXT unigram
@@ -236,12 +240,92 @@ object DomainMixture {
     viol.result().toDF("clause", "violation").orderBy(col("clause"))
   }
 
+  /** Deploy the learned mixture through the engine's own sampler: the
+    * final weights become per-domain KEEP RATES ∝ w_i / n_i (scaled so
+    * the binding domain keeps everything — the largest corpus any
+    * subsample realizing proportions w can keep), materialized by
+    * x43's deterministic hash-prefix predicate. The learned config
+    * feeds the existing scan-side sampler unchanged — no shuffle, no
+    * new machinery; this is the production step that turns a DoReMi
+    * run into an actual training corpus.
+    */
+  private def sampleSizes(s: SparkSession, d: String): DataFrame = {
+    val wFinal = trajectory(s, d).filter(col("iter") === Iters)
+      .select(col("dom"), col("w_micro")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docs = graft.Tables(s, d, "documents")
+      .filter(col("lang").isin(Doms.map(lit): _*))
+    val n = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rate = Doms.map(dm => dm -> wFinal(dm).toDouble / n(dm)).toMap
+    val maxRate = rate.values.max
+    val keeps = rate.map { case (dm, r) => dm -> r / maxRate }
+    val kept = SamplingQueries.sourceMix(docs, "doc_id", "lang", keeps)
+      .groupBy(col("lang")).agg(count(lit(1)).as("kept"))
+    import s.implicits._
+    val nDf = n.toSeq.sortBy(_._1).toDF("lang", "n_docs")
+    nDf.join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"),
+        coalesce(col("kept"), lit(0L)).as("kept"))
+  }
+
+  /** The x126sg body over explicit (sizes, weights) — the spec hook. */
+  private[graft] def sampleGateRows(s: SparkSession, sizes: DataFrame,
+                                    wFinal: Map[String, Long]): DataFrame = {
+    import s.implicits._
+    val rows = sizes.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val viol = Seq.newBuilder[(String, String)]
+    rows.foreach { case (dm, n, kept) =>
+      if (kept > n) viol += ((s"bound_$dm", s"kept $kept > corpus $n"))
+    }
+    val totKept = rows.map(_._3).sum.toDouble
+    val totN = rows.map(_._2).sum.toDouble
+    val wSum = wFinal.values.sum.toDouble
+    if (totKept > 0) rows.foreach { case (dm, _, kept) =>
+      val share = kept / totKept
+      val target = wFinal(dm) / wSum
+      // 0.06 absolute: the hash-prefix sampler quantizes keep-rates
+      // to 256ths and realizes them with binomial noise — at the
+      // sf0.01 corpus (218 en docs) the realization lands ~0.04 off
+      // the target; the bar is "tracks the learned mix", not exact
+      if (math.abs(share - target) > 0.06)
+        viol += ((s"share_$dm",
+          f"realized $share%.4f vs learned $target%.4f (> 0.06 off)"))
+    }
+    // the binding domain (max w/n) must keep its whole corpus — any
+    // smaller scale would waste data the mixture could legally use
+    val nMap = rows.map(r => r._1 -> r._2).toMap
+    val binding = wFinal.keys.maxBy(dm => wFinal(dm).toDouble / nMap(dm))
+    rows.find(_._1 == binding).foreach { case (dm, n, kept) =>
+      if (kept != n)
+        viol += (("binding", s"binding domain $dm kept $kept of $n"))
+    }
+    viol.result().toDF("clause", "violation").orderBy(col("clause"))
+  }
+
   val queries: Map[String, Q] = Map(
     // the learned-mixture trajectory: (iter, dom, w_micro, loss_micro)
     // for iters 0..5 over the 5 language domains — FULL oracle (the
     // DuckDB replay walks the identical fixed-point trajectory).
     "x126_doremi_mix_weights" -> ((s, d) =>
       trajectory(s, d).orderBy(col("iter"), col("dom"))),
+
+    // the learned mixture MATERIALIZED through the x43 hash sampler:
+    // per-domain corpus size and kept count under keep-rates ∝ w/n.
+    // Rows-only (weights come from the learner); gated below.
+    "x126s_mix_sample_sizes" -> ((s, d) =>
+      sampleSizes(s, d).orderBy(col("lang"))),
+
+    // Gate (empty-set oracle): kept <= corpus per domain, realized
+    // kept-shares within 6% absolute of the learned weights, and the
+    // binding domain keeps its entire corpus.
+    "x126sg_mix_sample_gate" -> ((s, d) => {
+      val wFinal = trajectory(s, d).filter(col("iter") === Iters)
+        .select(col("dom"), col("w_micro")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      sampleGateRows(s, sampleSizes(s, d), wFinal)
+    }),
 
     // Gate (empty-set oracle): weights stay on the simplex and
     // positive at every iteration, the loss spread across domains
@@ -346,6 +430,9 @@ object DomainMixture {
   val oracleSql: Map[String, String] = Map(
     "x126_doremi_mix_weights" -> trajectoryOracle,
     "x126g_mix_gate" ->
+      """SELECT CAST(NULL AS VARCHAR) AS clause, CAST(NULL AS VARCHAR) AS violation
+        |WHERE false""".stripMargin,
+    "x126sg_mix_sample_gate" ->
       """SELECT CAST(NULL AS VARCHAR) AS clause, CAST(NULL AS VARCHAR) AS violation
         |WHERE false""".stripMargin
   )

@@ -57,6 +57,41 @@ class DomainMixtureSpec extends SparkSpecBase {
     assert(ng.exists(_.startsWith("positive")), ng.toSeq)
   }
 
+  test("x126s: the learned mixture deploys through the hash sampler") {
+    assert(SparkEntry.queries("x126sg_mix_sample_gate")(spark, sfDir)
+      .count() === 0)
+    val sizes = SparkEntry.queries("x126s_mix_sample_sizes")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(sizes.map(_._1).toSeq === Seq("de", "en", "es", "fr", "zh"))
+    // en is over-represented in the corpus relative to its learned
+    // weight, so the sampler must down-sample it below corpus share;
+    // the binding (highest w/n) domain keeps everything
+    val totN = sizes.map(_._2).sum.toDouble
+    val totK = sizes.map(_._3).sum.toDouble
+    val en = sizes.find(_._1 == "en").get
+    assert(en._3 / totK < en._2 / totN,
+      s"en share must fall: kept ${en._3}/$totK vs corpus ${en._2}/$totN")
+    assert(sizes.exists { case (_, n, kept) => kept == n },
+      "some domain must bind at keep-rate 1")
+  }
+
+  test("x126sg clauses fire on tampered sizes") {
+    import spark.implicits._
+    val w = Map("a" -> 500000L, "b" -> 500000L)
+    // kept > n -> bound; shares far from weights -> share; binding kept < n
+    val bad = Seq(("a", 100L, 120L), ("b", 100L, 10L))
+      .toDF("lang", "n_docs", "kept")
+    val viol = DomainMixture.sampleGateRows(spark, bad, w)
+      .collect().map(_.getString(0))
+    assert(viol.exists(_.startsWith("bound_")), viol.toSeq)
+    assert(viol.exists(_.startsWith("share_")), viol.toSeq)
+    val notBinding = Seq(("a", 100L, 50L), ("b", 100L, 50L))
+      .toDF("lang", "n_docs", "kept")
+    val nb = DomainMixture.sampleGateRows(spark, notBinding, w)
+      .collect().map(_.getString(0))
+    assert(nb.contains("binding"), nb.toSeq)
+  }
+
   test("determinism: two trajectories are identical") {
     val docs = Tables(spark, sfDir, "documents")
     val a = DomainMixture.egMixture(docs, "text", "lang",
