@@ -309,10 +309,19 @@ object KnnGraph {
     * of its old edges); the x125g gate pins that, plus coverage and a
     * recall floor for the appended nodes.
     */
-  def appendToGraph(graph: DataFrame, baseCorpus: DataFrame,
-                    batch: DataFrame, idCol: String, vecCol: String,
-                    k: Int, beam: Int, hops: Int,
-                    entries: Int = 4): DataFrame = {
+  /** The EDGE DELTA of appending `batch` into a built graph — the new
+    * nodes' top-k edges PLUS the reverse edges they induce on existing
+    * nodes — WITHOUT merging it into the stored relation. This is the
+    * streaming leg's unit of state: per-batch deltas append to an
+    * edge log and the serving graph derives by a top-k cut at read
+    * (the LSM shape), so history is never rewritten. [[appendToGraph]]
+    * is merge(graph, delta) for the batch caller. Returns a
+    * checkpointed frame; the caller releases it.
+    */
+  def appendDelta(graph: DataFrame, baseCorpus: DataFrame,
+                  batch: DataFrame, idCol: String, vecCol: String,
+                  k: Int, beam: Int, hops: Int,
+                  entries: Int = 4): DataFrame = {
     require(k >= 1 && beam >= 2 * k && hops >= 0,
       "k >= 1, beam >= 2k, hops >= 0")
     val v = graft.CheckpointBlocks.cleanCheckpoint(
@@ -357,36 +366,71 @@ object KnnGraph {
           .join(broadcast(batchIds), newEdges("nid") === batchIds("id"),
             "left_anti")
           .select(col("nid").as("id"), newEdges("id").as("nid"), col("sim"))
-        val affected = reverse.select(col("id")).distinct()
-        // fresh-alias every union branch: the stored graph (and the
-        // newEdges checkpoint) each appear in two branches' lineage,
-        // and Union constraint rewriting trips on the duplicated
-        // expression ids otherwise
-        def realias(df: DataFrame): DataFrame = df.select(
-          col("id").as("id"), col("nid").as("nid"), col("sim").as("sim"))
-        val old = graph.select(col("id"), col("nid"), col("sim"))
-        val repruned = realias(topK(
-          realias(old.join(broadcast(affected), Seq("id"), "left_semi"))
-            .unionByName(realias(reverse)).distinct(), k))
-        val untouched = realias(graph
-          .join(broadcast(affected), Seq("id"), "left_anti")
-          .select(col("id"), col("nid"), col("sim")))
-        val w = Window.partitionBy(col("id"))
-          .orderBy(col("sim").desc, col("nid"))
-        // materialize the merged graph, then the walk/new-edge blocks
-        // can all go — the caller holds (and releases) one checkpoint
-        val merged = untouched.unionByName(repruned)
-          .unionByName(realias(newEdges))
-          .withColumn("rank", row_number().over(w))
-          .select(col("id"), col("rank"), col("nid"), col("sim"))
+        val delta = newEdges
+          .select(col("id"), col("nid"), col("sim"))
+          .unionByName(reverse)
           .localCheckpoint(true)
         graft.CheckpointBlocks.release(newEdges)
-        merged
+        delta
       } finally graft.CheckpointBlocks.release(adjacency)
     } finally {
       graft.CheckpointBlocks.release(b)
       graft.CheckpointBlocks.release(v)
     }
+  }
+
+  def appendToGraph(graph: DataFrame, baseCorpus: DataFrame,
+                    batch: DataFrame, idCol: String, vecCol: String,
+                    k: Int, beam: Int, hops: Int,
+                    entries: Int = 4): DataFrame = {
+    val delta = appendDelta(graph, baseCorpus, batch, idCol, vecCol,
+      k, beam, hops, entries)
+    try {
+      val batchIds = Similarity.normedVecs(batch, idCol, vecCol)
+        .select(col("id"))
+      // split the delta back into the new nodes' edges and the reverse
+      // edges on existing nodes (ids are disjoint by contract)
+      val newEdges = delta.join(broadcast(batchIds), Seq("id"), "left_semi")
+      val reverse = delta.join(broadcast(batchIds), Seq("id"), "left_anti")
+      val affected = reverse.select(col("id")).distinct()
+      // fresh-alias every union branch: the stored graph (and the
+      // delta checkpoint) each appear in two branches' lineage, and
+      // Union constraint rewriting trips on the duplicated expression
+      // ids otherwise
+      def realias(df: DataFrame): DataFrame = df.select(
+        col("id").as("id"), col("nid").as("nid"), col("sim").as("sim"))
+      val old = graph.select(col("id"), col("nid"), col("sim"))
+      val repruned = realias(topK(
+        realias(old.join(broadcast(affected), Seq("id"), "left_semi"))
+          .unionByName(realias(reverse)).distinct(), k))
+      val untouched = realias(graph
+        .join(broadcast(affected), Seq("id"), "left_anti")
+        .select(col("id"), col("nid"), col("sim")))
+      val w = Window.partitionBy(col("id"))
+        .orderBy(col("sim").desc, col("nid"))
+      // materialize the merged graph, then the delta blocks can go —
+      // the caller holds (and releases) one checkpoint
+      untouched.unionByName(repruned)
+        .unionByName(realias(newEdges))
+        .withColumn("rank", row_number().over(w))
+        .select(col("id"), col("rank"), col("nid"), col("sim"))
+        .localCheckpoint(true)
+    } finally graft.CheckpointBlocks.release(delta)
+  }
+
+  /** Serving graph from an append-only edge LOG — the read path over
+    * accumulated [[appendDelta]] batches (the LSM shape: writes never
+    * rewrite history; the top-k cut happens at read). Duplicate
+    * (id, nid) observations collapse first — sims are a pure function
+    * of the vectors, so any surviving row is THE row — then each node
+    * keeps its best k by the usual (sim desc, nid) WindowGroupLimit.
+    */
+  def graphFromEdgeLog(edges: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("id")).orderBy(col("sim").desc, col("nid"))
+    edges.dropDuplicates("id", "nid")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("rank"), col("nid"), col("sim"))
   }
 
   /** The BEAM-WIDTH operating curve of graph-ANN serving (the x115
@@ -479,6 +523,9 @@ object KnnGraph {
       graft.CheckpointBlocks.release(g)
     }
     appendMemo.clear()
+    filteredMemo.values.forEach { case (df, _) =>
+      graft.CheckpointBlocks.release(df) }
+    filteredMemo.clear()
   }
 
   /** The declared family's corpus: a LOW-INTRINSIC-DIMENSION manifold
@@ -498,12 +545,16 @@ object KnnGraph {
       (pmod(xxhash64(col("vec_id"), lit(m)), lit(1000L)).cast("double") /
         lit(1000.0)).as(s"u$m"))
     ExtensionQueries.rebalanced(graft.Tables(s, d, "embeddings"))
-      .select(col("vec_id").as("id") +: col("embedding") +: latent: _*)
+      .select(col("vec_id").as("id") +: col("embedding") +:
+        col("label") +: latent: _*)
       .select(col("id"), transform(col("embedding"), (x, j) =>
         (0 until 4).map(m =>
           when(xxhash64(lit(m), j) % 2 === 0, lit(1.0)).otherwise(lit(-1.0)) *
             col(s"u$m")).reduce(_ + _) + lit(0.02) * x.cast("double"))
-        .as("vec"))
+        .as("vec"),
+        // metadata rider for the filtered-search family (x128); the
+        // build/serve paths project it away via normedVecs
+        col("label"))
   }
 
   private def built(s: SparkSession, d: String): (DataFrame, Seq[Long]) = {
@@ -604,6 +655,124 @@ object KnnGraph {
     viol.result().toDF("clause", "violation").orderBy(col("clause"))
   }
 
+  /** Predicate-filtered graph-ANN search — "nearest among rows
+    * matching pred" over a built kNN graph (the ACORN problem:
+    * filtered HNSW). Three design points, each the survivor of a
+    * documented failure mode:
+    *
+    *  - NAVIGATE UNFILTERED, COLLECT FILTERED: the beam walks the full
+    *    two-layer graph (restricting traversal to matching nodes
+    *    disconnects the graph at selective predicates — the subgraph
+    *    induced by a 10% predicate on a k-regular graph shatters),
+    *    while matching candidates accumulate into a separate result
+    *    set cut to top-k once at the end.
+    *  - MEASURED WIDENING (the x114 discipline): with selectivity s,
+    *    an unfiltered frontier of `beam` rows carries only ~s·beam
+    *    matches, so the navigation beam widens to beam/s (capped at
+    *    8·beam — the honest bound past which the walk degenerates into
+    *    a scan and the dispatch below should have fired).
+    *  - MEASURED DISPATCH: when the filtered subset itself is small
+    *    (keptN ≤ 16·k), graph navigation cannot beat exactly scoring
+    *    the subset — brute-force it (perfect recall, one broadcast-
+    *    sized join). The count that decides is measured, not guessed —
+    *    the pageRankAuto/x20 convention.
+    *
+    * Scale shape: the kept-id relation joins candidates id-keyed (the
+    * corpus is never scanned per query on the walk path), the result
+    * accumulator is ≤ hops·Q·beamEff rows cut by one WindowGroupLimit,
+    * and the exact path scores Q × keptN with keptN measured small.
+    */
+  def searchFiltered(graph: DataFrame, corpus: DataFrame, idCol: String,
+                     vecCol: String, queries: DataFrame, k: Int, beam: Int,
+                     hops: Int, pred: Column,
+                     entries: Int = 4): (DataFrame, Boolean) = {
+    require(k >= 1 && beam >= k && hops >= 0, "k >= 1, beam >= k, hops >= 0")
+    val keptRel = corpus.filter(pred)
+    val keptN = keptRel.count()
+    if (keptN <= 16L * k) {
+      // exact path: the filtered subset is candidate-pool sized
+      (Similarity.bruteForceTopK(queries, keptRel, idCol, vecCol, k), false)
+    } else {
+      val v = graft.CheckpointBlocks.cleanCheckpoint(
+        Similarity.normedVecs(corpus, idCol, vecCol))
+      val q = graft.CheckpointBlocks.cleanCheckpoint(
+        Similarity.normedVecs(queries, idCol, vecCol)
+          .select(col("id").as("qid"), col("vec").as("qvec"),
+            col("nrm").as("qnrm")))
+      val kept = graft.CheckpointBlocks.cleanCheckpoint(
+        keptRel.select(col(idCol).as("nid")))
+      try {
+        val n = v.count()
+        // widen navigation so ~beam matching rows stay in flight
+        val beamEff = math.min(
+          math.ceil(beam.toDouble * n / math.max(keptN, 1L)).toLong,
+          8L * beam).toInt
+        def scoreQ(pairs: DataFrame): DataFrame = pairs
+          .filter(col("qid") =!= col("nid"))
+          .join(v.select(col("id").as("nid"), col("vec").as("nvec"),
+            col("nrm").as("nnrm")), "nid")
+          .join(broadcast(q), "qid")
+          .select(col("qid"), col("nid"),
+            round(dot(col("qvec"), col("nvec")) /
+              (col("qnrm") * col("nnrm")), 6).as("sim"))
+        def navCap(scored: DataFrame): DataFrame = {
+          val w = Window.partitionBy(col("qid"))
+            .orderBy(col("sim").desc, col("nid"))
+          scored.withColumn("r", row_number().over(w))
+            .filter(col("r") <= beamEff)
+            .select(col("qid"), col("nid"), col("sim"))
+        }
+        val adjacency = twoLayerAdjacency(graph, v, k).localCheckpoint(true)
+        try {
+          val entry = v.select(col("id").as("nid"), xxhash64(col("id")).as("h"))
+            .orderBy(col("h")).limit(entries).select(col("nid"))
+          var frontier = navCap(scoreQ(
+            q.select(col("qid")).crossJoin(broadcast(entry))))
+            .localCheckpoint(true)
+          // matching rows seen so far, re-cut per hop (bounded k·Q)
+          def matchCut(df: DataFrame): DataFrame = {
+            val w = Window.partitionBy(col("qid"))
+              .orderBy(col("sim").desc, col("nid"))
+            df.join(kept, Seq("nid"), "left_semi")
+              .withColumn("r", row_number().over(w))
+              .filter(col("r") <= k)
+              .select(col("qid"), col("nid"), col("sim"))
+          }
+          var results = matchCut(frontier).localCheckpoint(true)
+          (1 to hops).foreach { _ =>
+            val cand = frontier.select(col("qid"), col("nid"))
+              .join(adjacency, Seq("nid"))
+              .select(col("qid"), col("next").as("nid"))
+              .distinct()
+            val scored = scoreQ(cand).localCheckpoint(true)
+            val prevF = frontier
+            val prevR = results
+            frontier = navCap(frontier.unionByName(scored).distinct())
+              .localCheckpoint(true)
+            results = matchCut(results.unionByName(scored).distinct())
+              .localCheckpoint(true)
+            graft.CheckpointBlocks.release(prevF)
+            graft.CheckpointBlocks.release(prevR)
+            graft.CheckpointBlocks.release(scored)
+          }
+          val w = Window.partitionBy(col("qid"))
+            .orderBy(col("sim").desc, col("nid"))
+          val out = results.withColumn("rank", row_number().over(w))
+            .filter(col("rank") <= k)
+            .select(col("qid"), col("rank"), col("nid"), col("sim"))
+            .localCheckpoint(true)
+          graft.CheckpointBlocks.release(frontier)
+          graft.CheckpointBlocks.release(results)
+          (out, true)
+        } finally graft.CheckpointBlocks.release(adjacency)
+      } finally {
+        graft.CheckpointBlocks.release(q)
+        graft.CheckpointBlocks.release(v)
+        graft.CheckpointBlocks.release(kept)
+      }
+    }
+  }
+
   // --- incremental append family (x125) ----------------------------------
 
   /** Deterministic index/batch split of the manifold corpus: every
@@ -686,6 +855,64 @@ object KnnGraph {
       .filter(col("m.s") < col("b.s")).count()
     if (degraded > 0)
       viol += (("no_degrade", s"$degraded base nodes lost similarity mass"))
+    viol.result().toDF("clause", "violation").orderBy(col("clause"))
+  }
+
+  // --- filtered search family (x128) --------------------------------------
+
+  /** The declared filtered-serving predicate: 3 of the 10 labels
+    * (~30% selectivity) — squarely in the walk regime at every sf, so
+    * the declared query exercises graph navigation, not the small-
+    * subset exact dispatch (the spec exercises that side explicitly).
+    */
+  private[graft] val FilterPred: Column = col("label") < 3
+
+  private val filteredMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, Boolean)]()
+
+  private def searchedFiltered(s: SparkSession, d: String)
+      : (DataFrame, Boolean) = {
+    val key = (s, d)
+    Option(filteredMemo.get(key)).getOrElse {
+      MemoEviction.register(s, "knngf") { () =>
+        filteredMemo.keySet.removeIf(_._1 eq s)
+      }
+      val corpus = graphCorpus(s, d)
+      val r = searchFiltered(built(s, d)._1, corpus, "id", "vec",
+        corpus.filter(col("id") < 10), K, Beam, Hops, FilterPred)
+      Option(filteredMemo.putIfAbsent(key, r)).getOrElse(r)
+    }
+  }
+
+  /** The x128g body over an explicit result — the spec hook (a naive
+    * post-filtered result trips recall; an unfiltered one trips pred).
+    */
+  private[graft] def filteredGateRows(s: SparkSession, d: String,
+                                      result: DataFrame, tookWalk: Boolean,
+                                      minRecall: Double): DataFrame = {
+    import s.implicits._
+    val viol = Seq.newBuilder[(String, String)]
+    val corpus = graphCorpus(s, d)
+    val kept = corpus.filter(FilterPred).select(col("id").as("nid"))
+    val offPred = result.join(kept, Seq("nid"), "left_anti").count()
+    if (offPred > 0)
+      viol += (("pred", s"$offPred served rows violate the predicate"))
+    val underK = result.groupBy(col("qid")).agg(count(lit(1)).as("c"))
+      .filter(col("c") =!= K).count()
+    if (underK > 0)
+      viol += (("k_rows", s"$underK queries without exactly K rows"))
+    val exact = Similarity.bruteForceTopK(corpus.filter(col("id") < 10),
+        corpus.filter(FilterPred), "id", "vec", K)
+      .select(col("qid"), col("nid"))
+    val truthN = exact.count()
+    val hit = exact.join(result.select(col("qid"), col("nid")),
+      Seq("qid", "nid"), "left_semi").count()
+    if (truthN > 0 && hit * 1000L < math.round(minRecall * 1000) * truthN)
+      viol += (("recall",
+        s"$hit of $truthN filtered neighbors served (< $minRecall)"))
+    if (!tookWalk)
+      viol += (("dispatch",
+        "declared predicate should take the walk path, not the exact scan"))
     viol.result().toDF("clause", "violation").orderBy(col("clause"))
   }
 
@@ -800,6 +1027,22 @@ object KnnGraph {
     "x125g_knn_append_gate" -> ((s, d) => {
       val (merged, g0) = appended(s, d)
       appendGateRows(s, d, merged, g0, minRecall = 0.9)
+    }),
+
+    // predicate-FILTERED graph serving (x128): nearest among label<3
+    // rows — navigate the full graph, collect matching candidates,
+    // widen the beam by measured selectivity, exact-scan dispatch for
+    // tiny subsets. Rows-only; the x128g gate carries the contract.
+    "x128_knn_search_filtered" -> ((s, d) =>
+      searchedFiltered(s, d)._1.orderBy(col("qid"), col("rank"))),
+
+    // Gate (empty-set oracle): every served row satisfies the
+    // predicate, exactly K rows per query, recall@K vs brute force
+    // over the FILTERED corpus above the floor, and the declared
+    // predicate took the walk path (the dispatch threshold is sane).
+    "x128g_knn_filtered_gate" -> ((s, d) => {
+      val (result, tookWalk) = searchedFiltered(s, d)
+      filteredGateRows(s, d, result, tookWalk, minRecall = 0.9)
     })
   )
 
@@ -814,6 +1057,9 @@ object KnnGraph {
       """SELECT CAST(NULL AS VARCHAR) AS clause, CAST(NULL AS VARCHAR) AS violation
         |WHERE false""".stripMargin,
     "x125g_knn_append_gate" ->
+      """SELECT CAST(NULL AS VARCHAR) AS clause, CAST(NULL AS VARCHAR) AS violation
+        |WHERE false""".stripMargin,
+    "x128g_knn_filtered_gate" ->
       """SELECT CAST(NULL AS VARCHAR) AS clause, CAST(NULL AS VARCHAR) AS violation
         |WHERE false""".stripMargin
   )

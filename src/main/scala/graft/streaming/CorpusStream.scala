@@ -57,18 +57,26 @@ class CorpusStream(spark: SparkSession, workDir: String,
                    semanticThreshold: Option[Double] = None,
                    passageK: Option[Int] = None,
                    pqM: Option[Int] = None,
-                   exportShards: Option[Int] = None) {
+                   exportShards: Option[Int] = None,
+                   knnK: Option[Int] = None) {
   import spark.implicits._
 
   // declared BEFORE the requires below — constructor order means a val
   // read before its declaration silently reads 0
   private val SemDim = 64
+  private val KnnBeam = 16
+  private val KnnHops = 8
 
   require(pqM.isEmpty || semanticThreshold.nonEmpty,
     "the PQ leg serves rerank from the semantic leg's stored vectors — " +
       "set semanticThreshold when pqM is set")
   pqM.foreach(m => require(m >= 1 && SemDim % m == 0,
     s"pqM must divide the embedding dim $SemDim, got $m"))
+  require(knnK.isEmpty || semanticThreshold.nonEmpty,
+    "the graph leg indexes the semantic leg's stored vectors — " +
+      "set semanticThreshold when knnK is set")
+  knnK.foreach(k => require(k >= 1 && 2 * k <= KnnBeam,
+    s"knnK must satisfy 1 <= k <= ${KnnBeam / 2} (beam $KnnBeam >= 2k)"))
 
   private val curatedPath = s"$workDir/curated"
   private val bandPath = s"$workDir/bands"
@@ -100,6 +108,11 @@ class CorpusStream(spark: SparkSession, workDir: String,
   // ([[indexQualityModel]]) — weights + scaler + threshold, one row
   private val qualityModelPath = s"$workDir/qualitymodel"
   private val qualityLedgerPath = s"$workDir/qualityledger"
+  // append-only kNN edge LOG (the graph leg): per-batch x125 deltas;
+  // the serving graph derives by a top-k cut at read (the LSM shape —
+  // history is never rewritten, so overwrite-by-batchId stays the
+  // whole replay story)
+  private val knngPath = s"$workDir/knngraph"
   private val SemBits = 8
   private val SemTables = 8
   private val PqKs = 16
@@ -173,7 +186,7 @@ class CorpusStream(spark: SparkSession, workDir: String,
     val stores = Seq(curatedPath, bandPath, docArrPath, ledgerPath, dlqPath,
       vecPath, vecBucketPath, semDupPath, winPath, passSpanPath,
       pqCodesPath, pqDriftPath, pqMetaPath, exportManifestPath,
-      contamLedgerPath, qualityLedgerPath)
+      contamLedgerPath, qualityLedgerPath, knngPath)
     val (off, com) = (maxId("offsets"), maxId("commits"))
     // a missing checkpoint with batch dirs on disk is NOT "no pending
     // replay" — it is "this writer cannot tell" (state written through
@@ -673,6 +686,43 @@ class CorpusStream(spark: SparkSession, workDir: String,
       vecIndex.select(col("id"), col("vec")), "id", "vec", k)
   }
 
+  /** Append-only kNN edge log accumulated by the graph leg:
+    * (id, nid, sim) rows — each batch's x125 delta (the new docs'
+    * top-k edges plus the reverse edges they induce). Empty before
+    * the leg's first batch.
+    */
+  def knnEdges: DataFrame = readOr(knngPath,
+    Seq.empty[(String, String, Double)].toDF("id", "nid", "sim"))
+
+  /** The SERVED kNN graph, derived from the edge log by the top-k cut
+    * at read (duplicate observations collapse; each node keeps its
+    * best k) — the LSM read side of the graph leg.
+    */
+  def knnGraph: DataFrame = {
+    val k = knnK.getOrElse(
+      throw new IllegalStateException("knnGraph requires the knnK leg"))
+    graft.operators.KnnGraph.graphFromEdgeLog(knnEdges, k)
+  }
+
+  /** Graph-ANN serving FROM THE MAINTAINED STREAM STATE — the x122
+    * beam walk over [[knnGraph]] with the semantic leg's stored true
+    * vectors as the scoring corpus. Queries are raw texts; they embed
+    * with the same hashed-TF function the ingest used, so a query
+    * equal to an ingested document walks straight to that document's
+    * neighborhood. Throws before the leg's first batch.
+    */
+  def searchKnn(queryDocs: DataFrame, idCol: String, textCol: String,
+                k: Int, beam: Int = 16, hops: Int = 8): DataFrame = {
+    require(knnK.nonEmpty, "searchKnn requires the knnK leg")
+    val corpus = vecIndex.select(col("id"), col("vec"))
+    require(!corpus.isEmpty,
+      "no stored vectors yet — ingest a non-empty batch first")
+    val queries = queryDocs.select(col(idCol).as("id"),
+      TextAnalysis.hashedTfEmbedding(col(textCol), SemDim).as("vec"))
+    graft.operators.KnnGraph.search(knnGraph, corpus, "id", "vec",
+      queries, k, beam, hops)
+  }
+
   private def overwriteBatch(df: DataFrame, path: String, batchId: Long): Unit =
     df.write.mode("overwrite").parquet(s"$path/batch=$batchId")
 
@@ -979,6 +1029,35 @@ class CorpusStream(spark: SparkSession, workDir: String,
           } finally graft.CheckpointBlocks.release(corpus)
         }
       }
+    }
+
+    // graph-index leg (opt-in via knnK): maintain a serving kNN graph
+    // over the semantic leg's vectors incrementally — the x125 delta
+    // contract riding the stream as an append-only edge LOG. Per
+    // batch: the new docs beam-search the graph-as-of-before-this-
+    // batch for candidates (id-keyed joins against stored state, the
+    // x122 cost shape), batch-internal pairs score exactly, and the
+    // delta (new-node top-k + induced reverse edges) lands as this
+    // batch's dir; the serving graph derives at read by a top-k cut,
+    // so history is never rewritten and overwrite-by-batchId is the
+    // whole replay story. Replay guard: the batch's own prior-attempt
+    // rows are excluded from BOTH the corpus side (vecIndex already
+    // holds this batch's vectors — they landed above) and the edge
+    // log the pre-batch graph derives from, so a crash-replayed batch
+    // recomputes a byte-identical delta.
+    knnK.foreach { k =>
+      val batchIds = newVecs.select(col("doc_id").as("id"))
+      val baseVecs = vecIndex.join(batchIds, Seq("id"), "left_anti")
+        .select(col("id"), col("vec"))
+      val graph0 = graft.operators.KnnGraph.graphFromEdgeLog(
+        readOr(knngPath,
+          Seq.empty[(String, String, Double)].toDF("id", "nid", "sim"),
+          excludeBatch = batchId), k)
+      val delta = graft.operators.KnnGraph.appendDelta(graph0, baseVecs,
+        newVecs.select(col("doc_id").as("id"), col("emb").as("vec")),
+        "id", "vec", k, beam = KnnBeam, hops = KnnHops)
+      try overwriteBatch(delta, knngPath, batchId)
+      finally graft.CheckpointBlocks.release(delta)
     }
 
     // passage leg (opt-in): token-window spans duplicated against the

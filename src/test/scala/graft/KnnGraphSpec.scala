@@ -160,6 +160,55 @@ class KnnGraphSpec extends SparkSpecBase {
     assert(deg.contains("no_degrade"), deg.toSeq)
   }
 
+  test("x128 filtered search: every row matches, K rows per query, gate empty") {
+    assert(SparkEntry.queries("x128g_knn_filtered_gate")(spark, sfDir)
+      .count() === 0)
+    val res = SparkEntry.queries("x128_knn_search_filtered")(spark, sfDir)
+    assert(res.select("qid").distinct().count() === 10)
+    val kept = clustered.filter(col("label") < 3).select(col("id").as("nid"))
+    assert(res.join(kept, Seq("nid"), "left_anti").count() === 0)
+  }
+
+  test("x128: naive post-filtering the unfiltered top-k loses filtered neighbors") {
+    val corpus = clustered
+    val graph = KnnGraph.build(corpus, "id", "vec", k = 5, rounds = 3)
+    val queries = corpus.filter(col("id") < 10)
+    // the naive form: unfiltered walk, filter AFTER the top-k cut
+    val naive = KnnGraph.search(graph, corpus, "id", "vec", queries,
+        k = 5, beam = 16, hops = 8)
+      .join(corpus.filter(col("label") < 3).select(col("id").as("nid")),
+        Seq("nid"), "left_semi")
+    val (walked, tookWalk) = KnnGraph.searchFiltered(graph, corpus,
+      "id", "vec", queries, k = 5, beam = 16, hops = 8,
+      pred = col("label") < 3)
+    assert(tookWalk, "the 30% predicate must take the walk path")
+    val exact = Similarity.bruteForceTopK(queries,
+        corpus.filter(col("label") < 3), "id", "vec", 5)
+      .select(col("qid"), col("nid"))
+    val naiveHit = exact.join(naive.select("qid", "nid"),
+      Seq("qid", "nid"), "left_semi").count()
+    val walkHit = exact.join(walked.select("qid", "nid"),
+      Seq("qid", "nid"), "left_semi").count()
+    assert(naiveHit < walkHit,
+      s"post-filter served $naiveHit true neighbors, the walk $walkHit")
+    // and the naive form cannot even fill k rows per query
+    assert(naive.count() < 50, s"naive kept ${naive.count()} of 50 slots")
+  }
+
+  test("x128 dispatch: a tiny filtered subset takes the exact path with full recall") {
+    val corpus = clustered
+    val graph = KnnGraph.build(corpus, "id", "vec", k = 5, rounds = 1)
+    val tiny = col("label") === 7 && pmod(col("id"), lit(8)) === 1
+    val queries = corpus.filter(col("id") < 10)
+    val (res, tookWalk) = KnnGraph.searchFiltered(graph, corpus,
+      "id", "vec", queries, k = 5, beam = 16, hops = 8, pred = tiny)
+    assert(!tookWalk, "a candidate-pool-sized subset must be scanned exactly")
+    val exact = Similarity.bruteForceTopK(queries, corpus.filter(tiny),
+      "id", "vec", 5).select(col("qid"), col("nid"))
+    assert(exact.exceptAll(res.select(col("qid"), col("nid"))).count() === 0,
+      "the exact path must return exactly the filtered brute-force relation")
+  }
+
   test("determinism: two builds produce identical graphs") {
     val a = KnnGraph.build(emb, "id", "vec", k = 4, rounds = 2)
     val b = KnnGraph.build(emb, "id", "vec", k = 4, rounds = 2)

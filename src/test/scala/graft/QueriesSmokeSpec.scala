@@ -88,7 +88,8 @@ class QueriesSmokeSpec extends SparkSpecBase {
     "x125g_knn_append_gate",
     "x126g_mix_gate",
     "x127g_bpe_curve_gate",
-    "x126sg_mix_sample_gate")
+    "x126sg_mix_sample_gate",
+    "x128g_knn_filtered_gate")
 
   test("every declared query emits SCALAR columns only (driver pandas-sort compat)") {
     // the driver's correctness harness canonicalizes with a pandas
