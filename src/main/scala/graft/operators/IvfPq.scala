@@ -154,6 +154,7 @@ object IvfPq {
   def clearMemo(): Unit = {
     shared.values.forEach { case (idx, _) => unpersistIndex(idx) }
     shared.clear()
+    curveMemo.clear()
   }
 
   private def index(s: SparkSession, d: String,
@@ -172,7 +173,120 @@ object IvfPq {
     }
   }
 
+  // --- shortlist operating curve (x129) ------------------------------------
+
+  private[graft] val CurveShortlists = Seq(2, 5, 10, 20, 50, 200)
+
+  private val curveMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Seq[(Int, Long, Long, Long, Long, Long)]]()
+
+  /** The SHORTLIST-SIZE operating curve of two-stage retrieval (the
+    * x115/x124 discipline applied to the x95 dial): recall@K after
+    * exact re-rank, per ADC shortlist width k' ∈ {2..50}, plus the
+    * exact-scoring cost each width pays (Q·k' pairs). Everything comes
+    * from ONE ADC pass at the widest k' and ONE exhaustive ground-truth
+    * pass: shortlist prefixes are NESTED by ADC rank, and a true
+    * neighbor inside prefix-k' always survives the exact re-rank (any
+    * candidate exactly closer is itself a true neighbor), so
+    * recall(k') is a suffix-sum over the truth pairs' ADC-rank
+    * histogram — no per-width re-search, no rescan. Recall is exact
+    * integer arithmetic (per-mille, rounded once at emit).
+    */
+  private[graft] def shortlistCurve(s: SparkSession, d: String)
+      : Seq[(Int, Long, Long, Long, Long, Long)] = {
+    val key = (s, d)
+    Option(curveMemo.get(key)).getOrElse {
+      MemoEviction.register(s, "ivfpqsc") { () =>
+        curveMemo.keySet.removeIf(_._1 eq s)
+      }
+      val corpus = Pq.corpusWithDups(s, d)
+      val (idx, dim) = index(s, d, corpus)
+      val queriesDf = corpus.filter(col("id") < 10)
+      val qn = queriesDf.count()
+      // rank EVERY probed-cell candidate (k unbounded), so the
+      // histogram also yields the PROBE CEILING — the recall an
+      // infinite shortlist would reach given nprobe; the shortlist
+      // dial is then graded against what probing allows, not against
+      // truth it structurally cannot see (that is the x115 nprobe
+      // curve's axis, a different table)
+      val sl = search(queriesDf, idx, "id", "embedding", M, dim / M,
+        Int.MaxValue, NProbe)
+      // ONE exhaustive pass: exact top-K by L2 over the whole corpus
+      // (self included — the identity-retrieval convention of this
+      // family). The ground truth is the curve's price, the x115
+      // rationale; the product is computed once and collapsed to a
+      // histogram here, never served as a plan.
+      val fullCand = queriesDf.select(col("id").as("qid"))
+        .crossJoin(corpus.select(col("id").as("nid")))
+      val truth = rerank(fullCand, queriesDf, corpus, "id", "embedding", K)
+      val hitRows = truth.select(col("qid"), col("nid"))
+        .join(sl.select(col("qid"), col("nid"), col("rank").as("arank")),
+          Seq("qid", "nid"), "left")
+        .groupBy(col("arank")).agg(count(lit(1)).as("hits"))
+        .collect()
+        .map(r => (if (r.isNullAt(0)) Int.MaxValue else r.getInt(0),
+          r.getLong(1)))
+      val truthN = math.max(hitRows.map(_._2).sum, 1L)
+      val ceiling = hitRows.filter(_._1 != Int.MaxValue).map(_._2).sum
+      val rows = CurveShortlists.map { sk =>
+        val hits = hitRows.filter(_._1 <= sk).map(_._2).sum
+        (sk, hits, truthN, math.round(hits * 1000.0 / truthN), qn * sk,
+          ceiling)
+      }
+      Option(curveMemo.putIfAbsent(key, rows)).getOrElse(rows)
+    }
+  }
+
+  /** The x129g body over an explicit curve — the spec hook. */
+  private[graft] def curveGateRows(s: SparkSession,
+      curve: Seq[(Int, Long, Long, Long, Long, Long)],
+      minOfCeilingPm: Long): DataFrame = {
+    import s.implicits._
+    val viol = Seq.newBuilder[(String, String)]
+    val sorted = curve.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Seq(a, b) =>
+        if (b._4 < a._4)
+          viol += ((f"recall_k${b._1}%02d",
+            s"recall fell ${a._4} -> ${b._4}"))
+        if (b._5 < a._5)
+          viol += ((f"cost_k${b._1}%02d",
+            s"exact pairs fell ${a._5} -> ${b._5}"))
+      case _ =>
+    }
+    sorted.foreach { case (sk, hits, truthN, _, _, _) =>
+      if (hits > truthN)
+        viol += ((f"hits_k$sk%02d", s"hits $hits exceed truth $truthN"))
+    }
+    // the floor is relative to the PROBE CEILING: the widest shortlist
+    // must recover nearly everything nprobe-limited search can see
+    sorted.lastOption.foreach { case (sk, hits, _, _, _, ceiling) =>
+      if (hits * 1000L < minOfCeilingPm * ceiling)
+        viol += (("floor",
+          s"widest shortlist $sk recovered $hits of the $ceiling " +
+            s"probe-reachable truth pairs (< $minOfCeilingPm pm)"))
+    }
+    viol.result().toDF("clause", "violation").orderBy(col("clause"))
+  }
+
   val queries: Map[String, Q] = Map(
+    // the SHORTLIST operating curve (x129): recall@K + exact-scoring
+    // cost per ADC shortlist width, one ADC pass + one ground-truth
+    // pass + suffix sums. Rows-only (the quantizer trainings aren't
+    // SQL-expressible); the x129g gate carries the contract.
+    "x129_rerank_shortlist_curve" -> ((s, d) => {
+      import s.implicits._
+      shortlistCurve(s, d).toDF("shortlist_k", "hits", "truth_n",
+          "recall_pm", "exact_pairs", "ceiling_hits")
+        .orderBy(col("shortlist_k"))
+    }),
+
+    // Gate (empty-set oracle): recall and cost monotone non-decreasing
+    // in shortlist width, hits bounded by truth, and the widest
+    // shortlist clears the recall floor.
+    "x129g_shortlist_curve_gate" -> ((s, d) =>
+      curveGateRows(s, shortlistCurve(s, d), minOfCeilingPm = 900L)),
+
     // IVF-PQ ADC top-k (rows-only: two k-means driver loops) — verified
     // by the x82g/x82r gates below.
     "x82_ann_ivfpq_topk" -> ((s, d) => {
@@ -306,6 +420,8 @@ object IvfPq {
   private val Shortlist = 50
 
   val oracleSql: Map[String, String] = Map(
+    "x129g_shortlist_curve_gate" ->
+      "SELECT CAST(NULL AS VARCHAR) AS clause, CAST(NULL AS VARCHAR) AS violation WHERE 1 = 0",
     "x82g_ivfpq_train_gate" ->
       "SELECT CAST(NULL AS VARCHAR) AS quantizer, CAST(NULL AS INT) AS round, CAST(NULL AS VARCHAR) AS violation WHERE 1 = 0",
     "x82r_ivfpq_dup_recall" ->

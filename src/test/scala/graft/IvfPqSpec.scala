@@ -76,4 +76,41 @@ class IvfPqSpec extends SparkSpecBase {
     assert(IvfPq.queries("x82g_ivfpq_train_gate")(spark, sfDir).count() === 0)
     assert(IvfPq.queries("x82r_ivfpq_dup_recall")(spark, sfDir).count() === 0)
   }
+
+  test("x129 shortlist curve: one row per width, recall/cost monotone, gate empty") {
+    val curve = IvfPq.queries("x129_rerank_shortlist_curve")(spark, sfDir)
+      .orderBy("shortlist_k").collect()
+    assert(curve.map(_.getInt(0)).toSeq === Seq(2, 5, 10, 20, 50, 200))
+    val recalls = curve.map(_.getLong(3)).toSeq
+    assert(recalls.sliding(2).forall { case Seq(a, b) => b >= a },
+      s"recall not monotone in shortlist: $recalls")
+    // the widest shortlist recovers nearly all probe-reachable truth
+    val (hits50, ceiling) = (curve.last.getLong(1), curve.last.getLong(5))
+    assert(hits50 * 1000L >= 900L * ceiling,
+      s"widest shortlist $hits50 of ceiling $ceiling")
+    // a narrow shortlist pays less exact scoring — the dial prices real
+    assert(curve.head.getLong(4) < curve.last.getLong(4))
+    // k' = 2 < K = 10 cannot reach full recall: the curve's left end
+    // must actually show the trade (not a flat line)
+    assert(recalls.head < recalls.last,
+      s"curve is flat: $recalls — the dial prices nothing")
+    assert(IvfPq.queries("x129g_shortlist_curve_gate")(spark, sfDir)
+      .count() === 0)
+  }
+
+  test("x129g clauses fire on tampered curves") {
+    val falling = Seq((2, 9L, 10L, 900L, 20L, 9L), (5, 8L, 10L, 800L, 10L, 9L))
+    val viol = IvfPq.curveGateRows(spark, falling, minOfCeilingPm = 0L)
+      .collect().map(_.getString(0))
+    assert(viol.exists(_.startsWith("recall_k")), viol.toSeq)
+    assert(viol.exists(_.startsWith("cost_k")), viol.toSeq)
+    val weak = Seq((2, 5L, 10L, 500L, 20L, 9L))
+    val fl = IvfPq.curveGateRows(spark, weak, minOfCeilingPm = 900L)
+      .collect().map(_.getString(0))
+    assert(fl.contains("floor"), fl.toSeq)
+    val over = Seq((2, 12L, 10L, 1200L, 20L, 12L))
+    val ov = IvfPq.curveGateRows(spark, over, minOfCeilingPm = 0L)
+      .collect().map(_.getString(0))
+    assert(ov.exists(_.startsWith("hits_k")), ov.toSeq)
+  }
 }

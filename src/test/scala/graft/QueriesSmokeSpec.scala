@@ -89,7 +89,8 @@ class QueriesSmokeSpec extends SparkSpecBase {
     "x126g_mix_gate",
     "x127g_bpe_curve_gate",
     "x126sg_mix_sample_gate",
-    "x128g_knn_filtered_gate")
+    "x128g_knn_filtered_gate",
+    "x129g_shortlist_curve_gate")
 
   test("every declared query emits SCALAR columns only (driver pandas-sort compat)") {
     // the driver's correctness harness canonicalizes with a pandas
