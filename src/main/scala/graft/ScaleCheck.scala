@@ -319,6 +319,40 @@ object ScaleCheck {
       Thread.sleep(500)
     }
 
+    // Filtered graph serving scaling (x128): a FIXED 10-query batch
+    // against graphs over 1x/4x/16x corpora with the ~30% label<3
+    // predicate. The walk probes stored adjacency by id-keyed joins
+    // and the kept-id relation by semi-joins — per-query cost is
+    // hop-bounded, so seconds may track the adjacency scan but never
+    // super-linearly (the base build is excluded from the timing).
+    if (keep("knng_filt")) for (k <- scales) {
+      val spark = freshSession()
+      def base: DataFrame = graft.operators.KnnGraph
+        .graphCorpus(spark, sfDir)
+      val corpus = replicate(spark, base, k) { (df, i) =>
+        if (i == 0) df
+        else df.select((col("id") + i * 100000000L).as("id"), col("vec"),
+          col("label"))
+      }
+      val graph = graft.operators.KnnGraph.build(corpus, "id", "vec",
+        k = 5, rounds = 2)
+      val queries = corpus.filter(col("id") < 10)
+      val (sec, rows) = time {
+        val (res, _) = graft.operators.KnnGraph.searchFiltered(
+          graph, corpus, "id", "vec", queries, k = 5, beam = 16, hops = 8,
+          pred = col("label") < 3)
+        val c = res.count()
+        graft.CheckpointBlocks.release(res)
+        c
+      }
+      println(f"""{"op":"knng_filt","scale":$k,"sec":$sec%.2f,"rows":$rows}""")
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      System.gc()
+      Thread.sleep(500)
+    }
+
     // Learned domain-mixture scaling (x126): the documents corpus
     // replicated VERBATIM (ids offset, text untouched) — corpus size
     // grows 16x while the DISTINCT-bigram relation stays flat, so the

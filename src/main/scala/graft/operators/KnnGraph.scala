@@ -237,7 +237,8 @@ object KnnGraph {
     */
   private def runBeam(adjacency: DataFrame, v: DataFrame, q: DataFrame,
                       scoreQ: DataFrame => DataFrame, k: Int, beam: Int,
-                      hops: Int, entries: Int, countCost: Boolean): BeamRun = {
+                      hops: Int, entries: Int, countCost: Boolean,
+                      trackObjective: Boolean = true): BeamRun = {
     def beamCap(scored: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("sim").desc, col("nid"))
@@ -259,7 +260,10 @@ object KnnGraph {
         .agg(coalesce(sum(round(col("sim") * 1e6).cast("long")), lit(0L)))
         .head().getLong(0)
     }
-    objectives += objective(frontier)
+    // the per-hop trajectory is the SERVING contract (x122g's
+    // monotonicity); sweep callers that only read the endpoint skip
+    // the per-hop driver round-trips
+    if (trackObjective) objectives += objective(frontier)
     (1 to hops).foreach { _ =>
       val cand = frontier.select(col("qid"), col("nid"))
         .join(adjacency, Seq("nid"))
@@ -270,8 +274,9 @@ object KnnGraph {
       frontier = beamCap(frontier.unionByName(scoreQ(cand)).distinct())
         .localCheckpoint(true)
       graft.CheckpointBlocks.release(prev)
-      objectives += objective(frontier)
+      if (trackObjective) objectives += objective(frontier)
     }
+    if (!trackObjective) objectives += objective(frontier)
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("nid"))
     val out = frontier.withColumn("rank", row_number().over(w))
@@ -346,7 +351,7 @@ object KnnGraph {
         val q = b.select(col("id").as("qid"), col("vec").as("qvec"),
           col("nrm").as("qnrm"))
         val run = runBeam(adjacency, v, q, scoreQ, 2 * k, beam, hops,
-          entries, countCost = false)
+          entries, countCost = false, trackObjective = false)
         val searched = run.topK
           .select(col("qid").as("id"), col("nid"), col("sim"))
         // 2. batch-internal exact pairs (ids are disjoint from base)
@@ -481,7 +486,7 @@ object KnnGraph {
         val truthN = exact.count()
         val rows = beams.sorted.map { b =>
           val r = runBeam(adjacency, v, q, scoreQ, k, b, hops, entries,
-            countCost = true)
+            countCost = true, trackObjective = false)
           val hit = exact.join(r.topK.select(col("qid"), col("nid")),
             Seq("qid", "nid"), "left_semi").count()
           graft.CheckpointBlocks.release(r.handle)
