@@ -326,7 +326,8 @@ object KnnGraph {
   def appendDelta(graph: DataFrame, baseCorpus: DataFrame,
                   batch: DataFrame, idCol: String, vecCol: String,
                   k: Int, beam: Int, hops: Int,
-                  entries: Int = 4): DataFrame = {
+                  entries: Int = 4,
+                  exactInternalCutoff: Long = 1024L): DataFrame = {
     require(k >= 1 && beam >= 2 * k && hops >= 0,
       "k >= 1, beam >= 2k, hops >= 0")
     val v = graft.CheckpointBlocks.cleanCheckpoint(
@@ -354,12 +355,25 @@ object KnnGraph {
           entries, countCost = false, trackObjective = false)
         val searched = run.topK
           .select(col("qid").as("id"), col("nid"), col("sim"))
-        // 2. batch-internal exact pairs (ids are disjoint from base)
-        val internal = b.as("x").join(broadcast(b.as("y")),
-            col("x.id") =!= col("y.id"))
-          .select(col("x.id").as("id"), col("y.id").as("nid"),
-            round(dot(col("x.vec"), col("y.vec")) /
-              (col("x.nrm") * col("y.nrm")), 6).as("sim"))
+        // 2. batch-internal edges (ids are disjoint from base).
+        // MEASURED dispatch, the x84/x20 convention: a normal micro-
+        // batch scores its |B|² pairs exactly (broadcast-sized), but a
+        // BACKFILL-sized batch must not go quadratic — past the cutoff
+        // the batch builds its own bounded NN-Descent graph instead
+        // (≤ 4k²·|B| candidate rows per round), the same machinery the
+        // initial index build uses. The streaming leg inherits this,
+        // so a first-drain backfill of millions of docs stays linear.
+        val batchN = b.count()
+        val internal =
+          if (batchN <= exactInternalCutoff)
+            b.as("x").join(broadcast(b.as("y")),
+                col("x.id") =!= col("y.id"))
+              .select(col("x.id").as("id"), col("y.id").as("nid"),
+                round(dot(col("x.vec"), col("y.vec")) /
+                  (col("x.nrm") * col("y.nrm")), 6).as("sim"))
+          else
+            build(b, "id", "vec", k, rounds = 3)
+              .select(col("id"), col("nid"), col("sim"))
         // 3a. the new nodes' edges
         val newEdges = topK(searched.unionByName(internal).distinct(), k)
           .localCheckpoint(true)
@@ -387,9 +401,10 @@ object KnnGraph {
   def appendToGraph(graph: DataFrame, baseCorpus: DataFrame,
                     batch: DataFrame, idCol: String, vecCol: String,
                     k: Int, beam: Int, hops: Int,
-                    entries: Int = 4): DataFrame = {
+                    entries: Int = 4,
+                    exactInternalCutoff: Long = 1024L): DataFrame = {
     val delta = appendDelta(graph, baseCorpus, batch, idCol, vecCol,
-      k, beam, hops, entries)
+      k, beam, hops, entries, exactInternalCutoff)
     try {
       val batchIds = Similarity.normedVecs(batch, idCol, vecCol)
         .select(col("id"))

@@ -209,6 +209,33 @@ class KnnGraphSpec extends SparkSpecBase {
       "the exact path must return exactly the filtered brute-force relation")
   }
 
+  test("backfill-sized batches dispatch internal edges to a bounded build, recall holds") {
+    val (base, batch) = KnnGraph.appendSplit(spark, sfDir)
+    val g0 = KnnGraph.build(base, "id", "vec", k = 5, rounds = 3)
+    // force the dispatch with a tiny cutoff: the same batch must still
+    // append with full coverage and the recall floor intact
+    val delta = KnnGraph.appendDelta(g0, base, batch, "id", "vec",
+      k = 5, beam = 16, hops = 8, exactInternalCutoff = 1L)
+    try {
+      val batchIds = batch.select(col("id"))
+      val newEdges = delta.join(batchIds, Seq("id"), "left_semi")
+      val deg = newEdges.groupBy("id").agg(count(lit(1)).as("c"))
+      assert(deg.filter(col("c") > 5).count() === 0)
+      assert(deg.count() === batch.count(), "every batch node has edges")
+      // recall of the dispatched delta vs exhaustive over the full corpus
+      val full = KnnGraph.graphCorpus(spark, sfDir)
+      val exact = Similarity.bruteForceTopK(batch, full, "id", "vec", 5)
+        .select(col("qid").as("id"), col("nid"))
+      val truthN = exact.count()
+      val merged = KnnGraph.appendToGraph(g0, base, batch, "id", "vec",
+        k = 5, beam = 16, hops = 8, exactInternalCutoff = 1L)
+      val hit = exact.join(merged.select("id", "nid"), Seq("id", "nid"),
+        "left_semi").count()
+      assert(hit * 10L >= truthN * 9L,
+        s"dispatched append recall $hit/$truthN below 0.9")
+    } finally graft.CheckpointBlocks.release(delta)
+  }
+
   test("determinism: two builds produce identical graphs") {
     val a = KnnGraph.build(emb, "id", "vec", k = 4, rounds = 2)
     val b = KnnGraph.build(emb, "id", "vec", k = 4, rounds = 2)
