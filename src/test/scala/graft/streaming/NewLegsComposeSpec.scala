@@ -43,7 +43,7 @@ class NewLegsComposeSpec extends graft.SparkSpecBase {
 
     def stream() = new CorpusStream(spark, workDir,
       semanticThreshold = Some(0.95), passageK = Some(5), pqM = Some(8),
-      exportShards = Some(2))
+      exportShards = Some(2), knnK = Some(3))
     stream().indexEvalSet(Seq(("e1", evalText)).toDF("id", "text"), "id", "text")
     stream().indexQualityModel(
       Array(5000000L, 0L, 0L, -200000000L, 0L),
@@ -73,12 +73,23 @@ class NewLegsComposeSpec extends graft.SparkSpecBase {
     val curIds = s.curated.select("doc_id").as[String].collect().toSet
     for ((store, idc) <- Seq("bands" -> "id", "docarrs" -> "id",
         "vecs" -> "id", "vecbuckets" -> "id", "windows" -> "id",
-        "pqcodes" -> "id")) {
+        "pqcodes" -> "id", "knngraph" -> "id")) {
       val ids = spark.read.parquet(s"$workDir/$store")
         .select(col(idc)).distinct().as[String].collect().toSet
       assert(ids === curIds, s"$store holds ${ids.size} ids != shipped ${curIds.size}")
     }
     assert(s.exportedDocs.select("doc_id").as[String].collect().toSet === curIds)
+    // the graph leg indexed exactly the shipped docs and serves them:
+    // a query equal to a shipped doc walks to its twin at sim 1.0
+    val g = s.knnGraph
+    assert(g.select("id").distinct().as[String].collect().toSet === curIds)
+    assert(g.filter(col("id") === col("nid")).count() === 0)
+    val served = s.searchKnn(Seq(("q1", clean1)).toDF("id", "text"),
+      "id", "text", k = 1)
+    val top = served.select("nid", "sim").as[(String, Double)].head()
+    val clean1Id = s.curated.filter(col("text") === clean1)
+      .select("doc_id").as[String].head()
+    assert(top === ((clean1Id, 1.0)), s"graph leg served $top")
     // and the export manifests total exactly the shipped docs
     assert(s.exportManifests.agg(sum("n_docs")).as[Long].head() === 2L)
   }
