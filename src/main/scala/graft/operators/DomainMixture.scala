@@ -60,10 +60,12 @@ object DomainMixture {
     */
   private[graft] val Eta = 50.0
 
-  /** One (per-bigram) count relation: cb_<dom> = domain's count of the
-    * bigram, cu_<dom> = domain's count of the bigram's CONTEXT unigram
-    * (the x42 denominator convention), for the declared domain list.
-    * Caller releases the checkpoint.
+  /** One (per-bigram) count relation keyed (h1, h2): cb_<dom> = the
+    * domain's count of the bigram, cu_<dom> = its count of the
+    * bigram's CONTEXT unigram (the x42 denominator convention), for
+    * the declared domain list. The keys ride along so external
+    * relations can probe this table as a trained model; the EG loop
+    * ignores them. Caller releases the checkpoint.
     */
   def countTable(docs: DataFrame, textCol: String, domCol: String,
                  doms: Seq[String]): DataFrame = {
@@ -91,7 +93,7 @@ object DomainMixture {
     val cb = bg.groupBy(col("h2"))
       .agg((max(col("h1")).as("h1") +: domSums("cb")).head,
         (max(col("h1")).as("h1") +: domSums("cb")).tail: _*)
-    graft.CheckpointBlocks.cleanCheckpoint(cb.join(cu, Seq("h1")).drop("h1"))
+    graft.CheckpointBlocks.cleanCheckpoint(cb.join(cu, Seq("h1")))
   }
 
   /** Exponentiated-gradient mixture trajectory over `iters` rounds:
