@@ -274,7 +274,8 @@ object ScaleCheck {
         .graphCorpus(spark, sfDir)
       val corpus = replicate(spark, base, k) { (df, i) =>
         if (i == 0) df
-        else df.select((col("id") + i * 100000000L).as("id"), col("vec"))
+        else df.select((col("id") + i * 100000000L).as("id"), col("vec"),
+          col("label"))
       }.localCheckpoint(true)
       val (sec, rows) = time(
         graft.operators.KnnGraph.build(corpus, "id", "vec",
@@ -300,7 +301,8 @@ object ScaleCheck {
       val (base0, batch) = graft.operators.KnnGraph.appendSplit(spark, sfDir)
       val corpus = replicate(spark, base0, k) { (df, i) =>
         if (i == 0) df
-        else df.select((col("id") + i * 100000000L).as("id"), col("vec"))
+        else df.select((col("id") + i * 100000000L).as("id"), col("vec"),
+          col("label"))
       }
       val graph = graft.operators.KnnGraph.build(corpus, "id", "vec",
         k = 5, rounds = 2)

@@ -194,7 +194,10 @@ object DomainMixture {
       }
       val r = egMixture(graft.Tables(s, d, "documents"), "text", "lang",
         Doms, Iters, Eta).localCheckpoint(true)
-      Option(memo.putIfAbsent(key, r)).getOrElse(r)
+      Option(memo.putIfAbsent(key, r)) match {
+        case Some(w) => graft.CheckpointBlocks.release(r); w
+        case None => r
+      }
     }
   }
 

@@ -118,11 +118,16 @@ object KnnGraph {
         objectives += objective(g)
       }
       val w = Window.partitionBy(col("id")).orderBy(col("sim").desc, col("nid"))
+      // materialize the emitted top-k slice as ITS OWN checkpoint and
+      // free the 2k working state now: the returned frame is a root
+      // LogicalRDD, so CheckpointBlocks.release on it (memo eviction,
+      // the append dispatch, probe loops) actually frees the blocks —
+      // releasing a derived projection is a deliberate no-op
       val out = g.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= k)
         .select(col("id"), col("rank"), col("nid"), col("sim"))
-      // the graph frame is already checkpointed; hand it out as-is (the
-      // session releases it with the memo, the ScaleCheck probe per run)
+        .localCheckpoint(true)
+      graft.CheckpointBlocks.release(g)
       (out, objectives.result())
     } finally graft.CheckpointBlocks.release(v)
   }
@@ -194,7 +199,11 @@ object KnnGraph {
       try {
         val r = runBeam(adjacency, v, q, scoreQ, k, beam, hops, entries,
           countCost = false)
-        (r.topK, r.objectives)
+        // materialize the Q·k slice and free the beam-width frontier —
+        // the memoized result is then itself a releasable checkpoint
+        val out = r.topK.localCheckpoint(true)
+        graft.CheckpointBlocks.release(r.handle)
+        (out, r.objectives)
       } finally graft.CheckpointBlocks.release(adjacency)
     } finally {
       graft.CheckpointBlocks.release(q)
@@ -261,22 +270,27 @@ object KnnGraph {
         .head().getLong(0)
     }
     // the per-hop trajectory is the SERVING contract (x122g's
-    // monotonicity); sweep callers that only read the endpoint skip
-    // the per-hop driver round-trips
+    // monotonicity); sweep/append callers that ignore it skip every
+    // objective job (the curve derives its endpoint from the slice)
     if (trackObjective) objectives += objective(frontier)
     (1 to hops).foreach { _ =>
-      val cand = frontier.select(col("qid"), col("nid"))
+      val cand0 = frontier.select(col("qid"), col("nid"))
         .join(adjacency, Seq("nid"))
         .select(col("qid"), col("next").as("nid"))
         .distinct()
-      if (countCost) candPairs += cand.count()
+      // counting must not re-run the hop join for the scoring pass —
+      // pin it once, count the pinned relation, release after the
+      // frontier materializes
+      val cand = if (countCost) {
+        val c = cand0.localCheckpoint(true); candPairs += c.count(); c
+      } else cand0
       val prev = frontier
       frontier = beamCap(frontier.unionByName(scoreQ(cand)).distinct())
         .localCheckpoint(true)
+      if (countCost) graft.CheckpointBlocks.release(cand)
       graft.CheckpointBlocks.release(prev)
       if (trackObjective) objectives += objective(frontier)
     }
-    if (!trackObjective) objectives += objective(frontier)
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("nid"))
     val out = frontier.withColumn("rank", row_number().over(w))
@@ -364,20 +378,25 @@ object KnnGraph {
         // initial index build uses. The streaming leg inherits this,
         // so a first-drain backfill of millions of docs stays linear.
         val batchN = b.count()
-        val internal =
+        val (bgHandle, internal) =
           if (batchN <= exactInternalCutoff)
-            b.as("x").join(broadcast(b.as("y")),
+            (None, b.as("x").join(broadcast(b.as("y")),
                 col("x.id") =!= col("y.id"))
               .select(col("x.id").as("id"), col("y.id").as("nid"),
                 round(dot(col("x.vec"), col("y.vec")) /
-                  (col("x.nrm") * col("y.nrm")), 6).as("sim"))
-          else
-            build(b, "id", "vec", k, rounds = 3)
-              .select(col("id"), col("nid"), col("sim"))
+                  (col("x.nrm") * col("y.nrm")), 6).as("sim")))
+          else {
+            val bg = build(b, "id", "vec", k, rounds = 3)
+            (Some(bg), bg.select(col("id"), col("nid"), col("sim")))
+          }
         // 3a. the new nodes' edges
         val newEdges = topK(searched.unionByName(internal).distinct(), k)
           .localCheckpoint(true)
         graft.CheckpointBlocks.release(run.handle)
+        // the dispatch build's graph (a releasable checkpoint) has been
+        // consumed into newEdges — free it, or every backfill batch of
+        // a long-lived stream pins its own k-edge graph forever
+        bgHandle.foreach(graft.CheckpointBlocks.release)
         // 3b. reverse edges for EXISTING endpoints only (batch→batch
         // pairs were already complete in `internal`)
         val batchIds = b.select(col("id"))
@@ -504,10 +523,15 @@ object KnnGraph {
             countCost = true, trackObjective = false)
           val hit = exact.join(r.topK.select(col("qid"), col("nid")),
             Seq("qid", "nid"), "left_semi").count()
+          // the endpoint objective, derived from the slice itself (the
+          // per-hop trajectory was skipped)
+          val obj = r.topK
+            .agg(coalesce(sum(round(col("sim") * 1e6).cast("long")),
+              lit(0L))).head().getLong(0)
           graft.CheckpointBlocks.release(r.handle)
           (b, hit, truthN,
             if (truthN == 0) 0L else math.round(hit * 1000.0 / truthN),
-            r.candPairs, r.objectives.last)
+            r.candPairs, obj)
         }
         import sp.implicits._
         rows.toDF("beam", "hits", "truth_n", "recall_pm", "cand_pairs",
@@ -584,7 +608,10 @@ object KnnGraph {
         memo.keySet.removeIf(_._1 eq s)
       }
       val r = buildWithObjective(graphCorpus(s, d), "id", "vec", K, Rounds)
-      Option(memo.putIfAbsent(key, r)).getOrElse(r)
+      Option(memo.putIfAbsent(key, r)) match {
+        case Some(w) => graft.CheckpointBlocks.release(r._1); w
+        case None => r
+      }
     }
   }
 
@@ -639,7 +666,10 @@ object KnnGraph {
       val corpus = graphCorpus(s, d)
       val r = searchWithObjective(built(s, d)._1, corpus, "id", "vec",
         corpus.filter(col("id") < 10), K, Beam, Hops)
-      Option(searchMemo.putIfAbsent(key, r)).getOrElse(r)
+      Option(searchMemo.putIfAbsent(key, r)) match {
+        case Some(w) => graft.CheckpointBlocks.release(r._1); w
+        case None => r
+      }
     }
   }
 
@@ -821,7 +851,13 @@ object KnnGraph {
       val merged = appendToGraph(g0, base, batch, "id", "vec",
         K, Beam, Hops)
       val r = (merged, g0)
-      Option(appendMemo.putIfAbsent(key, r)).getOrElse(r)
+      Option(appendMemo.putIfAbsent(key, r)) match {
+        case Some(w) =>
+          graft.CheckpointBlocks.release(merged)
+          graft.CheckpointBlocks.release(g0)
+          w
+        case None => r
+      }
     }
   }
 
@@ -900,7 +936,10 @@ object KnnGraph {
       val corpus = graphCorpus(s, d)
       val r = searchFiltered(built(s, d)._1, corpus, "id", "vec",
         corpus.filter(col("id") < 10), K, Beam, Hops, FilterPred)
-      Option(filteredMemo.putIfAbsent(key, r)).getOrElse(r)
+      Option(filteredMemo.putIfAbsent(key, r)) match {
+        case Some(w) => graft.CheckpointBlocks.release(r._1); w
+        case None => r
+      }
     }
   }
 
@@ -951,7 +990,10 @@ object KnnGraph {
       val r = beamOperatingCurve(built(s, d)._1, corpus, "id", "vec",
         corpus.filter(col("id") < 10), K, CurveBeams, Hops)
         .localCheckpoint(true)
-      Option(curveMemo.putIfAbsent(key, r)).getOrElse(r)
+      Option(curveMemo.putIfAbsent(key, r)) match {
+        case Some(w) => graft.CheckpointBlocks.release(r); w
+        case None => r
+      }
     }
   }
 
