@@ -356,7 +356,8 @@ object ScaleCheck {
     }
 
     // Learned domain-mixture scaling (x126): the documents corpus
-    // replicated VERBATIM (ids offset, text untouched) — corpus size
+    // replicated VERBATIM (ids duplicated too — egMixture never reads
+    // ids, only (text, lang)) — corpus size
     // grows 16x while the DISTINCT-bigram relation stays flat, so the
     // one count-building pass scales with the scan and the six EG
     // rounds stay constant: total seconds must grow well UNDER

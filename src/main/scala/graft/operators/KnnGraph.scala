@@ -240,9 +240,11 @@ object KnnGraph {
     * which sweeps `beam` against one adjacency + one ground truth).
     * `handle` is the final checkpointed frontier `topK` reads from;
     * the caller releases it (via the memo, or immediately after
-    * consuming the slice). `candPairs` counts candidate pairs emitted
-    * to exact scoring (the serving-cost dial) when `countCost` is set;
-    * the counts are skipped on the serving path — no extra jobs.
+    * consuming the slice). `candPairs` counts candidate pairs EXACTLY
+    * SCORED (the serving-cost dial) when `countCost` is set — the
+    * self-match cut is applied before counting, so the number matches
+    * what scoreQ actually scores; the counts are skipped on the
+    * serving path — no extra jobs.
     */
   private def runBeam(adjacency: DataFrame, v: DataFrame, q: DataFrame,
                       scoreQ: DataFrame => DataFrame, k: Int, beam: Int,
@@ -259,7 +261,13 @@ object KnnGraph {
     val entry = v.select(col("id").as("nid"), xxhash64(col("id")).as("h"))
       .orderBy(col("h")).limit(entries).select(col("nid"))
     val entryPairs = q.select(col("qid")).crossJoin(broadcast(entry))
-    var candPairs = if (countCost) entryPairs.count() else 0L
+    // count AFTER the self-match cut (qid =!= nid) so cand_pairs is
+    // exactly the pairs scoreQ scores — corpus-drawn queries would
+    // otherwise inflate the serving-cost dial with self pairs that are
+    // never scored
+    def scoredPairs(pairs: DataFrame): DataFrame =
+      pairs.filter(col("qid") =!= col("nid"))
+    var candPairs = if (countCost) scoredPairs(entryPairs).count() else 0L
     var frontier = beamCap(scoreQ(entryPairs)).localCheckpoint(true)
     val objectives = Seq.newBuilder[Long]
     def objective(f: DataFrame): Long = {
@@ -282,7 +290,8 @@ object KnnGraph {
       // pin it once, count the pinned relation, release after the
       // frontier materializes
       val cand = if (countCost) {
-        val c = cand0.localCheckpoint(true); candPairs += c.count(); c
+        val c = scoredPairs(cand0).localCheckpoint(true)
+        candPairs += c.count(); c
       } else cand0
       val prev = frontier
       frontier = beamCap(frontier.unionByName(scoreQ(cand)).distinct())
@@ -513,33 +522,36 @@ object KnnGraph {
           round(dot(col("qvec"), col("nvec")) / (col("qnrm") * col("nnrm")), 6)
             .as("sim"))
       val adjacency = twoLayerAdjacency(graph, v, k).localCheckpoint(true)
-      // ONE exhaustive pass — the ground truth every beam grades against
-      val exact = Similarity.bruteForceTopK(queries, corpus, idCol, vecCol, k)
-        .select(col("qid"), col("nid")).localCheckpoint(true)
+      // nested try: the exhaustive pass below is itself a job — if it
+      // throws, the corpus-sized adjacency checkpoint must still be
+      // released (it is already materialized at this point)
       try {
-        val truthN = exact.count()
-        val rows = beams.sorted.map { b =>
-          val r = runBeam(adjacency, v, q, scoreQ, k, b, hops, entries,
-            countCost = true, trackObjective = false)
-          val hit = exact.join(r.topK.select(col("qid"), col("nid")),
-            Seq("qid", "nid"), "left_semi").count()
-          // the endpoint objective, derived from the slice itself (the
-          // per-hop trajectory was skipped)
-          val obj = r.topK
-            .agg(coalesce(sum(round(col("sim") * 1e6).cast("long")),
-              lit(0L))).head().getLong(0)
-          graft.CheckpointBlocks.release(r.handle)
-          (b, hit, truthN,
-            if (truthN == 0) 0L else math.round(hit * 1000.0 / truthN),
-            r.candPairs, obj)
-        }
-        import sp.implicits._
-        rows.toDF("beam", "hits", "truth_n", "recall_pm", "cand_pairs",
-          "objective")
-      } finally {
-        graft.CheckpointBlocks.release(exact)
-        graft.CheckpointBlocks.release(adjacency)
-      }
+        // ONE exhaustive pass — the ground truth every beam grades against
+        val exact = Similarity.bruteForceTopK(queries, corpus, idCol,
+            vecCol, k)
+          .select(col("qid"), col("nid")).localCheckpoint(true)
+        try {
+          val truthN = exact.count()
+          val rows = beams.sorted.map { b =>
+            val r = runBeam(adjacency, v, q, scoreQ, k, b, hops, entries,
+              countCost = true, trackObjective = false)
+            val hit = exact.join(r.topK.select(col("qid"), col("nid")),
+              Seq("qid", "nid"), "left_semi").count()
+            // the endpoint objective, derived from the slice itself (the
+            // per-hop trajectory was skipped)
+            val obj = r.topK
+              .agg(coalesce(sum(round(col("sim") * 1e6).cast("long")),
+                lit(0L))).head().getLong(0)
+            graft.CheckpointBlocks.release(r.handle)
+            (b, hit, truthN,
+              if (truthN == 0) 0L else math.round(hit * 1000.0 / truthN),
+              r.candPairs, obj)
+          }
+          import sp.implicits._
+          rows.toDF("beam", "hits", "truth_n", "recall_pm", "cand_pairs",
+            "objective")
+        } finally graft.CheckpointBlocks.release(exact)
+      } finally graft.CheckpointBlocks.release(adjacency)
     } finally {
       graft.CheckpointBlocks.release(q)
       graft.CheckpointBlocks.release(v)
@@ -956,8 +968,15 @@ object KnnGraph {
     val offPred = result.join(kept, Seq("nid"), "left_anti").count()
     if (offPred > 0)
       viol += (("pred", s"$offPred served rows violate the predicate"))
-    val underK = result.groupBy(col("qid")).agg(count(lit(1)).as("c"))
-      .filter(col("c") =!= K).count()
+    // k_rows over the DECLARED query relation, not the served result's
+    // own qids: a query the serving path dropped entirely would be
+    // invisible to a groupBy(result) check — left-join the declared
+    // qids so a missing query counts as 0 rows and fires the clause
+    val declaredQ = corpus.filter(col("id") < 10).select(col("id").as("qid"))
+    val underK = declaredQ
+      .join(result.groupBy(col("qid")).agg(count(lit(1)).as("c")),
+        Seq("qid"), "left")
+      .filter(coalesce(col("c"), lit(0L)) =!= K).count()
     if (underK > 0)
       viol += (("k_rows", s"$underK queries without exactly K rows"))
     val exact = Similarity.bruteForceTopK(corpus.filter(col("id") < 10),
@@ -1000,6 +1019,15 @@ object KnnGraph {
   /** The x124g body over an explicit curve — the spec hook proving the
     * clauses fire (a shuffled recall column trips monotonicity; a
     * curve whose widest beam misses the floor trips the floor).
+    *
+    * SCOPE OF THE MONOTONE CLAUSES: recall_pm and cand_pairs
+    * non-decreasing in beam are EMPIRICAL pins for the DECLARED
+    * fixture (graphCorpus at the declared sf, beams {K,8,16}), not
+    * structural guarantees — a wider beam walks a genuinely different
+    * path (no frontier-superset argument holds, unlike the x129
+    * shortlist curve whose nesting IS structural), so on other
+    * fixtures/scales a correct implementation could show a local dip.
+    * The hits<=truth and floor clauses ARE scale-free.
     */
   private[graft] def curveGateRows(s: SparkSession, curveDf: DataFrame,
                                    minRecallPm: Long): DataFrame = {

@@ -23,6 +23,16 @@ import javax.imageio.ImageIO
   */
 object MediaCodec {
 
+  // Every decode input here is ALREADY an in-memory byte array, but
+  // ImageIO's default useCache=true spools each stream through a temp
+  // FILE (FileCacheImageInputStream): one create/write/read/delete
+  // per decoded blob — pure disk churn that at corpus scale turns the
+  // decode path IO-bound and degrades as the run ages (measured: the
+  // x83/x87/x12g bench family slowed monotonically pass over pass with
+  // no code change). Memory-backed streams are strictly correct for
+  // byte-array inputs and executor-friendly at any scale.
+  ImageIO.setUseCache(false)
+
   /** What a header parse yields: container format, pixel dimensions,
     * and frame count (GIF image descriptors / APNG acTL; 1 for stills).
     */

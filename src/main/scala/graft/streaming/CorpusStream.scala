@@ -104,10 +104,16 @@ class CorpusStream(spark: SparkSession, workDir: String,
   // leg's probe target
   private val evalWindowPath = s"$workDir/evalwindows"
   private val contamLedgerPath = s"$workDir/contamledger"
-  // reference state: the registered TRAINED quality model
-  // ([[indexQualityModel]]) — weights + scaler + threshold, one row
+  // versioned: qualitymodel/v=K per training event (v=0 registration
+  // via [[indexQualityModel]], v>0 drift rotations — one row each:
+  // weights + scaler + threshold). qualitymeta is the rotation LEDGER
+  // (readOr batch dirs), its row the rotation commit; qualitydrift is
+  // the per-batch covariate-shift telemetry — the same
+  // alarm-and-response design as the PQ codebook leg.
   private val qualityModelPath = s"$workDir/qualitymodel"
   private val qualityLedgerPath = s"$workDir/qualityledger"
+  private val qualityMetaPath = s"$workDir/qualitymeta"
+  private val qualityDriftPath = s"$workDir/qualitydrift"
   // append-only kNN edge LOG (the graph leg): per-batch x125 deltas;
   // the serving graph derives by a top-k cut at read (the LSM shape —
   // history is never rewritten, so overwrite-by-batchId stays the
@@ -118,6 +124,12 @@ class CorpusStream(spark: SparkSession, workDir: String,
   private val PqKs = 16
   private val PqIters = 2
   private val PqDriftFactor = 2.0
+  // quality-model drift: a batch whose standardized features move more
+  // than 2 train-split standard deviations (micro units) from the
+  // train mean is covariate-shifted relative to what the weights were
+  // fit on. Verdicts need a non-degenerate scaler (train_n floor).
+  private val QDriftGMicro = 2000000L
+  private val QDriftMinTrainN = 8L
 
   // binaryFile's fixed schema — file streams require it explicitly
   private val binSchema = new StructType()
@@ -186,7 +198,8 @@ class CorpusStream(spark: SparkSession, workDir: String,
     val stores = Seq(curatedPath, bandPath, docArrPath, ledgerPath, dlqPath,
       vecPath, vecBucketPath, semDupPath, winPath, passSpanPath,
       pqCodesPath, pqDriftPath, pqMetaPath, exportManifestPath,
-      contamLedgerPath, qualityLedgerPath, knngPath)
+      contamLedgerPath, qualityLedgerPath, qualityMetaPath,
+      qualityDriftPath, knngPath)
     val (off, com) = (maxId("offsets"), maxId("commits"))
     // a missing checkpoint with batch dirs on disk is NOT "no pending
     // replay" — it is "this writer cannot tell" (state written through
@@ -216,6 +229,15 @@ class CorpusStream(spark: SparkSession, workDir: String,
     // rotations would otherwise accumulate without bound
     pqMetaRows.lastOption.foreach { case (maxVer, _, _, _) =>
       Option(new java.io.File(pqCbPath).listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("v=") &&
+          f.getName.stripPrefix("v=").toLongOption.exists(_ < maxVer - 1))
+        .foreach(deleteRec)
+    }
+    // same GC for quality-model versions (same serving/replay window:
+    // max committed and max-1)
+    qualityMetaRows.lastOption.foreach { case (maxVer, _, _) =>
+      Option(new java.io.File(qualityModelPath).listFiles())
         .getOrElse(Array.empty)
         .filter(f => f.isDirectory && f.getName.startsWith("v=") &&
           f.getName.stripPrefix("v=").toLongOption.exists(_ < maxVer - 1))
@@ -415,33 +437,79 @@ class CorpusStream(spark: SparkSession, workDir: String,
                         thresholdMicro: Long): Unit = {
     require(weights.length == 5 && scaler.meanU.length == 4 &&
       scaler.stdU.length == 4, "model shape: 5 weights, 4-feature scaler")
-    Seq((weights.toSeq, scaler.meanU.toSeq, scaler.stdU.toSeq,
-        scaler.n, thresholdMicro))
-      .toDF("w", "mean_u", "std_u", "train_n", "threshold_micro")
-      .coalesce(1).write.mode("overwrite").parquet(qualityModelPath)
+    // layout guard mirroring pqVersions: a workDir written before model
+    // versioning stored the one-row model flat under qualitymodel/ —
+    // silently adopting it as v=0 would graft the rotation ledger onto
+    // a version history that never existed; refuse instead.
+    val d = new java.io.File(qualityModelPath)
+    require(!(d.isDirectory && Option(d.listFiles()).getOrElse(Array.empty)
+        .exists(f => f.isFile && f.getName.startsWith("part-"))),
+      s"$qualityModelPath holds a pre-versioning flat layout — this " +
+        "engine reads only versioned models (qualitymodel/v=K + the " +
+        "qualitymeta rotation ledger); re-register into a fresh workDir")
+    writeQualityVersion(0L, weights, scaler, thresholdMicro)
     qualityModelCache = None
   }
 
-  @volatile private var qualityModelCache:
-      Option[(Array[Long], graft.operators.QualityClassifier.Scaler, Long)] = None
+  private def writeQualityVersion(ver: Long, weights: Array[Long],
+      scaler: graft.operators.QualityClassifier.Scaler,
+      thresholdMicro: Long): Unit =
+    Seq((weights.toSeq, scaler.meanU.toSeq, scaler.stdU.toSeq,
+        scaler.n, thresholdMicro))
+      .toDF("w", "mean_u", "std_u", "train_n", "threshold_micro")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$qualityModelPath/v=$ver")
 
-  /** The registered model, instance-cached (a handful of literals). */
-  private def qualityModel:
-      Option[(Array[Long], graft.operators.QualityClassifier.Scaler, Long)] = {
-    val d = new java.io.File(qualityModelPath)
-    val present = d.isDirectory && Option(d.listFiles())
-      .getOrElse(Array.empty).exists(_.getName.startsWith("part-"))
-    if (!present) None
-    else qualityModelCache.orElse {
-      val r = spark.read.parquet(qualityModelPath).head()
+  @volatile private var qualityModelCache:
+      Option[(Long, (Array[Long], graft.operators.QualityClassifier.Scaler,
+        Long))] = None
+
+  /** Registration check: the leg is enabled iff v=0 exists (rotations
+    * only ever stack on a registered model).
+    */
+  private def qualityRegistered: Boolean = {
+    val d = new java.io.File(s"$qualityModelPath/v=0")
+    d.isDirectory && Option(d.listFiles()).getOrElse(Array.empty)
+      .exists(_.getName.startsWith("part-"))
+  }
+
+  /** One committed model version, instance-cached (a handful of
+    * literals; serving reads one version per batch so a single-slot
+    * cache suffices).
+    */
+  private def loadQualityModel(ver: Long)
+      : (Array[Long], graft.operators.QualityClassifier.Scaler, Long) =
+    qualityModelCache.collect { case (v, m) if v == ver => m }.getOrElse {
+      val r = spark.read.parquet(s"$qualityModelPath/v=$ver").head()
       val m = (r.getSeq[Long](0).toArray,
         graft.operators.QualityClassifier.Scaler(r.getLong(3),
           r.getSeq[Long](1).toArray, r.getSeq[Long](2).toArray),
         r.getLong(4))
-      qualityModelCache = Some(m)
-      qualityModelCache
+      qualityModelCache = Some((ver, m))
+      m
     }
-  }
+
+  /** Quality-model rotation ledger (version, train_n, batch_id) — one
+    * row per drift-triggered retrain; the row is the rotation's commit
+    * sentinel (v=0 registration is an external call, not a batch event,
+    * and carries no row).
+    */
+  def qualityVersions: DataFrame = readOr(qualityMetaPath,
+    Seq.empty[(Long, Long, Long)].toDF("version", "train_n", "batch_id"))
+
+  private def qualityMetaRows: Seq[(Long, Long, Long)] =
+    qualityVersions.orderBy("version")
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+  /** Per-batch covariate-shift telemetry (batch_id, batch_n,
+    * max_abs_g_mean, drifted) for the learned-quality leg — `drifted`
+    * is null (telemetry without a verdict) while the serving model's
+    * train split is below the verdict floor or the batch scored
+    * nothing.
+    */
+  def qualityDrift: DataFrame = readOr(qualityDriftPath,
+    Seq.empty[(Long, Long, Long, Option[Boolean])]
+      .toDF("batch_id", "batch_n", "max_abs_g_mean", "drifted"))
 
   /** Per-batch learned-quality ledger (batch_id, scored, q_dropped) —
     * rows appear only while the leg is enabled.
@@ -780,25 +848,50 @@ class CorpusStream(spark: SparkSession, workDir: String,
       CorpusPipeline.qualityFilter(repGated, cfg)))
 
     // learned-quality leg (opt-in via indexQualityModel): the x118
-    // deployment — score the curated batch with the registered TRAINED
-    // classifier (one scan-side projection; the model is a handful of
-    // literals) and drop below-threshold docs BEFORE dedup pays for
-    // them. Pure function of (batch, static model) — replays are
-    // byte-identical; drops ledger per batch.
-    val cur = qualityModel match {
-      case None => cur0
-      case Some((w, sc, thr)) =>
-        val lowQ = graft.operators.QualityClassifier
-          .scoreDocs(cur0, "doc_id", "text", sc, w)
-          .filter(col("p6") < thr)
-          .select(col("doc_id"))
-        val kept = cp(cur0.join(lowQ, Seq("doc_id"), "left_anti"))
-        val nScored = cur0.count()
-        overwriteBatch(
-          Seq((batchId, nScored, nScored - kept.count()))
-            .toDF("batch_id", "scored", "q_dropped"),
-          qualityLedgerPath, batchId)
-        kept
+    // deployment — score the curated batch with the CURRENT COMMITTED
+    // model version (one scan-side projection; the model is a handful
+    // of literals) and drop below-threshold docs BEFORE dedup pays for
+    // them. Pure function of (batch, committed model state) — replays
+    // are byte-identical: a batch whose OWN rotation already committed
+    // (crash after the ledger row) re-scores against the PRE-rotation
+    // version, exactly like the PQ leg's committedRotationHere path.
+    // Drift telemetry rides qualityDrift, and a drifted verdict has a
+    // RESPONSE: after this batch's curated rows land, the same batch
+    // retrains on the accumulated curated store and commits the new
+    // weights as version+1 (see the rotation block below the curated
+    // write — the retrain corpus must include this batch).
+    var qualityRotation: Option[(Long, Long)] = None // (maxVer, threshold)
+    val cur = if (!qualityRegistered) cur0 else {
+      val metaRows = qualityMetaRows
+      val committedHere = metaRows.find(_._3 == batchId)
+      val maxVer = metaRows.lastOption.map(_._1).getOrElse(0L)
+      val serveVer = committedHere.map(_._1 - 1).getOrElse(maxVer)
+      val (w, sc, thr) = loadQualityModel(serveVer)
+      val lowQ = graft.operators.QualityClassifier
+        .scoreDocs(cur0, "doc_id", "text", sc, w)
+        .filter(col("p6") < thr)
+        .select(col("doc_id"))
+      val kept = cp(cur0.join(lowQ, Seq("doc_id"), "left_anti"))
+      val nScored = cur0.count()
+      overwriteBatch(
+        Seq((batchId, nScored, nScored - kept.count()))
+          .toDF("batch_id", "scored", "q_dropped"),
+        qualityLedgerPath, batchId)
+      // covariate-shift alarm: standardized feature means of the batch
+      // under the SERVING model's train-fit scaler (~0 on the train
+      // split by construction). One scan-side aggregate.
+      val (bN, maxAbsG) = graft.operators.QualityClassifier
+        .featureDriftMicro(cur0, "doc_id", "text", sc)
+      val verdict: Option[Boolean] =
+        if (sc.n < QDriftMinTrainN || bN == 0) None
+        else Some(maxAbsG > QDriftGMicro)
+      overwriteBatch(
+        Seq((batchId, bN, maxAbsG, verdict))
+          .toDF("batch_id", "batch_n", "max_abs_g_mean", "drifted"),
+        qualityDriftPath, batchId)
+      if (verdict.contains(true) && committedHere.isEmpty)
+        qualityRotation = Some((maxVer, thr))
+      kept
     }
 
     // exact dedup: in-batch keep-first, then anti-join the store's
@@ -1080,6 +1173,39 @@ class CorpusStream(spark: SparkSession, workDir: String,
     overwriteBatch(raw.filter(col("blob_error").isNotNull)
       .select(col("path"), col("blob_error")), dlqPath, batchId)
     overwriteBatch(accepted, curatedPath, batchId)
+
+    // quality-model drift RESPONSE (armed by the leg above): retrain on
+    // the accumulated curated store — which now includes this batch's
+    // rows — and commit the new weights as version+1. Weak labels are
+    // the Gopher pass bit over the raw stored text (rawLabeledFrame):
+    // the same bootstrap rule x118 trains on, applied to the corpus as
+    // it actually arrived. Write order is the commit protocol: weights
+    // v+1 first, the qualitymeta ledger row second (the commit) — a
+    // crash between the two leaves serving at v, and the replayed batch
+    // re-enters here and rewrites both identically (the retrain is a
+    // pure function of the curated store, whose state the replay's own
+    // overwrite-by-batchId reproduces). Unlike the PQ rotation there is
+    // no stored artifact to re-encode: rotated weights change only how
+    // FUTURE batches are screened, so the rotation costs one labeled
+    // scan of the store plus the bounded GD iterations.
+    qualityRotation.foreach { case (maxVer, thr) =>
+      val lf = graft.operators.QualityClassifier
+        .rawLabeledFrame(curated, "doc_id", "text")
+        .localCheckpoint(true)
+      try {
+        // an empty store (every doc this far dropped) leaves nothing to
+        // retrain on — keep the alarm row, skip the rotation
+        if (lf.count() > 0) {
+          val tr = graft.operators.QualityClassifier.fit(lf)
+          writeQualityVersion(maxVer + 1, tr.finalW, tr.scaler, thr)
+          overwriteBatch(
+            Seq((maxVer + 1, tr.scaler.n, batchId))
+              .toDF("version", "train_n", "batch_id"),
+            qualityMetaPath, batchId)
+          qualityModelCache = None
+        }
+      } finally graft.CheckpointBlocks.release(lf)
+    }
 
     // export leg (opt-in): ship the batch's ACCEPTED docs
     // shard-partitioned (the x108 contract riding the stream) and

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** SURVEY §3.4 text-surface contract: for every §2-declared q/j query,
+  * the SQL string in [[SqlSurface]] and the DSL form in
+  * `SparkEntry.queries` must produce the SAME relation. One data-driven
+  * test per key (row-for-row equality after a canonical sort, column
+  * names and order equal), plus plan-shape equivalence for the
+  * PlanAuditSpec-pinned queries — the SQL text must not silently plan a
+  * worse physical shape than the DSL (broadcast dims for the star join,
+  * WindowGroupLimit for the rank filter).
+  *
+  * Values compare by display string (numeric TYPE may legitimately
+  * differ across the surfaces — e.g. a DSL `lit(1)` int vs a SQL
+  * integer literal promoted by coercion — but every VALUE must render
+  * identically; doubles go through the same Spark arithmetic on both
+  * sides, so string rendering is exact, not a tolerance).
+  */
+class SqlParitySpec extends SparkSpecBase {
+
+  private def canon(df: DataFrame): (Seq[String], Seq[Seq[String]]) = {
+    val cols = df.columns.toSeq
+    val rows = df.collect().toSeq
+      .map(r => (0 until r.length).map(i =>
+        if (r.isNullAt(i)) "<null>" else {
+          r.get(i) match {
+            case a: Array[_] => a.mkString("[", ",", "]")
+            case s: Seq[_]   => s.mkString("[", ",", "]")
+            case v           => v.toString
+          }
+        }))
+      .sortBy(_.mkString(""))
+    (cols, rows)
+  }
+
+  test("every declared q/j key has a SQL surface statement") {
+    val missing = SqlSurface.declaredKeys.filter(k =>
+      !SqlSurface.overrides.contains(k) && !SparkEntry.oracleSql.contains(k))
+    assert(missing.isEmpty, s"keys without SQL surface: $missing")
+  }
+
+  SqlSurface.declaredKeys.foreach { key =>
+    test(s"$key: SQL text surface matches the DSL relation") {
+      val dsl = SparkEntry.queries(key)(spark, sfDir)
+      val sql = SqlSurface.run(spark, sfDir, key)
+      val (dCols, dRows) = canon(dsl)
+      val (sCols, sRows) = canon(sql)
+      assert(sCols === dCols, s"$key: column mismatch (SQL vs DSL)")
+      assert(sRows.size === dRows.size,
+        s"$key: row count ${sRows.size} (SQL) vs ${dRows.size} (DSL)")
+      sRows.zip(dRows).zipWithIndex.foreach { case ((srow, drow), i) =>
+        assert(srow === drow, s"$key: row $i differs (SQL vs DSL)")
+      }
+    }
+  }
+
+  test("q52 SQL surface broadcasts its dimension sides like the DSL form") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val plan = SqlSurface.run(spark, sfDir, "q52_star_join")
+      .queryExecution.sparkPlan
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.size >= 2,
+      s"expected customer+nation broadcast in the SQL plan, got:\n$plan")
+  }
+
+  test("q54 SQL surface plans the WindowGroupLimit rewrite like the DSL form") {
+    import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+    val plan = SqlSurface.run(spark, sfDir, "q54_topk_group")
+      .queryExecution.sparkPlan
+    val limits = plan.collect { case w: WindowGroupLimitExec => w }
+    assert(limits.size === 2,
+      s"expected partial+final WindowGroupLimit in the SQL plan, got:\n$plan")
+  }
+
+  test("q26 SQL surface broadcasts the customer side like the DSL form") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val plan = SqlSurface.run(spark, sfDir, "q26_join")
+      .queryExecution.sparkPlan
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, s"expected a broadcast join in the SQL plan, got:\n$plan")
+  }
+}
