@@ -261,6 +261,43 @@ object ScaleCheck {
       Thread.sleep(500)
     }
 
+    // Quality-leg drift detection (the streaming x118 deployment's
+    // alarm): score + covariate-shift aggregate on a FIXED batch while
+    // the accumulated curated store grows 16x. The detector reads the
+    // BATCH and the (literal-sized) model only — never the store — so
+    // the probe's PASS shape is FLAT; growth means a store scan leaked
+    // into the per-batch path. (The drift RESPONSE — retrain on the
+    // store — is deliberately state-sized, the pq_rotate analog.)
+    if (keep("qdrift")) for (k <- scales) {
+      val spark = freshSession()
+      def docBase: DataFrame = Tables(spark, sfDir, "documents")
+        .select(col("doc_id").as("id"), col("text"))
+      // the grown store exists on disk-shaped state (checkpointed) so
+      // a leaked dependency would actually cost; the detector must not
+      // touch it
+      val store = replicate(spark, docBase, k)((df, _) => df)
+        .localCheckpoint(true)
+      store.count()
+      val labeled = graft.operators.QualityClassifier
+        .labeledFrame(docBase, "id", "text")
+      val tr = graft.operators.QualityClassifier.fit(labeled, iters = 2)
+      val batch = docBase.orderBy("id").limit(500).localCheckpoint(true)
+      val (sec, rows) = time {
+        val scored = graft.operators.QualityClassifier
+          .scoreDocs(batch, "id", "text", tr.scaler, tr.finalW)
+        val n = scored.count()
+        graft.operators.QualityClassifier
+          .featureDriftMicro(batch, "id", "text", tr.scaler)
+        n
+      }
+      println(f"""{"op":"qdrift","scale":$k,"sec":$sec%.2f,"rows":$rows}""")
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      System.gc()
+      Thread.sleep(500)
+    }
+
     // NN-Descent kNN-graph construction scaling (x120): the manifold
     // corpus at 1x/4x/16x (replicated ids draw fresh latents from the
     // same 4-D manifold — denser sampling of one geometry, the honest

@@ -170,6 +170,142 @@ object DomainMixture {
     } finally graft.CheckpointBlocks.release(counts)
   }
 
+  /** Per-domain HELD-OUT mean bigram loss (micro nats) of the
+    * w-mixture LM trained on `train`, evaluated on `eval` — the
+    * transfer measurement behind the x126a advantage gate. Same
+    * integer surface as [[egMixture]]'s in-train loss; unseen grams
+    * take the x48 add-one floor (an unseen bigram with a SEEN context
+    * still gets its real denominator via the h1-keyed context join).
+    * Domains with no held-out bigrams report 0 (the gate's coverage
+    * clause makes that a violation, never a silent pass).
+    */
+  def heldOutLoss(train: DataFrame, eval: DataFrame, textCol: String,
+                  domCol: String, doms: Seq[String],
+                  w: Seq[Long]): Seq[Long] = {
+    require(w.size == doms.size, "one weight per domain")
+    val counts = countTable(train, textCol, domCol, doms)
+    val evalCounts = countTable(eval, textCol, domCol, doms)
+    try {
+      val v = train.filter(col(domCol).isin(doms.map(lit): _*))
+        .select(explode_outer(tokens(col(textCol))).as("tok"))
+        .filter(col("tok").isNotNull)
+        .select(xxhash64(col("tok")).as("h1")).distinct().count()
+      // context counts keyed by h1 alone (cu is a function of h1; max
+      // collapses the repeats the bigram rows carry)
+      val ctxAggs = doms.map(dm => max(col(s"cu_$dm")).as(s"cu_$dm"))
+      val ctx = counts.groupBy(col("h1")).agg(ctxAggs.head, ctxAggs.tail: _*)
+      val joined = evalCounts
+        .select(col("h1") +: col("h2") +:
+          doms.map(dm => col(s"cb_$dm").as(s"eb_$dm")): _*)
+        .join(counts.select(col("h1") +: col("h2") +:
+          doms.map(dm => col(s"cb_$dm")): _*), Seq("h1", "h2"), "left")
+        .join(ctx, Seq("h1"), "left")
+      val num = doms.indices
+        .map(j => coalesce(col(s"cb_${doms(j)}"), lit(0L)) * lit(w(j)))
+        .reduce(_ + _)
+      val den = doms.indices
+        .map(j => coalesce(col(s"cu_${doms(j)}"), lit(0L)) * lit(w(j)))
+        .reduce(_ + _)
+      val t = round(log((num + lit(U)).cast("double") /
+        (den + lit(U) * lit(v)).cast("double")) * lit(1000000.0))
+        .cast("long")
+      val aggs = doms.map(dm => sum(col(s"eb_$dm") * col("__t")).as(s"s_$dm")) ++
+        doms.map(dm => sum(col(s"eb_$dm")).as(s"n_$dm"))
+      val r = joined.select(col("*") +: Seq(t.as("__t")): _*)
+        .agg(aggs.head, aggs.tail: _*).head()
+      doms.indices.map { j =>
+        val n = if (r.isNullAt(doms.size + j)) 0L else r.getLong(doms.size + j)
+        if (n == 0) 0L else math.round(-r.getLong(j).toDouble / n)
+      }
+    } finally {
+      graft.CheckpointBlocks.release(counts)
+      graft.CheckpointBlocks.release(evalCounts)
+    }
+  }
+
+  // --- x126a: held-out transfer advantage on a heterogeneous fixture -----
+
+  /** Sorted (countTable's contract) heterogeneous domains. */
+  private[graft] val HetDoms = Seq("com", "rar", "tec")
+
+  /** η for the heterogeneous fixture: its cross-domain excess losses
+    * are WHOLE nats (disjoint vocabularies + a 6:3:1 size skew), so the
+    * declared η=50 — sized for the language fixture's milli-nat
+    * spreads — would blow exp(50·ΔL) through the simplex in one step.
+    * η=1 is the DoReMi-default regime for nat-scale gaps.
+    */
+  private[graft] val HetEta = 1.0
+
+  /** Heterogeneous-domain fixture: three domains with genuinely
+    * different token distributions AND sizes, derived deterministically
+    * from the documents table — 60% "com" (text as-is), 30% "tec" and
+    * 10% "rar" (each token prefix-shifted into its own DISJOINT
+    * vocabulary, so cross-domain transfer is zero and the mixture must
+    * actually allocate weight to cover a domain). The r15 x126a gate
+    * died because same-genre language domains tie within rounding;
+    * held-out advantage is only a measurable claim when the domains
+    * genuinely differ — which this fixture pins as its own gate clause.
+    */
+  private[graft] def hetCorpus(s: SparkSession, d: String): DataFrame = {
+    val base = graft.Tables(s, d, "documents")
+      .select(col("doc_id"), lower(col("text")).as("t"))
+    val slot = pmod(col("doc_id"), lit(10L))
+    val dom = when(slot < 6, lit("com"))
+      .when(slot < 9, lit("tec")).otherwise(lit("rar"))
+    base.select(col("doc_id"),
+      when(dom === lit("com"), col("t"))
+        .when(dom === lit("tec"),
+          regexp_replace(col("t"), "([a-z0-9]+)", "tq$1"))
+        .otherwise(regexp_replace(col("t"), "([a-z0-9]+)", "rx$1"))
+        .as("text"),
+      dom.as("dom"),
+      // the x118 hash-prefix split: ~80% train, ~20% held-out
+      substring(md5(col("doc_id").cast("string")), 1, 2).as("hp"))
+  }
+
+  /** The x126a body — `forceBaseline` evaluates the "learned" side
+    * with the uniform weights too, so no-advantage trips the clause
+    * (the spec hook proving the gate fires).
+    */
+  private[graft] def advantageRows(s: SparkSession, d: String,
+                                   forceBaseline: Boolean): DataFrame = {
+    import s.implicits._
+    val c = hetCorpus(s, d)
+    val train = c.filter(col("hp") <= "cb").select("doc_id", "text", "dom")
+    val held = c.filter(col("hp") > "cb").select("doc_id", "text", "dom")
+    val wBase: Seq[Long] =
+      HetDoms.indices.map(_ => math.round(1000000.0 / HetDoms.size))
+    val wStarByDom = egMixture(train, "text", "dom", HetDoms, Iters, HetEta)
+      .filter(col("iter") === Iters)
+      .select(col("dom"), col("w_micro")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wStar = HetDoms.map(wStarByDom)
+    val lBase = heldOutLoss(train, held, "text", "dom", HetDoms, wBase)
+    val lStar = heldOutLoss(train, held, "text", "dom", HetDoms,
+      if (forceBaseline) wBase else wStar)
+    val viol = Seq.newBuilder[(String, String)]
+    // fixture premises as clauses: every domain must carry held-out
+    // mass, and the BASELINE's per-domain losses must differ by well
+    // over rounding — otherwise "advantage" would be decided by noise
+    // (the r15 lesson: that gate was honest to remove, and is only
+    // honest to re-land against measurable heterogeneity)
+    HetDoms.indices.foreach { j =>
+      if (lBase(j) == 0L)
+        viol += ((s"coverage_${HetDoms(j)}", "no held-out bigrams"))
+    }
+    val spread = lBase.max - lBase.min
+    if (spread < 100000L)
+      viol += (("heterogeneous",
+        s"baseline loss spread $spread micro-nats < 100000"))
+    // the claim a user cares about: the learned mixture's WORST
+    // held-out domain loss strictly beats proportional-uniform's (the
+    // group-DRO objective, measured on transfer, exact integers)
+    if (lStar.max >= lBase.max)
+      viol += (("worst_advantage",
+        s"learned worst ${lStar.max} !< baseline worst ${lBase.max}"))
+    viol.result().toDF("clause", "violation").orderBy(col("clause"))
+  }
+
   // --- declared family ----------------------------------------------------
 
   /** The declared fixture's domains: the documents table's language
@@ -337,7 +473,16 @@ object DomainMixture {
     // SHRINKS start -> end (the balancing objective), the worst
     // domain's loss does not rise, and the iter-0 worst domain gains
     // weight at iter 1 (the EG direction actually fires).
-    "x126g_mix_gate" -> ((s, d) => gateRows(s, trajectory(s, d)))
+    "x126g_mix_gate" -> ((s, d) => gateRows(s, trajectory(s, d))),
+
+    // Gate (empty-set oracle): HELD-OUT transfer advantage on the
+    // heterogeneous fixture — the learned mixture's worst-domain
+    // held-out loss strictly beats uniform's, with the fixture's own
+    // premises (per-domain held-out coverage, baseline heterogeneity
+    // well past rounding) as co-clauses. The force-baseline spec hook
+    // proves the advantage clause fires on weights with no edge.
+    "x126a_mix_advantage_gate" ->
+      ((s, d) => advantageRows(s, d, forceBaseline = false))
   )
 
   // --- DuckDB oracle (unrolled-CTE EG replay, the x118 pattern) ----------
@@ -438,6 +583,9 @@ object DomainMixture {
       """SELECT CAST(NULL AS VARCHAR) AS clause, CAST(NULL AS VARCHAR) AS violation
         |WHERE false""".stripMargin,
     "x126sg_mix_sample_gate" ->
+      """SELECT CAST(NULL AS VARCHAR) AS clause, CAST(NULL AS VARCHAR) AS violation
+        |WHERE false""".stripMargin,
+    "x126a_mix_advantage_gate" ->
       """SELECT CAST(NULL AS VARCHAR) AS clause, CAST(NULL AS VARCHAR) AS violation
         |WHERE false""".stripMargin
   )

@@ -221,29 +221,15 @@ object Multimodal {
       .toDF("doc_id", "content", "format", "width", "height")
   }
 
-  /** Deterministic unit-norm byte-hash vector — the NON-IMAGE fallback
-    * embedding (blobs with no pixel plane still need a vector so the
-    * relation stays total; a production pipeline would route them to
-    * their modality's encoder instead).
-    */
-  private def hashEmbedding(bytes: Array[Byte], dim: Int): Seq[Float] = {
-    val raw = Array.tabulate(dim) { d =>
-      var h = 1125899906842597L + d
-      bytes.foreach(b => h = h * 31 + b)
-      ((h % 1000).toFloat / 1000.0f)
-    }
-    val n = math.sqrt(raw.map(x => x.toDouble * x).sum).toFloat
-    raw.map(x => if (n == 0) 0.0f else x / n).toSeq
-  }
-
   /** Feature extraction: blob -> dense embedding (array<float>), the
     * step that bridges multimodal data into the similarity operators
     * (Similarity.bruteForceTopK / lshTopK / ivfTopK run on this output
     * unchanged). Decodable images take the REAL pixel path — the
-    * grid-pooled color-layout descriptor of [[pixelFeatures]]; only
-    * non-image bytes (no pixel plane to describe) fall back to the
-    * deterministic byte-hash vector of the same dimension, which a
-    * production pipeline would replace with that modality's encoder.
+    * grid-pooled color-layout descriptor of [[pixelFeatures]]; every
+    * other blob takes the engine's REAL text path — the hashed-TF
+    * unit-norm embedding over its UTF-8 reading, the same encoder the
+    * streaming semantic leg indexes with — at the same dimension, so
+    * mixed corpora stay a single total relation.
     */
   def featureExtract(spark: SparkSession, blobs: DataFrame): DataFrame =
     featureExtract(spark, blobs, PoolingGrid(2))
@@ -270,9 +256,9 @@ object Multimodal {
   /** REAL pixel feature extraction: full ImageIO decode, average-pool
     * the RGB plane onto a grid×grid patch map (3·grid² dims — the
     * classic color-layout descriptor), unit-normalize. Non-decodable
-    * blobs keep the byte-hash fallback, flagged is_pixels=false. A
-    * projection of [[pixelProfile]] — ONE decode loop serves the
-    * embedding, stats, and combined consumers.
+    * blobs take the hashed-TF text embedding over their UTF-8 reading,
+    * flagged is_pixels=false. A projection of [[pixelProfile]] — ONE
+    * decode loop serves the embedding, stats, and combined consumers.
     */
   def pixelFeatures(spark: SparkSession, blobs: DataFrame,
                     grid: Int = 2): DataFrame =
@@ -284,14 +270,15 @@ object Multimodal {
     * pair consumed two decodes of the same corpus before this. Whole-
     * image sums regroup the per-cell sums (double addition error
     * ~1e-13, far inside the 6 dp oracle surface). Non-decodable blobs
-    * keep the hash embedding, is_pixels=false, null stats.
+    * take the scan-side hashed-TF text embedding over their UTF-8
+    * reading, is_pixels=false, null stats.
     */
   def pixelProfile(spark: SparkSession, blobs: DataFrame,
                    grid: Int = 2): DataFrame = {
     require(grid >= 1, s"grid must be >= 1, got $grid")
     import spark.implicits._
     val dims = 3 * grid * grid
-    blobs.select(col("doc_id"), col("content"))
+    val decoded = blobs.select(col("doc_id"), col("content"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
         MediaCodec.imageIoDecode(bytes) match {
@@ -320,16 +307,42 @@ object Multimodal {
             val nPx = w.toLong * h
             def chan(o: Int) =
               (0 until grid * grid).map(c => sums(c * 3 + o)).sum / nPx
-            (id, raw.map(v => (if (n == 0) 0.0 else v / n).toFloat).toSeq,
+            (id,
+              Some(raw.map(v => (if (n == 0) 0.0 else v / n).toFloat).toSeq)
+                : Option[Seq[Float]],
+              None: Option[String],
               true, Some(chan(0)), Some(chan(1)), Some(chan(2)), Some(nPx))
           case None =>
-            (id, hashEmbedding(bytes, dims), false,
-              None: Option[Double], None: Option[Double],
+            // no pixel plane: hand the blob's UTF-8 reading back to the
+            // relational layer — the real embedding computes scan-side
+            (id, None: Option[Seq[Float]],
+              Some(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+                : Option[String],
+              false, None: Option[Double], None: Option[Double],
               None: Option[Double], None: Option[Long])
         }
       })
-      .toDF("doc_id", "embedding", "is_pixels",
+      .toDF("doc_id", "embedding", "fallback_text", "is_pixels",
         "mean_r", "mean_g", "mean_b", "n_px")
+    // non-image blobs get the engine's REAL text encoder — the same
+    // hashed-TF unit-norm embedding the streaming semantic leg indexes
+    // with (one implementation, Catalyst HOFs, codegen-friendly) —
+    // over the blob's UTF-8 text, at the pixel descriptor's dimension
+    // so the relation stays total for every Similarity consumer. A
+    // tokenless blob embeds as the zero vector (hashedTfEmbedding's
+    // empty-input contract): "nothing to describe" is an honest
+    // neighbor of nothing, where the old byte-hash placeholder
+    // manufactured similarity structure out of raw bytes.
+    decoded
+      .withColumn("embedding",
+        when(col("is_pixels"), col("embedding"))
+          .otherwise(transform(
+            TextAnalysis.hashedTfEmbedding(col("fallback_text"), dims),
+            // coalesce to a literal: keeps the embedding contract's
+            // containsNull=false (hashedTf elements are complete
+            // when/otherwise chains Spark can't prove non-null)
+            x => coalesce(x.cast("float"), lit(0.0f)))))
+      .drop("fallback_text")
   }
 
   /** Deterministic gray-PATTERN PNG per document for the perceptual-

@@ -116,9 +116,14 @@ class CorpusStream(spark: SparkSession, workDir: String,
   private val qualityDriftPath = s"$workDir/qualitydrift"
   // append-only kNN edge LOG (the graph leg): per-batch x125 deltas;
   // the serving graph derives by a top-k cut at read (the LSM shape —
-  // history is never rewritten, so overwrite-by-batchId stays the
-  // whole replay story)
+  // history is never rewritten by APPENDS; a drift-triggered REBUILD
+  // folds the log into a fresh NN-Descent base=N dir behind the
+  // _compacted mark — the one deliberately state-sized response, the
+  // PQ-rotation design). knngmeta is the rebuild LEDGER (its row the
+  // commit), knngdrift the per-batch staleness telemetry.
   private val knngPath = s"$workDir/knngraph"
+  private val knngMetaPath = s"$workDir/knngmeta"
+  private val knngDriftPath = s"$workDir/knngdrift"
   private val SemBits = 8
   private val SemTables = 8
   private val PqKs = 16
@@ -130,6 +135,14 @@ class CorpusStream(spark: SparkSession, workDir: String,
   // fit on. Verdicts need a non-degenerate scaler (train_n floor).
   private val QDriftGMicro = 2000000L
   private val QDriftMinTrainN = 8L
+  // graph-index staleness: NN-Descent quality is BUILD-time — appended
+  // nodes carry only beam-searched edges, so a graph where most nodes
+  // are append-born navigates like a beam cache, not an index. Rebuild
+  // when more than half the nodes postdate the last build; below the
+  // node floor the graph is toy-sized and verdicts are null.
+  private val KnnStaleFracPm = 500L
+  private val KnnStaleMinNodes = 32L
+  private val KnnRebuildRounds = 2
 
   // binaryFile's fixed schema — file streams require it explicitly
   private val binSchema = new StructType()
@@ -199,7 +212,7 @@ class CorpusStream(spark: SparkSession, workDir: String,
       vecPath, vecBucketPath, semDupPath, winPath, passSpanPath,
       pqCodesPath, pqDriftPath, pqMetaPath, exportManifestPath,
       contamLedgerPath, qualityLedgerPath, qualityMetaPath,
-      qualityDriftPath, knngPath)
+      qualityDriftPath, knngPath, knngMetaPath, knngDriftPath)
     val (off, com) = (maxId("offsets"), maxId("commits"))
     // a missing checkpoint with batch dirs on disk is NOT "no pending
     // replay" — it is "this writer cannot tell" (state written through
@@ -762,6 +775,27 @@ class CorpusStream(spark: SparkSession, workDir: String,
   def knnEdges: DataFrame = readOr(knngPath,
     Seq.empty[(String, String, Double)].toDF("id", "nid", "sim"))
 
+  /** Graph rebuild ledger (version, n_nodes, batch_id) — one row per
+    * staleness-triggered NN-Descent rebuild; the row is the rebuild's
+    * commit sentinel (the mark-folded base dir is invisible until the
+    * marker moves, and the marker move is invisible to THIS ledger
+    * until the row lands).
+    */
+  def knngVersions: DataFrame = readOr(knngMetaPath,
+    Seq.empty[(Long, Long, Long)].toDF("version", "n_nodes", "batch_id"))
+
+  private def knngMetaRows: Seq[(Long, Long, Long)] =
+    knngVersions.orderBy("version")
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+  /** Per-batch graph staleness telemetry (batch_id, n_nodes,
+    * n_appended, appended_pm, stale) — `stale` is null below the node
+    * floor (a toy graph navigates fine either way).
+    */
+  def knngDrift: DataFrame = readOr(knngDriftPath,
+    Seq.empty[(Long, Long, Long, Long, Option[Boolean])]
+      .toDF("batch_id", "n_nodes", "n_appended", "appended_pm", "stale"))
+
   /** The SERVED kNN graph, derived from the edge log by the top-k cut
     * at read (duplicate observations collapse; each node keeps its
     * best k) — the LSM read side of the graph leg.
@@ -1139,18 +1173,81 @@ class CorpusStream(spark: SparkSession, workDir: String,
     // log the pre-batch graph derives from, so a crash-replayed batch
     // recomputes a byte-identical delta.
     knnK.foreach { k =>
-      val batchIds = newVecs.select(col("doc_id").as("id"))
-      val baseVecs = vecIndex.join(batchIds, Seq("id"), "left_anti")
-        .select(col("id"), col("vec"))
-      val graph0 = graft.operators.KnnGraph.graphFromEdgeLog(
-        readOr(knngPath,
-          Seq.empty[(String, String, Double)].toDF("id", "nid", "sim"),
-          excludeBatch = batchId), k)
-      val delta = graft.operators.KnnGraph.appendDelta(graph0, baseVecs,
-        newVecs.select(col("doc_id").as("id"), col("emb").as("vec")),
-        "id", "vec", k, beam = KnnBeam, hops = KnnHops)
-      try overwriteBatch(delta, knngPath, batchId)
-      finally graft.CheckpointBlocks.release(delta)
+      val metaRows = knngMetaRows
+      // committed-rebuild replay fast path: a ledger row AT this batch
+      // id means a prior attempt appended the delta, measured
+      // staleness, rebuilt, AND committed — the rebuilt base SUBSUMES
+      // this batch's delta, and the pre-rebuild state the first
+      // attempt measured is no longer addressable behind the moved
+      // mark, so the only idempotent replay is to touch nothing (all
+      // three artifacts are already on disk, byte-exact).
+      if (!metaRows.exists(_._3 == batchId)) {
+        val batchIds = newVecs.select(col("doc_id").as("id"))
+        val baseVecs = vecIndex.join(batchIds, Seq("id"), "left_anti")
+          .select(col("id"), col("vec"))
+        val graph0 = graft.operators.KnnGraph.graphFromEdgeLog(
+          readOr(knngPath,
+            Seq.empty[(String, String, Double)].toDF("id", "nid", "sim"),
+            excludeBatch = batchId), k)
+        val delta = graft.operators.KnnGraph.appendDelta(graph0, baseVecs,
+          newVecs.select(col("doc_id").as("id"), col("emb").as("vec")),
+          "id", "vec", k, beam = KnnBeam, hops = KnnHops)
+        try overwriteBatch(delta, knngPath, batchId)
+        finally graft.CheckpointBlocks.release(delta)
+        // staleness telemetry: graph nodes ARE the vec store's rows,
+        // so both counts come from parquet footers (no data scan, flat
+        // per batch); n_base is the last rebuild's ledger row. An
+        // append-born node carries only beam-searched edges — when
+        // most nodes are append-born the "index" is really a beam
+        // cache and navigability has no build-time floor.
+        val nTotal = vecIndex.count()
+        val nBase = metaRows.lastOption.map(_._2).getOrElse(0L)
+        val nApp = math.max(nTotal - nBase, 0L)
+        val appendedPm =
+          if (nTotal == 0) 0L else math.round(nApp * 1000.0 / nTotal)
+        val stale: Option[Boolean] =
+          if (nTotal < KnnStaleMinNodes) None
+          else Some(appendedPm > KnnStaleFracPm)
+        overwriteBatch(
+          Seq((batchId, nTotal, nApp, appendedPm, stale))
+            .toDF("batch_id", "n_nodes", "n_appended", "appended_pm",
+              "stale"),
+          knngDriftPath, batchId)
+        // staleness RESPONSE: bounded NN-Descent rebuild over the full
+        // vector store (which includes this batch — its vecs landed in
+        // the semantic leg above), folded in as the edge log's base
+        // dir. Write order is the commit protocol: (1) rebuilt edges
+        // write-then-rename to base=N (a crash mid-write never
+        // destroys a live base), (2) the _compacted marker move (per-
+        // batch dirs at or below N become invisible — the rebuilt base
+        // subsumes them), (3) the knngmeta ledger row — the commit. A
+        // crash before (3) re-enters here on replay and rewrites
+        // (1)-(3) identically (the build is deterministic in the
+        // store); between (2) and (3) readers already serve the
+        // rebuilt base, strictly fresher than what they had.
+        if (stale.contains(true)) {
+          val rebuilt = graft.operators.KnnGraph.build(
+            vecIndex.select(col("id"), col("vec")),
+            "id", "vec", k, KnnRebuildRounds)
+          try {
+            val dir = new java.io.File(knngPath)
+            dir.mkdirs()
+            val tmp = new java.io.File(dir, ".rot_tmp")
+            if (tmp.exists()) deleteRec(tmp)
+            rebuilt.select(col("id"), col("nid"), col("sim"))
+              .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+            val base = new java.io.File(dir, s"base=$batchId")
+            if (base.exists()) deleteRec(base)
+            require(tmp.renameTo(base), s"graph rebuild rename failed: $base")
+            moveMark(knngPath, batchId)
+            overwriteBatch(
+              Seq((metaRows.lastOption.map(_._1).getOrElse(0L) + 1L,
+                  nTotal, batchId))
+                .toDF("version", "n_nodes", "batch_id"),
+              knngMetaPath, batchId)
+          } finally graft.CheckpointBlocks.release(rebuilt)
+        }
+      }
     }
 
     // passage leg (opt-in): token-window spans duplicated against the

@@ -100,4 +100,16 @@ class DomainMixtureSpec extends SparkSpecBase {
       DomainMixture.Doms, iters = 2, eta = DomainMixture.Eta)
     assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
   }
+
+  test("x126a: held-out advantage gate empty on the real run; force-baseline fires it") {
+    val real = DomainMixture.advantageRows(spark, sfDir, forceBaseline = false)
+    val rows = real.collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.isEmpty, s"gate violated: ${rows.mkString("; ")}")
+    // the spec hook: a "learned" side with no edge (uniform weights on
+    // both sides) must trip exactly the advantage clause — coverage and
+    // heterogeneity still hold, so the fixture premise clauses stay out
+    val forced = DomainMixture.advantageRows(spark, sfDir, forceBaseline = true)
+      .select("clause").collect().map(_.getString(0)).toSeq
+    assert(forced === Seq("worst_advantage"), s"got $forced")
+  }
 }

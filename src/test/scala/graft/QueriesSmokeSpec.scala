@@ -86,6 +86,7 @@ class QueriesSmokeSpec extends SparkSpecBase {
     "x123g_bpe_pack_gate",
     "x124g_knn_beam_gate",
     "x125g_knn_append_gate",
+    "x126a_mix_advantage_gate",
     "x126g_mix_gate",
     "x127g_bpe_curve_gate",
     "x126sg_mix_sample_gate",

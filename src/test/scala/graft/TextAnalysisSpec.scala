@@ -200,11 +200,12 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(top === ((1L, 3L, 1.0)))
   }
 
-  test("featureExtract routes images through the pixel descriptor, non-images through the hash") {
+  test("featureExtract routes images through the pixel descriptor, non-images through the text encoder") {
     import graft.sources.MediaCodec
+    val text2 = "definitely not an image"
     val blobs = Seq(
       (1L, MediaCodec.encodePng(8, 6, 0xff0000)),
-      (2L, "definitely not an image".getBytes("UTF-8"))).toDF("doc_id", "content")
+      (2L, text2.getBytes("UTF-8"))).toDF("doc_id", "content")
     val fe = Multimodal.featureExtract(spark, blobs)
       .as[(Long, Seq[Float])].collect().toMap
     val pf = Multimodal.pixelFeatures(spark, blobs, grid = 2)
@@ -214,9 +215,43 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(fe(1L) === pf(1L)._1)
     // solid red -> R slots hot: proves this is pixels, not a byte hash
     assert(math.abs(fe(1L)(0) - 0.5f) < 1e-6)
-    // non-image: same hash fallback (and only there)
+    // non-image: the REAL text encoder — bit-identical to
+    // hashedTfEmbedding run directly on the decoded text at the same
+    // dimension (one implementation, no JVM twin to drift)
     assert(!pf(2L)._2)
     assert(fe(2L) === pf(2L)._1)
+    val direct = Seq(Tuple1(text2)).toDF("t")
+      .select(transform(
+        TA.hashedTfEmbedding($"t", 12), x => x.cast("float"))
+        .as("e"))
+      .as[Seq[Float]].collect().head
+    assert(fe(2L) === direct)
+  }
+
+  test("mixed image+text corpus is one total relation the similarity operators consume") {
+    import graft.sources.MediaCodec
+    import graft.operators.Similarity
+    // two images (same solid color, different sizes -> same descriptor
+    // direction), two text docs sharing tokens, one text doc apart
+    val blobs = Seq(
+      (1L, MediaCodec.encodePng(8, 6, 0x0000ff)),
+      (2L, MediaCodec.encodePng(16, 12, 0x0000ff)),
+      (10L, "the quick brown fox jumps".getBytes("UTF-8")),
+      (11L, "quick the fox brown jumps".getBytes("UTF-8")),
+      (12L, "entirely disjoint vocabulary here".getBytes("UTF-8")))
+      .toDF("doc_id", "content")
+    val emb = Multimodal.featureExtract(spark, blobs)
+    assert(emb.count() === 5, "every modality lands in the relation")
+    // text twins (same token bag) are exact neighbors; the image query
+    // retrieves the other image, never a text doc
+    val topText = Similarity.bruteForceTopK(
+        emb.filter($"doc_id" === 10L), emb, "doc_id", "embedding", k = 1)
+      .select("qid", "nid", "sim").as[(Long, Long, Double)].collect().head
+    assert(topText === ((10L, 11L, 1.0)))
+    val topImg = Similarity.bruteForceTopK(
+        emb.filter($"doc_id" === 1L), emb, "doc_id", "embedding", k = 1)
+      .select("qid", "nid", "sim").as[(Long, Long, Double)].collect().head
+    assert(topImg._2 === 2L && math.abs(topImg._3 - 1.0) < 1e-9)
   }
 
   test("imageIoMetaTable + join gate equals the one-pass gate; tampered meta still fires") {
@@ -277,7 +312,7 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(v(6 + 2) > 0.4f && v(6) === 0.0f && v(9 + 2) > 0.4f)
   }
 
-  test("pixelFeatures: non-image bytes take the hash fallback, flagged") {
+  test("pixelFeatures: non-image bytes take the text-embedding fallback, flagged") {
     val blobs = Seq((1L, "not an image at all".getBytes("UTF-8")))
       .toDF("doc_id", "content")
     val f = Multimodal.pixelFeatures(spark, blobs, grid = 2)
@@ -285,6 +320,13 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(!f._3)
     assert(f._2.length === 12)
     assert(math.abs(f._2.map(x => x.toDouble * x).sum - 1.0) < 1e-5)
+    // tokenless bytes embed as the ZERO vector (hashedTfEmbedding's
+    // empty-input contract) — "nothing to describe" stays honest
+    // instead of the old byte-hash manufacturing a direction
+    val empty = Multimodal.pixelFeatures(spark,
+        Seq((2L, Array.emptyByteArray)).toDF("doc_id", "content"), grid = 2)
+      .as[(Long, Seq[Float], Boolean)].collect().head
+    assert(!empty._3 && empty._2.forall(_ === 0.0f))
   }
 
   test("pixelProfile agrees with the single-purpose decoders in one pass") {
