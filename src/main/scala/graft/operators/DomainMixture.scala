@@ -181,7 +181,16 @@ object DomainMixture {
     */
   def heldOutLoss(train: DataFrame, eval: DataFrame, textCol: String,
                   domCol: String, doms: Seq[String],
-                  w: Seq[Long]): Seq[Long] = {
+                  w: Seq[Long]): Seq[Long] =
+    heldOutLossRows(train, eval, textCol, domCol, doms, w).map(_._3)
+
+  /** [[heldOutLoss]] with per-domain held-out bigram totals:
+    * (dom, n_bigrams, loss_micro) in `doms` order — the relation the
+    * x126h hash-green oracle query exposes.
+    */
+  def heldOutLossRows(train: DataFrame, eval: DataFrame, textCol: String,
+                      domCol: String, doms: Seq[String],
+                      w: Seq[Long]): Seq[(String, Long, Long)] = {
     require(w.size == doms.size, "one weight per domain")
     val counts = countTable(train, textCol, domCol, doms)
     val evalCounts = countTable(eval, textCol, domCol, doms)
@@ -215,7 +224,7 @@ object DomainMixture {
         .agg(aggs.head, aggs.tail: _*).head()
       doms.indices.map { j =>
         val n = if (r.isNullAt(doms.size + j)) 0L else r.getLong(doms.size + j)
-        if (n == 0) 0L else math.round(-r.getLong(j).toDouble / n)
+        (doms(j), n, if (n == 0) 0L else math.round(-r.getLong(j).toDouble / n))
       }
     } finally {
       graft.CheckpointBlocks.release(counts)
@@ -482,7 +491,25 @@ object DomainMixture {
     // well past rounding) as co-clauses. The force-baseline spec hook
     // proves the advantage clause fires on weights with no edge.
     "x126a_mix_advantage_gate" ->
-      ((s, d) => advantageRows(s, d, forceBaseline = false))
+      ((s, d) => advantageRows(s, d, forceBaseline = false)),
+
+    // the x126a BASELINE side as a hash-green relation: per-domain
+    // held-out bigram totals and mean loss (micro nats) under the
+    // UNIFORM mixture on the heterogeneous fixture — a FULL DuckDB
+    // oracle replays the fixture transform, the hash split, the
+    // train-count mixture LM and the held-out evaluation, pinning
+    // heldOutLoss's whole integer surface cross-engine (the advantage
+    // gate's arithmetic is then oracle-anchored, not just spec'd).
+    "x126h_mix_heldout_uniform" -> ((s, d) => {
+      import s.implicits._
+      val c = hetCorpus(s, d)
+      val train = c.filter(col("hp") <= "cb").select("doc_id", "text", "dom")
+      val held = c.filter(col("hp") > "cb").select("doc_id", "text", "dom")
+      val wBase: Seq[Long] =
+        HetDoms.indices.map(_ => math.round(1000000.0 / HetDoms.size))
+      heldOutLossRows(train, held, "text", "dom", HetDoms, wBase)
+        .toDF("dom", "n_bigrams", "loss_micro").orderBy(col("dom"))
+    })
   )
 
   // --- DuckDB oracle (unrolled-CTE EG replay, the x118 pattern) ----------
@@ -577,8 +604,83 @@ object DomainMixture {
       s"\nSELECT * FROM (\n$emit\n) ORDER BY iter, dom"
   }
 
+  /** x126h oracle: replay the heterogeneous fixture (dom by doc_id%10,
+    * token prefix-shifts, md5 hash split), the train-side mixture LM
+    * counts, and the held-out per-domain mean loss under the uniform
+    * mixture — grouping by gram STRINGS where the engine groups by
+    * xxhash64 (identical counts modulo 2^-64 collisions, the x42
+    * convention). MATERIALIZED CTEs per the iterative-oracle rule.
+    */
+  private def hetHeldoutOracle: String = {
+    val hd = HetDoms
+    val wU = math.round(1000000.0 / hd.size)
+    def sums(prefix: String, src: String) = hd.map(dm =>
+      s"CAST(sum(CASE WHEN $src = '$dm' THEN 1 ELSE 0 END) AS BIGINT) AS ${prefix}_$dm")
+      .mkString(",\n    ")
+    val num = hd.map(dm => s"coalesce(cb_$dm, 0) * $wU").mkString(" + ")
+    val den = hd.map(dm => s"coalesce(cu_$dm, 0) * $wU").mkString(" + ")
+    val perDom = hd.map(dm =>
+      s"""SELECT '$dm' AS dom, CAST(coalesce(sum(eb_$dm), 0) AS BIGINT) AS n_bigrams,
+         |  CAST(CASE WHEN coalesce(sum(eb_$dm), 0) = 0 THEN 0
+         |       ELSE round(-CAST(sum(eb_$dm * tq) AS DOUBLE) / sum(eb_$dm)) END AS BIGINT) AS loss_micro
+         |FROM q""".stripMargin).mkString("\nUNION ALL\n")
+    raw"""WITH het AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 10 < 6 THEN lower(text)
+      |         WHEN doc_id % 10 < 9 THEN regexp_replace(lower(text), '([a-z0-9]+)', 'tq\1', 'g')
+      |         ELSE regexp_replace(lower(text), '([a-z0-9]+)', 'rx\1', 'g') END AS t,
+      |    CASE WHEN doc_id % 10 < 6 THEN 'com'
+      |         WHEN doc_id % 10 < 9 THEN 'tec' ELSE 'rar' END AS dom,
+      |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS hp
+      |  FROM documents
+      |), tokh AS MATERIALIZED (
+      |  SELECT dom, hp,
+      |    list_filter(string_split_regex(lower(trim(t)), '\s+'), x -> x <> '') AS ts
+      |  FROM het
+      |), trt AS MATERIALIZED (
+      |  SELECT dom, ts FROM tokh WHERE hp <= 'cb'
+      |), evt AS MATERIALIZED (
+      |  SELECT dom, ts FROM tokh WHERE hp > 'cb'
+      |), uni AS MATERIALIZED (
+      |  SELECT w,
+      |    ${sums("cu", "dom")}
+      |  FROM (SELECT dom, unnest(ts) AS w FROM trt) GROUP BY w
+      |), v AS MATERIALIZED (
+      |  SELECT CAST(count(*) AS BIGINT) AS vv FROM uni
+      |), tbg AS MATERIALIZED (
+      |  SELECT g, max(w1) AS w1,
+      |    ${sums("cb", "dom")}
+      |  FROM (
+      |    SELECT dom, ts[i] AS w1, array_to_string(ts[i : i + 1], ' ') AS g
+      |    FROM trt, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+      |    WHERE len(ts) >= 2
+      |  ) GROUP BY g
+      |), ebg AS MATERIALIZED (
+      |  SELECT g, max(w1) AS w1,
+      |    ${sums("eb", "dom")}
+      |  FROM (
+      |    SELECT dom, ts[i] AS w1, array_to_string(ts[i : i + 1], ' ') AS g
+      |    FROM evt, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+      |    WHERE len(ts) >= 2
+      |  ) GROUP BY g
+      |), q AS MATERIALIZED (
+      |  SELECT ebg.*, ${hd.map(dm => s"tbg.cb_$dm").mkString(", ")},
+      |    ${hd.map(dm => s"uni.cu_$dm").mkString(", ")},
+      |    CAST(round(ln(CAST($num + 1000000 AS DOUBLE) /
+      |      CAST($den + 1000000 * vv AS DOUBLE)) * 1000000) AS BIGINT) AS tq
+      |  FROM ebg
+      |  LEFT JOIN tbg ON ebg.g = tbg.g
+      |  LEFT JOIN uni ON ebg.w1 = uni.w
+      |  CROSS JOIN v
+      |)
+      |SELECT * FROM (
+      |$perDom
+      |) ORDER BY dom""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "x126_doremi_mix_weights" -> trajectoryOracle,
+    "x126h_mix_heldout_uniform" -> hetHeldoutOracle,
     "x126g_mix_gate" ->
       """SELECT CAST(NULL AS VARCHAR) AS clause, CAST(NULL AS VARCHAR) AS violation
         |WHERE false""".stripMargin,
