@@ -353,7 +353,12 @@ object Contamination {
     }
   }
 
-  def clearMemo(): Unit = shared.clear()
+  def clearMemo(): Unit = {
+    // the shared window relation is checkpoint-backed: release the
+    // blocks, don't just drop the reference (MemoReleaseAuditSpec)
+    shared.values.forEach(graft.CheckpointBlocks.release)
+    shared.clear()
+  }
 
   /** Split slice of the shared window relation — bounds come from
     * SamplingQueries so a ratio retune cannot diverge from x22. */

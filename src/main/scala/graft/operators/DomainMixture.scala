@@ -190,8 +190,20 @@ object DomainMixture {
     */
   def heldOutLossRows(train: DataFrame, eval: DataFrame, textCol: String,
                       domCol: String, doms: Seq[String],
-                      w: Seq[Long]): Seq[(String, Long, Long)] = {
-    require(w.size == doms.size, "one weight per domain")
+                      w: Seq[Long]): Seq[(String, Long, Long)] =
+    heldOutLossMulti(train, eval, textCol, domCol, doms, Seq(w)).head
+
+  /** Evaluate SEVERAL mixture-weight vectors against one pair of count
+    * tables in ONE aggregate — the x126a gate compares baseline vs
+    * learned, and paying the corpus passes once is the difference
+    * between 2 and 4 count-table builds. Per weight vector, the same
+    * rows/semantics as [[heldOutLossRows]].
+    */
+  def heldOutLossMulti(train: DataFrame, eval: DataFrame, textCol: String,
+                       domCol: String, doms: Seq[String],
+                       ws: Seq[Seq[Long]]): Seq[Seq[(String, Long, Long)]] = {
+    require(ws.nonEmpty && ws.forall(_.size == doms.size),
+      "one weight per domain per vector")
     val counts = countTable(train, textCol, domCol, doms)
     val evalCounts = countTable(eval, textCol, domCol, doms)
     try {
@@ -209,22 +221,31 @@ object DomainMixture {
         .join(counts.select(col("h1") +: col("h2") +:
           doms.map(dm => col(s"cb_$dm")): _*), Seq("h1", "h2"), "left")
         .join(ctx, Seq("h1"), "left")
-      val num = doms.indices
-        .map(j => coalesce(col(s"cb_${doms(j)}"), lit(0L)) * lit(w(j)))
-        .reduce(_ + _)
-      val den = doms.indices
-        .map(j => coalesce(col(s"cu_${doms(j)}"), lit(0L)) * lit(w(j)))
-        .reduce(_ + _)
-      val t = round(log((num + lit(U)).cast("double") /
-        (den + lit(U) * lit(v)).cast("double")) * lit(1000000.0))
-        .cast("long")
-      val aggs = doms.map(dm => sum(col(s"eb_$dm") * col("__t")).as(s"s_$dm")) ++
+      def tOf(w: Seq[Long]) = {
+        val num = doms.indices
+          .map(j => coalesce(col(s"cb_${doms(j)}"), lit(0L)) * lit(w(j)))
+          .reduce(_ + _)
+        val den = doms.indices
+          .map(j => coalesce(col(s"cu_${doms(j)}"), lit(0L)) * lit(w(j)))
+          .reduce(_ + _)
+        round(log((num + lit(U)).cast("double") /
+          (den + lit(U) * lit(v)).cast("double")) * lit(1000000.0))
+          .cast("long")
+      }
+      val tCols = ws.zipWithIndex.map { case (w, i) => tOf(w).as(s"__t$i") }
+      val aggs = ws.indices.flatMap(i => doms.map(dm =>
+        sum(col(s"eb_$dm") * col(s"__t$i")).as(s"s${i}_$dm"))) ++
         doms.map(dm => sum(col(s"eb_$dm")).as(s"n_$dm"))
-      val r = joined.select(col("*") +: Seq(t.as("__t")): _*)
+      val r = joined.select(col("*") +: tCols: _*)
         .agg(aggs.head, aggs.tail: _*).head()
-      doms.indices.map { j =>
-        val n = if (r.isNullAt(doms.size + j)) 0L else r.getLong(doms.size + j)
-        (doms(j), n, if (n == 0) 0L else math.round(-r.getLong(j).toDouble / n))
+      val nOff = ws.size * doms.size
+      ws.indices.map { i =>
+        doms.indices.map { j =>
+          val n = if (r.isNullAt(nOff + j)) 0L else r.getLong(nOff + j)
+          (doms(j), n,
+            if (n == 0) 0L
+            else math.round(-r.getLong(i * doms.size + j).toDouble / n))
+        }
       }
     } finally {
       graft.CheckpointBlocks.release(counts)
@@ -272,6 +293,37 @@ object DomainMixture {
       substring(md5(col("doc_id").cast("string")), 1, 2).as("hp"))
   }
 
+  private val hetMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String),
+    (Seq[(String, Long, Long)], Seq[(String, Long, Long)])]()
+
+  /** (baseline rows, learned rows) for the het fixture — driver-sized
+    * scalars shared by x126a and x126h, so the pair costs ONE EG run
+    * plus ONE two-vector held-out evaluation per (session, dir).
+    */
+  private def hetLosses(s: SparkSession, d: String)
+      : (Seq[(String, Long, Long)], Seq[(String, Long, Long)]) = {
+    val key = (s, d)
+    Option(hetMemo.get(key)).getOrElse {
+      MemoEviction.register(s, "doremih") { () =>
+        hetMemo.keySet.removeIf(_._1 eq s)
+      }
+      val c = hetCorpus(s, d)
+      val train = c.filter(col("hp") <= "cb").select("doc_id", "text", "dom")
+      val held = c.filter(col("hp") > "cb").select("doc_id", "text", "dom")
+      val wBase: Seq[Long] =
+        HetDoms.indices.map(_ => math.round(1000000.0 / HetDoms.size))
+      val wStarByDom = egMixture(train, "text", "dom", HetDoms, Iters, HetEta)
+        .filter(col("iter") === Iters)
+        .select(col("dom"), col("w_micro")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val Seq(lb, ls) = heldOutLossMulti(train, held, "text", "dom",
+        HetDoms, Seq(wBase, HetDoms.map(wStarByDom)))
+      val r = (lb, ls)
+      Option(hetMemo.putIfAbsent(key, r)).getOrElse(r)
+    }
+  }
+
   /** The x126a body — `forceBaseline` evaluates the "learned" side
     * with the uniform weights too, so no-advantage trips the clause
     * (the spec hook proving the gate fires).
@@ -279,19 +331,9 @@ object DomainMixture {
   private[graft] def advantageRows(s: SparkSession, d: String,
                                    forceBaseline: Boolean): DataFrame = {
     import s.implicits._
-    val c = hetCorpus(s, d)
-    val train = c.filter(col("hp") <= "cb").select("doc_id", "text", "dom")
-    val held = c.filter(col("hp") > "cb").select("doc_id", "text", "dom")
-    val wBase: Seq[Long] =
-      HetDoms.indices.map(_ => math.round(1000000.0 / HetDoms.size))
-    val wStarByDom = egMixture(train, "text", "dom", HetDoms, Iters, HetEta)
-      .filter(col("iter") === Iters)
-      .select(col("dom"), col("w_micro")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val wStar = HetDoms.map(wStarByDom)
-    val lBase = heldOutLoss(train, held, "text", "dom", HetDoms, wBase)
-    val lStar = heldOutLoss(train, held, "text", "dom", HetDoms,
-      if (forceBaseline) wBase else wStar)
+    val (lBaseRows, lStarRows) = hetLosses(s, d)
+    val lBase = lBaseRows.map(_._3)
+    val lStar = (if (forceBaseline) lBaseRows else lStarRows).map(_._3)
     val viol = Seq.newBuilder[(String, String)]
     // fixture premises as clauses: every domain must carry held-out
     // mass, and the BASELINE's per-domain losses must differ by well
@@ -299,7 +341,7 @@ object DomainMixture {
     // (the r15 lesson: that gate was honest to remove, and is only
     // honest to re-land against measurable heterogeneity)
     HetDoms.indices.foreach { j =>
-      if (lBase(j) == 0L)
+      if (lBaseRows(j)._2 == 0L)
         viol += ((s"coverage_${HetDoms(j)}", "no held-out bigrams"))
     }
     val spread = lBase.max - lBase.min
@@ -329,6 +371,7 @@ object DomainMixture {
   def clearMemo(): Unit = {
     memo.values.forEach(graft.CheckpointBlocks.release(_))
     memo.clear()
+    hetMemo.clear() // driver scalars only, nothing to release
   }
 
   private def trajectory(s: SparkSession, d: String): DataFrame = {
@@ -502,12 +545,7 @@ object DomainMixture {
     // gate's arithmetic is then oracle-anchored, not just spec'd).
     "x126h_mix_heldout_uniform" -> ((s, d) => {
       import s.implicits._
-      val c = hetCorpus(s, d)
-      val train = c.filter(col("hp") <= "cb").select("doc_id", "text", "dom")
-      val held = c.filter(col("hp") > "cb").select("doc_id", "text", "dom")
-      val wBase: Seq[Long] =
-        HetDoms.indices.map(_ => math.round(1000000.0 / HetDoms.size))
-      heldOutLossRows(train, held, "text", "dom", HetDoms, wBase)
+      hetLosses(s, d)._1
         .toDF("dom", "n_bigrams", "loss_micro").orderBy(col("dom"))
     })
   )

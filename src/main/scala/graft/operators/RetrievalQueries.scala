@@ -84,16 +84,25 @@ object RetrievalQueries {
       .select(col(idCol), targetFilter.as("is_tgt"),
         explode_outer(tokens(col(textCol))).as("w"))
       .filter(col("w").isNotNull)
-    val raw = tok.groupBy(col("w")).agg(count(lit(1)).as("cr"))
-      .localCheckpoint(true)
+    // lazy plan for the RESULT; a separate short-lived checkpoint for
+    // the driver scalars. The old single checkpoint ESCAPED through the
+    // returned lazy frame, so it could never be released and leaked a
+    // storage block per call (found by MemoReleaseAuditSpec) — the
+    // result now recomputes this one aggregation when consumed instead
+    // of pinning executor storage forever.
+    def rawPlan = tok.groupBy(col("w")).agg(count(lit(1)).as("cr"))
     val tgt = tok.filter(col("is_tgt")).groupBy(col("w"))
       .agg(count(lit(1)).as("ct"))
     // three exact scalars (vocab size, target tokens, raw tokens) — the
     // x42 driver-scalar shape
-    val v = raw.count()
+    val rawCp = rawPlan.localCheckpoint(true)
+    val (v, r) =
+      try {
+        (rawCp.count(),
+          rawCp.agg(coalesce(sum(col("cr")), lit(0L))).head().getLong(0))
+      } finally graft.CheckpointBlocks.release(rawCp)
     val t = tgt.agg(coalesce(sum(col("ct")), lit(0L))).head().getLong(0)
-    val r = raw.agg(coalesce(sum(col("cr")), lit(0L))).head().getLong(0)
-    val lam = raw.join(tgt, Seq("w"), "left")
+    val lam = rawPlan.join(tgt, Seq("w"), "left")
       .select(col("w"),
         (log((coalesce(col("ct"), lit(0L)) + 1L).cast("double")) -
           log(lit((t + v).toDouble)) -

@@ -119,7 +119,12 @@ object SketchQueries {
   private val hhShared =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  def clearMemo(): Unit = hhShared.clear()
+  def clearMemo(): Unit = {
+    // the memoized candidate relation is checkpoint-backed: release the
+    // blocks, don't just drop the reference (MemoReleaseAuditSpec)
+    hhShared.values.forEach(graft.CheckpointBlocks.release)
+    hhShared.clear()
+  }
 
   private def hhCandidates(s: SparkSession, d: String): DataFrame = {
     val k = (s, d)
