@@ -298,6 +298,37 @@ object ScaleCheck {
       Thread.sleep(500)
     }
 
+    // Held-out mixture-loss evaluation (x126a/x126h): two weight
+    // vectors against one train/eval count-table pair, corpus grown
+    // 16x. The work is two bounded hash-keyed count aggregations plus
+    // one joined scan — seconds must grow (sub-)linearly in corpus
+    // size; super-linear growth means the per-gram relation stopped
+    // being the unit of work.
+    if (keep("hetloss")) for (k <- scales) {
+      val spark = freshSession()
+      def docBase: DataFrame = Tables(spark, sfDir, "documents")
+        .select(col("doc_id").as("id"), col("text"),
+          when(col("doc_id") % 2 === 0, "a").otherwise("b").as("dom"))
+      val docs = replicate(spark, docBase, k)((df, _) => df)
+        .localCheckpoint(true)
+      docs.count()
+      val train = docs.filter(col("id") % 5 =!= 0)
+      val eval = docs.filter(col("id") % 5 === 0)
+      val doms = Seq("a", "b")
+      val ws = Seq(Seq(500000L, 500000L), Seq(700000L, 300000L))
+      val (sec, rows) = time {
+        val r = graft.operators.DomainMixture
+          .heldOutLossMulti(train, eval, "text", "dom", doms, ws)
+        r.flatten.map(_._2).sum
+      }
+      println(f"""{"op":"hetloss","scale":$k,"sec":$sec%.2f,"rows":$rows}""")
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      System.gc()
+      Thread.sleep(500)
+    }
+
     // NN-Descent kNN-graph construction scaling (x120): the manifold
     // corpus at 1x/4x/16x (replicated ids draw fresh latents from the
     // same 4-D manifold — denser sampling of one geometry, the honest

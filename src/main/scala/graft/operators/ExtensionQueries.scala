@@ -45,7 +45,13 @@ object ExtensionQueries {
   // IllegalStateException("Recursive update") whenever the two keys hash
   // to the same bin. Compute outside the map, then putIfAbsent — queries
   // run sequentially, so the lost-race recompute is theoretical.
-  private def once(s: SparkSession, d: String, name: String)(f: => DataFrame): DataFrame = {
+  /** `afterPin` runs once f's result has MATERIALIZED as the memo
+    * checkpoint (winner or race-loser alike, never on a memo hit) —
+    * the release point for build-owned state the lazy result plan
+    * still needed (e.g. a refined IVF index consumed by a search).
+    */
+  private def once(s: SparkSession, d: String, name: String,
+                   afterPin: () => Unit = () => ())(f: => DataFrame): DataFrame = {
     val k = (s, d, name)
     Option(shared.get(k)).getOrElse {
       // stopped sessions must not stay pinned by their memo entries
@@ -53,6 +59,7 @@ object ExtensionQueries {
         shared.keySet.removeIf(_._1 eq s)
       }
       val v = f.localCheckpoint(true)
+      afterPin()
       Option(shared.putIfAbsent(k, v)) match {
         // lost the (theoretical) race: release this thread's blocks
         case Some(w) => graft.CheckpointBlocks.release(v); w
@@ -276,26 +283,32 @@ object ExtensionQueries {
     }
 
   /** Lloyd-refined IVF ANN top-k — consumed by x56 and x56p. */
-  private def annIvfRefined(s: SparkSession, d: String): DataFrame =
-    once(s, d, "ann_ivf_refined") {
+  private def annIvfRefined(s: SparkSession, d: String): DataFrame = {
+    var idx: Similarity.IvfIndex = null
+    once(s, d, "ann_ivf_refined",
+        afterPin = () => Similarity.releaseIndex(idx)) {
       val e = rebalanced(Tables(s, d, "embeddings"))
-      Similarity.ivfSearch(
-        Similarity.ivfBuildRefined(e, "vec_id", "embedding",
-          nlist = 16, iters = 3).index,
+      idx = Similarity.ivfBuildRefined(e, "vec_id", "embedding",
+        nlist = 16, iters = 3).index
+      Similarity.ivfSearch(idx,
         e.filter(col("vec_id") < 10), "vec_id", "embedding",
         k = 5, nprobe = 4)
     }
+  }
 
   /** k-means‖-seeded refined IVF ANN top-k — consumed by x98 and x98p. */
-  private def annIvfKpp(s: SparkSession, d: String): DataFrame =
-    once(s, d, "ann_ivf_kpp") {
+  private def annIvfKpp(s: SparkSession, d: String): DataFrame = {
+    var idx: Similarity.IvfIndex = null
+    once(s, d, "ann_ivf_kpp",
+        afterPin = () => Similarity.releaseIndex(idx)) {
       val e = rebalanced(Tables(s, d, "embeddings"))
-      Similarity.ivfSearch(
-        Similarity.ivfBuildKpp(e, "vec_id", "embedding",
-          nlist = 16, rounds = 3, oversample = 8, iters = 2).refined.index,
+      idx = Similarity.ivfBuildKpp(e, "vec_id", "embedding",
+        nlist = 16, rounds = 3, oversample = 8, iters = 2).refined.index
+      Similarity.ivfSearch(idx,
         e.filter(col("vec_id") < 10), "vec_id", "embedding",
         k = 5, nprobe = 4)
     }
+  }
 
   /** 8 tight spherical clusters built deterministically from the
     * embeddings table: vector = anchor(vec_id % 8) + 0.1·embedding,
@@ -322,13 +335,21 @@ object ExtensionQueries {
     val corpus = clusteredCorpus(s, d).localCheckpoint(true)
     try {
       // iters = 0: objectives.head is the SEED's assignment objective —
-      // the seeding is the only thing the two programs differ in
-      val hashObj = Similarity.ivfBuildRefined(corpus, "id", "vec",
-        nlist = 8, iters = 0).objectives.head
+      // the seeding is the only thing the two programs differ in.
+      // Objectives are driver scalars measured during the build, so the
+      // index is dead on return: release its checkpoints immediately.
+      val hb = Similarity.ivfBuildRefined(corpus, "id", "vec",
+        nlist = 8, iters = 0)
+      Similarity.releaseIndex(hb.index)
+      val hashObj = hb.objectives.head
       val kppObj =
         if (forceHash) hashObj
-        else Similarity.ivfBuildKpp(corpus, "id", "vec", nlist = 8,
-          rounds = 3, oversample = 8, iters = 0).refined.objectives.head
+        else {
+          val kb = Similarity.ivfBuildKpp(corpus, "id", "vec", nlist = 8,
+            rounds = 3, oversample = 8, iters = 0)
+          Similarity.releaseIndex(kb.refined.index)
+          kb.refined.objectives.head
+        }
       if (kppObj < hashObj * KppAdvantageBar)
         Seq(("seed_objective",
           f"kpp $kppObj%.3f < hash $hashObj%.3f x $KppAdvantageBar"))
@@ -652,8 +673,11 @@ object ExtensionQueries {
     "x56g_ivf_refine_gate" -> ((s, d) => {
       import s.implicits._
       val e = rebalanced(Tables(s, d, "embeddings"))
-      val objs = Similarity.ivfBuildRefined(e, "vec_id", "embedding",
-        nlist = 16, iters = 3).objectives
+      val rb = Similarity.ivfBuildRefined(e, "vec_id", "embedding",
+        nlist = 16, iters = 3)
+      // the gate reads only the (driver) objective trajectory
+      Similarity.releaseIndex(rb.index)
+      val objs = rb.objectives
       // Tolerance is RELATIVE to the objective: the float-sum jitter of
       // a non-deterministic partition order grows with corpus size, so
       // a fixed absolute epsilon would fire spuriously on larger tables.
@@ -805,6 +829,8 @@ object ExtensionQueries {
       val e = rebalanced(Tables(s, d, "embeddings"))
       val kpp = Similarity.ivfBuildKpp(e, "vec_id", "embedding",
         nlist = 16, rounds = 3, oversample = 8, iters = 2)
+      // the gate reads only driver trajectories; the index is dead
+      Similarity.releaseIndex(kpp.refined.index)
       val viol = Seq.newBuilder[(String, String)]
       kpp.seed.costs.sliding(2).zipWithIndex.foreach {
         case (Seq(a, b), i) if b > a + 1e-9 * math.max(1.0, a.abs) =>

@@ -322,7 +322,21 @@ object Similarity {
     * storage ([[ivfSearch]]) — the ANN mirror of the dedup family's
     * stored band index.
     */
-  final case class IvfIndex(centroids: DataFrame, assignments: DataFrame)
+  /** `roots`: the build-owned checkpoint frames behind the exposed
+    * relations (which may be projections — unreleasable through
+    * CheckpointBlocks). Builders that checkpoint populate it so
+    * [[releaseIndex]] can free the storage once the index's serving
+    * life ends; indexes assembled from memo-owned or stored relations
+    * leave it empty and releaseIndex is a no-op.
+    */
+  final case class IvfIndex(centroids: DataFrame, assignments: DataFrame,
+                            roots: Seq[DataFrame] = Nil)
+
+  /** Free the build-owned checkpoints behind a DEAD index (see the
+    * CheckpointBlocks contract: any later action on it would fail).
+    */
+  def releaseIndex(i: IvfIndex): Unit =
+    i.roots.foreach(graft.CheckpointBlocks.release)
 
   def ivfBuild(corpus: DataFrame, idCol: String, vecCol: String,
                nlist: Int): IvfIndex = {
@@ -432,7 +446,14 @@ object Similarity {
     }
     IvfRefined(
       IvfIndex(centroids, assign.select(col("id").as("nid"),
-        col("vec").as("nvec"), col("nrm").as("nnrm"), col("cell"))),
+        col("vec").as("nvec"), col("nrm").as("nnrm"), col("cell")),
+        // the final loop checkpoints ESCAPE through the index (the
+        // assignments relation is a projection over `assign`, so only
+        // this handle can ever release them) — without it every
+        // refined build leaked two corpus-sized blocks until a driver
+        // GC happened to run (found by MemoReleaseAuditSpec, which
+        // only failed when the grace window missed a GC)
+        roots = Seq(centroids, assign)),
       objs.result())
   }
 

@@ -46,7 +46,8 @@ class MemoReleaseAuditSpec extends SparkSpecBase {
     }
     val residue = leaked.map { id =>
       val rdd = spark.sparkContext.getPersistentRDDs(id)
-      s"rdd $id (${rdd.name}, ${rdd.getStorageLevel})"
+      // RDD.toString carries the creation site — names the leaker
+      s"$rdd (${rdd.getStorageLevel})"
     }
     assert(residue.isEmpty,
       s"storage leaked past the between-pass cleanup:\n${residue.mkString("\n")}")
