@@ -173,11 +173,123 @@ object SqlSurface {
         |ORDER BY p_partkey, metric""".stripMargin
   )
 
-  /** The Spark-SQL statement for a declared key. */
+  /** BEYOND the §3.4 contract: the OLAP/analytics extension queries
+    * whose semantics a SQL-first user would reach for as text — star
+    * schemas, pricing summaries, funnels, retention, SCD2, z-scores,
+    * quantile buckets, per-source caps, deterministic shuffles. Same
+    * parity guarantee as the declared keys (SqlParitySpec iterates
+    * both lists). Time arithmetic binds the CURRENT testdata encoding
+    * (TIMESTAMP_MICROS read as NTZ; see Tables.epochNs) — the parity
+    * spec is the tripwire if the driver regenerates as NANOS longs.
+    */
+  val extendedKeys: Seq[String] = Seq(
+    "x19_exact_median", "x20_salted_join", "x47_shuffle_order",
+    "x59_value_quartiles", "x66_temperature_mix", "x67_scd2_intervals",
+    "x68_funnel_stages", "x69_retention_cohorts", "x86_event_zscore",
+    "x89_dau_wow", "x91_local_supplier_volume", "x92_pricing_summary",
+    "x93_source_cap")
+
+  /** epoch-nanosecond LONG of the events `ts` column in Spark SQL —
+    * the textual twin of Tables.epochNs for the current micros/NTZ
+    * encoding (session timezone is pinned UTC by every entry point,
+    * so the NTZ→TIMESTAMP cast is a wall-clock identity).
+    */
+  private val epochNsSql = "unix_micros(CAST(ts AS TIMESTAMP)) * 1000"
+
+  private[graft] val extendedOverrides: Map[String, String] = Map(
+    // DuckDB quantile_cont -> ANSI percentile_cont WITHIN GROUP
+    "x19_exact_median" ->
+      """SELECT event_type,
+        |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 6) AS median_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // '0x'||hex::BIGINT cast (DuckDB) -> conv(hex, 16, 10)
+    "x47_shuffle_order" ->
+      """SELECT doc_id, shard, CAST(row_number() OVER (
+        |    PARTITION BY shard ORDER BY k, doc_id) AS BIGINT) AS pos
+        |FROM (
+        |  SELECT doc_id,
+        |    md5('42:' || CAST(doc_id AS STRING)) AS k,
+        |    CAST(conv(substr(md5('42:' || CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT) % 8 AS shard
+        |  FROM documents
+        |)
+        |ORDER BY shard, pos""".stripMargin,
+
+    // quantile_cont over an array + 1-based list indexing (DuckDB) ->
+    // percentile(col, array(...)) + element_at; group-less regex token
+    // count needs the explicit idx=0 (whole-match) argument in Spark
+    "x59_value_quartiles" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)) AS INT) AS n
+        |  FROM documents
+        |), b AS (
+        |  SELECT percentile(n, array(0.25D, 0.5D, 0.75D)) AS qs FROM t
+        |)
+        |SELECT doc_id, n,
+        |  1 + CAST(n > element_at(qs, 1) AS INT) + CAST(n > element_at(qs, 2) AS INT)
+        |    + CAST(n > element_at(qs, 3) AS INT) AS bucket
+        |FROM t, b ORDER BY doc_id""".stripMargin,
+
+    // epoch_ns (DuckDB) -> unix_micros over the NTZ cast
+    "x67_scd2_intervals" ->
+      s"""SELECT user_id, event_id, event_type,
+         |  $epochNsSql AS valid_from,
+         |  lead($epochNsSql) OVER (PARTITION BY user_id
+         |    ORDER BY $epochNsSql, event_id) AS valid_to
+         |FROM events
+         |ORDER BY user_id, valid_from, event_id""".stripMargin,
+
+    "x68_funnel_stages" ->
+      s"""WITH t AS (
+         |  SELECT user_id, event_type, $epochNsSql AS t FROM events
+         |), v AS (
+         |  SELECT user_id, min(t) AS v FROM t WHERE event_type = 'view' GROUP BY 1
+         |), c AS (
+         |  SELECT t.user_id, min(t.t) AS c FROM t JOIN v USING (user_id)
+         |  WHERE t.event_type = 'click' AND t.t > v.v GROUP BY 1
+         |), p AS (
+         |  SELECT t.user_id, min(t.t) AS p FROM t JOIN c USING (user_id)
+         |  WHERE t.event_type = 'purchase' AND t.t > c.c GROUP BY 1
+         |)
+         |SELECT v.user_id, v.v, c.c, p.p,
+         |  CAST(1 + CAST(c.c IS NOT NULL AS INT) + CAST(p.p IS NOT NULL AS INT) AS INT)
+         |    AS funnel_stage
+         |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+         |ORDER BY user_id""".stripMargin,
+
+    // epoch_ns + `//` integer division (DuckDB) -> unix_micros + div
+    "x69_retention_cohorts" ->
+      s"""WITH act AS (
+         |  SELECT DISTINCT user_id,
+         |    $epochNsSql div 86400000000000 AS day
+         |  FROM events
+         |), cohort AS (
+         |  SELECT user_id, min(day) AS cohort_day FROM act GROUP BY 1
+         |)
+         |SELECT cohort.cohort_day, act.day - cohort.cohort_day AS day_offset,
+         |  CAST(count(DISTINCT act.user_id) AS BIGINT) AS n_users
+         |FROM act JOIN cohort USING (user_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "x89_dau_wow" ->
+      s"""WITH dau AS (
+         |  SELECT $epochNsSql div 86400000000000 AS day_bucket,
+         |    CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+         |  FROM events GROUP BY 1
+         |)
+         |SELECT d.day_bucket, d.dau,
+         |  round(CAST(d.dau AS DOUBLE) / p.dau - 1.0, 6) AS wow_growth
+         |FROM dau d LEFT JOIN dau p ON p.day_bucket = d.day_bucket - 7
+         |ORDER BY d.day_bucket""".stripMargin
+  )
+
+  /** The Spark-SQL statement for a declared or extended key. */
   def statement(key: String): String =
     overrides.getOrElse(key,
-      SparkEntry.oracleSql.getOrElse(key,
-        throw new IllegalArgumentException(s"no SQL surface for $key")))
+      extendedOverrides.getOrElse(key,
+        SparkEntry.oracleSql.getOrElse(key,
+          throw new IllegalArgumentException(s"no SQL surface for $key"))))
 
   /** Run a declared query through the SQL text surface: register the
     * table views and execute the statement.

@@ -40,7 +40,7 @@ class SqlParitySpec extends SparkSpecBase {
     assert(missing.isEmpty, s"keys without SQL surface: $missing")
   }
 
-  SqlSurface.declaredKeys.foreach { key =>
+  (SqlSurface.declaredKeys ++ SqlSurface.extendedKeys).foreach { key =>
     test(s"$key: SQL text surface matches the DSL relation") {
       val dsl = SparkEntry.queries(key)(spark, sfDir)
       val sql = SqlSurface.run(spark, sfDir, key)
