@@ -73,6 +73,28 @@ class SqlParitySpec extends SparkSpecBase {
       s"expected partial+final WindowGroupLimit in the SQL plan, got:\n$plan")
   }
 
+  test("no SQL-surface statement plans a cartesian product or an unbounded nested-loop join") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val failures = (SqlSurface.declaredKeys ++ SqlSurface.extendedKeys)
+      .flatMap { key =>
+        val plan = SqlSurface.run(spark, sfDir, key)
+          .queryExecution.sparkPlan
+        val cart = plan.collect { case c: CartesianProductExec => c }
+        val bnlj = plan.collect { case j: BroadcastNestedLoopJoinExec => j }
+        // x59/x66 join every row against a ONE-ROW aggregate (the
+        // quartile thresholds / the sqrt-mass total) — the standard
+        // scalar-subquery BNLJ shape, bounded by construction (same
+        // exemption as x26g in PlanAuditSpec; verified to be the ONLY
+        // two statements that plan a nested loop)
+        val bounded = Set("x59_value_quartiles", "x66_temperature_mix")
+        (if (cart.nonEmpty && !bounded(key)) Seq(s"$key: CartesianProduct")
+         else Nil) ++
+          (if (bnlj.nonEmpty && !bounded(key)) Seq(s"$key: BroadcastNestedLoopJoin")
+           else Nil)
+      }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("q26 SQL surface broadcasts the customer side like the DSL form") {
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     val plan = SqlSurface.run(spark, sfDir, "q26_join")
