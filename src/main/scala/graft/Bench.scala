@@ -68,11 +68,31 @@ object Bench {
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
     if (selected.isEmpty)
       System.err.println(s"[bench] WARNING: SPARK_GRAFT_ONLY=${only.fold("")(_.mkString(","))} matched no queries")
+    // INTERLEAVED calibration: one startup probe cannot attribute
+    // contention that arrives mid-run — r16's driver artifact read x125
+    // at 25.6 s vs 15.2 s local on identical code, and only a manual
+    // rebuild-and-reprobe ritual could prove it was the box. A cheap
+    // fixed CPU-bound probe (same plan every time, codegen-cached after
+    // the first) runs before every PROBE_EVERY queries within each
+    // pass; each query measurement is paired with its segment's probe.
+    // time/probe is then a dimensionless "calib unit" that divides box
+    // contention out of BOTH intra-run windows and cross-round box
+    // drift — the self-attributing series the raw seconds can't be.
+    val ProbeEvery = 16
+    def probeSec(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(16000000L).selectExpr("bit_xor(xxhash64(id))").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warm the probe's codegen once: the first compilation costs ~4x the
+    // steady-state probe, and an inflated FIRST probe would silently
+    // deflate every unit in the run's first segment
+    val _warmProbe = probeSec()
     // Repeat the WHOLE suite (not each query back-to-back): cross-query
     // memo amortization (shared shingle tables etc.) is part of the
     // per-query cost profile the driver's single pass sees, so each pass
     // must start from a cleared memo and replay the same run order.
-    val passTimes: Seq[Map[String, (Double, Option[String])]] =
+    val passTimes: Seq[Map[String, (Double, Option[String], Double)]] =
       (1 to repeat).map { p =>
         if (p > 1) {
           graft.operators.ExtensionQueries.clearMemo()
@@ -94,7 +114,9 @@ object Bench {
           // passes (the ScaleCheck lesson)
           spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
         }
-        selected.map { case (name, fn) =>
+        var segProbe = 0.0
+        selected.zipWithIndex.map { case ((name, fn), i) =>
+          if (i % ProbeEvery == 0) segProbe = probeSec()
           val t0 = System.nanoTime()
           // a failed query must surface as an error, never as a fast success
           val err = try { fn(spark, sfDir).count(); None } catch {
@@ -105,19 +127,29 @@ object Bench {
           // operators cache intermediates (shingle tables etc.); drop them
           // so accumulated cache doesn't GC-pressure later queries
           spark.catalog.clearCache()
-          name -> (dt, err)
+          name -> (dt, err, segProbe)
         }.toMap
       }
+    def medianOf(xs: Seq[Double]): Double = {
+      val sorted = xs.sorted
+      if (sorted.size % 2 == 1) sorted(sorted.size / 2)
+      else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2.0
+    }
     val results = selected.map { case (name, _) =>
       val passes = passTimes.map(_(name))
       // median of the passes (mean of the middle two when even) — robust
       // to one cold-IO outlier in a way min/mean are not
       val sorted = passes.map(_._1).sorted
-      val median =
-        if (sorted.size % 2 == 1) sorted(sorted.size / 2)
-        else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2.0
-      (name, median, passes.flatMap(_._2).headOption, sorted)
+      val median = medianOf(sorted)
+      // calib units: each pass's time divided by ITS OWN segment probe,
+      // then the median — a contended window inflates numerator and
+      // denominator together, so the unit survives what the seconds
+      // can't (the normalization rule the r16 verdict asked for)
+      val units = medianOf(passes.map(t => t._1 / math.max(t._3, 1e-9)))
+      (name, median, passes.flatMap(_._2).headOption, sorted, units)
     }
+    val allProbes: Seq[Double] =
+      passTimes.flatMap(_.values.map(_._3)).distinct.sorted
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -128,9 +160,9 @@ object Bench {
     // survive truncation intact (sub-0.1ms digits carry no signal anyway)
     def jnum(v: Double): String = BigDecimal(v)
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
-    val qs = results.map { case (k, v, _, _) => jstr(k) + ":" + jnum(v) }
+    val qs = results.map { case (k, v, _, _, _) => jstr(k) + ":" + jnum(v) }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e), _) => jstr(k) + ":" + jstr(e) }
+    val errs = results.collect { case (k, _, Some(e), _, _) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // Carried-set subtotal: sum of medians over the PREVIOUS round's query
@@ -138,7 +170,7 @@ object Bench {
     // is readable from the driver artifact without summing the BENCH_LOCAL
     // files by hand. None when the resource is absent or nothing matches
     // (e.g. a filtered SPARK_GRAFT_ONLY run).
-    val carriedSec: Option[Double] = {
+    val carriedHits = {
       val names =
         try {
           val in = getClass.getResourceAsStream("/graft/carried_queries.txt")
@@ -147,9 +179,17 @@ object Bench {
             .getLines().map(_.trim).filter(_.nonEmpty).toSet
           finally in.close()
         } catch { case _: Exception => Set.empty[String] }
-      val hit = results.filter(r => names.contains(r._1))
-      if (hit.isEmpty) None else Some(hit.map(_._2).sum)
+      results.filter(r => names.contains(r._1))
     }
+    val carriedSec: Option[Double] =
+      if (carriedHits.isEmpty) None else Some(carriedHits.map(_._2).sum)
+    // carried total in CALIB UNITS: per-query medians of time/segment-
+    // probe, summed over the carried set — the contention-normalized
+    // round-over-round series (each term divides its own measurement
+    // window's probe out, so neither mid-run contention spikes nor a
+    // slower box move it; a real code regression does)
+    val carriedUnits: Option[Double] =
+      if (carriedHits.isEmpty) None else Some(carriedHits.map(_._5).sum)
     // carried normalized by the calibration probe: the r13 artifacts
     // proved the box baseline drifts ~50% intra-day on identical code
     // (calib 7.97 vs 12.29 same session), so the round-over-round signal
@@ -158,6 +198,14 @@ object Bench {
     // leaves the reader to do that arithmetic by hand
     val carriedPerCalib: Option[Double] =
       carriedSec.filter(_ => calibSec > 0).map(_ / calibSec)
+    // probe summary: median flags the run's baseline, max/med exposes
+    // the worst contention window an individual family may have landed
+    // in (the attribution the r16 verdict asked the artifact to carry)
+    val probeStats: String =
+      if (allProbes.isEmpty) ""
+      else s""","probe_med":${jnum(medianOf(allProbes))}""" +
+        s""","probe_min":${jnum(allProbes.min)}""" +
+        s""","probe_max":${jnum(allProbes.max)}"""
     // The driver retains only a ~2000-char stdout tail and json-parses
     // what it finds there. Short-keying the full per-query map (rounds
     // 10-11) still overflowed at 172 queries (~2.4 KB) and only grows
@@ -178,9 +226,9 @@ object Bench {
         if (counts(p) == 1) p else k
       }
       val slowest = results.sortBy(-_._2).take(12)
-        .map { case (k, v, _, _) => jstr(shortOf(k)) + ":" + jnum(v) }
+        .map { case (k, v, _, _, _) => jstr(shortOf(k)) + ":" + jnum(v) }
         .mkString("{", ",", "}")
-      val allErrs = results.collect { case (k, _, Some(e), _) => (k, e) }
+      val allErrs = results.collect { case (k, _, Some(e), _, _) => (k, e) }
       // bounded error sample with capped messages: one long stack trace
       // (or a cascade of failures) must not push the line out of the tail
       val se = allErrs.take(8).map { case (k, e) =>
@@ -191,24 +239,37 @@ object Bench {
       // carried = subtotal over the previous round's committed query set
       val env = s""""calib":${jnum(calibSec)}""" +
         loadAvg.fold("")(l => s""","load":${jnum(l)}""") +
+        probeStats +
         carriedSec.fold("")(c => s""","carried":${jnum(c)}""") +
-        carriedPerCalib.fold("")(r => s""","carried_per_calib":${jnum(r)}""")
+        carriedPerCalib.fold("")(r => s""","carried_per_calib":${jnum(r)}""") +
+        carriedUnits.fold("")(u => s""","carried_units":${jnum(u)}""")
       s"""{"metric":"total","value":${jnum(total)},"unit":"sec","passes":$repeat,"n_queries":${results.size},"n_errors":${allErrs.size},$env,"slowest":$slowest,"errors":$se,"sf":"$sfDir","per_query":"target/bench.json"}"""
     }
     // raw per-pass samples (sorted) — lets a reader judge the spread that
     // the median hides; only emitted when there IS a spread to judge
     val raw =
       if (repeat > 1)
-        "," + "\"raw\":" + results.map { case (k, _, _, ps) =>
+        "," + "\"raw\":" + results.map { case (k, _, _, ps, _) =>
           jstr(k) + ":" + ps.map(jnum).mkString("[", ",", "]")
         }.mkString("{", ",", "}")
       else ""
     def lineWith(extra: String): String = {
       val env = s""""calib":${jnum(calibSec)}""" +
         loadAvg.fold("")(l => s""","load":${jnum(l)}""") +
+        probeStats +
         carriedSec.fold("")(c => s""","carried":${jnum(c)}""") +
-        carriedPerCalib.fold("")(r => s""","carried_per_calib":${jnum(r)}""")
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","passes":$repeat,$env,"queries":$qs,"errors":$errs$extra,"sf":"$sfDir"}"""
+        carriedPerCalib.fold("")(r => s""","carried_per_calib":${jnum(r)}""") +
+        carriedUnits.fold("")(u => s""","carried_units":${jnum(u)}""")
+      // full artifact additionally carries every per-query calib-unit
+      // median and every interleaved probe sample (per pass, run order)
+      val units = results.map { case (k, _, _, _, u) => jstr(k) + ":" + jnum(u) }
+        .mkString("{", ",", "}")
+      val probes = passTimes.map { pt =>
+        selected.zipWithIndex.collect { case ((n, _), i) if i % ProbeEvery == 0 =>
+          jnum(pt(n)._3)
+        }.mkString("[", ",", "]")
+      }.mkString("[", ",", "]")
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","passes":$repeat,$env,"queries":$qs,"units":$units,"probes":$probes,"errors":$errs$extra,"sf":"$sfDir"}"""
     }
     // durable copy FIRST (full line incl. raw passes): the driver
     // captures stdout, but local iteration loses it — target/bench.json

@@ -206,15 +206,26 @@ object DomainMixture {
       "one weight per domain per vector")
     val counts = countTable(train, textCol, domCol, doms)
     val evalCounts = countTable(eval, textCol, domCol, doms)
-    try {
-      val v = train.filter(col(domCol).isin(doms.map(lit): _*))
-        .select(explode_outer(tokens(col(textCol))).as("tok"))
+    // context counts from the UNIGRAM relation over ALL train tokens —
+    // NOT from countTable, whose cb⋈cu inner join keeps only tokens
+    // that START a train bigram: an eval bigram whose context token
+    // appears in train solely in document-final position must still
+    // see that token's cu mass in its denominator (the x126h oracle's
+    // uni join ranges over all train tokens; deriving ctx from the
+    // joined table was a latent engine↔oracle divergence on fixtures
+    // with final-only tokens). Keyed by h1, this relation's row count
+    // IS the vocabulary size v — one pass serves both.
+    val ctxAggs = doms.map(dm =>
+      sum(when(col("dom") === dm, 1L).otherwise(0L)).as(s"cu_$dm"))
+    val ctx = graft.CheckpointBlocks.cleanCheckpoint(
+      train.filter(col(domCol).isin(doms.map(lit): _*))
+        .select(col(domCol).as("dom"),
+          explode_outer(tokens(col(textCol))).as("tok"))
         .filter(col("tok").isNotNull)
-        .select(xxhash64(col("tok")).as("h1")).distinct().count()
-      // context counts keyed by h1 alone (cu is a function of h1; max
-      // collapses the repeats the bigram rows carry)
-      val ctxAggs = doms.map(dm => max(col(s"cu_$dm")).as(s"cu_$dm"))
-      val ctx = counts.groupBy(col("h1")).agg(ctxAggs.head, ctxAggs.tail: _*)
+        .groupBy(xxhash64(col("tok")).as("h1"))
+        .agg(ctxAggs.head, ctxAggs.tail: _*))
+    try {
+      val v = ctx.count()
       val joined = evalCounts
         .select(col("h1") +: col("h2") +:
           doms.map(dm => col(s"cb_$dm").as(s"eb_$dm")): _*)
@@ -250,6 +261,7 @@ object DomainMixture {
     } finally {
       graft.CheckpointBlocks.release(counts)
       graft.CheckpointBlocks.release(evalCounts)
+      graft.CheckpointBlocks.release(ctx)
     }
   }
 

@@ -49,6 +49,10 @@ object ExtensionQueries {
     * checkpoint (winner or race-loser alike, never on a memo hit) —
     * the release point for build-owned state the lazy result plan
     * still needed (e.g. a refined IVF index consumed by a search).
+    * It ALSO runs if the build or materialization throws (closures
+    * must null-guard state f never got to assign): the build-owned
+    * checkpoints have no other owner, and skipping release on the
+    * failure path would leak them for the session's lifetime.
     */
   private def once(s: SparkSession, d: String, name: String,
                    afterPin: () => Unit = () => ())(f: => DataFrame): DataFrame = {
@@ -58,8 +62,13 @@ object ExtensionQueries {
       MemoEviction.register(s, "ext") { () =>
         shared.keySet.removeIf(_._1 eq s)
       }
-      val v = f.localCheckpoint(true)
-      afterPin()
+      // afterPin must run on the FAILURE path too: builders assign
+      // build-owned checkpoints (e.g. a refined IVF index) inside f and
+      // rely on afterPin as their sole release point — if the
+      // materialization throws, skipping it would leak those
+      // corpus-sized blocks for the session's lifetime.
+      val v = try f.localCheckpoint(true)
+        finally afterPin()
       Option(shared.putIfAbsent(k, v)) match {
         // lost the (theoretical) race: release this thread's blocks
         case Some(w) => graft.CheckpointBlocks.release(v); w
@@ -286,7 +295,7 @@ object ExtensionQueries {
   private def annIvfRefined(s: SparkSession, d: String): DataFrame = {
     var idx: Similarity.IvfIndex = null
     once(s, d, "ann_ivf_refined",
-        afterPin = () => Similarity.releaseIndex(idx)) {
+        afterPin = () => Option(idx).foreach(Similarity.releaseIndex)) {
       val e = rebalanced(Tables(s, d, "embeddings"))
       idx = Similarity.ivfBuildRefined(e, "vec_id", "embedding",
         nlist = 16, iters = 3).index
@@ -300,7 +309,7 @@ object ExtensionQueries {
   private def annIvfKpp(s: SparkSession, d: String): DataFrame = {
     var idx: Similarity.IvfIndex = null
     once(s, d, "ann_ivf_kpp",
-        afterPin = () => Similarity.releaseIndex(idx)) {
+        afterPin = () => Option(idx).foreach(Similarity.releaseIndex)) {
       val e = rebalanced(Tables(s, d, "embeddings"))
       idx = Similarity.ivfBuildKpp(e, "vec_id", "embedding",
         nlist = 16, rounds = 3, oversample = 8, iters = 2).refined.index

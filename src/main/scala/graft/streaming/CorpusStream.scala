@@ -477,13 +477,23 @@ class CorpusStream(spark: SparkSession, workDir: String,
       Option[(Long, (Array[Long], graft.operators.QualityClassifier.Scaler,
         Long))] = None
 
-  /** Registration check: the leg is enabled iff v=0 exists (rotations
-    * only ever stack on a registered model).
+  /** Registration check: the leg is enabled iff ANY committed model
+    * version dir exists. Rotations only ever stack on a registered
+    * model, but the check must NOT demand v=0 specifically: compact()'s
+    * version GC keeps only the serving window (max committed and
+    * max-1), so after two drift rotations v=0 is legitimately gone
+    * while the leg is very much live — pinning registration to v=0
+    * would silently disable scoring (and its ledgers) on exactly the
+    * long-running streams the rotation exists for.
     */
   private def qualityRegistered: Boolean = {
-    val d = new java.io.File(s"$qualityModelPath/v=0")
-    d.isDirectory && Option(d.listFiles()).getOrElse(Array.empty)
-      .exists(_.getName.startsWith("part-"))
+    val root = new java.io.File(qualityModelPath)
+    Option(root.listFiles()).getOrElse(Array.empty).exists { d =>
+      d.isDirectory && d.getName.startsWith("v=") &&
+        d.getName.stripPrefix("v=").toLongOption.isDefined &&
+        Option(d.listFiles()).getOrElse(Array.empty)
+          .exists(_.getName.startsWith("part-"))
+    }
   }
 
   /** One committed model version, instance-cached (a handful of

@@ -101,6 +101,23 @@ class DomainMixtureSpec extends SparkSpecBase {
     assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
   }
 
+  test("held-out ctx counts come from ALL train tokens, not just bigram starters") {
+    // "q" appears in train only DOCUMENT-FINALLY (it starts no train
+    // bigram), so countTable's cb join-keyed-on-cu inner join drops its
+    // row — but the eval bigram "q r" must still see cu(q)=1 in its
+    // denominator, matching the x126h oracle's uni join over all train
+    // tokens. With one domain at weight U and v=2 distinct train
+    // tokens:  t = ln((0+U)/(1·U + 2·U)) = ln(1/3) nats
+    //            -> loss = 1098612 micro-nats.
+    // A ctx built from the joined count table would miss cu(q) and
+    // yield ln(1/2) -> 693147 instead.
+    val train = Seq(("d1", "a", "w q")).toDF("id", "dom", "text")
+    val eval = Seq(("e1", "a", "q r")).toDF("id", "dom", "text")
+    val rows = DomainMixture.heldOutLossRows(
+      train, eval, "text", "dom", Seq("a"), Seq(1000000L))
+    assert(rows === Seq(("a", 1L, 1098612L)), s"got $rows")
+  }
+
   test("x126a: held-out advantage gate empty on the real run; force-baseline fires it") {
     val real = DomainMixture.advantageRows(spark, sfDir, forceBaseline = false)
     val rows = real.collect().map(r => (r.getString(0), r.getString(1)))

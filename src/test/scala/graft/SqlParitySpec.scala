@@ -30,7 +30,14 @@ class SqlParitySpec extends SparkSpecBase {
             case v           => v.toString
           }
         }))
-      .sortBy(_.mkString(""))
+      // order by the full cell SEQUENCE, not a joined string: any
+      // single-string key collides when a cell itself contains the
+      // separator, and a collision makes tie order depend on each
+      // side's input order -- the zip-by-index compare below would
+      // then flag spuriously mismatched rows on queries without a
+      // total ORDER BY. Seq lexicographic ordering is injective.
+      .sortBy(r => r: Seq[String])(
+        Ordering.Implicits.seqOrdering[Seq, String])
     (cols, rows)
   }
 

@@ -144,6 +144,61 @@ class QualityDriftRotationSpec extends graft.SparkSpecBase {
       .as[(Long, Long, Long, Option[Boolean])].collect().toSeq === drift1)
   }
 
+  test("leg survives compact()'s version GC after two rotations (v=0 gone, still registered)") {
+    // compact() keeps only the serving window (max committed version and
+    // max-1): after TWO drift rotations, qualitymodel/v=0 is legitimately
+    // GC'd. Registration must key off "any committed version", not v=0
+    // specifically — a v=0 pin would silently disable scoring and both
+    // quality ledgers on exactly the long-lived streams rotation serves.
+    val warcDir = Files.createTempDirectory("qgc2w").toString
+    val workDir = Files.createTempDirectory("qgc2k").toString
+    def stream() = new CorpusStream(spark, workDir)
+    stream().indexQualityModel(w, sc, thresholdMicro = 500000L)
+
+    // batch 0: 10 long docs (fn ~285000 vs registered mean 70000, std
+    // 0.1 -> |g4| ~2.15e6 past the 2e6 gate) -> rotation commits v=1
+    writeWarc(warcDir, "a.warc",
+      (0 until 10).map(j => s"http://q/$j" -> longDoc(j)))
+    stream().ingest(warcDir).awaitTermination()
+    assert(stream().qualityVersions.orderBy("version")
+      .as[(Long, Long, Long)].collect().toSeq.map(_._1) === Seq(1L))
+
+    // batch 1: 10 short docs — fn is CONSTANT across the v=1 train
+    // store (identical token counts), so its scaler std floors at 1
+    // micro and the 215000-micro shift standardizes astronomically
+    // past the gate -> rotation commits v=2 (train_n >= the verdict
+    // floor either way: the store holds 10+ docs)
+    writeWarc(warcDir, "b.warc",
+      (0 until 10).map(i => s"http://p/$i" -> shortDoc(i)))
+    stream().ingest(warcDir).awaitTermination()
+    assert(stream().qualityVersions.orderBy("version")
+      .as[(Long, Long, Long)].collect().toSeq.map(_._1) === Seq(1L, 2L))
+
+    // compact: version GC reclaims v=0, keeps the v=1/v=2 window
+    stream().compact()
+    assert(!new java.io.File(s"$workDir/qualitymodel/v=0").exists(),
+      "GC should reclaim v=0 once the serving window moved past it")
+    assert(new java.io.File(s"$workDir/qualitymodel/v=1").isDirectory)
+    assert(new java.io.File(s"$workDir/qualitymodel/v=2").isDirectory)
+
+    // batch 2: the leg must still be LIVE — scored against v=2, with
+    // fresh ledger + drift telemetry rows (a v=0-pinned registration
+    // check would skip all of this silently)
+    writeWarc(warcDir, "c.warc",
+      (10 until 15).map(i => s"http://p/$i" -> shortDoc(i)))
+    stream().ingest(warcDir).awaitTermination()
+    val s = stream()
+    val led = s.qualityLedger.orderBy("batch_id").as[(Long, Long, Long)]
+      .collect().toSeq
+    assert(led.map(_._1) === Seq(0L, 1L, 2L),
+      s"quality leg disabled after GC — ledger rows: $led")
+    assert(led.last._2 === 5L, s"batch 2 should score its 5 docs: $led")
+    val drift = s.qualityDrift.orderBy("batch_id")
+      .as[(Long, Long, Long, Option[Boolean])].collect().toSeq
+    assert(drift.map(_._1) === Seq(0L, 1L, 2L),
+      s"drift telemetry stopped after GC: $drift")
+  }
+
   test("verdicts stay null below the train_n floor (telemetry without alarm, no rotation)") {
     val warcDir = Files.createTempDirectory("qdfw").toString
     val workDir = Files.createTempDirectory("qdfk").toString
