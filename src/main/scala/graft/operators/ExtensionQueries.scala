@@ -1167,6 +1167,22 @@ object ExtensionQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // x83e's declared companion gate (empty-set oracle): the same
+    // descriptor algebra (pixelProfile grid descriptors ranked by
+    // bruteForceTopK cosine) over a twin-paired fixture — 10 separated
+    // solid colors each encoded through BOTH the PNG and the GIF JDK
+    // writer path. Clauses: every blob decodes to pixels, every rank-1
+    // cosine is 1.0 (the exact cross-format duplicate is present), and
+    // the rank-1 neighbor IS the twin. MultimodalSpec proves the gate
+    // has teeth (tampered descriptors fire each clause).
+    "x83eg_pixel_embed_gate" -> ((s, d) => {
+      val feats = once(s, d, "pixel_embed_gate_feats") {
+        Multimodal.pixelFeatures(s,
+          Multimodal.twinFormatBlobs(s, off = 100L), grid = 2)
+      }
+      Multimodal.pixelEmbedGateRows(feats, off = 100L)
+    }),
+
     // perceptual image dedup: dHash signatures over a gradient-image
     // corpus UNION brightness-shifted re-encodes of every image — the
     // "same photo, different exposure" class whose BYTES share nothing
@@ -1609,6 +1625,11 @@ object ExtensionQueries {
 
     "x87g_image_dhash_recall" ->
       """SELECT CAST(NULL AS BIGINT) AS a, CAST(NULL AS BIGINT) AS b
+        |WHERE false""".stripMargin,
+
+    "x83eg_pixel_embed_gate" ->
+      """SELECT CAST(NULL AS VARCHAR) AS clause, CAST(NULL AS BIGINT) AS qid,
+        |  CAST(NULL AS BIGINT) AS nid, CAST(NULL AS DOUBLE) AS sim
         |WHERE false""".stripMargin,
 
     "x12_multimodal_meta" ->

@@ -345,6 +345,56 @@ object Multimodal {
       .drop("fallback_text")
   }
 
+  /** The x83eg gate's twin-paired fixture: `n` well-separated solid
+    * colors (max cross-color cosine 0.9492 — an order of magnitude
+    * below the identity threshold), each encoded through TWO
+    * independent JDK writer paths: PNG at id i, GIF at id i+`off`.
+    * PNG is lossless and a solid color is its own exact GIF palette
+    * entry, so the twins' decoded planes — and grid descriptors — are
+    * bit-identical.
+    */
+  def twinFormatBlobs(spark: SparkSession, off: Long): DataFrame = {
+    import spark.implicits._
+    val colors = Seq(0xff0000, 0x00cc00, 0x0000ff, 0xcccc00, 0xcc00cc,
+      0x00cccc, 0xff8000, 0x80ff00, 0x8000ff, 0xffffff)
+    colors.zipWithIndex.flatMap { case (c, i) =>
+      Seq((i.toLong, MediaCodec.encodeSolid(24, 24, c, "png")),
+        (i.toLong + off, MediaCodec.encodeSolid(24, 24, c, "gif")))
+    }.toDF("doc_id", "content")
+  }
+
+  /** The x83e companion gate (empty-set contract): over a twin-paired
+    * descriptor relation (ids < `off` one encoder path, id+`off` the
+    * other path of the SAME pixel content), emit a row per violated
+    * clause —
+    *   'decoded': every gate blob must yield a real pixel plane
+    *     (is_pixels; the text fallback would vacuously pass the rest);
+    *   'identity': every query's rank-1 cosine must be 1.0 up to
+    *     float32/palette error (its exact pixel duplicate is in the
+    *     corpus — bruteForceTopK excludes self, so rank 1 IS the best
+    *     OTHER image);
+    *   'twin': that rank-1 neighbor must BE the cross-format twin
+    *     (mutual by symmetry: every id is queried).
+    * Same descriptor algebra as the declared x83e (pixelProfile →
+    * bruteForceTopK), so a regression in decode, pooling, or the
+    * cosine ranking fires here while the rows-only x83e can't see it.
+    */
+  def pixelEmbedGateRows(feats: DataFrame, off: Long): DataFrame = {
+    val topk = Similarity.bruteForceTopK(feats, feats,
+      "doc_id", "embedding", k = 1)
+    val undecoded = feats.filter(!col("is_pixels"))
+      .select(lit("decoded").as("clause"), col("doc_id").as("qid"),
+        lit(null).cast("long").as("nid"), lit(null).cast("double").as("sim"))
+    val lowSim = topk.filter(col("sim") < 0.999999)
+      .select(lit("identity").as("clause"), col("qid"), col("nid"), col("sim"))
+    val twinOf = when(col("qid") < off, col("qid") + off)
+      .otherwise(col("qid") - off)
+    val wrongTwin = topk.filter(col("nid") =!= twinOf)
+      .select(lit("twin").as("clause"), col("qid"), col("nid"), col("sim"))
+    undecoded.unionByName(lowSim).unionByName(wrongTwin)
+      .orderBy(col("clause"), col("qid"))
+  }
+
   /** Deterministic gray-PATTERN PNG per document for the perceptual-
     * hash queries: brightness(x, y) = ((x·(1+id%29)) XOR (y·(1+id%31)))
     * % 200, 32×32. The XOR gives each (id%29, id%31) class — unique for

@@ -222,6 +222,15 @@ object MediaCodec {
   def encodePng(w: Int, h: Int, rgb: Int): Array[Byte] =
     imageIoBytes(solidImage(w, h, rgb), "png")
 
+  /** Real container bytes of a solid-color w×h image through ANY JDK
+    * ImageIO writer ("png", "gif", "bmp", …) — the cross-format gate
+    * fixture needs the SAME pixel content through two independent
+    * encoder paths (the GIF path palette-quantizes; a solid color is
+    * its own exact palette entry).
+    */
+  def encodeSolid(w: Int, h: Int, rgb: Int, fmt: String): Array[Byte] =
+    imageIoBytes(solidImage(w, h, rgb), fmt)
+
   /** Real JPEG bytes (JDK ImageIO encoder) of a solid-color w×h image. */
   def encodeJpeg(w: Int, h: Int, rgb: Int): Array[Byte] =
     imageIoBytes(solidImage(w, h, rgb), "jpeg")

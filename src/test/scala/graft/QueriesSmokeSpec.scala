@@ -35,6 +35,7 @@ class QueriesSmokeSpec extends SparkSpecBase {
     "x04r_dedup_simhash_recall",
     "x07p_ann_lsh_precision",
     "x12g_multimodal_meta_gate",
+    "x83eg_pixel_embed_gate",
     "x16p_ann_ivf_precision",
     "x31g_quantize_gate",
     "x17g_approx_distinct_gate",

@@ -349,6 +349,43 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(!bin._3 && bin._4.isEmpty && bin._7.isEmpty)
   }
 
+  test("x83eg gate: empty on the real twin fixture; tampered descriptors fire each clause") {
+    val blobs = Multimodal.twinFormatBlobs(spark, off = 100L)
+    val feats = Multimodal.pixelFeatures(spark, blobs, grid = 2)
+    assert(Multimodal.pixelEmbedGateRows(feats, off = 100L).count() === 0)
+
+    // teeth 1: a non-decoding blob fires 'decoded' (and its partner,
+    // now twinless, loses its identity-1.0 neighbor)
+    val broken = blobs
+      .withColumn("content",
+        when(col("doc_id") === 0L, lit("junk".getBytes("UTF-8")))
+          .otherwise(col("content")))
+    val f1 = Multimodal.pixelFeatures(spark, broken, grid = 2)
+    val c1 = Multimodal.pixelEmbedGateRows(f1, off = 100L)
+      .select("clause").as[String].collect().toSet
+    assert(c1.contains("decoded") && c1.contains("identity"), c1)
+
+    // teeth 2: perturbing one descriptor (keeping it decodable) fires
+    // 'identity' for the pair — the twins no longer match at 1.0
+    val f2 = feats.withColumn("embedding",
+      when(col("doc_id") === 100L,
+        transform(col("embedding"), x => x * lit(0.5f) + lit(0.1f)))
+        .otherwise(col("embedding")))
+    val c2 = Multimodal.pixelEmbedGateRows(f2, off = 100L)
+      .select("clause").as[String].collect().toSet
+    assert(c2.contains("identity"), c2)
+
+    // teeth 3: swapping two twins' ids fires 'twin' (rank-1 is still a
+    // perfect-cosine image, just not the declared partner)
+    val f3 = feats.withColumn("doc_id",
+      when(col("doc_id") === 100L, lit(101L))
+        .when(col("doc_id") === 101L, lit(100L))
+        .otherwise(col("doc_id")))
+    val c3 = Multimodal.pixelEmbedGateRows(f3, off = 100L)
+      .select("clause").as[String].collect().toSet
+    assert(c3.contains("twin"), c3)
+  }
+
   test("dHash is exactly invariant under a clip-free brightness shift") {
     // ids 1 and 2: coprime XOR params -> structurally unrelated images
     // (ids sharing a power-of-2 param ratio, e.g. 1 vs 3, produce
