@@ -1020,14 +1020,21 @@ object KnnGraph {
     * clauses fire (a shuffled recall column trips monotonicity; a
     * curve whose widest beam misses the floor trips the floor).
     *
-    * SCOPE OF THE MONOTONE CLAUSES: recall_pm and cand_pairs
-    * non-decreasing in beam are EMPIRICAL pins for the DECLARED
-    * fixture (graphCorpus at the declared sf, beams {K,8,16}), not
-    * structural guarantees — a wider beam walks a genuinely different
-    * path (no frontier-superset argument holds, unlike the x129
-    * shortlist curve whose nesting IS structural), so on other
-    * fixtures/scales a correct implementation could show a local dip.
-    * The hits<=truth and floor clauses ARE scale-free.
+    * TOLERANCE FORM (round 17): recall_pm / cand_pairs non-decreasing
+    * in beam is EMPIRICAL for the declared fixture, not structural —
+    * a wider beam walks a genuinely different path (no frontier-
+    * superset argument holds, unlike the x129 shortlist curve whose
+    * nesting IS structural), so a correct implementation on a drifted
+    * fixture/scale could show a small local dip and a strict clause
+    * would block a round on correct code. The step clauses therefore
+    * allow a bounded dip (recall: 50 pm; cost: 5% of the previous
+    * step) — big enough to absorb fixture noise, far too small to
+    * pass a real regression (the spec's tampered curve drops 100 pm /
+    * 10%) — and two ENDPOINT clauses pin what the dial is FOR,
+    * scale-free: the widest beam must not recall less than the
+    * narrowest, and must not cost less than the narrowest (a flat or
+    * inverted dial prices nothing). The hits<=truth and floor clauses
+    * are exact as before.
     */
   private[graft] def curveGateRows(s: SparkSession, curveDf: DataFrame,
                                    minRecallPm: Long): DataFrame = {
@@ -1037,15 +1044,29 @@ object KnnGraph {
         col("cand_pairs"))
       .collect()
     val viol = Seq.newBuilder[(String, String)]
+    val RecallDipPm = 50L
     rows.sliding(2).foreach {
       case Array(a, b) =>
-        if (b.getLong(3) < a.getLong(3))
+        if (b.getLong(3) < a.getLong(3) - RecallDipPm)
           viol += ((f"recall_beam_${b.getInt(0)}%02d",
-            s"recall fell ${a.getLong(3)} -> ${b.getLong(3)}"))
-        if (b.getLong(4) < a.getLong(4))
+            s"recall fell ${a.getLong(3)} -> ${b.getLong(3)} " +
+              s"(> $RecallDipPm pm tolerance)"))
+        if (b.getLong(4) < a.getLong(4) - a.getLong(4) / 20)
           viol += ((f"cost_beam_${b.getInt(0)}%02d",
-            s"cand_pairs fell ${a.getLong(4)} -> ${b.getLong(4)}"))
+            s"cand_pairs fell ${a.getLong(4)} -> ${b.getLong(4)} " +
+              "(> 5% tolerance)"))
       case _ =>
+    }
+    for (first <- rows.headOption; last <- rows.lastOption
+         if rows.length >= 2) {
+      if (last.getLong(3) < first.getLong(3))
+        viol += (("recall_endpoint",
+          s"widest-beam recall ${last.getLong(3)} < narrowest " +
+            s"${first.getLong(3)}"))
+      if (last.getLong(4) < first.getLong(4))
+        viol += (("cost_endpoint",
+          s"widest-beam cand_pairs ${last.getLong(4)} < narrowest " +
+            s"${first.getLong(4)}"))
     }
     rows.foreach { r =>
       if (r.getLong(1) > r.getLong(2))

@@ -102,6 +102,29 @@ class KnnGraphSpec extends SparkSpecBase {
       .count() === 0)
   }
 
+  test("x124g tolerance form: a fixture-drift dip passes, endpoint inversion fires") {
+    import spark.implicits._
+    // a mid-curve dip inside tolerance (30 pm recall, 4% cost) with a
+    // sound endpoint — the drifted-fixture shape a correct
+    // implementation may legitimately produce — must NOT block
+    val dip = Seq(
+      (5, 9L, 10L, 900L, 100L), (8, 9L, 10L, 870L, 96L),
+      (16, 10L, 10L, 920L, 150L))
+      .toDF("beam", "hits", "truth_n", "recall_pm", "cand_pairs")
+    assert(KnnGraph.curveGateRows(spark, dip, minRecallPm = 0L)
+      .count() === 0)
+    // but an INVERTED dial (widest beam recalls/costs less than the
+    // narrowest, each step inside tolerance) fires the endpoint clauses
+    val inverted = Seq(
+      (5, 9L, 10L, 900L, 100L), (8, 9L, 10L, 860L, 97L),
+      (16, 9L, 10L, 820L, 95L))
+      .toDF("beam", "hits", "truth_n", "recall_pm", "cand_pairs")
+    val ie = KnnGraph.curveGateRows(spark, inverted, minRecallPm = 0L)
+      .collect().map(_.getString(0))
+    assert(ie.contains("recall_endpoint") && ie.contains("cost_endpoint"),
+      ie.toSeq)
+  }
+
   test("x124g clauses fire on a tampered curve and a floored one") {
     import spark.implicits._
     val falling = Seq(
