@@ -423,6 +423,61 @@ object ScaleCheck {
       Thread.sleep(500)
     }
 
+    // Staleness-REBUILD response scaling (the streaming graph leg's
+    // knngmeta rotation, CorpusStream): a store at 1x/4x/16x whose
+    // edge LOG carries a real append history (base-built edges + a
+    // beam-appended batch delta, written exactly as the stream's x125
+    // leg lands them) is folded into a fresh NN-Descent base. The
+    // timed leg is what fires in the stream on a stale verdict: derive
+    // the serving graph from the log (one top-k cut pass), then the
+    // bounded rebuild over the full vector store. Contract: seconds
+    // must track the knng BUILD slope (sub-linear in N) — the
+    // log-derive/ledger machinery adds nothing super-linear, and the
+    // fold never re-reads per-batch history beyond the one derive
+    // pass. (The append itself is priced by knng_app; setup builds are
+    // untimed.)
+    if (keep("knng_reb")) for (k <- scales) {
+      val spark = freshSession()
+      def base: DataFrame = graft.operators.KnnGraph
+        .graphCorpus(spark, sfDir)
+      val corpus = replicate(spark, base, k) { (df, i) =>
+        if (i == 0) df
+        else df.select((col("id") + i * 100000000L).as("id"), col("vec"),
+          col("label"))
+      }.localCheckpoint(true)
+      // 7/8 base-built + 1/8 append-born: the log shape the rebuild
+      // actually folds (staleness itself is a footer-count verdict,
+      // priced at zero — the response is what this probe pins)
+      val baseVecs = corpus.filter(col("id") % 8 =!= 0)
+      val batchVecs = corpus.filter(col("id") % 8 === 0)
+      val g0 = graft.operators.KnnGraph.build(baseVecs, "id", "vec",
+        k = 5, rounds = 2)
+      val delta = graft.operators.KnnGraph.appendDelta(g0, baseVecs,
+        batchVecs, "id", "vec", k = 5, beam = 16, hops = 6)
+      val edgeLog = g0.select(col("id"), col("nid"), col("sim"))
+        .unionByName(delta.select(col("id"), col("nid"), col("sim")))
+        .localCheckpoint(true)
+      edgeLog.count()
+      graft.CheckpointBlocks.release(g0)
+      graft.CheckpointBlocks.release(delta)
+      val (sec, rows) = time {
+        val derived = graft.operators.KnnGraph.graphFromEdgeLog(edgeLog, 5)
+        derived.count()
+        val rebuilt = graft.operators.KnnGraph.build(
+          corpus.select(col("id"), col("vec")), "id", "vec",
+          k = 5, rounds = 2)
+        val c = rebuilt.count()
+        graft.CheckpointBlocks.release(rebuilt)
+        c
+      }
+      println(f"""{"op":"knng_reb","scale":$k,"sec":$sec%.2f,"rows":$rows}""")
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      System.gc()
+      Thread.sleep(500)
+    }
+
     // Learned domain-mixture scaling (x126): the documents corpus
     // replicated VERBATIM (ids duplicated too — egMixture never reads
     // ids, only (text, lang)) — corpus size
