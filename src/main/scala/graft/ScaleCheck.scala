@@ -298,6 +298,38 @@ object ScaleCheck {
       Thread.sleep(500)
     }
 
+    // Tokenizer-leg drift detection (the streaming byte-BPE
+    // deployment's alarm): token accounting of a FIXED 500-doc batch
+    // under a trained merge table while the accumulated curated store
+    // grows 16x. The detector reads the BATCH and the driver-literal
+    // merge list only — never the store — so the probe's PASS shape is
+    // FLAT; growth means a store scan leaked into the per-batch path.
+    // (The drift RESPONSE — relearn on the store — is deliberately
+    // state-sized, the pq_rotate analog.)
+    if (keep("tokdrift")) for (k <- scales) {
+      val spark = freshSession()
+      def docBase: DataFrame = Tables(spark, sfDir, "documents")
+        .select(col("doc_id").as("id"), col("text"))
+      val store = replicate(spark, docBase, k)((df, _) => df)
+        .localCheckpoint(true)
+      store.count()
+      import graft.operators.BpeQueries
+      val merges = BpeQueries.learnMergesOn(
+        BpeQueries.pretokenVocab(docBase, "text")
+          .withColumn("syms", BpeQueries.byteSyms(col("w"))), 12)
+      val batch = docBase.orderBy("id").limit(500).localCheckpoint(true)
+      val (sec, rows) = time {
+        val (_, tok, _, _) = BpeQueries.byteTokenStats(batch, "text", merges)
+        tok
+      }
+      println(f"""{"op":"tokdrift","scale":$k,"sec":$sec%.2f,"rows":$rows}""")
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      System.gc()
+      Thread.sleep(500)
+    }
+
     // Held-out mixture-loss evaluation (x126a/x126h): two weight
     // vectors against one train/eval count-table pair, corpus grown
     // 16x. The work is two bounded hash-keyed count aggregations plus

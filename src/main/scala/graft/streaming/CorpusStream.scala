@@ -58,7 +58,8 @@ class CorpusStream(spark: SparkSession, workDir: String,
                    passageK: Option[Int] = None,
                    pqM: Option[Int] = None,
                    exportShards: Option[Int] = None,
-                   knnK: Option[Int] = None) {
+                   knnK: Option[Int] = None,
+                   bpeMerges: Option[Int] = None) {
   import spark.implicits._
 
   // declared BEFORE the requires below — constructor order means a val
@@ -77,6 +78,8 @@ class CorpusStream(spark: SparkSession, workDir: String,
       "set semanticThreshold when knnK is set")
   knnK.foreach(k => require(k >= 1 && 2 * k <= KnnBeam,
     s"knnK must satisfy 1 <= k <= ${KnnBeam / 2} (beam $KnnBeam >= 2k)"))
+  bpeMerges.foreach(m => require(m >= 1 && m <= 256,
+    s"bpeMerges must be in [1, 256], got $m"))
 
   private val curatedPath = s"$workDir/curated"
   private val bandPath = s"$workDir/bands"
@@ -124,6 +127,18 @@ class CorpusStream(spark: SparkSession, workDir: String,
   private val knngPath = s"$workDir/knngraph"
   private val knngMetaPath = s"$workDir/knngmeta"
   private val knngDriftPath = s"$workDir/knngdrift"
+  // tokenizer-maintenance leg (opt-in via bpeMerges): versioned byte-
+  // BPE merge tables bpevocab/v=K per training event (v=0 trains on
+  // the first non-empty batch's accumulated store, v>0 drift
+  // rotations); bpemeta is the version LEDGER (its row the commit —
+  // same protocol as pqmeta), bpeledger the per-batch token
+  // accounting, bpedrift the per-batch fertility telemetry. The
+  // serving vocab is a driver-side merge list (bounded, ≤ bpeMerges
+  // rows) — per-batch cost reads the BATCH only.
+  private val bpeVocabPath = s"$workDir/bpevocab"
+  private val bpeMetaPath = s"$workDir/bpemeta"
+  private val bpeLedgerPath = s"$workDir/bpeledger"
+  private val bpeDriftPath = s"$workDir/bpedrift"
   private val SemBits = 8
   private val SemTables = 8
   private val PqKs = 16
@@ -143,6 +158,15 @@ class CorpusStream(spark: SparkSession, workDir: String,
   private val KnnStaleFracPm = 500L
   private val KnnStaleMinNodes = 32L
   private val KnnRebuildRounds = 2
+  // tokenizer staleness: a vocab's value is its compression — bytes
+  // per token under the serving merge table. On a covariate-shifted
+  // batch the learned merges stop firing and bpt collapses toward the
+  // 1-byte floor; a batch whose bpt falls below 80% of the serving
+  // vocab's TRAIN-time bpt is drift. Verdicts need a non-degenerate
+  // train corpus (token floor) — a vocab trained on a handful of
+  // tokens memorizes them and any batch would flag.
+  private val BpeDriftFracPm = 800L
+  private val BpeDriftMinTokens = 256L
 
   // binaryFile's fixed schema — file streams require it explicitly
   private val binSchema = new StructType()
@@ -212,7 +236,8 @@ class CorpusStream(spark: SparkSession, workDir: String,
       vecPath, vecBucketPath, semDupPath, winPath, passSpanPath,
       pqCodesPath, pqDriftPath, pqMetaPath, exportManifestPath,
       contamLedgerPath, qualityLedgerPath, qualityMetaPath,
-      qualityDriftPath, knngPath, knngMetaPath, knngDriftPath)
+      qualityDriftPath, knngPath, knngMetaPath, knngDriftPath,
+      bpeMetaPath, bpeLedgerPath, bpeDriftPath)
     val (off, com) = (maxId("offsets"), maxId("commits"))
     // a missing checkpoint with batch dirs on disk is NOT "no pending
     // replay" — it is "this writer cannot tell" (state written through
@@ -251,6 +276,16 @@ class CorpusStream(spark: SparkSession, workDir: String,
     // max committed and max-1)
     qualityMetaRows.lastOption.foreach { case (maxVer, _, _) =>
       Option(new java.io.File(qualityModelPath).listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("v=") &&
+          f.getName.stripPrefix("v=").toLongOption.exists(_ < maxVer - 1))
+        .foreach(deleteRec)
+    }
+    // and for tokenizer merge-table versions (bpe registration rides
+    // the bpemeta LEDGER, never a specific v=K dir — the quality-leg
+    // v=0-pin lesson — so the window GC cannot disable the leg)
+    bpeMetaRows.lastOption.foreach { case (maxVer, _, _, _) =>
+      Option(new java.io.File(bpeVocabPath).listFiles())
         .getOrElse(Array.empty)
         .filter(f => f.isDirectory && f.getName.startsWith("v=") &&
           f.getName.stripPrefix("v=").toLongOption.exists(_ < maxVer - 1))
@@ -540,6 +575,76 @@ class CorpusStream(spark: SparkSession, workDir: String,
   def qualityLedger: DataFrame = readOr(qualityLedgerPath,
     Seq.empty[(Long, Long, Long)]
       .toDF("batch_id", "scored", "q_dropped"))
+
+  /** Tokenizer rotation ledger (version, train_tokens, train_bpt_micro,
+    * batch_id) — one row per training event (v=0 first-batch training
+    * included, the pqmeta convention: the row is the commit sentinel).
+    * train_bpt_micro is the trained vocab's bytes-per-token on its own
+    * train corpus — the drift baseline every later batch compares to.
+    */
+  def bpeVersions: DataFrame = readOr(bpeMetaPath,
+    Seq.empty[(Long, Long, Long, Long)]
+      .toDF("version", "train_tokens", "train_bpt_micro", "batch_id"))
+
+  private def bpeMetaRows: Seq[(Long, Long, Long, Long)] =
+    bpeVersions.collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+
+  /** Per-batch tokenizer ledger (batch_id, docs, pretokens, tokens,
+    * bytes, bpt_micro, merged_pm) — rows appear once the leg has a
+    * committed vocab to serve.
+    */
+  def bpeLedger: DataFrame = readOr(bpeLedgerPath,
+    Seq.empty[(Long, Long, Long, Long, Long, Long, Long)]
+      .toDF("batch_id", "docs", "pretokens", "tokens", "bytes",
+        "bpt_micro", "merged_pm"))
+
+  /** Per-batch tokenizer drift telemetry (batch_id, batch_bpt_micro,
+    * train_bpt_micro, drifted) — `drifted` is null while the serving
+    * vocab's train corpus is below the verdict floor or the batch
+    * tokenized nothing.
+    */
+  def bpeDrift: DataFrame = readOr(bpeDriftPath,
+    Seq.empty[(Long, Long, Long, Option[Boolean])]
+      .toDF("batch_id", "batch_bpt_micro", "train_bpt_micro", "drifted"))
+
+  /** The SERVING merge table (max committed version) as a relation
+    * (rank, l, r) — what an external encoder would deploy. Empty
+    * before the leg's first training.
+    */
+  def bpeMergeTable: DataFrame =
+    bpeMetaRows.lastOption match {
+      case Some((ver, _, _, _)) =>
+        spark.read.parquet(s"$bpeVocabPath/v=$ver")
+          .select(col("rank"), col("l"), col("r")).orderBy(col("rank"))
+      case None =>
+        Seq.empty[(Int, String, String)].toDF("rank", "l", "r")
+    }
+
+  @volatile private var bpeVocabCache:
+      Option[(Long, Seq[graft.operators.BpeQueries.Merge])] = None
+
+  private def writeBpeVersion(ver: Long,
+      merges: Seq[graft.operators.BpeQueries.Merge]): Unit =
+    merges.map(m => (m.rank, m.l, m.r, m.cnt))
+      .toDF("rank", "l", "r", "cnt")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$bpeVocabPath/v=$ver")
+
+  /** One committed merge table, instance-cached (≤ bpeMerges literal
+    * rows; serving reads one version per batch).
+    */
+  private def loadBpeMerges(ver: Long)
+      : Seq[graft.operators.BpeQueries.Merge] =
+    bpeVocabCache.collect { case (v, m) if v == ver => m }.getOrElse {
+      val m = spark.read.parquet(s"$bpeVocabPath/v=$ver")
+        .orderBy("rank").collect().toSeq
+        .map(r => graft.operators.BpeQueries.Merge(
+          r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      bpeVocabCache = Some((ver, m))
+      m
+    }
 
   /** Per-batch export manifests (shard, n_docs, n_tokens, min_doc,
     * max_doc, checksum, batch_id) — the x108 handoff contract riding
@@ -1280,6 +1385,99 @@ class CorpusStream(spark: SparkSession, workDir: String,
     overwriteBatch(raw.filter(col("blob_error").isNotNull)
       .select(col("path"), col("blob_error")), dlqPath, batchId)
     overwriteBatch(accepted, curatedPath, batchId)
+
+    // tokenizer leg (opt-in via bpeMerges): maintain the DEPLOYED
+    // byte-BPE vocab — the last learned/served artifact to get the
+    // alarm-and-response treatment (PQ codes, quality weights, and the
+    // kNN graph already have it; a stale vocab on a shifting corpus
+    // silently degrades every downstream consumer's fertility with no
+    // error). v=0 trains on the accumulated curated store at the first
+    // non-empty batch (which IS that batch — its rows just landed
+    // above); every later batch tokenizes against the STORED merge
+    // table, a ≤bpeMerges-row driver literal: per-batch cost reads the
+    // BATCH only (tokdrift ScaleCheck probe pins it flat). Telemetry
+    // is bytes-per-token under the serving vocab — on a covariate-
+    // shifted batch the learned merges stop firing and bpt collapses
+    // toward the 1-byte floor. A drifted verdict retrains on the
+    // accumulated store (this batch included) and commits version+1:
+    // merge table first, bpemeta ledger row second (the commit — the
+    // pqmeta protocol). Unlike PQ there is no stored artifact to
+    // re-encode: a rotated vocab changes only how FUTURE batches (and
+    // the trainer handoff) tokenize. Crash-replay: a committed
+    // rotation AT this batch id serves the PRE-rotation version for
+    // the ledger/drift rows (byte-identical outputs) and skips
+    // re-rotating; a crash between the two rotation writes re-enters
+    // and rewrites both deterministically (the learner is a pure
+    // function of the store).
+    bpeMerges.foreach { nm =>
+      import graft.operators.BpeQueries
+      if (bpeMetaRows.isEmpty && !curated.isEmpty) {
+        val store = curated
+        val merges = BpeQueries.learnMergesOn(
+          BpeQueries.pretokenVocab(store, "text")
+            .withColumn("syms", BpeQueries.byteSyms(col("w"))), nm)
+        val (_, tTok, tBytes, _) =
+          BpeQueries.byteTokenStats(store, "text", merges)
+        if (tTok > 0) {
+          writeBpeVersion(0L, merges)
+          overwriteBatch(
+            Seq((0L, tTok, math.round(tBytes * 1e6 / tTok), batchId))
+              .toDF("version", "train_tokens", "train_bpt_micro",
+                "batch_id"),
+            bpeMetaPath, batchId)
+          bpeVocabCache = None
+        }
+      }
+      val metaRows = bpeMetaRows
+      metaRows.lastOption.foreach { last =>
+        val committedRotationHere =
+          metaRows.find(r => r._4 == batchId && r._1 > 0)
+        val (serveVer, trainTok, trainBpt) = committedRotationHere match {
+          case Some(r) =>
+            val p = metaRows.find(_._1 == r._1 - 1).get
+            (p._1, p._2, p._3)
+          case None => (last._1, last._2, last._3)
+        }
+        val merges = loadBpeMerges(serveVer)
+        val nDocs = accepted.count()
+        val (pre, tok, bytes, merged) =
+          BpeQueries.byteTokenStats(accepted, "text", merges)
+        val bpt = if (tok == 0) 0L else math.round(bytes * 1e6 / tok)
+        val mergedPm = if (tok == 0) 0L
+          else math.round(merged * 1000.0 / tok)
+        overwriteBatch(
+          Seq((batchId, nDocs, pre, tok, bytes, bpt, mergedPm))
+            .toDF("batch_id", "docs", "pretokens", "tokens", "bytes",
+              "bpt_micro", "merged_pm"),
+          bpeLedgerPath, batchId)
+        val verdict: Option[Boolean] =
+          if (trainTok < BpeDriftMinTokens || tok == 0) None
+          else Some(bpt * 1000L < trainBpt * BpeDriftFracPm)
+        overwriteBatch(
+          Seq((batchId, bpt, trainBpt, verdict))
+            .toDF("batch_id", "batch_bpt_micro", "train_bpt_micro",
+              "drifted"),
+          bpeDriftPath, batchId)
+        if (verdict.contains(true) && committedRotationHere.isEmpty) {
+          val store = curated
+          val merges2 = BpeQueries.learnMergesOn(
+            BpeQueries.pretokenVocab(store, "text")
+              .withColumn("syms", BpeQueries.byteSyms(col("w"))), nm)
+          val (_, tTok2, tBytes2, _) =
+            BpeQueries.byteTokenStats(store, "text", merges2)
+          if (tTok2 > 0) {
+            writeBpeVersion(last._1 + 1L, merges2)
+            overwriteBatch(
+              Seq((last._1 + 1L, tTok2,
+                  math.round(tBytes2 * 1e6 / tTok2), batchId))
+                .toDF("version", "train_tokens", "train_bpt_micro",
+                  "batch_id"),
+              bpeMetaPath, batchId)
+            bpeVocabCache = None
+          }
+        }
+      }
+    }
 
     // quality-model drift RESPONSE (armed by the leg above): retrain on
     // the accumulated curated store — which now includes this batch's
