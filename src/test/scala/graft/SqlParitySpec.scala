@@ -19,17 +19,26 @@ import org.apache.spark.sql.DataFrame
   */
 class SqlParitySpec extends SparkSpecBase {
 
+  // numbers render canonically (BigDecimal, trailing zeros stripped):
+  // a DECIMAL-typed SQL column and the DSL's DOUBLE legitimately carry
+  // the same VALUE with different toString scales (0.91667000 vs
+  // 0.91667) — the parity contract is values, not renderings
+  private def cell(v: Any): String = v match {
+    case a: Array[_] => a.map(cell).mkString("[", ",", "]")
+    case s: Seq[_]   => s.map(cell).mkString("[", ",", "]")
+    case d: java.math.BigDecimal => d.stripTrailingZeros.toPlainString
+    case d: Double =>
+      BigDecimal(d).bigDecimal.stripTrailingZeros.toPlainString
+    case f: Float =>
+      BigDecimal(f.toDouble).bigDecimal.stripTrailingZeros.toPlainString
+    case v => v.toString
+  }
+
   private def canon(df: DataFrame): (Seq[String], Seq[Seq[String]]) = {
     val cols = df.columns.toSeq
     val rows = df.collect().toSeq
       .map(r => (0 until r.length).map(i =>
-        if (r.isNullAt(i)) "<null>" else {
-          r.get(i) match {
-            case a: Array[_] => a.mkString("[", ",", "]")
-            case s: Seq[_]   => s.mkString("[", ",", "]")
-            case v           => v.toString
-          }
-        }))
+        if (r.isNullAt(i)) "<null>" else cell(r.get(i))))
       // order by the full cell SEQUENCE, not a joined string: any
       // single-string key collides when a cell itself contains the
       // separator, and a collision makes tie order depend on each
@@ -45,6 +54,18 @@ class SqlParitySpec extends SparkSpecBase {
     val missing = SqlSurface.declaredKeys.filter(k =>
       !SqlSurface.overrides.contains(k) && !SparkEntry.oracleSql.contains(k))
     assert(missing.isEmpty, s"keys without SQL surface: $missing")
+  }
+
+  test("the SQL surface + inexpressible registry PARTITION the oracle keyspace") {
+    val surface = (SqlSurface.declaredKeys ++ SqlSurface.extendedKeys).toSet
+    val overlap = surface.intersect(SqlSurface.inexpressible.keySet)
+    assert(overlap.isEmpty, s"keys both on the surface and inexpressible: $overlap")
+    val missing = SparkEntry.oracleSql.keySet -- surface --
+      SqlSurface.inexpressible.keySet
+    assert(missing.isEmpty,
+      s"oracle-backed keys neither on the SQL surface nor documented inexpressible: $missing")
+    val stale = SqlSurface.inexpressible.keySet -- SparkEntry.oracleSql.keySet
+    assert(stale.isEmpty, s"inexpressible entries without an oracle key: $stale")
   }
 
   (SqlSurface.declaredKeys ++ SqlSurface.extendedKeys).foreach { key =>
@@ -88,12 +109,30 @@ class SqlParitySpec extends SparkSpecBase {
           .queryExecution.sparkPlan
         val cart = plan.collect { case c: CartesianProductExec => c }
         val bnlj = plan.collect { case j: BroadcastNestedLoopJoinExec => j }
-        // x59/x66 join every row against a ONE-ROW aggregate (the
-        // quartile thresholds / the sqrt-mass total) — the standard
-        // scalar-subquery BNLJ shape, bounded by construction (same
-        // exemption as x26g in PlanAuditSpec; verified to be the ONLY
-        // two statements that plan a nested loop)
-        val bounded = Set("x59_value_quartiles", "x66_temperature_mix")
+        // BOUNDED nested loops, individually verified — every entry
+        // broadcasts a relation that is small BY CONSTRUCTION, never
+        // corpus-sized (the PlanAuditSpec x26g discipline). Classes:
+        // (a) one-row / parameter-sized aggregate cross joins (corpus
+        //     totals, vocab size, train stats, fitted weights, CMS
+        //     widths, curve threshold grids — ≤ tens of rows):
+        //     x37 x42 x45 x48 x51 x60 x62 x63 x73 x88 x97 x111 x116
+        //     x117 x118 x118s x59 x66
+        // (b) fixed probe slices against the corpus — linear, the
+        //     documented ground-truth shape: x06 (10 query vectors),
+        //     x13 (signup slice, user_id < 50), x72 (300-row sides).
+        // A key NOT listed here that plans a nested loop is a real
+        // hazard and must fail this audit.
+        val bounded = Set(
+          "x59_value_quartiles", "x66_temperature_mix",
+          "x37_rare_token_ratio", "x42_bigram_logprob",
+          "x45_hopping_window", "x48_bigram_logprob_split",
+          "x51_tfidf", "x60_negative_samples", "x62_bm25_topk",
+          "x63_dsir_logratio", "x73_rrf_fusion",
+          "x88_cms_point_estimates", "x97_semantic_decontam",
+          "x111_threshold_sweep", "x116_neardup_threshold_curve",
+          "x117_decontam_threshold_curve", "x118_quality_lr_weights",
+          "x118s_quality_lr_scores",
+          "x06_ann_brute_topk", "x13_range_join", "x72_fuzzy_join")
         (if (cart.nonEmpty && !bounded(key)) Seq(s"$key: CartesianProduct")
          else Nil) ++
           (if (bnlj.nonEmpty && !bounded(key)) Seq(s"$key: BroadcastNestedLoopJoin")
