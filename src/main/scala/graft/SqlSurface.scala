@@ -187,7 +187,7 @@ object SqlSurface {
     "x59_value_quartiles", "x66_temperature_mix", "x67_scd2_intervals",
     "x68_funnel_stages", "x69_retention_cohorts", "x86_event_zscore",
     "x89_dau_wow", "x91_local_supplier_volume", "x92_pricing_summary",
-    "x93_source_cap",
+    "x93_source_cap", "x44_unicode_normalize", "x107_mojibake_repair",
     // round 17: EVERY remaining SQL-expressible x-key — the oracle
     // text through [[dialect]] (or an override), each verified
     // row-for-row against the DSL by SqlParitySpec
@@ -258,10 +258,6 @@ object SqlSurface {
       "recursive CTE fixpoint needs UNION-distinct to terminate; Spark recursive CTEs support only UNION ALL",
     "x05_embed_cosine_pairs" ->
       "the oracle's definitional ALL-PAIRS cosine formulation plans a corpus-squared nested loop; the engine's formulation is the LSH-bucketed DSL operator (precomputed hyperplane sign literals), which has no fixed SQL text",
-    "x44_unicode_normalize" ->
-      "NFC normalization has no Spark SQL builtin; the DSL uses the engine's custom expression",
-    "x107_mojibake_repair" ->
-      "byte-level mojibake repair: Spark SQL strings round-trip UTF-8 validity, the raw Latin-1 byte walk needs the engine's custom expression",
     "x126_doremi_mix_weights" ->
       "k-unrolled EG-iteration CTE chain: Spark inlines CTEs per reference and the expansion is exponential in iterations (DuckDB needed AS MATERIALIZED for the same reason)",
     "x126h_mix_heldout_uniform" ->
@@ -273,6 +269,37 @@ object SqlSurface {
     * so the NTZ→TIMESTAMP cast is a wall-clock identity).
     */
   private val epochNsSql = "unix_micros(CAST(ts AS TIMESTAMP)) * 1000"
+
+  /** x107 as Spark SQL, generated from the SAME regex constants the
+    * DSL compiles (EncodingRepair.groupRe/fullRe/c1Re) so the two
+    * surfaces cannot drift; backslashes double for Spark's C-escaping
+    * literal parser.
+    */
+  private def x107Sql: String = {
+    import graft.operators.EncodingRepair
+    def re(r: String) = r.replace("\\", "\\\\")
+    val g = re(EncodingRepair.groupRe)
+    val f = re(EncodingRepair.fullRe)
+    val c1 = re(EncodingRepair.c1Re)
+    val phrase = EncodingRepair.plantedPhrase.replace("'", "''")
+    s"""WITH inp AS (
+       |  SELECT doc_id,
+       |    text || CASE WHEN doc_id % 13 = 0
+       |                 THEN decode(encode('$phrase', 'UTF-8'), 'ISO-8859-1')
+       |                 ELSE '' END AS s
+       |  FROM documents
+       |), det AS (
+       |  SELECT doc_id, s,
+       |    size(regexp_extract_all(s, '$g', 0)) AS moji_score,
+       |    size(regexp_extract_all(s, '$c1', 0)) AS n_c1,
+       |    (size(regexp_extract_all(s, '$g', 0)) >= 1 AND s RLIKE '$f') AS is_moji
+       |  FROM inp
+       |)
+       |SELECT doc_id, moji_score, n_c1, is_moji, length(s) AS n_in,
+       |  CASE WHEN is_moji THEN decode(encode(s, 'ISO-8859-1'), 'UTF-8') ELSE s END AS fixed_text,
+       |  length(CASE WHEN is_moji THEN decode(encode(s, 'ISO-8859-1'), 'UTF-8') ELSE s END) AS n_fixed
+       |FROM det ORDER BY doc_id""".stripMargin
+  }
 
   private[graft] val extendedOverrides: Map[String, String] = Map(
     // DuckDB quantile_cont -> ANSI percentile_cont WITHIN GROUP
@@ -371,6 +398,25 @@ object SqlSurface {
         |FROM probe p LEFT JOIN (SELECT event_id, signup_id FROM j WHERE rn = 1) j
         |  ON p.event_id = j.event_id
         |ORDER BY p.event_id""".stripMargin,
+
+    // the engine's OWN SQL dialect includes its registered native
+    // functions ([[run]] registers GraftExtensions) — NFC
+    // normalization is graft_unicode_normalize, exactly as a real
+    // engine surfaces its builtins. The decomposed accent is embedded
+    // as a literal (Spark's chr() is mod-256 ASCII, unlike DuckDB's
+    // codepoint chr).
+    "x44_unicode_normalize" ->
+      ("""SELECT doc_id AS id,
+        |  graft_unicode_normalize(text || ' cafe""" + "\u0301" + """', 'NFC') AS norm_text,
+        |  CAST(length(text || ' cafe""" + "\u0301" + """') AS INT) AS n_raw,
+        |  CAST(length(graft_unicode_normalize(text || ' cafe""" + "\u0301" + """', 'NFC')) AS INT) AS n_norm
+        |FROM documents ORDER BY id""").stripMargin,
+
+    // mojibake detect+repair straight from the DSL's Catalyst form
+    // (strict UTF-8 group grammar + rlike totality guard + the
+    // Latin-1->UTF-8 decode direction); the DuckDB oracle text
+    // approximates the byte walk differently and cannot be reused
+    "x107_mojibake_repair" -> x107Sql,
 
     "x89_dau_wow" ->
       s"""WITH dau AS (
@@ -591,6 +637,10 @@ object SqlSurface {
     */
   def run(spark: SparkSession, dir: String, key: String): DataFrame = {
     Tables.registerAll(spark, dir)
+    // the engine's SQL dialect = Spark SQL + the engine's registered
+    // native functions (idempotent; same registration the
+    // SparkSessionExtensions entry point performs)
+    graft.functions.GraftExtensions.register(spark)
     spark.sql(statement(key))
   }
 }

@@ -69,7 +69,7 @@ object EncodingRepair {
       s"|(?:\\x{E0}[\\x{A0}-\\x{BF}]|[\\x{E1}-\\x{EC}\\x{EE}\\x{EF}]$cont|\\x{ED}[\\x{80}-\\x{9F}])$cont" +
       s"|(?:\\x{F0}[\\x{90}-\\x{BF}]|[\\x{F1}-\\x{F3}]$cont|\\x{F4}[\\x{80}-\\x{8F}])$cont$cont)"
   val fullRe: String = s"\\A(?:[\\x{00}-\\x{7F}]|$groupRe)*\\z"
-  private val c1Re = "[\\x{80}-\\x{9F}]"
+  private[graft] val c1Re = "[\\x{80}-\\x{9F}]"
 
   /** Count of valid mojibake groups (non-overlapping, leftmost). */
   def mojiScore(c: Column): Column =

@@ -49,6 +49,10 @@ class PlanAuditSpec extends SparkSpecBase {
       "x82r2_ivfpq_near_dup_recall",
       "x95_ann_ivfpq_rerank", "x95g_ivfpq_rerank_gate",
       "x83e_pixel_embed_topk", "x97_semantic_decontam",
+      // x83eg ranks a LITERAL 20-blob twin fixture against itself
+      // (bruteForceTopK's non-equi self-pairing) — both sides are
+      // fixture-sized by construction, never corpus-shaped
+      "x83eg_pixel_embed_gate",
       "x114p_ann_filtered_precision", "x114r_ann_filtered_recall",
       "x115_ivf_operating_curve")
 
