@@ -188,6 +188,7 @@ object SqlSurface {
     "x68_funnel_stages", "x69_retention_cohorts", "x86_event_zscore",
     "x89_dau_wow", "x91_local_supplier_volume", "x92_pricing_summary",
     "x93_source_cap", "x44_unicode_normalize", "x107_mojibake_repair",
+    "x126h_mix_heldout_uniform",
     // round 17: EVERY remaining SQL-expressible x-key — the oracle
     // text through [[dialect]] (or an override), each verified
     // row-for-row against the DSL by SqlParitySpec
@@ -259,9 +260,7 @@ object SqlSurface {
     "x05_embed_cosine_pairs" ->
       "the oracle's definitional ALL-PAIRS cosine formulation plans a corpus-squared nested loop; the engine's formulation is the LSH-bucketed DSL operator (precomputed hyperplane sign literals), which has no fixed SQL text",
     "x126_doremi_mix_weights" ->
-      "k-unrolled EG-iteration CTE chain: Spark inlines CTEs per reference and the expansion is exponential in iterations (DuckDB needed AS MATERIALIZED for the same reason)",
-    "x126h_mix_heldout_uniform" ->
-      "same unrolled-CTE family as x126; additionally DuckDB's // is floor division where Spark div truncates toward zero, diverging on the negative log-mass terms")
+      "k-unrolled EG-iteration CTE chain: Spark re-plans/re-executes the chain per reference and the cost is super-linear in iterations (DuckDB needed AS MATERIALIZED for the same reason)")
 
   /** epoch-nanosecond LONG of the events `ts` column in Spark SQL —
     * the textual twin of Tables.epochNs for the current micros/NTZ
@@ -543,8 +542,9 @@ object SqlSurface {
     s = s.replace(", 'g')", ")")
     // replacement-string backreferences: DuckDB spells them \1, Java
     // (and so Spark) $1 — the doubled-backslash form would insert a
-    // LITERAL digit silently
-    s = s.replace("'\\\\1'", "'$1'")
+    // LITERAL digit silently ('tq\1' became 'tq1'). No oracle regex
+    // uses a PATTERN-side backref, so the rewrite is total.
+    s = s.replaceAll("\\\\\\\\(\\d)", "\\$$1")
     // 1-based inclusive list slice l[a : b] -> slice(l, a, b - a + 1);
     // open-ended l[a :] -> slice to the end (overshooting length is
     // legal in Spark)
