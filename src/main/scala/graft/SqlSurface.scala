@@ -450,20 +450,29 @@ object SqlSurface {
     var i = 0
     var inQ = false
     var stack = List.empty[Boolean]
-    def prevNonSpace: Char = {
+    val kw = Set("in", "values", "select", "then", "else", "when",
+      "and", "or", "on", "by", "as", "where", "having", "return",
+      "union", "all", "from")
+    def opensLiteral: Boolean = {
       var j = sb.length - 1
       while (j >= 0 && (sb.charAt(j) == ' ' || sb.charAt(j) == '\n' ||
         sb.charAt(j) == '|')) j -= 1
-      if (j < 0) '(' else sb.charAt(j)
+      if (j < 0) return true
+      val p = sb.charAt(j)
+      if (!(Character.isLetterOrDigit(p) || p == ')' || p == ']' ||
+        p == '_')) return true
+      // a trailing WORD may be a KEYWORD (IN ['a'], THEN [1]) — a
+      // keyword position opens a literal; an identifier indexes
+      val e = j
+      while (j >= 0 && (Character.isLetterOrDigit(sb.charAt(j)) ||
+        sb.charAt(j) == '_')) j -= 1
+      kw(sb.substring(j + 1, e + 1).toLowerCase)
     }
     while (i < s.length) {
       val c = s.charAt(i)
       if (c == '\'') { inQ = !inQ; sb.append(c) }
       else if (!inQ && c == '[') {
-        val p = prevNonSpace
-        val literal = !(Character.isLetterOrDigit(p) || p == ')' ||
-          p == ']' || p == '_')
-        if (literal) { sb.append("array("); stack ::= true }
+        if (opensLiteral) { sb.append("array("); stack ::= true }
         else { sb.append(c); stack ::= false }
       } else if (!inQ && c == ']' && stack.nonEmpty) {
         if (stack.head) sb.append(')') else sb.append(c)

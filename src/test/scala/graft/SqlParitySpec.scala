@@ -114,9 +114,9 @@ class SqlParitySpec extends SparkSpecBase {
         // corpus-sized (the PlanAuditSpec x26g discipline). Classes:
         // (a) one-row / parameter-sized aggregate cross joins (corpus
         //     totals, vocab size, train stats, fitted weights, CMS
-        //     widths, curve threshold grids — ≤ tens of rows):
-        //     x37 x42 x45 x48 x51 x60 x62 x63 x73 x88 x97 x111 x116
-        //     x117 x118 x118s x59 x66
+        //     widths, curve threshold grids, vocabulary size — ≤ tens
+        //     of rows): x37 x42 x45 x48 x51 x60 x62 x63 x73 x88 x97
+        //     x111 x116 x117 x118 x118s x126h x59 x66
         // (b) fixed probe slices against the corpus — linear, the
         //     documented ground-truth shape: x06 (10 query vectors),
         //     x13 (signup slice, user_id < 50), x72 (300-row sides).
@@ -131,7 +131,7 @@ class SqlParitySpec extends SparkSpecBase {
           "x88_cms_point_estimates", "x97_semantic_decontam",
           "x111_threshold_sweep", "x116_neardup_threshold_curve",
           "x117_decontam_threshold_curve", "x118_quality_lr_weights",
-          "x118s_quality_lr_scores",
+          "x118s_quality_lr_scores", "x126h_mix_heldout_uniform",
           "x06_ann_brute_topk", "x13_range_join", "x72_fuzzy_join")
         (if (cart.nonEmpty && !bounded(key)) Seq(s"$key: CartesianProduct")
          else Nil) ++
