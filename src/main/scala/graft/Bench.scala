@@ -148,8 +148,14 @@ object Bench {
       val units = medianOf(passes.map(t => t._1 / math.max(t._3, 1e-9)))
       (name, median, passes.flatMap(_._2).headOption, sorted, units)
     }
-    val allProbes: Seq[Double] =
-      passTimes.flatMap(_.values.map(_._3)).distinct.sorted
+    // one sample per (pass, segment), POSITIONALLY — value-dedup would
+    // collapse two segments that happen to measure the same probe time
+    // and skew the med/min/max telemetry
+    val allProbes: Seq[Double] = passTimes.flatMap { pt =>
+      selected.zipWithIndex.collect {
+        case ((n, _), i) if i % ProbeEvery == 0 => pt(n)._3
+      }
+    }
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -200,12 +206,38 @@ object Bench {
       carriedSec.filter(_ => calibSec > 0).map(_ / calibSec)
     // probe summary: median flags the run's baseline, max/med exposes
     // the worst contention window an individual family may have landed
-    // in (the attribution the r16 verdict asked the artifact to carry)
+    // in (the attribution the r16 verdict asked the artifact to carry);
+    // "contended" makes the worst case a self-flagging boolean so an
+    // artifact-only reader knows to trust units over raw seconds
     val probeStats: String =
       if (allProbes.isEmpty) ""
       else s""","probe_med":${jnum(medianOf(allProbes))}""" +
         s""","probe_min":${jnum(allProbes.min)}""" +
-        s""","probe_max":${jnum(allProbes.max)}"""
+        s""","probe_max":${jnum(allProbes.max)}""" +
+        s""","contended":${BenchGate.contended(allProbes.max, medianOf(allProbes))}"""
+    // CROSS-ROUND REGRESSION GATE: compare this run's per-query calib
+    // units against the newest committed BENCH_UNITS_r*.json (same sf
+    // only — units are contention-immune, not scale-immune). Queries that
+    // errored this run are excluded (their "time" is time-to-exception).
+    // The gate makes a genuine per-query slowdown self-report in the
+    // artifact instead of waiting for a human to diff rounds.
+    val prevUnits = BenchGate.loadLatest(
+      Paths.get("."), sys.env.get("SPARK_GRAFT_PREV_UNITS"))
+    val unitByName = results.collect {
+      case (k, _, None, _, u) => k -> u
+    }.toMap
+    val regress: Seq[(String, Double)] = prevUnits match {
+      case Some(p) if p.sf == sfDir => BenchGate.regressions(unitByName, p.units)
+      case _                        => Seq.empty
+    }
+    // emitted only when the gate actually ran (prev file present, same
+    // sf): an absent field means "no reference", an empty object means
+    // "compared and clean" — the two must stay distinguishable
+    val regressStats: String = prevUnits.filter(_.sf == sfDir).fold("") { p =>
+      val top = regress.take(8)
+        .map { case (k, r) => jstr(k) + ":" + jnum(r) }.mkString("{", ",", "}")
+      s""","prev_units_round":${p.round},"regressions":$top"""
+    }
     // The driver retains only a ~2000-char stdout tail and json-parses
     // what it finds there. Short-keying the full per-query map (rounds
     // 10-11) still overflowed at 172 queries (~2.4 KB) and only grows
@@ -242,7 +274,8 @@ object Bench {
         probeStats +
         carriedSec.fold("")(c => s""","carried":${jnum(c)}""") +
         carriedPerCalib.fold("")(r => s""","carried_per_calib":${jnum(r)}""") +
-        carriedUnits.fold("")(u => s""","carried_units":${jnum(u)}""")
+        carriedUnits.fold("")(u => s""","carried_units":${jnum(u)}""") +
+        regressStats
       s"""{"metric":"total","value":${jnum(total)},"unit":"sec","passes":$repeat,"n_queries":${results.size},"n_errors":${allErrs.size},$env,"slowest":$slowest,"errors":$se,"sf":"$sfDir","per_query":"target/bench.json"}"""
     }
     // raw per-pass samples (sorted) — lets a reader judge the spread that
@@ -259,7 +292,14 @@ object Bench {
         probeStats +
         carriedSec.fold("")(c => s""","carried":${jnum(c)}""") +
         carriedPerCalib.fold("")(r => s""","carried_per_calib":${jnum(r)}""") +
-        carriedUnits.fold("")(u => s""","carried_units":${jnum(u)}""")
+        carriedUnits.fold("")(u => s""","carried_units":${jnum(u)}""") +
+        // the full artifact carries the COMPLETE regression map (the
+        // compact stdout line keeps only the 8 worst)
+        prevUnits.filter(_.sf == sfDir).fold("") { p =>
+          val all = regress.map { case (k, r) => jstr(k) + ":" + jnum(r) }
+            .mkString("{", ",", "}")
+          s""","prev_units_round":${p.round},"regressions":$all"""
+        }
       // full artifact additionally carries every per-query calib-unit
       // median and every interleaved probe sample (per pass, run order)
       val units = results.map { case (k, _, _, _, u) => jstr(k) + ":" + jnum(u) }
@@ -285,9 +325,22 @@ object Bench {
       // verdict flagged. Filtered runs skip the dump (a partial list
       // silently shrinking the carried set is the failure mode the
       // QueriesSmokeSpec stale-name check cannot see).
-      if (only.isEmpty)
+      if (only.isEmpty) {
         Files.writeString(Paths.get("target/current_queries.txt"),
           selected.map(_._1).mkString("", "\n", "\n"))
+        // the NEXT round's regression reference, ready to commit:
+        // `cp target/bench_units.json BENCH_UNITS_r{N}.json` at round
+        // close — the round number lives in the FILENAME (that's what
+        // BenchGate's scanner orders by); the body's sf guards against
+        // comparing units across scale factors. Filtered runs skip it
+        // (a partial unit set would silently shrink the gate's coverage).
+        val unitsJson = results.map { case (k, _, _, _, u) =>
+          "  " + jstr(k) + ": " + jnum(u)
+        }.mkString("{\n \"sf\": " + jstr(sfDir) +
+          ",\n \"probe_med\": " + jnum(medianOf(allProbes)) +
+          ",\n \"units\": {\n", ",\n", "\n }\n}\n")
+        Files.writeString(Paths.get("target/bench_units.json"), unitsJson)
+      }
     } catch {
       case e: java.io.IOException =>
         System.err.println(s"[bench] WARNING: durable write failed: ${e.getMessage}")
