@@ -501,6 +501,41 @@ object SqlSurface {
     sb.toString
   }
 
+  /** Drop the trailing `, 'g'` FLAG argument of every regexp_replace
+    * call. ANCHORED to the function name with a quote-aware paren scan
+    * (quotes toggle through DuckDB's '' escaping as two toggles), so a
+    * literal 'g' passed as the final argument of any OTHER function —
+    * split(x, 'g') — survives; the old whole-text replace deleted it.
+    */
+  private[graft] def dropGFlags(input: String): String = {
+    val name = "regexp_replace("
+    val sb = new StringBuilder(input)
+    var from = 0
+    var at = sb.indexOf(name, from)
+    while (at >= 0) {
+      var i = at + name.length
+      var depth = 1
+      var inQ = false
+      while (i < sb.length && depth > 0) {
+        val c = sb.charAt(i)
+        if (c == '\'') inQ = !inQ
+        else if (!inQ && c == '(') depth += 1
+        else if (!inQ && c == ')') depth -= 1
+        i += 1
+      }
+      if (depth == 0) {
+        val close = i - 1 // this call's own ')' — nested calls rescan later
+        val flag = ", 'g'"
+        if (close >= flag.length &&
+          sb.substring(close - flag.length, close) == flag)
+          sb.delete(close - flag.length, close)
+      }
+      from = at + 1
+      at = sb.indexOf(name, from)
+    }
+    sb.toString
+  }
+
   private[graft] def dialect(sql: String): String = {
     var s = sql
     // FIRST, before any pattern below: DuckDB string literals are
@@ -548,7 +583,7 @@ object SqlSurface {
     s = s.replaceAll("\\blen\\s*\\(", "size(")
     // regexp_replace's 'g' FLAG argument: Spark replaces all matches
     // by default (its 4th argument is a position, not a flag)
-    s = s.replace(", 'g')", ")")
+    s = dropGFlags(s)
     // replacement-string backreferences: DuckDB spells them \1, Java
     // (and so Spark) $1 — the doubled-backslash form would insert a
     // LITERAL digit silently ('tq\1' became 'tq1'). No oracle regex
@@ -557,15 +592,25 @@ object SqlSurface {
     // 1-based inclusive list slice l[a : b] -> slice(l, a, b - a + 1);
     // open-ended l[a :] -> slice to the end (overshooting length is
     // legal in Spark)
-    s = outsideLiterals(s) { seg =>
+    s = outsideLiterals(s) { seg0 =>
+      // FIXPOINT: subscripts rewrite inside-out, so a[b[i]] needs a
+      // second pass for the outer pair — a single pass would leave it
+      // as Spark's 0-based bare subscript (a silent off-by-one). Each
+      // pass strips at least one bracket pair, so this terminates.
+      var seg = seg0
+      var prev: String = null
+      while (seg != prev) {
+        prev = seg
+        seg = seg
+          .replaceAll("(\\w+)\\[([^\\[\\]:]+?)\\s*:\\s*([^\\[\\]:]+?)\\]",
+            "slice($1, $2, ($3) - ($2) + 1)")
+          .replaceAll("(\\w+)\\[([^\\[\\]:]+?)\\s*:\\]",
+            "slice($1, $2, size($1))")
+          // 1-based list indexing l[i] -> element_at (Spark's bare
+          // subscript is 0-based — a silent off-by-one)
+          .replaceAll("(\\w+)\\[([^\\[\\]]+)\\]", "element_at($1, $2)")
+      }
       seg
-        .replaceAll("(\\w+)\\[([^\\[\\]:]+?)\\s*:\\s*([^\\[\\]:]+?)\\]",
-          "slice($1, $2, ($3) - ($2) + 1)")
-        .replaceAll("(\\w+)\\[([^\\[\\]:]+?)\\s*:\\]",
-          "slice($1, $2, size($1))")
-        // 1-based list indexing l[i] -> element_at (Spark's bare
-        // subscript is 0-based — a silent off-by-one)
-        .replaceAll("(\\w+)\\[([^\\[\\]]+)\\]", "element_at($1, $2)")
     }
     // in-call aggregate ordering string_agg(x, 'd' ORDER BY ...) ->
     // listagg WITHIN GROUP
@@ -634,12 +679,21 @@ object SqlSurface {
     s
   }
 
-  /** The Spark-SQL statement for a declared or extended key. */
-  def statement(key: String): String =
+  /** The Spark-SQL statement for a declared or extended key. Keys in
+    * [[inexpressible]] FAIL FAST with the registry's reason — falling
+    * through to dialect(oracleSql) would return text whose execution is
+    * documented as wrong (recursive-CTE UNION-distinct) or super-linear
+    * (x126's k-unrolled chain).
+    */
+  def statement(key: String): String = {
+    inexpressible.get(key).foreach { reason =>
+      throw new IllegalArgumentException(s"$key has no SQL surface: $reason")
+    }
     overrides.getOrElse(key,
       extendedOverrides.getOrElse(key,
         SparkEntry.oracleSql.get(key).map(dialect).getOrElse(
           throw new IllegalArgumentException(s"no SQL surface for $key"))))
+  }
 
   /** Run a declared query through the SQL text surface: register the
     * table views and execute the statement.

@@ -81,6 +81,36 @@ class SqlDialectSpec extends AnyFunSuite {
     assert(d("string_split_regex(t, 'a')") === "split(t, 'a')")
   }
 
+  test("'g' flag drops ONLY from regexp_replace, however nested; other functions keep a literal 'g'") {
+    assert(d("regexp_replace(t, 'a+', 'b', 'g')") ===
+      "regexp_replace(t, 'a+', 'b')")
+    // nested calls: every level's flag drops, nothing else moves
+    assert(d("regexp_replace(regexp_replace(t, 'a', 'x', 'g'), 'b', 'y', 'g')") ===
+      "regexp_replace(regexp_replace(t, 'a', 'x'), 'b', 'y')")
+    // a literal 'g' as the final argument of ANOTHER function survives
+    // (the old whole-text replace deleted it)
+    assert(d("split(x, 'g')") === "split(x, 'g')")
+    assert(d("instr(regexp_replace(t, 'a', 'b', 'g'), 'g')") ===
+      "instr(regexp_replace(t, 'a', 'b'), 'g')")
+    // a ", 'g')" SEQUENCE inside a pattern literal survives too
+    assert(d("regexp_replace(t, 'x, ''g''', 'y', 'g')") ===
+      "regexp_replace(t, 'x, ''g''', 'y')")
+  }
+
+  test("nested subscripts rewrite to a fixpoint — no 0-based bare bracket survives") {
+    assert(d("a[b[i]]") === "element_at(a, element_at(b, i))")
+    assert(d("m[idx[1]] + n[2]") ===
+      "element_at(m, element_at(idx, 1)) + element_at(n, 2)")
+  }
+
+  test("inexpressible keys fail fast with the registry's reason") {
+    SqlSurface.inexpressible.foreach { case (k, reason) =>
+      val e = intercept[IllegalArgumentException] { SqlSurface.statement(k) }
+      assert(e.getMessage.contains(k))
+      assert(e.getMessage.contains(reason.take(30)), s"reason surfaced for $k")
+    }
+  }
+
   test("statement() covers exactly surface ∪ inexpressible and throws outside it") {
     (SqlSurface.declaredKeys ++ SqlSurface.extendedKeys).foreach { k =>
       assert(SqlSurface.statement(k).nonEmpty, k)
