@@ -489,11 +489,22 @@ object KnnGraph {
     *
     * Unlike nprobe (nested probe sets → suffix sums), beam trajectories
     * are NOT decomposable — a wider beam walks a genuinely different
-    * path — so each beam runs its own search. What IS shared, once per
-    * curve: the two-layer adjacency (corpus-sized, checkpointed), the
-    * normed corpus/query relations, and the ONE exhaustive ground-truth
-    * pass. Per-beam cost is then just the Q·beam·k hop joins — the
-    * whole sweep never rescans or reshuffles the corpus.
+    * path (no frontier-superset argument holds: the top-b of a wider
+    * beam's candidates is NOT the beam-b frontier), so every beam must
+    * run its own EXACT evolution. But the evolutions need not run
+    * SERIALLY: the frontier rows carry a `bm` tag and all beams walk in
+    * ONE traversal — the per-hop adjacency join runs once over the
+    * concatenated frontiers instead of once per beam, each distinct
+    * (qid, nid) candidate is exactly scored ONCE and shared across the
+    * beams that reached it (the frontiers overlap heavily), and the
+    * per-beam candidate counts come from one groupBy instead of a
+    * count job per beam per hop. Per-(qid, bm) window caps (`r <= bm`)
+    * reproduce each beam's capped frontier EXACTLY, so the batched
+    * curve is row-identical to beam-at-a-time runs. Shared once per
+    * curve, as before: the two-layer adjacency (corpus-sized,
+    * checkpointed), the normed corpus/query relations, and the ONE
+    * exhaustive ground-truth pass — the sweep never rescans or
+    * reshuffles the corpus, and now never re-walks shared hops either.
     *
     * recall_pm is integer per-mille (exact arithmetic, rounded once at
     * emit) and cand_pairs exact counts, so the curve hashes identically
@@ -532,24 +543,82 @@ object KnnGraph {
           .select(col("qid"), col("nid")).localCheckpoint(true)
         try {
           val truthN = exact.count()
-          val rows = beams.sorted.map { b =>
-            val r = runBeam(adjacency, v, q, scoreQ, k, b, hops, entries,
-              countCost = true, trackObjective = false)
-            val hit = exact.join(r.topK.select(col("qid"), col("nid")),
-              Seq("qid", "nid"), "left_semi").count()
-            // the endpoint objective, derived from the slice itself (the
-            // per-hop trajectory was skipped)
-            val obj = r.topK
-              .agg(coalesce(sum(round(col("sim") * 1e6).cast("long")),
-                lit(0L))).head().getLong(0)
-            graft.CheckpointBlocks.release(r.handle)
-            (b, hit, truthN,
-              if (truthN == 0) 0L else math.round(hit * 1000.0 / truthN),
-              r.candPairs, obj)
-          }
           import sp.implicits._
-          rows.toDF("beam", "hits", "truth_n", "recall_pm", "cand_pairs",
-            "objective")
+          // ONE batched traversal over (qid, bm)-tagged frontiers.
+          // Every per-beam evolution below is EXACTLY runBeam's: same
+          // entry set, same 6dp scoring, same (sim desc, nid) cap
+          // tie-break, same distinct-before-cap — only concatenated.
+          val bms = beams.distinct.sorted
+          val beamTags = broadcast(bms.toDF("bm"))
+          def cap(scored: DataFrame): DataFrame = {
+            val w = Window.partitionBy(col("qid"), col("bm"))
+              .orderBy(col("sim").desc, col("nid"))
+            scored.withColumn("r", row_number().over(w))
+              .filter(col("r") <= col("bm"))
+              .select(col("qid"), col("bm"), col("nid"), col("sim"))
+          }
+          // score each DISTINCT (qid, nid) once, share across beams —
+          // scoreQ's self-cut drops the tagged self pairs on join-back
+          def scoreTagged(cand: DataFrame): DataFrame = cand
+            .join(scoreQ(cand.select(col("qid"), col("nid")).distinct()),
+              Seq("qid", "nid"))
+            .select(col("qid"), col("bm"), col("nid"), col("sim"))
+          def cut(pairs: DataFrame): DataFrame =
+            pairs.filter(col("qid") =!= col("nid"))
+          // per-beam exactly-scored pair counts (runBeam's candPairs),
+          // accumulated from ONE groupBy per hop instead of a count job
+          // per beam per hop
+          val candCounts =
+            scala.collection.mutable.Map.empty[Int, Long].withDefaultValue(0L)
+          def addCounts(cand: DataFrame): Unit =
+            cut(cand).groupBy(col("bm")).count().collect()
+              .foreach(r => candCounts(r.getInt(0)) += r.getLong(1))
+          val entry = v.select(col("id").as("nid"),
+              xxhash64(col("id")).as("h"))
+            .orderBy(col("h")).limit(entries).select(col("nid"))
+          val entryPairs = q.select(col("qid")).crossJoin(beamTags)
+            .crossJoin(broadcast(entry))
+          addCounts(entryPairs)
+          var frontier = cap(scoreTagged(entryPairs)).localCheckpoint(true)
+          (1 to hops).foreach { _ =>
+            val cand = cut(frontier.select(col("qid"), col("bm"), col("nid"))
+                .join(adjacency, Seq("nid"))
+                .select(col("qid"), col("bm"), col("next").as("nid"))
+                .distinct())
+              .localCheckpoint(true)
+            addCounts(cand)
+            val prev = frontier
+            frontier = cap(frontier.unionByName(scoreTagged(cand)).distinct())
+              .localCheckpoint(true)
+            graft.CheckpointBlocks.release(cand)
+            graft.CheckpointBlocks.release(prev)
+          }
+          // per-(qid, bm) top-k slice → hits and endpoint objectives for
+          // ALL beams in two aggregate jobs
+          val w = Window.partitionBy(col("qid"), col("bm"))
+            .orderBy(col("sim").desc, col("nid"))
+          val slice = frontier.withColumn("rank", row_number().over(w))
+            .filter(col("rank") <= k)
+            .select(col("bm"), col("qid"), col("nid"), col("sim"))
+            .localCheckpoint(true)
+          graft.CheckpointBlocks.release(frontier)
+          try {
+            val hitRows = slice.join(exact, Seq("qid", "nid"), "left_semi")
+              .groupBy(col("bm")).count().collect()
+              .map(r => r.getInt(0) -> r.getLong(1)).toMap
+            val objRows = slice.groupBy(col("bm"))
+              .agg(coalesce(sum(round(col("sim") * 1e6).cast("long")),
+                lit(0L)).as("o"))
+              .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+            val rows = beams.sorted.map { b =>
+              val hit = hitRows.getOrElse(b, 0L)
+              (b, hit, truthN,
+                if (truthN == 0) 0L else math.round(hit * 1000.0 / truthN),
+                candCounts(b), objRows.getOrElse(b, 0L))
+            }
+            rows.toDF("beam", "hits", "truth_n", "recall_pm", "cand_pairs",
+              "objective")
+          } finally graft.CheckpointBlocks.release(slice)
         } finally graft.CheckpointBlocks.release(exact)
       } finally graft.CheckpointBlocks.release(adjacency)
     } finally {
