@@ -330,6 +330,113 @@ object ScaleCheck {
       Thread.sleep(500)
     }
 
+    // Tokenizer-leg drift RESPONSE (the knng_reb analog for the byte-
+    // BPE rotation): the retrain a drifted verdict triggers re-learns
+    // merges on the ACCUMULATED curated store and re-accounts the
+    // train bpt — this times exactly that body (pretokenVocab scan +
+    // learnMergesOn on the distinct-word vocab + byteTokenStats over
+    // the store; the two ≤merges-row parquet commits are priced at
+    // ~zero). Cost model: the vocab scan and the token accounting are
+    // one pass each over the store (linear in bytes); the merge loop
+    // runs on the DISTINCT-word vocab, which verbatim replication
+    // keeps flat — so the probe's PASS shape is AT MOST linear in
+    // store size, tracking the offline x81 learn slope. Super-linear
+    // growth means the merge loop stopped working per-vocab-word and
+    // the rotation would stall the stream on exactly the long corpora
+    // it exists for.
+    if (keep("bpe_reb")) for (k <- scales) {
+      val spark = freshSession()
+      def docBase: DataFrame = Tables(spark, sfDir, "documents")
+        .select(col("doc_id").as("id"), col("text"))
+      val store = replicate(spark, docBase, k)((df, _) => df)
+        .localCheckpoint(true)
+      store.count()
+      import graft.operators.BpeQueries
+      val (sec, rows) = time {
+        val merges = BpeQueries.learnMergesOn(
+          BpeQueries.pretokenVocab(store, "text")
+            .withColumn("syms", BpeQueries.byteSyms(col("w"))), 12)
+        val (_, tTok, _, _) =
+          BpeQueries.byteTokenStats(store, "text", merges)
+        tTok
+      }
+      println(f"""{"op":"bpe_reb","scale":$k,"sec":$sec%.2f,"rows":$rows}""")
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      System.gc()
+      Thread.sleep(500)
+    }
+
+    // COMPOSED all-legs streaming probe: every per-leg per-batch cost
+    // is individually pinned flat above, but the platform runs the
+    // legs COMPOSED — shared checkpoint blocks, shared ledgers, eight
+    // stores per drain — and composition cost was previously asserted
+    // only at fixture scale by the e2e spec. One CorpusStream with
+    // EVERY leg enabled (lexical + semantic + passage + decontam +
+    // quality + PQ + export + graph + tokenizer) ingests a store of
+    // 400·k prose docs in one untimed setup drain, then a FIXED
+    // 100-doc batch drains against it, timed end to end (stream
+    // startup included — a constant across scales). PASS shape is
+    // FLAT: growth means some leg's per-batch path leaked a
+    // store-sized scan/shuffle that its isolated probe can't see.
+    // Single pass, not median-of-3: a drain MUTATES the store (batch
+    // ids advance), so three passes would time three different batch
+    // positions; the cross-scale comparison is the signal.
+    if (keep("stream_all")) for (k <- scales) {
+      val spark = freshSession()
+      import spark.implicits._
+      import java.nio.file.{Files => JFiles, Paths => JPaths}
+      def recBytes(uri: String, text: String): Array[Byte] = {
+        val payload = text.getBytes("ISO-8859-1")
+        (s"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: $uri\r\n" +
+          s"WARC-Date: 2026-01-01T00:00:00Z\r\n" +
+          s"Content-Length: ${payload.length}\r\n\r\n")
+          .getBytes("ISO-8859-1") ++ payload ++
+          "\r\n\r\n".getBytes("ISO-8859-1")
+      }
+      def writeWarc(dir: String, name: String,
+                    docs: Seq[(String, String)]): Unit =
+        JFiles.write(JPaths.get(dir, name),
+          docs.map { case (u, t) => recBytes(u, t) }.reduce(_ ++ _))
+      // distinct per-index prose (the PqRotationSpec fixture template):
+      // survives language-id/quality gates, never near-dups in-batch
+      def prose(i: Int): String =
+        s"the alpha$i and the beta$i is near the gamma$i of the delta$i " +
+          s"while the epsilon$i walks past the zeta$i"
+      val warcDir = JFiles.createTempDirectory(s"streamall_w$k").toString
+      val workDir = JFiles.createTempDirectory(s"streamall_s$k").toString
+      def stream() = new graft.streaming.CorpusStream(spark, workDir,
+        semanticThreshold = Some(0.95), passageK = Some(5), pqM = Some(8),
+        exportShards = Some(2), knnK = Some(3), bpeMerges = Some(12))
+      stream().indexEvalSet(
+        Seq(("e1", "the capital of the ancient kingdom is found beside " +
+          "the river and the old bridge")).toDF("id", "text"), "id", "text")
+      stream().indexQualityModel(
+        Array(5000000L, 0L, 0L, -200000000L, 0L),
+        graft.operators.QualityClassifier.Scaler(1L,
+          Array(0L, 0L, 0L, 0L),
+          Array(1000000L, 1000000L, 1000000L, 1000000L)),
+        thresholdMicro = 500000L)
+      // untimed setup drain: the accumulated store, one batch of 400·k
+      writeWarc(warcDir, "store.warc",
+        (0 until 400 * k).map(i => s"http://s/$i" -> prose(i)))
+      stream().ingest(warcDir).awaitTermination()
+      // timed drain: the SAME fixed 100-doc batch at every scale
+      writeWarc(warcDir, "batch.warc",
+        (0 until 100).map(i => s"http://b/$i" -> prose(10000000 + i)))
+      val t0 = System.nanoTime()
+      stream().ingest(warcDir).awaitTermination()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val rows = stream().curated.count()
+      println(f"""{"op":"stream_all","scale":$k,"sec":$sec%.2f,"rows":$rows}""")
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      System.gc()
+      Thread.sleep(500)
+    }
+
     // Held-out mixture-loss evaluation (x126a/x126h): two weight
     // vectors against one train/eval count-table pair, corpus grown
     // 16x. The work is two bounded hash-keyed count aggregations plus
