@@ -165,38 +165,55 @@ object KnnGraph {
     * Queries never shuffle the graph; the graph never shuffles the
     * corpus.
     */
+  /** Build the (normed corpus, two-layer adjacency) pair the serving
+    * operators walk — checkpointed, caller releases both. Serving
+    * paths that answer MANY requests against one built graph (x122
+    * search, x124 curve, x128 filtered search in the declared family)
+    * should build this ONCE and pass it via `sharedIndex`: the
+    * adjacency distinct and the corpus norm pass are the state-sized
+    * part of every search, and rebuilding them per request is the
+    * per-query-rescan anti-pattern at serving time.
+    */
+  def servingIndex(graph: DataFrame, corpus: DataFrame, idCol: String,
+                   vecCol: String, k: Int): (DataFrame, DataFrame) = {
+    val v = graft.CheckpointBlocks.cleanCheckpoint(
+      Similarity.normedVecs(corpus, idCol, vecCol))
+    val adjacency =
+      try twoLayerAdjacency(graph, v, k).localCheckpoint(true)
+      catch {
+        case t: Throwable => graft.CheckpointBlocks.release(v); throw t
+      }
+    (v, adjacency)
+  }
+
   def searchWithObjective(graph: DataFrame, corpus: DataFrame,
                           idCol: String, vecCol: String, queries: DataFrame,
                           k: Int, beam: Int, hops: Int,
-                          entries: Int = 4): (DataFrame, Seq[Long]) = {
+                          entries: Int = 4,
+                          sharedIndex: Option[(DataFrame, DataFrame)] = None)
+      : (DataFrame, Seq[Long]) = {
     require(k >= 1 && beam >= k && hops >= 0 && entries >= 1,
       "k >= 1, beam >= k, hops >= 0, entries >= 1")
-    val v = graft.CheckpointBlocks.cleanCheckpoint(
-      Similarity.normedVecs(corpus, idCol, vecCol))
-    val q = graft.CheckpointBlocks.cleanCheckpoint(
-      Similarity.normedVecs(queries, idCol, vecCol)
-        .select(col("id").as("qid"), col("vec").as("qvec"),
-          col("nrm").as("qnrm")))
+    val owned = sharedIndex.isEmpty
+    val (v, adjacency) = sharedIndex.getOrElse(
+      servingIndex(graph, corpus, idCol, vecCol, k))
     try {
-      // exact score of (qid, nid) pairs; self-matches excluded (the
-      // x06/x16 family convention — a query that IS a corpus member
-      // must retrieve neighbors, not itself)
-      def scoreQ(pairs: DataFrame): DataFrame = pairs
-        .filter(col("qid") =!= col("nid"))
-        .join(v.select(col("id").as("nid"), col("vec").as("nvec"),
-          col("nrm").as("nnrm")), "nid")
-        .join(broadcast(q), "qid")
-        .select(col("qid"), col("nid"),
-          round(dot(col("qvec"), col("nvec")) / (col("qnrm") * col("nnrm")), 6)
-            .as("sim"))
-      def beamCap(scored: DataFrame): DataFrame = {
-        val w = Window.partitionBy(col("qid"))
-          .orderBy(col("sim").desc, col("nid"))
-        scored.withColumn("r", row_number().over(w))
-          .filter(col("r") <= beam).select(col("qid"), col("nid"), col("sim"))
-      }
-      val adjacency = twoLayerAdjacency(graph, v, k).localCheckpoint(true)
+      val q = graft.CheckpointBlocks.cleanCheckpoint(
+        Similarity.normedVecs(queries, idCol, vecCol)
+          .select(col("id").as("qid"), col("vec").as("qvec"),
+            col("nrm").as("qnrm")))
       try {
+        // exact score of (qid, nid) pairs; self-matches excluded (the
+        // x06/x16 family convention — a query that IS a corpus member
+        // must retrieve neighbors, not itself)
+        def scoreQ(pairs: DataFrame): DataFrame = pairs
+          .filter(col("qid") =!= col("nid"))
+          .join(v.select(col("id").as("nid"), col("vec").as("nvec"),
+            col("nrm").as("nnrm")), "nid")
+          .join(broadcast(q), "qid")
+          .select(col("qid"), col("nid"),
+            round(dot(col("qvec"), col("nvec")) / (col("qnrm") * col("nnrm")),
+              6).as("sim"))
         val r = runBeam(adjacency, v, q, scoreQ, k, beam, hops, entries,
           countCost = false)
         // materialize the Q·k slice and free the beam-width frontier —
@@ -204,9 +221,9 @@ object KnnGraph {
         val out = r.topK.localCheckpoint(true)
         graft.CheckpointBlocks.release(r.handle)
         (out, r.objectives)
-      } finally graft.CheckpointBlocks.release(adjacency)
-    } finally {
-      graft.CheckpointBlocks.release(q)
+      } finally graft.CheckpointBlocks.release(q)
+    } finally if (owned) {
+      graft.CheckpointBlocks.release(adjacency)
       graft.CheckpointBlocks.release(v)
     }
   }
@@ -346,6 +363,22 @@ object KnnGraph {
     * is merge(graph, delta) for the batch caller. Returns a
     * checkpointed frame; the caller releases it.
     */
+  /** The reverse-edge cut of [[appendDelta]] step 3b, extracted so its
+    * plan shape is PINNABLE (the returned delta is checkpointed, which
+    * hides the join from plan inspection): the batch-id side is
+    * micro-batch-sized by the appendDelta dispatch and must ship as a
+    * BROADCAST anti probe — the k·|B|-row edge relation never
+    * exchanges to meet it. PlanAuditSpec asserts the BroadcastHashJoin
+    * survives `spark.sql.autoBroadcastJoinThreshold=-1` (the explicit
+    * hint, not planner stats, carries the decision).
+    */
+  private[graft] def reverseEdges(newEdges: DataFrame,
+                                  batchIds: DataFrame): DataFrame =
+    newEdges
+      .join(broadcast(batchIds), newEdges("nid") === batchIds("id"),
+        "left_anti")
+      .select(col("nid").as("id"), newEdges("id").as("nid"), col("sim"))
+
   def appendDelta(graph: DataFrame, baseCorpus: DataFrame,
                   batch: DataFrame, idCol: String, vecCol: String,
                   k: Int, beam: Int, hops: Int,
@@ -408,11 +441,7 @@ object KnnGraph {
         bgHandle.foreach(graft.CheckpointBlocks.release)
         // 3b. reverse edges for EXISTING endpoints only (batch→batch
         // pairs were already complete in `internal`)
-        val batchIds = b.select(col("id"))
-        val reverse = newEdges
-          .join(broadcast(batchIds), newEdges("nid") === batchIds("id"),
-            "left_anti")
-          .select(col("nid").as("id"), newEdges("id").as("nid"), col("sim"))
+        val reverse = reverseEdges(newEdges, b.select(col("id")))
         val delta = newEdges
           .select(col("id"), col("nid"), col("sim"))
           .unionByName(reverse)
@@ -513,12 +542,15 @@ object KnnGraph {
   def beamOperatingCurve(graph: DataFrame, corpus: DataFrame, idCol: String,
                          vecCol: String, queries: DataFrame, k: Int,
                          beams: Seq[Int], hops: Int,
-                         entries: Int = 4): DataFrame = {
+                         entries: Int = 4,
+                         sharedIndex: Option[(DataFrame, DataFrame)] = None)
+      : DataFrame = {
     require(beams.nonEmpty && beams.forall(_ >= k),
       "beams must be non-empty, each >= k")
     val sp = corpus.sparkSession
-    val v = graft.CheckpointBlocks.cleanCheckpoint(
-      Similarity.normedVecs(corpus, idCol, vecCol))
+    val owned = sharedIndex.isEmpty
+    val (v, adjacency) = sharedIndex.getOrElse(
+      servingIndex(graph, corpus, idCol, vecCol, k))
     val q = graft.CheckpointBlocks.cleanCheckpoint(
       Similarity.normedVecs(queries, idCol, vecCol)
         .select(col("id").as("qid"), col("vec").as("qvec"),
@@ -532,16 +564,11 @@ object KnnGraph {
         .select(col("qid"), col("nid"),
           round(dot(col("qvec"), col("nvec")) / (col("qnrm") * col("nnrm")), 6)
             .as("sim"))
-      val adjacency = twoLayerAdjacency(graph, v, k).localCheckpoint(true)
-      // nested try: the exhaustive pass below is itself a job — if it
-      // throws, the corpus-sized adjacency checkpoint must still be
-      // released (it is already materialized at this point)
+      // ONE exhaustive pass — the ground truth every beam grades against
+      val exact = Similarity.bruteForceTopK(queries, corpus, idCol,
+          vecCol, k)
+        .select(col("qid"), col("nid")).localCheckpoint(true)
       try {
-        // ONE exhaustive pass — the ground truth every beam grades against
-        val exact = Similarity.bruteForceTopK(queries, corpus, idCol,
-            vecCol, k)
-          .select(col("qid"), col("nid")).localCheckpoint(true)
-        try {
           val truthN = exact.count()
           import sp.implicits._
           // ONE batched traversal over (qid, bm)-tagged frontiers.
@@ -620,10 +647,12 @@ object KnnGraph {
               "objective")
           } finally graft.CheckpointBlocks.release(slice)
         } finally graft.CheckpointBlocks.release(exact)
-      } finally graft.CheckpointBlocks.release(adjacency)
     } finally {
       graft.CheckpointBlocks.release(q)
-      graft.CheckpointBlocks.release(v)
+      if (owned) {
+        graft.CheckpointBlocks.release(adjacency)
+        graft.CheckpointBlocks.release(v)
+      }
     }
   }
 
@@ -638,6 +667,11 @@ object KnnGraph {
   def clearMemo(): Unit = {
     memo.values.forEach { case (df, _) => graft.CheckpointBlocks.release(df) }
     memo.clear()
+    idxMemo.values.forEach { case (v, a) =>
+      graft.CheckpointBlocks.release(a)
+      graft.CheckpointBlocks.release(v)
+    }
+    idxMemo.clear()
     searchMemo.values.forEach { case (df, _) =>
       graft.CheckpointBlocks.release(df) }
     searchMemo.clear()
@@ -735,6 +769,33 @@ object KnnGraph {
   private val Beam = 16
   private val Hops = 8
 
+  /** The declared family's shared (normed corpus, adjacency) pair:
+    * x122 serving, the x124 curve, and x128 filtered serving all walk
+    * the SAME built graph over the same corpus — one norm pass + one
+    * adjacency distinct serves all three (each rebuilding its own was
+    * two redundant corpus-sized distincts per bench pass).
+    */
+  private val idxMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame)]()
+
+  private def servingIdx(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val key = (s, d)
+    Option(idxMemo.get(key)).getOrElse {
+      MemoEviction.register(s, "knngi") { () =>
+        idxMemo.keySet.removeIf(_._1 eq s)
+      }
+      val r = servingIndex(built(s, d)._1, graphCorpus(s, d), "id", "vec", K)
+      Option(idxMemo.putIfAbsent(key, r)) match {
+        case Some(w) =>
+          graft.CheckpointBlocks.release(r._2)
+          graft.CheckpointBlocks.release(r._1)
+          w
+        case None => r
+      }
+    }
+  }
+
   private val searchMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (DataFrame, Seq[Long])]()
 
@@ -746,7 +807,8 @@ object KnnGraph {
       }
       val corpus = graphCorpus(s, d)
       val r = searchWithObjective(built(s, d)._1, corpus, "id", "vec",
-        corpus.filter(col("id") < 10), K, Beam, Hops)
+        corpus.filter(col("id") < 10), K, Beam, Hops,
+        sharedIndex = Some(servingIdx(s, d)))
       Option(searchMemo.putIfAbsent(key, r)) match {
         case Some(w) => graft.CheckpointBlocks.release(r._1); w
         case None => r
@@ -816,7 +878,9 @@ object KnnGraph {
   def searchFiltered(graph: DataFrame, corpus: DataFrame, idCol: String,
                      vecCol: String, queries: DataFrame, k: Int, beam: Int,
                      hops: Int, pred: Column,
-                     entries: Int = 4): (DataFrame, Boolean) = {
+                     entries: Int = 4,
+                     sharedIndex: Option[(DataFrame, DataFrame)] = None)
+      : (DataFrame, Boolean) = {
     require(k >= 1 && beam >= k && hops >= 0, "k >= 1, beam >= k, hops >= 0")
     val keptRel = corpus.filter(pred)
     val keptN = keptRel.count()
@@ -824,8 +888,12 @@ object KnnGraph {
       // exact path: the filtered subset is candidate-pool sized
       (Similarity.bruteForceTopK(queries, keptRel, idCol, vecCol, k), false)
     } else {
-      val v = graft.CheckpointBlocks.cleanCheckpoint(
-        Similarity.normedVecs(corpus, idCol, vecCol))
+      val owned = sharedIndex.isEmpty
+      val (v, sharedAdj) = sharedIndex match {
+        case Some((sv, sa)) => (sv, Some(sa))
+        case None => (graft.CheckpointBlocks.cleanCheckpoint(
+          Similarity.normedVecs(corpus, idCol, vecCol)), None)
+      }
       val q = graft.CheckpointBlocks.cleanCheckpoint(
         Similarity.normedVecs(queries, idCol, vecCol)
           .select(col("id").as("qid"), col("vec").as("qvec"),
@@ -853,7 +921,8 @@ object KnnGraph {
             .filter(col("r") <= beamEff)
             .select(col("qid"), col("nid"), col("sim"))
         }
-        val adjacency = twoLayerAdjacency(graph, v, k).localCheckpoint(true)
+        val adjacency = sharedAdj.getOrElse(
+          twoLayerAdjacency(graph, v, k).localCheckpoint(true))
         try {
           val entry = v.select(col("id").as("nid"), xxhash64(col("id")).as("h"))
             .orderBy(col("h")).limit(entries).select(col("nid"))
@@ -895,10 +964,10 @@ object KnnGraph {
           graft.CheckpointBlocks.release(frontier)
           graft.CheckpointBlocks.release(results)
           (out, true)
-        } finally graft.CheckpointBlocks.release(adjacency)
+        } finally if (owned) graft.CheckpointBlocks.release(adjacency)
       } finally {
         graft.CheckpointBlocks.release(q)
-        graft.CheckpointBlocks.release(v)
+        if (owned) graft.CheckpointBlocks.release(v)
         graft.CheckpointBlocks.release(kept)
       }
     }
@@ -1016,7 +1085,8 @@ object KnnGraph {
       }
       val corpus = graphCorpus(s, d)
       val r = searchFiltered(built(s, d)._1, corpus, "id", "vec",
-        corpus.filter(col("id") < 10), K, Beam, Hops, FilterPred)
+        corpus.filter(col("id") < 10), K, Beam, Hops, FilterPred,
+        sharedIndex = Some(servingIdx(s, d)))
       Option(filteredMemo.putIfAbsent(key, r)) match {
         case Some(w) => graft.CheckpointBlocks.release(r._1); w
         case None => r
@@ -1076,7 +1146,8 @@ object KnnGraph {
       }
       val corpus = graphCorpus(s, d)
       val r = beamOperatingCurve(built(s, d)._1, corpus, "id", "vec",
-        corpus.filter(col("id") < 10), K, CurveBeams, Hops)
+        corpus.filter(col("id") < 10), K, CurveBeams, Hops,
+        sharedIndex = Some(servingIdx(s, d)))
         .localCheckpoint(true)
       Option(curveMemo.putIfAbsent(key, r)) match {
         case Some(w) => graft.CheckpointBlocks.release(r); w

@@ -243,6 +243,111 @@ class PlanAuditSpec extends SparkSpecBase {
       s"the curve must expand nprobe via a generator:\n$plan")
   }
 
+  test("incremental passage dedup probes the stored index with a broadcast semi-join; the store side never exchanges") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.functions.col
+    import graft.operators.PassageDedup
+    // the scale-critical decision pass_incr's 16x slope depends on:
+    // the stored window index is SCANNED and the batch's distinct
+    // windows land on it as a broadcast semi probe — shuffling the
+    // stored side grew 3x across a 16x index in the probe. The
+    // broadcast comes from a MEASURED count, so it must hold even with
+    // planner auto-broadcast OFF (stats through explode+distinct were
+    // measured 228x under on this shape — the hint, not the planner,
+    // carries it).
+    val docs = Tables(spark, sfDir, "documents")
+    val stored = PassageDedup.windowIndex(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", 5)
+      .localCheckpoint(true)
+    try {
+      val batch = docs.filter(col("doc_id") % 2 === 1)
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan =
+        try PassageDedup.incrementalPassageSpans(batch, stored,
+          "doc_id", "text", 5).queryExecution.sparkPlan
+        finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      // the probe join: the one whose STREAMED side is the stored-index
+      // scan (a checkpointed RDD scan here, a parquet scan in production)
+      val storeProbe = plan.collect {
+        case j: BroadcastHashJoinExec
+          if j.joinType.toString == "LeftSemi" &&
+            j.left.collectLeaves().exists(
+              _.getClass.getSimpleName == "RDDScanExec") => j
+      }
+      assert(storeProbe.nonEmpty,
+        s"expected the stored-index semi probe as a BroadcastHashJoin:\n$plan")
+      // the streamed (stored) side must be scan-only — any exchange
+      // below it means the O(index) shuffle the measured broadcast
+      // exists to avoid
+      assert(storeProbe.forall(
+        _.left.collect { case e: ShuffleExchangeExec => e }.isEmpty),
+        s"the stored side of the semi probe must not exchange:\n$plan")
+    } finally graft.CheckpointBlocks.release(stored)
+  }
+
+  test("a backfill-sized batch degrades the store probe to a partitioned join (the measured dispatch flips)") {
+    import org.apache.spark.sql.execution.joins.{SortMergeJoinExec, ShuffledHashJoinExec}
+    import org.apache.spark.sql.functions.col
+    import graft.operators.PassageDedup
+    val docs = Tables(spark, sfDir, "documents")
+    val stored = PassageDedup.windowIndex(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", 5)
+      .localCheckpoint(true)
+    try {
+      val batch = docs.filter(col("doc_id") % 2 === 1)
+      // limit 0: every batch measures over it — the conservative
+      // degrade path a giant backfill takes instead of OOMing the
+      // driver. Auto-broadcast off too: the dispatch only WITHHOLDS the
+      // hint (a production backfill exceeds the planner threshold on
+      // its own; this fixture doesn't), so the flip shows with the
+      // planner's stats-based broadcast disabled.
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan =
+        try PassageDedup.incrementalPassageSpans(batch, stored,
+            "doc_id", "text", 5, broadcastWindowLimit = 0L)
+          .queryExecution.sparkPlan
+        finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      val partitioned = plan.collect {
+        case j: SortMergeJoinExec if j.joinType.toString == "LeftSemi" => j
+        case j: ShuffledHashJoinExec if j.joinType.toString == "LeftSemi" => j
+      }
+      assert(partitioned.nonEmpty,
+        s"over-limit batch must fall back to a partitioned semi join:\n$plan")
+    } finally graft.CheckpointBlocks.release(stored)
+  }
+
+  test("graph append's reverse-edge cut broadcasts the batch ids even with auto-broadcast off") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.functions.col
+    import graft.operators.KnnGraph
+    // appendDelta's step-3b anti probe: batch ids are micro-batch-sized
+    // by the dispatch; the k·|B| edge relation must never exchange to
+    // meet them (knng_app's flat slope depends on it). The returned
+    // delta is checkpointed, so the shape is pinned on the extracted
+    // production body.
+    val e = Tables(spark, sfDir, "embeddings")
+    val edges = e.select(col("vec_id").as("id"),
+      (col("vec_id") + 1).as("nid"),
+      org.apache.spark.sql.functions.lit(0.5).as("sim"))
+    val ids = e.filter(col("vec_id") % 7 === 0).select(col("vec_id").as("id"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val plan =
+      try KnnGraph.reverseEdges(edges, ids).queryExecution.sparkPlan
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    val anti = plan.collect {
+      case j: BroadcastHashJoinExec if j.joinType.toString == "LeftAnti" => j
+    }
+    assert(anti.size === 1,
+      s"expected one broadcast LeftAnti batch-id cut, got:\n$plan")
+    assert(plan.collect { case x: ShuffleExchangeExec => x }.isEmpty,
+      s"the edge side must not exchange to meet the batch ids:\n$plan")
+  }
+
   test("filtered ANN search re-shuffles its candidate relation exactly once (the top-k window)") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.functions.col
