@@ -167,6 +167,12 @@ class CorpusStream(spark: SparkSession, workDir: String,
   // tokens memorizes them and any batch would flag.
   private val BpeDriftFracPm = 800L
   private val BpeDriftMinTokens = 256L
+  // exact-dedup store probe: batches up to this many docs ship their
+  // hashes as a broadcast semi probe of the stored hash history (md5
+  // strings ≈ 56 B/row → ≤ ~56 MB); bigger (backfill-sized) batches
+  // degrade to the partitioned anti-join — the measured-broadcast
+  // dispatch convention of incrementalPassageSpans
+  private val ExactProbeBroadcastLimit = 1000000L
 
   // binaryFile's fixed schema — file streams require it explicitly
   private val binSchema = new StructType()
@@ -1066,9 +1072,25 @@ class CorpusStream(spark: SparkSession, workDir: String,
         Seq.empty[String].toDF("content_hash"),
         excludeBatch = batchId)
       .select(col("content_hash"))
-    val exactKept = cp(Dedup.exactKeepFirst(cur, "doc_id", "text")
+    val hashed = Dedup.exactKeepFirst(cur, "doc_id", "text")
       .withColumn("content_hash", md5(lower(trim(col("text")))))
-      .join(priorHashes, Seq("content_hash"), "left_anti"))
+    // STORE-PROBE DECOMPOSITION (the incrementalPassageSpans
+    // discipline): an anti-join can only broadcast its RIGHT side, so
+    // the naive batch ▷ store shape SHUFFLES the whole hash history
+    // once per batch as soon as it outgrows the planner's broadcast
+    // threshold — invisible at fixture scale (the store side
+    // auto-broadcasts while small), ruinous at corpus scale. Rewritten
+    // as batch ▷ (store ⋉ broadcast(batch hashes)): the store is
+    // SCANNED, never exchanged — the batch's hashes land on it as a
+    // broadcast semi probe and only matching hashes (≤ the batch's own
+    // distinct-hash count) come back to drive the bounded anti-join.
+    // Semantically identical: h drops iff h ∈ store iff h ∈ matched.
+    // The dispatch is MEASURED (batch doc count off the pinned frame,
+    // one cached-count job), not planner-estimated: a backfill-sized
+    // batch degrades to the partitioned anti-join, paying the O(store)
+    // shuffle only when its own size genuinely demands it.
+    val exactKept = cp(CorpusStream.exactStoreProbe(hashed, priorHashes,
+      cur.count(), ExactProbeBroadcastLimit))
 
     // near-dup vs the persisted index (the x34 FromIndex shape: stored
     // bands + stored verification arrays, zero recompute over corpus
@@ -1550,6 +1572,25 @@ class CorpusStream(spark: SparkSession, workDir: String,
 }
 
 object CorpusStream {
+  /** The exact-dedup store probe, extracted so its plan shape is
+    * PINNABLE (the batch frame is checkpointed inside processBatch,
+    * which hides the join): batch ▷ (store ⋉ broadcast(batch hashes))
+    * under the measured limit — store SCANNED, both joins broadcast —
+    * degrading to the partitioned batch ▷ store anti-join past it.
+    * See the call site for the full rationale.
+    */
+  private[graft] def exactStoreProbe(hashed: org.apache.spark.sql.DataFrame,
+      priorHashes: org.apache.spark.sql.DataFrame, batchN: Long,
+      broadcastLimit: Long): org.apache.spark.sql.DataFrame =
+    if (batchN <= broadcastLimit) {
+      val matched = priorHashes.join(
+        org.apache.spark.sql.functions.broadcast(
+          hashed.select(org.apache.spark.sql.functions.col("content_hash"))),
+        Seq("content_hash"), "left_semi")
+      hashed.join(org.apache.spark.sql.functions.broadcast(matched),
+        Seq("content_hash"), "left_anti")
+    } else hashed.join(priorHashes, Seq("content_hash"), "left_anti")
+
   /** Host component of a URL, "" when absent or unparsable. */
   private[streaming] def hostOf(url: String): String =
     try Option(new java.net.URI(url).getHost).getOrElse("")

@@ -319,6 +319,52 @@ class PlanAuditSpec extends SparkSpecBase {
     } finally graft.CheckpointBlocks.release(stored)
   }
 
+  test("the streaming exact-dedup store probe broadcasts both legs; the hash history never exchanges") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec, ShuffledHashJoinExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.functions.{col, md5}
+    import graft.streaming.CorpusStream
+    // batch ▷ store cannot broadcast its left side, so the naive anti
+    // join silently shuffles the whole hash history once per batch as
+    // soon as it outgrows the planner threshold; the decomposed shape
+    // (store ⋉ broadcast(batch) feeding a bounded broadcast anti) must
+    // hold with auto-broadcast OFF — the hints, not planner stats,
+    // carry it
+    val docs = Tables(spark, sfDir, "documents")
+    val hashed = docs.select(col("doc_id"),
+      md5(col("text")).as("content_hash"))
+    val store = docs.select(md5(col("text")).as("content_hash"))
+      .localCheckpoint(true)
+    try {
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val plan = CorpusStream.exactStoreProbe(hashed, store,
+            batchN = 10L, broadcastLimit = 1000000L)
+          .queryExecution.sparkPlan
+        val semi = plan.collect {
+          case j: BroadcastHashJoinExec if j.joinType.toString == "LeftSemi" => j
+        }
+        val anti = plan.collect {
+          case j: BroadcastHashJoinExec if j.joinType.toString == "LeftAnti" => j
+        }
+        assert(semi.size === 1 && anti.size === 1,
+          s"expected broadcast semi probe + broadcast anti cut, got:\n$plan")
+        assert(plan.collect { case x: ShuffleExchangeExec => x }.isEmpty,
+          s"neither the store nor the batch may exchange:\n$plan")
+        // past the measured limit the dispatch flips to the partitioned
+        // anti-join (the O(store) shuffle is then the honest price)
+        val big = CorpusStream.exactStoreProbe(hashed, store,
+            batchN = 10L, broadcastLimit = 5L)
+          .queryExecution.sparkPlan
+        assert(big.collect {
+          case j: SortMergeJoinExec if j.joinType.toString == "LeftAnti" => j
+          case j: ShuffledHashJoinExec if j.joinType.toString == "LeftAnti" => j
+        }.nonEmpty, s"over-limit batch must take the partitioned anti:\n$big")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally graft.CheckpointBlocks.release(store)
+  }
+
   test("graph append's reverse-edge cut broadcasts the batch ids even with auto-broadcast off") {
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
