@@ -929,11 +929,22 @@ object KnnGraph {
           var frontier = navCap(scoreQ(
             q.select(col("qid")).crossJoin(broadcast(entry))))
             .localCheckpoint(true)
-          // matching rows seen so far, re-cut per hop (bounded k·Q)
+          // matching rows seen so far, re-cut per hop (bounded k·Q).
+          // STORE-PROBE DECOMPOSITION (the exactStoreProbe discipline):
+          // df ⋉ kept would have to broadcast the CORPUS-FILTER-sized
+          // kept relation (a semi join builds on its right), falling
+          // back to shuffling it once per hop past the threshold —
+          // probe kept with the bounded frontier nids instead (≤
+          // Q·beamEff rows, the same bound the unconditional
+          // broadcast(q) in scoreQ already assumes), so kept is
+          // SCANNED per cut, never exchanged
           def matchCut(df: DataFrame): DataFrame = {
             val w = Window.partitionBy(col("qid"))
               .orderBy(col("sim").desc, col("nid"))
-            df.join(kept, Seq("nid"), "left_semi")
+            val matched = kept.join(
+              broadcast(df.select(col("nid")).distinct()),
+              Seq("nid"), "left_semi")
+            df.join(broadcast(matched), Seq("nid"), "left_semi")
               .withColumn("r", row_number().over(w))
               .filter(col("r") <= k)
               .select(col("qid"), col("nid"), col("sim"))
