@@ -368,6 +368,40 @@ object ScaleCheck {
       Thread.sleep(500)
     }
 
+    // Quality-leg drift RESPONSE (the bpe_reb analog for the learned
+    // quality rotation, closing the retrain-probe family): the body a
+    // drifted verdict triggers — rawLabeledFrame over the ACCUMULATED
+    // curated store (feature scan + Gopher weak labels) and the
+    // gradient-descent fit on the standardized frame. Cost model: the
+    // label/feature pass is one scan (linear in store bytes); fit's
+    // iterations are bounded aggregates over the feature frame (linear
+    // scans, constant count) — PASS shape is at most linear, and
+    // overhead-bound flat at these sizes. Super-linear growth means an
+    // iteration stopped being a scan-shaped aggregate.
+    if (keep("q_reb")) for (k <- scales) {
+      val spark = freshSession()
+      def docBase: DataFrame = Tables(spark, sfDir, "documents")
+        .select(col("doc_id").as("id"), col("text"))
+      val store = replicate(spark, docBase, k)((df, _) => df)
+        .localCheckpoint(true)
+      store.count()
+      import graft.operators.QualityClassifier
+      val (sec, rows) = time {
+        val lf = QualityClassifier.rawLabeledFrame(store, "id", "text")
+          .localCheckpoint(true)
+        try {
+          val tr = QualityClassifier.fit(lf)
+          tr.scaler.n
+        } finally graft.CheckpointBlocks.release(lf)
+      }
+      println(f"""{"op":"q_reb","scale":$k,"sec":$sec%.2f,"rows":$rows}""")
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      System.gc()
+      Thread.sleep(500)
+    }
+
     // COMPOSED all-legs streaming probe: every per-leg per-batch cost
     // is individually pinned flat above, but the platform runs the
     // legs COMPOSED — shared checkpoint blocks, shared ledgers, eight
