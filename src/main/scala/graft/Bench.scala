@@ -221,8 +221,11 @@ object Bench {
     // errored this run are excluded (their "time" is time-to-exception).
     // The gate makes a genuine per-query slowdown self-report in the
     // artifact instead of waiting for a human to diff rounds.
-    val prevUnits = BenchGate.loadLatest(
-      Paths.get("."), sys.env.get("SPARK_GRAFT_PREV_UNITS"))
+    // the reference is the ENVELOPE of the last few committed rounds
+    // (per-query max): "regressed" = slower than every recent round,
+    // which de-flags the measured heavy-tailed cross-session unit noise
+    val prevUnits = BenchGate.loadEnvelope(
+      Paths.get("."), sys.env.get("SPARK_GRAFT_PREV_UNITS"), sfDir)
     val unitByName = results.collect {
       case (k, _, None, _, u) => k -> u
     }.toMap
@@ -236,7 +239,12 @@ object Bench {
     val regressStats: String = prevUnits.filter(_.sf == sfDir).fold("") { p =>
       val top = regress.take(8)
         .map { case (k, r) => jstr(k) + ":" + jnum(r) }.mkString("{", ",", "}")
-      s""","prev_units_round":${p.round},"regressions":$top"""
+      // unit_drift is the session factor the ratios were graded against
+      // (median cross-query unit ratio vs the reference round) — 1.0 on
+      // filtered runs with too few common queries to estimate it
+      s""","prev_units_round":${p.round}""" +
+        s""","unit_drift":${jnum(BenchGate.sessionDrift(unitByName, p.units))}""" +
+        s""","regressions":$top"""
     }
     // The driver retains only a ~2000-char stdout tail and json-parses
     // what it finds there. Short-keying the full per-query map (rounds

@@ -42,10 +42,10 @@ object BenchGate {
 
   private val FileRe = raw"BENCH_UNITS_r(\d+)\.json".r
 
-  /** Highest-numbered BENCH_UNITS_r*.json in `dir` (numeric order: r9 <
-    * r17, which lexicographic file listing gets wrong). */
-  def latestUnitsFile(dir: Path): Option[(Int, Path)] =
-    if (!Files.isDirectory(dir)) None
+  /** All BENCH_UNITS_r*.json in `dir`, numerically ordered by round
+    * (r9 < r17, which lexicographic file listing gets wrong). */
+  def unitsFiles(dir: Path): Seq[(Int, Path)] =
+    if (!Files.isDirectory(dir)) Seq.empty
     else {
       val s = Files.list(dir)
       try s.iterator().asScala
@@ -55,9 +55,13 @@ object BenchGate {
             case _         => None
           }
         }
-        .toSeq.sortBy(_._1).lastOption
+        .toSeq.sortBy(_._1)
       finally s.close()
     }
+
+  /** Highest-numbered BENCH_UNITS_r*.json in `dir`. */
+  def latestUnitsFile(dir: Path): Option[(Int, Path)] =
+    unitsFiles(dir).lastOption
 
   /** Parse a BENCH_UNITS file body. `round` comes from the file name, not
     * the body — the body's "round" field is for human readers. Returns
@@ -80,6 +84,11 @@ object BenchGate {
       for (s <- sf; u <- units if u.nonEmpty) yield PrevUnits(round, s, u)
     } catch { case _: Exception => None }
 
+  /** How many committed rounds back the reference envelope reaches:
+    * old enough that one noisy round doesn't dominate, young enough
+    * that a slow creep can't hide behind ancient fast rounds forever. */
+  val RefWindow = 3
+
   /** Load the gate's reference units: an explicit path override first
     * (local what-if runs), else the newest committed round file in cwd. */
   def loadLatest(dir: Path, overridePath: Option[String] = None): Option[PrevUnits] =
@@ -97,23 +106,82 @@ object BenchGate {
         }
     }
 
+  /** The reference ENVELOPE: the last [[RefWindow]] committed rounds at
+    * the given sf, collapsed to each query's MAX unit — "regressed"
+    * then means "slower than EVERY recent round", which single-round
+    * comparison can't say. Measured need (round 18): same-code units
+    * re-benched across sessions drift 1.5–1.8× for a heavy-tailed
+    * subset of queries while the median stays ~1.0, so one reference
+    * round always flags a few tail-noise queries; a query that was
+    * ever that slow in a recent committed round is noise, one that is
+    * slower than all of them is a regression. The round reported is
+    * the newest in the envelope. An explicit override path bypasses
+    * the envelope (single-file what-if semantics preserved). */
+  def loadEnvelope(dir: Path,
+                   overridePath: Option[String] = None,
+                   sf: String): Option[PrevUnits] =
+    overridePath match {
+      case Some(_) => loadLatest(dir, overridePath).filter(_.sf == sf)
+      case None =>
+        val refs = unitsFiles(dir)
+          .flatMap { case (n, p) =>
+            try parseUnits(n, Files.readString(p)) catch { case _: Exception => None }
+          }
+          .filter(_.sf == sf)
+          .takeRight(RefWindow)
+        refs.lastOption.map { newest =>
+          val maxUnits = refs.flatMap(_.units.toSeq)
+            .groupMapReduce(_._1)(_._2)(math.max)
+          PrevUnits(newest.round, sf, maxUnits)
+        }
+    }
+
+  /** Minimum common-query count before [[sessionDrift]] trusts its
+    * median; below it (filtered runs) the drift factor is 1.0. */
+  val MinCommonForDrift = 20
+
+  /** Median per-query unit ratio over queries present in BOTH maps —
+    * the cross-SESSION drift factor. The interleaved probe normalizes
+    * within-run contention, but unit LEVELS still move between
+    * sessions (JIT / codegen-cache / page-cache state): measured in
+    * round 18 by re-running the round-START code against the r17
+    * units, individual queries drifted 1.5–1.8× with ZERO code change
+    * — but the median moved with them, so grading each ratio relative
+    * to the median separates a code regression (one query moves
+    * against the field) from session state (the whole field moves).
+    * 1.0 when too few common queries exist to estimate it. */
+  def sessionDrift(cur: Map[String, Double],
+                   prev: Map[String, Double]): Double = {
+    val ratios = cur.toSeq.flatMap { case (n, c) =>
+      prev.get(n).collect { case p if p > 0 && c > 0 => c / p }
+    }
+    if (ratios.size < MinCommonForDrift) 1.0
+    else ratios.sorted.apply(ratios.size / 2)
+  }
+
   /** Flagged regressions, worst first: queries present in BOTH maps whose
-    * unit rose past the ratio gate AND by at least the absolute floor.
-    * Improvements and new/retired queries are never flagged — the gate
-    * exists to catch silent slowdowns, not to grade additions. */
+    * DRIFT-NORMALIZED unit ratio rose past the gate AND whose unit rose
+    * by at least the absolute floor over the drift-adjusted previous
+    * value. The reported ratio is the normalized one — what the gate
+    * actually graded. Improvements and new/retired queries are never
+    * flagged — the gate exists to catch silent slowdowns, not to grade
+    * additions. */
   def regressions(
       cur: Map[String, Double],
       prev: Map[String, Double],
       ratioGate: Double = RatioGate,
-      floorDelta: Double = FloorDelta): Seq[(String, Double)] =
+      floorDelta: Double = FloorDelta): Seq[(String, Double)] = {
+    val drift = sessionDrift(cur, prev)
     cur.toSeq
       .flatMap { case (name, c) =>
         prev.get(name).collect {
-          case p if p > 0 && c / p > ratioGate && c - p >= floorDelta =>
-            name -> c / p
+          case p if p > 0 && c / (p * drift) > ratioGate &&
+              c - p * drift >= floorDelta =>
+            name -> c / (p * drift)
         }
       }
       .sortBy { case (name, ratio) => (-ratio, name) }
+  }
 
   /** true when the worst probe window ran ≥ [[ContendedGate]]× the median
     * probe — the artifact-only "trust the units, not the seconds" marker. */

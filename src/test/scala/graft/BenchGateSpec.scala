@@ -41,6 +41,57 @@ class BenchGateSpec extends AnyFunSuite {
     assert(r.map(_._1) == Seq("b", "a", "z"))
   }
 
+  test("uniform session drift never flags; a query moving against the field does") {
+    // 30 queries all 1.6x slower — the round-18 measured regime: the
+    // round-START code re-benched against the prior round's units
+    // drifted individual queries 1.5-1.8x with zero code change. The
+    // field-wide move must not flag...
+    val prev = (1 to 30).map(i => s"q$i" -> 10.0).toMap
+    val drifted = prev.view.mapValues(_ * 1.6).toMap
+    assert(BenchGate.sessionDrift(drifted, prev) === 1.6)
+    assert(BenchGate.regressions(drifted, prev).isEmpty)
+    // ...but one query at 4x against the same field grades as 4/1.6 = 2.5x
+    val oneBad = drifted + ("q7" -> 40.0)
+    val r = BenchGate.regressions(oneBad, prev)
+    assert(r.map(_._1) == Seq("q7"))
+    assert(math.abs(r.head._2 - 2.5) < 1e-6)
+  }
+
+  test("sessionDrift falls back to 1.0 below the common-query minimum (filtered runs)") {
+    val prev = (1 to 5).map(i => s"q$i" -> 10.0).toMap
+    val cur = prev.view.mapValues(_ * 1.6).toMap
+    assert(BenchGate.sessionDrift(cur, prev) === 1.0)
+    // and the raw ratios then grade directly — all five flag
+    assert(BenchGate.regressions(cur, prev).size === 5)
+  }
+
+  test("loadEnvelope: per-query max over the last RefWindow rounds, sf-filtered; override bypasses") {
+    val dir = Files.createTempDirectory("benchenv")
+    def write(r: Int, sf: String, us: (String, Double)*): Unit =
+      Files.writeString(dir.resolve(s"BENCH_UNITS_r$r.json"),
+        s"""{"sf":"$sf","units":{${us.map { case (k, v) => s""""$k":$v""" }.mkString(",")}}}""")
+    try {
+      write(12, "/sfA", "q1" -> 50.0)            // outside the 3-round window
+      write(14, "/sfB", "q1" -> 100.0)           // wrong sf, never joins
+      write(15, "/sfA", "q1" -> 5.0)
+      write(16, "/sfA", "q1" -> 9.0, "q2" -> 2.0)
+      write(17, "/sfA", "q1" -> 6.0)
+      val env = BenchGate.loadEnvelope(dir, None, "/sfA").get
+      assert(env.round === 17)
+      assert(env.units === Map("q1" -> 9.0, "q2" -> 2.0),
+        "q1 takes the window max 9.0, not r17's 6.0 nor r12's out-of-window 50.0")
+      // a query slower than every recent round still flags through it
+      assert(BenchGate.regressions(Map("q1" -> 20.0), env.units).map(_._1) === Seq("q1"))
+      // ...but one that was that slow in ANY recent round does not
+      assert(BenchGate.regressions(Map("q1" -> 9.5), env.units).isEmpty)
+      // override keeps single-file semantics
+      val o = BenchGate.loadEnvelope(dir, Some("BENCH_UNITS_r15.json"), "/sfA").get
+      assert(o.units === Map("q1" -> 5.0))
+    } finally {
+      Files.list(dir).forEach(p => Files.delete(p)); Files.delete(dir)
+    }
+  }
+
   test("latestUnitsFile picks the numerically highest round (r9 < r17)") {
     val dir = Files.createTempDirectory("benchgate")
     try {
