@@ -52,6 +52,27 @@ object KnnGraph {
       .select(col("id"), col("nid"), col("sim"))
   }
 
+  /** `topK(edges.distinct(), k)` in ONE explicitly-sized exchange
+    * instead of three planner-inserted ones: the old chain paid an
+    * Exchange on the full row for `distinct`, another on `id` for the
+    * window, and an AQE re-planning cycle to coalesce each. Here one
+    * `repartition(parts, id)` establishes the layout; the (id, nid)
+    * dedup and the window both run partition-local (hash(id) clusters
+    * every (id, nid) group), and `parts` comes from the operator's own
+    * row bound. Row-identical: `sim` is a pure function of (id, nid),
+    * so dropping duplicate pairs keeps THE row the distinct kept.
+    */
+  private def topKMerged(edges: DataFrame, k: Int, estRows: Long): DataFrame = {
+    val parts = graft.CheckpointBlocks.partitionsFor(
+      edges.sparkSession, estRows)
+    val w = Window.partitionBy(col("id")).orderBy(col("sim").desc, col("nid"))
+    edges.repartition(parts, col("id"))
+      .dropDuplicates("id", "nid")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("nid"), col("sim"))
+  }
+
   /** Build the graph and return it with the per-round objective
     * trajectory (Σ round(sim·1e6) over the k·N graph, exact integers):
     * each round unions new candidates with the current graph and keeps
@@ -61,10 +82,19 @@ object KnnGraph {
   def buildWithObjective(corpus: DataFrame, idCol: String, vecCol: String,
                          k: Int, rounds: Int): (DataFrame, Seq[Long]) = {
     require(k >= 1 && rounds >= 0, "k >= 1 and rounds >= 0")
-    val v = graft.CheckpointBlocks.cleanCheckpoint(
+    // two-step checkpoint: materialize once to learn the row count,
+    // then consolidate to a size-derived id-hash layout (claimed, so
+    // every id/nid-keyed join below reads the corpus WITHOUT an
+    // exchange — the per-round score() used to re-shuffle v twice per
+    // round). The whole family's math is partition-layout-proof
+    // (integer objective sums, per-row sims, totally-ordered windows),
+    // which is what licenses resizing here and NOT in the k-means
+    // families.
+    val v0 = graft.CheckpointBlocks.cleanCheckpoint(
       Similarity.normedVecs(corpus, idCol, vecCol))
+    val n = v0.count()
+    val v = graft.CheckpointBlocks.resizeCheckpoint(v0, Seq("id"), n)
     try {
-      val n = v.count()
       val nBuckets = math.max(n / 2, 1L)
       // the graph REFINES at 2k working neighbors and EMITS top-k: a
       // wider working list is the standard NN-Descent move against
@@ -78,18 +108,34 @@ object KnnGraph {
       // Fresh salts per round keep EXPLORING after the introduction
       // step stabilizes (a converged graph re-introduces the same
       // candidates forever — the classic local-optimum stall).
+      // raw pairing pairs, NOT deduped here: every consumer runs its
+      // own keyed dedup (dedupCand below), and the old internal
+      // .distinct() was a redundant full-row exchange on top of it
+      val pairParts = graft.CheckpointBlocks.partitionsFor(
+        corpus.sparkSession, k * n)
       def hashCand(salt: Int): DataFrame = {
         val withJ = v.select(col("id"),
           explode(sequence(lit(salt * k), lit(salt * k + k - 1))).as("j"))
           .select(col("id"), col("j"),
             pmod(xxhash64(col("id"), col("j")), lit(nBuckets)).as("bk"))
+          .repartition(pairParts, col("j"), col("bk"))
         withJ.as("x").join(withJ.as("y"),
             col("x.j") === col("y.j") && col("x.bk") === col("y.bk") &&
               col("x.id") =!= col("y.id"))
           .select(col("x.id").as("id"), col("y.id").as("nid"))
-          .distinct()
       }
-      var g = topK(score(hashCand(0), v), kBuild).localCheckpoint(true)
+      // candidate dedup keyed + sized to colocate with v: the
+      // follow-up score() joins on "id" read both sides exchange-free
+      val vParts = v.rdd.getNumPartitions
+      def dedupCand(cand: DataFrame): DataFrame =
+        cand.repartition(vParts, col("id")).dropDuplicates("id", "nid")
+      // per-round working state is ≤ kBuild·n rows keyed by id, and
+      // topKMerged already left it hash(id)-partitioned — checkpoint
+      // claims that layout without re-exchanging
+      def ckptG(df: DataFrame): DataFrame =
+        graft.CheckpointBlocks.claimedCheckpoint(df, Seq("id"))
+      var g = ckptG(topKMerged(score(dedupCand(hashCand(0)), v),
+        kBuild, kBuild * n))
       val objectives = Seq.newBuilder[Long]
       // objective over the EMITTED top-k slice (what the caller gets)
       def objective(graph: DataFrame): Long =
@@ -100,20 +146,21 @@ object KnnGraph {
       (1 to rounds).foreach { r =>
         // adjacency = out-edges ∪ in-edges, capped at 2k per node so a
         // hub's in-degree cannot quadratically inflate its local join
-        val adj = topK(
+        val adj = topKMerged(
           g.unionByName(g.select(col("nid").as("id"), col("id").as("nid"),
-            col("sim"))).distinct(),
-          kBuild)
+            col("sim"))),
+          kBuild, 2L * kBuild * n)
         // the introduction step: a pivot's adjacency members meet —
-        // plus this round's fresh hash pairings (bounded k·N rows)
-        val cand = adj.as("x").join(adj.as("y"),
+        // plus this round's fresh hash pairings (bounded k·N rows);
+        // adj is hash(id)-partitioned out of topKMerged, so the
+        // introduction self-join runs exchange-free
+        val cand = dedupCand(adj.as("x").join(adj.as("y"),
             col("x.id") === col("y.id") && col("x.nid") =!= col("y.nid"))
           .select(col("x.nid").as("id"), col("y.nid").as("nid"))
-          .unionByName(hashCand(r))
-          .distinct()
+          .unionByName(hashCand(r)))
         val prev = g
-        g = topK(g.unionByName(score(cand, v)).distinct(), kBuild)
-          .localCheckpoint(true)
+        g = ckptG(topKMerged(g.unionByName(score(cand, v)),
+          kBuild, 2L * kBuild * n))
         graft.CheckpointBlocks.release(prev)
         objectives += objective(g)
       }
@@ -123,10 +170,13 @@ object KnnGraph {
       // LogicalRDD, so CheckpointBlocks.release on it (memo eviction,
       // the append dispatch, probe loops) actually frees the blocks —
       // releasing a derived projection is a deliberate no-op
-      val out = g.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
-        .select(col("id"), col("rank"), col("nid"), col("sim"))
-        .localCheckpoint(true)
+      // g is claimed hash(id), so the rank window runs exchange-free
+      // and the emitted slice inherits (and re-claims) that layout
+      val out = graft.CheckpointBlocks.claimedCheckpoint(
+        g.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+          .select(col("id"), col("rank"), col("nid"), col("sim")),
+        Seq("id"))
       graft.CheckpointBlocks.release(g)
       (out, objectives.result())
     } finally graft.CheckpointBlocks.release(v)
@@ -176,10 +226,18 @@ object KnnGraph {
     */
   def servingIndex(graph: DataFrame, corpus: DataFrame, idCol: String,
                    vecCol: String, k: Int): (DataFrame, DataFrame) = {
-    val v = graft.CheckpointBlocks.cleanCheckpoint(
+    // consolidate + claim hash layouts once at index-build time: the
+    // corpus keyed by id (every hop's scoreQ joins it on nid = its id)
+    // and the adjacency keyed by nid (every hop's frontier expansion
+    // joins it on nid) — the two store-sized relations of serving stop
+    // being exchanged per hop, for every consumer of this index
+    val v0 = graft.CheckpointBlocks.cleanCheckpoint(
       Similarity.normedVecs(corpus, idCol, vecCol))
+    val n = v0.count()
+    val v = graft.CheckpointBlocks.resizeCheckpoint(v0, Seq("id"), n)
     val adjacency =
-      try twoLayerAdjacency(graph, v, k).localCheckpoint(true)
+      try graft.CheckpointBlocks.claimedCheckpoint(
+        twoLayerAdjacency(graph, v, k), Seq("nid"))
       catch {
         case t: Throwable => graft.CheckpointBlocks.release(v); throw t
       }
@@ -198,10 +256,12 @@ object KnnGraph {
     val (v, adjacency) = sharedIndex.getOrElse(
       servingIndex(graph, corpus, idCol, vecCol, k))
     try {
-      val q = graft.CheckpointBlocks.cleanCheckpoint(
+      val q0 = graft.CheckpointBlocks.cleanCheckpoint(
         Similarity.normedVecs(queries, idCol, vecCol)
           .select(col("id").as("qid"), col("vec").as("qvec"),
             col("nrm").as("qnrm")))
+      val q = graft.CheckpointBlocks.resizeCheckpoint(
+        q0, Seq("qid"), q0.count())
       try {
         // exact score of (qid, nid) pairs; self-matches excluded (the
         // x06/x16 family convention — a query that IS a corpus member
@@ -233,20 +293,30 @@ object KnnGraph {
     * navigation — re-derives from ids alone, identical to the build
     * seed, nothing extra stored). Caller checkpoints and releases.
     */
+  /** Output is hash(nid)-partitioned by construction (the closing
+    * dedup's explicit keyed exchange) — callers checkpoint it with
+    * `claimedCheckpoint(_, Seq("nid"))`.
+    */
   private def twoLayerAdjacency(graph: DataFrame, v: DataFrame,
                                 k: Int): DataFrame = {
     val n = v.count()
     val nBuckets = math.max(n / 2, 1L)
+    val pairParts = graft.CheckpointBlocks.partitionsFor(
+      v.sparkSession, k * n)
     val withJ = v.select(col("id"),
       explode(sequence(lit(0), lit(k - 1))).as("j"))
       .select(col("id"), col("j"),
         pmod(xxhash64(col("id"), col("j")), lit(nBuckets)).as("bk"))
+      .repartition(pairParts, col("j"), col("bk"))
     val longEdges = withJ.as("x").join(withJ.as("y"),
         col("x.j") === col("y.j") && col("x.bk") === col("y.bk") &&
           col("x.id") =!= col("y.id"))
       .select(col("x.id").as("nid"), col("y.id").as("next"))
     graph.select(col("id").as("nid"), col("nid").as("next"))
-      .unionByName(longEdges).distinct()
+      .unionByName(longEdges)
+      .repartition(graft.CheckpointBlocks.partitionsFor(
+        v.sparkSession, 3L * k * n), col("nid"))
+      .dropDuplicates("nid", "next")
   }
 
   private case class BeamRun(topK: DataFrame, objectives: Seq[Long],
@@ -267,10 +337,19 @@ object KnnGraph {
                       scoreQ: DataFrame => DataFrame, k: Int, beam: Int,
                       hops: Int, entries: Int, countCost: Boolean,
                       trackObjective: Boolean = true): BeamRun = {
+    // per-hop frontier state is ≤ Q·beam rows keyed by qid; per-hop
+    // merge = ONE explicit qid-exchange (dedup + cap both run
+    // partition-local on it), and the checkpoint claims the layout
+    val qN = q.count()
+    val qParts = graft.CheckpointBlocks.partitionsFor(
+      q.sparkSession, qN * beam)
+    val vParts = v.rdd.getNumPartitions
     def beamCap(scored: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("sim").desc, col("nid"))
-      scored.withColumn("r", row_number().over(w))
+      scored.repartition(qParts, col("qid"))
+        .dropDuplicates("qid", "nid")
+        .withColumn("r", row_number().over(w))
         .filter(col("r") <= beam).select(col("qid"), col("nid"), col("sim"))
     }
     // fixed entry set: the `entries` smallest-hash corpus nodes (a
@@ -285,7 +364,9 @@ object KnnGraph {
     def scoredPairs(pairs: DataFrame): DataFrame =
       pairs.filter(col("qid") =!= col("nid"))
     var candPairs = if (countCost) scoredPairs(entryPairs).count() else 0L
-    var frontier = beamCap(scoreQ(entryPairs)).localCheckpoint(true)
+    def ckptF(df: DataFrame): DataFrame =
+      graft.CheckpointBlocks.claimedCheckpoint(df, Seq("qid"))
+    var frontier = ckptF(beamCap(scoreQ(entryPairs)))
     val objectives = Seq.newBuilder[Long]
     def objective(f: DataFrame): Long = {
       val w = Window.partitionBy(col("qid"))
@@ -299,20 +380,23 @@ object KnnGraph {
     // objective job (the curve derives its endpoint from the slice)
     if (trackObjective) objectives += objective(frontier)
     (1 to hops).foreach { _ =>
+      // hop-candidate dedup keyed + sized to colocate with v: scoreQ's
+      // nid join then reads both sides exchange-free
       val cand0 = frontier.select(col("qid"), col("nid"))
         .join(adjacency, Seq("nid"))
         .select(col("qid"), col("next").as("nid"))
-        .distinct()
+        .repartition(vParts, col("nid"))
+        .dropDuplicates("qid", "nid")
       // counting must not re-run the hop join for the scoring pass —
       // pin it once, count the pinned relation, release after the
       // frontier materializes
       val cand = if (countCost) {
-        val c = scoredPairs(cand0).localCheckpoint(true)
+        val c = graft.CheckpointBlocks.claimedCheckpoint(
+          scoredPairs(cand0), Seq("nid"))
         candPairs += c.count(); c
       } else cand0
       val prev = frontier
-      frontier = beamCap(frontier.unionByName(scoreQ(cand)).distinct())
-        .localCheckpoint(true)
+      frontier = ckptF(beamCap(frontier.unionByName(scoreQ(cand))))
       if (countCost) graft.CheckpointBlocks.release(cand)
       graft.CheckpointBlocks.release(prev)
       if (trackObjective) objectives += objective(frontier)
@@ -386,10 +470,17 @@ object KnnGraph {
                   exactInternalCutoff: Long = 1024L): DataFrame = {
     require(k >= 1 && beam >= 2 * k && hops >= 0,
       "k >= 1, beam >= 2k, hops >= 0")
-    val v = graft.CheckpointBlocks.cleanCheckpoint(
+    // same consolidate-and-claim discipline as servingIndex: the base
+    // corpus keyed by id and the adjacency keyed by nid stop being
+    // exchanged per hop of the batch's beam walk
+    val v0 = graft.CheckpointBlocks.cleanCheckpoint(
       Similarity.normedVecs(baseCorpus, idCol, vecCol))
-    val b = graft.CheckpointBlocks.cleanCheckpoint(
+    val vN = v0.count()
+    val v = graft.CheckpointBlocks.resizeCheckpoint(v0, Seq("id"), vN)
+    val b0 = graft.CheckpointBlocks.cleanCheckpoint(
       Similarity.normedVecs(batch, idCol, vecCol))
+    val bN = b0.count()
+    val b = graft.CheckpointBlocks.resizeCheckpoint(b0, Seq("id"), bN)
     try {
       def scoreQ(pairs: DataFrame): DataFrame = pairs
         .filter(col("qid") =!= col("nid"))
@@ -400,7 +491,8 @@ object KnnGraph {
         .select(col("qid"), col("nid"),
           round(dot(col("qvec"), col("nvec")) / (col("qnrm") * col("nnrm")), 6)
             .as("sim"))
-      val adjacency = twoLayerAdjacency(graph, v, k).localCheckpoint(true)
+      val adjacency = graft.CheckpointBlocks.claimedCheckpoint(
+        twoLayerAdjacency(graph, v, k), Seq("nid"))
       try {
         // 1. candidates from the existing graph: the walk keeps a 2k
         // slice so reverse edges draw from a richer pool than the
@@ -419,7 +511,7 @@ object KnnGraph {
         // (≤ 4k²·|B| candidate rows per round), the same machinery the
         // initial index build uses. The streaming leg inherits this,
         // so a first-drain backfill of millions of docs stays linear.
-        val batchN = b.count()
+        val batchN = bN
         val (bgHandle, internal) =
           if (batchN <= exactInternalCutoff)
             (None, b.as("x").join(broadcast(b.as("y")),
@@ -431,9 +523,11 @@ object KnnGraph {
             val bg = build(b, "id", "vec", k, rounds = 3)
             (Some(bg), bg.select(col("id"), col("nid"), col("sim")))
           }
-        // 3a. the new nodes' edges
-        val newEdges = topK(searched.unionByName(internal).distinct(), k)
-          .localCheckpoint(true)
+        // 3a. the new nodes' edges — merged cut, then claim the layout
+        // topKMerged already established
+        val newEdges = graft.CheckpointBlocks.claimedCheckpoint(
+          topKMerged(searched.unionByName(internal), k, 3L * k * batchN),
+          Seq("id"))
         graft.CheckpointBlocks.release(run.handle)
         // the dispatch build's graph (a releasable checkpoint) has been
         // consumed into newEdges — free it, or every backfill batch of
@@ -442,10 +536,11 @@ object KnnGraph {
         // 3b. reverse edges for EXISTING endpoints only (batch→batch
         // pairs were already complete in `internal`)
         val reverse = reverseEdges(newEdges, b.select(col("id")))
-        val delta = newEdges
-          .select(col("id"), col("nid"), col("sim"))
-          .unionByName(reverse)
-          .localCheckpoint(true)
+        val delta = graft.CheckpointBlocks.sizedCheckpoint(
+          newEdges
+            .select(col("id"), col("nid"), col("sim"))
+            .unionByName(reverse),
+          Seq("id"), 2L * k * batchN)
         graft.CheckpointBlocks.release(newEdges)
         delta
       } finally graft.CheckpointBlocks.release(adjacency)
@@ -462,9 +557,13 @@ object KnnGraph {
                     exactInternalCutoff: Long = 1024L): DataFrame = {
     val delta = appendDelta(graph, baseCorpus, batch, idCol, vecCol,
       k, beam, hops, entries, exactInternalCutoff)
+    // checkpoint the batch-id relation once: it feeds THREE broadcast
+    // builds below (semi, anti, affected), and un-checkpointed each
+    // broadcast re-ran the batch scan + norm pass from scratch
+    val batchIds = graft.CheckpointBlocks.cleanCheckpoint(
+      Similarity.normedVecs(batch, idCol, vecCol)
+        .select(col("id")))
     try {
-      val batchIds = Similarity.normedVecs(batch, idCol, vecCol)
-        .select(col("id"))
       // split the delta back into the new nodes' edges and the reverse
       // edges on existing nodes (ids are disjoint by contract)
       val newEdges = delta.join(broadcast(batchIds), Seq("id"), "left_semi")
@@ -477,22 +576,33 @@ object KnnGraph {
       def realias(df: DataFrame): DataFrame = df.select(
         col("id").as("id"), col("nid").as("nid"), col("sim").as("sim"))
       val old = graph.select(col("id"), col("nid"), col("sim"))
-      val repruned = realias(topK(
+      val deltaN = delta.count()
+      val repruned = realias(topKMerged(
         realias(old.join(broadcast(affected), Seq("id"), "left_semi"))
-          .unionByName(realias(reverse)).distinct(), k))
+          .unionByName(realias(reverse)), k, 2L * deltaN * k))
       val untouched = realias(graph
         .join(broadcast(affected), Seq("id"), "left_anti")
         .select(col("id"), col("nid"), col("sim")))
       val w = Window.partitionBy(col("id"))
         .orderBy(col("sim").desc, col("nid"))
       // materialize the merged graph, then the delta blocks can go —
-      // the caller holds (and releases) one checkpoint
-      untouched.unionByName(repruned)
-        .unionByName(realias(newEdges))
-        .withColumn("rank", row_number().over(w))
-        .select(col("id"), col("rank"), col("nid"), col("sim"))
-        .localCheckpoint(true)
-    } finally graft.CheckpointBlocks.release(delta)
+      // the caller holds (and releases) one checkpoint. One explicit
+      // sized id-exchange feeds the final rank window, and the
+      // checkpoint claims that layout
+      val mergedRows = graph.count() + deltaN
+      val merged = graft.CheckpointBlocks.claimedCheckpoint(
+        untouched.unionByName(repruned)
+          .unionByName(realias(newEdges))
+          .repartition(graft.CheckpointBlocks.partitionsFor(
+            graph.sparkSession, mergedRows), col("id"))
+          .withColumn("rank", row_number().over(w))
+          .select(col("id"), col("rank"), col("nid"), col("sim")),
+        Seq("id"))
+      merged
+    } finally {
+      graft.CheckpointBlocks.release(batchIds)
+      graft.CheckpointBlocks.release(delta)
+    }
   }
 
   /** Serving graph from an append-only edge LOG — the read path over
@@ -551,10 +661,13 @@ object KnnGraph {
     val owned = sharedIndex.isEmpty
     val (v, adjacency) = sharedIndex.getOrElse(
       servingIndex(graph, corpus, idCol, vecCol, k))
-    val q = graft.CheckpointBlocks.cleanCheckpoint(
-      Similarity.normedVecs(queries, idCol, vecCol)
-        .select(col("id").as("qid"), col("vec").as("qvec"),
-          col("nrm").as("qnrm")))
+    val q = {
+      val q0 = graft.CheckpointBlocks.cleanCheckpoint(
+        Similarity.normedVecs(queries, idCol, vecCol)
+          .select(col("id").as("qid"), col("vec").as("qvec"),
+            col("nrm").as("qnrm")))
+      graft.CheckpointBlocks.resizeCheckpoint(q0, Seq("qid"), q0.count())
+    }
     try {
       def scoreQ(pairs: DataFrame): DataFrame = pairs
         .filter(col("qid") =!= col("nid"))
@@ -564,10 +677,12 @@ object KnnGraph {
         .select(col("qid"), col("nid"),
           round(dot(col("qvec"), col("nvec")) / (col("qnrm") * col("nnrm")), 6)
             .as("sim"))
+      val qN = q.count()
       // ONE exhaustive pass — the ground truth every beam grades against
-      val exact = Similarity.bruteForceTopK(queries, corpus, idCol,
-          vecCol, k)
-        .select(col("qid"), col("nid")).localCheckpoint(true)
+      val exact = graft.CheckpointBlocks.sizedCheckpoint(
+        Similarity.bruteForceTopK(queries, corpus, idCol, vecCol, k)
+          .select(col("qid"), col("nid")),
+        Seq("qid"), qN * k)
       try {
           val truthN = exact.count()
           import sp.implicits._
@@ -577,17 +692,26 @@ object KnnGraph {
           // tie-break, same distinct-before-cap — only concatenated.
           val bms = beams.distinct.sorted
           val beamTags = broadcast(bms.toDF("bm"))
+          val vParts = v.rdd.getNumPartitions
+          val capParts = graft.CheckpointBlocks.partitionsFor(
+            sp, qN * bms.map(_.toLong).sum)
+          // merged cap: ONE explicit qid-exchange; the (qid, bm, nid)
+          // dedup and the (qid, bm) window both run partition-local on
+          // it (hash(qid) clusters every finer-keyed group)
           def cap(scored: DataFrame): DataFrame = {
             val w = Window.partitionBy(col("qid"), col("bm"))
               .orderBy(col("sim").desc, col("nid"))
-            scored.withColumn("r", row_number().over(w))
+            scored.repartition(capParts, col("qid"))
+              .dropDuplicates("qid", "bm", "nid")
+              .withColumn("r", row_number().over(w))
               .filter(col("r") <= col("bm"))
               .select(col("qid"), col("bm"), col("nid"), col("sim"))
           }
           // score each DISTINCT (qid, nid) once, share across beams —
           // scoreQ's self-cut drops the tagged self pairs on join-back
           def scoreTagged(cand: DataFrame): DataFrame = cand
-            .join(scoreQ(cand.select(col("qid"), col("nid")).distinct()),
+            .join(scoreQ(cand.select(col("qid"), col("nid"))
+              .repartition(vParts, col("nid")).dropDuplicates("qid", "nid")),
               Seq("qid", "nid"))
             .select(col("qid"), col("bm"), col("nid"), col("sim"))
           def cut(pairs: DataFrame): DataFrame =
@@ -606,17 +730,23 @@ object KnnGraph {
           val entryPairs = q.select(col("qid")).crossJoin(beamTags)
             .crossJoin(broadcast(entry))
           addCounts(entryPairs)
-          var frontier = cap(scoreTagged(entryPairs)).localCheckpoint(true)
+          // claimed layouts for the loop state: frontier keyed qid out
+          // of cap's explicit exchange, candidates keyed nid so the
+          // adjacency/corpus joins read them exchange-free
+          def ckptF(df: DataFrame): DataFrame =
+            graft.CheckpointBlocks.claimedCheckpoint(df, Seq("qid"))
+          var frontier = ckptF(cap(scoreTagged(entryPairs)))
           (1 to hops).foreach { _ =>
-            val cand = cut(frontier.select(col("qid"), col("bm"), col("nid"))
+            val cand = graft.CheckpointBlocks.claimedCheckpoint(
+              cut(frontier.select(col("qid"), col("bm"), col("nid"))
                 .join(adjacency, Seq("nid"))
                 .select(col("qid"), col("bm"), col("next").as("nid"))
-                .distinct())
-              .localCheckpoint(true)
+                .repartition(vParts, col("nid"))
+                .dropDuplicates("qid", "bm", "nid")),
+              Seq("nid"))
             addCounts(cand)
             val prev = frontier
-            frontier = cap(frontier.unionByName(scoreTagged(cand)).distinct())
-              .localCheckpoint(true)
+            frontier = ckptF(cap(frontier.unionByName(scoreTagged(cand))))
             graft.CheckpointBlocks.release(cand)
             graft.CheckpointBlocks.release(prev)
           }
@@ -624,10 +754,11 @@ object KnnGraph {
           // ALL beams in two aggregate jobs
           val w = Window.partitionBy(col("qid"), col("bm"))
             .orderBy(col("sim").desc, col("nid"))
-          val slice = frontier.withColumn("rank", row_number().over(w))
-            .filter(col("rank") <= k)
-            .select(col("bm"), col("qid"), col("nid"), col("sim"))
-            .localCheckpoint(true)
+          val slice = graft.CheckpointBlocks.sizedCheckpoint(
+            frontier.withColumn("rank", row_number().over(w))
+              .filter(col("rank") <= k)
+              .select(col("bm"), col("qid"), col("nid"), col("sim")),
+            Seq("qid"), qN * bms.size * k)
           graft.CheckpointBlocks.release(frontier)
           try {
             val hitRows = slice.join(exact, Seq("qid", "nid"), "left_semi")
@@ -685,6 +816,12 @@ object KnnGraph {
     filteredMemo.values.forEach { case (df, _) =>
       graft.CheckpointBlocks.release(df) }
     filteredMemo.clear()
+    corpusMemo.values.forEach(graft.CheckpointBlocks.release(_))
+    corpusMemo.clear()
+    // dim is a 4-byte constant, but each bench pass replays from a
+    // cleared memo by contract — drop it too (signs are dim-keyed pure
+    // constants and carry no session reference; they stay)
+    dimMemo.clear()
   }
 
   /** The declared family's corpus: a LOW-INTRINSIC-DIMENSION manifold
@@ -699,21 +836,98 @@ object KnnGraph {
     * neighbor-of-neighbor method, and no reason to build a kNN graph,
     * exists. The spec pins that contrast explicitly.
     */
+  /** The fixed ±1 sign matrix W, PRECOMPUTED once per embedding width
+    * by evaluating the defining expression — sign(m)(j) = +1 iff
+    * xxhash64(m, j) is even, j an INT position — in one tiny driver
+    * job (the Similarity.hyperplaneSigns discipline). The signs then
+    * bake into literals so the manifold projection is a codegen'd
+    * array constructor instead of an INTERPRETED `transform` lambda
+    * re-hashing 4 xxhash64 calls per element per row — measured ~4 s
+    * per full-corpus evaluation at sf0.1, paid on EVERY un-memoized
+    * graphCorpus consumer (build, append, gates, filtered serving).
+    * Bit-identical: same signs, same left-to-right add order
+    * (((s0·u0 + s1·u1) + s2·u2) + s3·u3) + 0.02·x as the lambda's
+    * reduce(_ + _).
+    */
+  private val signMemo = new java.util.concurrent.ConcurrentHashMap[
+    Int, IndexedSeq[IndexedSeq[Double]]]()
+
+  private def manifoldSigns(s: SparkSession,
+                            dim: Int): IndexedSeq[IndexedSeq[Double]] =
+    Option(signMemo.get(dim)).getOrElse {
+      // j must stay IntegerType: the lambda hashed the INT element
+      // position, and xxhash64 of int vs long differ
+      val rows = s.range(dim).select(col("id").cast("int").as("j"))
+        .select((0 until 4).map(m =>
+          when(xxhash64(lit(m), col("j")) % 2 === 0, lit(1.0))
+            .otherwise(lit(-1.0)).as(s"s$m")): _*)
+        .collect()
+      val signs = (0 until 4).map(m =>
+        rows.map(_.getDouble(m)).toIndexedSeq)
+      Option(signMemo.putIfAbsent(dim, signs)).getOrElse(signs)
+    }
+
+  /** Embedding width per (session, dir) — one head() job, memoized so
+    * the dozens of graphCorpus consumers per query don't re-pay it.
+    */
+  private val dimMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Int]()
+
+  private def embeddingDim(s: SparkSession, d: String): Int = {
+    val key = (s, d)
+    Option(dimMemo.get(key)).getOrElse {
+      MemoEviction.register(s, "knngdim") { () =>
+        dimMemo.keySet.removeIf(_._1 eq s)
+      }
+      val dim = graft.Tables(s, d, "embeddings")
+        .select(size(col("embedding"))).head().getInt(0)
+      Option(dimMemo.putIfAbsent(key, dim)).getOrElse(dim)
+    }
+  }
+
+  /** Memoized MATERIALIZATION of the manifold corpus. Two reasons it
+    * must be a checkpoint, not a lazy plan: (1) every family query
+    * used to re-run the parquet scan + projection per consumer (the
+    * gates alone evaluate it four times); (2) the codegen'd array
+    * constructor is collapse-friendly, and left lazy the optimizer
+    * INLINES it into the gates' N×N brute-force join — recomputing the
+    * 64-element construction per PAIR, an O(N²·dim) blowup the old
+    * interpreted lambda only avoided by accident (HOFs block
+    * projection collapse). Materializing once restores O(N·dim)
+    * construction and every consumer reads cached blocks.
+    */
+  private val corpusMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
   private[graft] def graphCorpus(s: SparkSession, d: String): DataFrame = {
-    val latent = (0 until 4).map(m =>
-      (pmod(xxhash64(col("vec_id"), lit(m)), lit(1000L)).cast("double") /
-        lit(1000.0)).as(s"u$m"))
-    ExtensionQueries.rebalanced(graft.Tables(s, d, "embeddings"))
-      .select(col("vec_id").as("id") +: col("embedding") +:
-        col("label") +: latent: _*)
-      .select(col("id"), transform(col("embedding"), (x, j) =>
-        (0 until 4).map(m =>
-          when(xxhash64(lit(m), j) % 2 === 0, lit(1.0)).otherwise(lit(-1.0)) *
-            col(s"u$m")).reduce(_ + _) + lit(0.02) * x.cast("double"))
-        .as("vec"),
-        // metadata rider for the filtered-search family (x128); the
-        // build/serve paths project it away via normedVecs
-        col("label"))
+    val key = (s, d)
+    Option(corpusMemo.get(key)).getOrElse {
+      MemoEviction.register(s, "knngc") { () =>
+        corpusMemo.keySet.removeIf(_._1 eq s)
+      }
+      val latent = (0 until 4).map(m =>
+        (pmod(xxhash64(col("vec_id"), lit(m)), lit(1000L)).cast("double") /
+          lit(1000.0)).as(s"u$m"))
+      val dim = embeddingDim(s, d)
+      val signs = manifoldSigns(s, dim)
+      val raw = ExtensionQueries.rebalanced(graft.Tables(s, d, "embeddings"))
+        .select(col("vec_id").as("id") +: col("embedding") +:
+          col("label") +: latent: _*)
+        .select(col("id"), array((0 until dim).map { j =>
+          (0 until 4).map(m => lit(signs(m)(j)) * col(s"u$m")).reduce(_ + _) +
+            lit(0.02) * element_at(col("embedding"), j + 1).cast("double")
+        }: _*).as("vec"),
+          // metadata rider for the filtered-search family (x128); the
+          // build/serve paths project it away via normedVecs
+          col("label"))
+      val ck0 = graft.CheckpointBlocks.cleanCheckpoint(raw)
+      val ck = graft.CheckpointBlocks.resizeCheckpoint(
+        ck0, Seq("id"), ck0.count())
+      Option(corpusMemo.putIfAbsent(key, ck)) match {
+        case Some(w) => graft.CheckpointBlocks.release(ck); w
+        case None => ck
+      }
+    }
   }
 
   private def built(s: SparkSession, d: String): (DataFrame, Seq[Long]) = {
@@ -746,7 +960,12 @@ object KnnGraph {
     }
     // recall@K against the exhaustive relation (exact integers)
     val e = graphCorpus(s, d)
-    val exact = Similarity.bruteForceTopK(e, e, "id", "vec", K)
+    // the exhaustive pass is O(N²·dim) per STREAMED partition: the
+    // memoized corpus checkpoint is consolidated to its row-count
+    // layout, so fan the streamed side back out or the nested-loop
+    // scoring serializes onto one core
+    val eb = ExtensionQueries.rebalanced(e)
+    val exact = Similarity.bruteForceTopK(eb, eb, "id", "vec", K)
       .select(col("qid").as("id"), col("nid"))
     val truthN = exact.count()
     val hit = exact.join(graph.select(col("id"), col("nid")),
@@ -891,15 +1110,21 @@ object KnnGraph {
       val owned = sharedIndex.isEmpty
       val (v, sharedAdj) = sharedIndex match {
         case Some((sv, sa)) => (sv, Some(sa))
-        case None => (graft.CheckpointBlocks.cleanCheckpoint(
-          Similarity.normedVecs(corpus, idCol, vecCol)), None)
+        case None =>
+          val v0 = graft.CheckpointBlocks.cleanCheckpoint(
+            Similarity.normedVecs(corpus, idCol, vecCol))
+          (graft.CheckpointBlocks.resizeCheckpoint(
+            v0, Seq("id"), v0.count()), None)
       }
-      val q = graft.CheckpointBlocks.cleanCheckpoint(
-        Similarity.normedVecs(queries, idCol, vecCol)
-          .select(col("id").as("qid"), col("vec").as("qvec"),
-            col("nrm").as("qnrm")))
-      val kept = graft.CheckpointBlocks.cleanCheckpoint(
-        keptRel.select(col(idCol).as("nid")))
+      val q = {
+        val q0 = graft.CheckpointBlocks.cleanCheckpoint(
+          Similarity.normedVecs(queries, idCol, vecCol)
+            .select(col("id").as("qid"), col("vec").as("qvec"),
+              col("nrm").as("qnrm")))
+        graft.CheckpointBlocks.resizeCheckpoint(q0, Seq("qid"), q0.count())
+      }
+      val kept = graft.CheckpointBlocks.sizedCheckpoint(
+        keptRel.select(col(idCol).as("nid")), Seq("nid"), keptN)
       try {
         val n = v.count()
         // widen navigation so ~beam matching rows stay in flight
@@ -914,21 +1139,31 @@ object KnnGraph {
           .select(col("qid"), col("nid"),
             round(dot(col("qvec"), col("nvec")) /
               (col("qnrm") * col("nnrm")), 6).as("sim"))
+        val qN = q.count()
+        val vParts = v.rdd.getNumPartitions
+        val navParts = graft.CheckpointBlocks.partitionsFor(
+          corpus.sparkSession, qN * beamEff)
+        // merged cap: one explicit qid-exchange carries the dedup and
+        // the window (the distinct().window() chain paid two + AQE)
         def navCap(scored: DataFrame): DataFrame = {
           val w = Window.partitionBy(col("qid"))
             .orderBy(col("sim").desc, col("nid"))
-          scored.withColumn("r", row_number().over(w))
+          scored.repartition(navParts, col("qid"))
+            .dropDuplicates("qid", "nid")
+            .withColumn("r", row_number().over(w))
             .filter(col("r") <= beamEff)
             .select(col("qid"), col("nid"), col("sim"))
         }
         val adjacency = sharedAdj.getOrElse(
-          twoLayerAdjacency(graph, v, k).localCheckpoint(true))
+          graft.CheckpointBlocks.claimedCheckpoint(
+            twoLayerAdjacency(graph, v, k), Seq("nid")))
         try {
+          def ckptF(df: DataFrame): DataFrame =
+            graft.CheckpointBlocks.claimedCheckpoint(df, Seq("qid"))
           val entry = v.select(col("id").as("nid"), xxhash64(col("id")).as("h"))
             .orderBy(col("h")).limit(entries).select(col("nid"))
-          var frontier = navCap(scoreQ(
-            q.select(col("qid")).crossJoin(broadcast(entry))))
-            .localCheckpoint(true)
+          var frontier = ckptF(navCap(scoreQ(
+            q.select(col("qid")).crossJoin(broadcast(entry)))))
           // matching rows seen so far, re-cut per hop (bounded k·Q).
           // STORE-PROBE DECOMPOSITION (the exactStoreProbe discipline):
           // df ⋉ kept would have to broadcast the CORPUS-FILTER-sized
@@ -938,6 +1173,10 @@ object KnnGraph {
           // Q·beamEff rows, the same bound the unconditional
           // broadcast(q) in scoreQ already assumes), so kept is
           // SCANNED per cut, never exchanged
+          // callers hand matchCut a hash(qid)-partitioned, deduped
+          // frame (the claimed frontier, or a mergeQ output), so the
+          // broadcast semi probes preserve the layout and the rank
+          // window runs exchange-free
           def matchCut(df: DataFrame): DataFrame = {
             val w = Window.partitionBy(col("qid"))
               .orderBy(col("sim").desc, col("nid"))
@@ -949,29 +1188,32 @@ object KnnGraph {
               .filter(col("r") <= k)
               .select(col("qid"), col("nid"), col("sim"))
           }
-          var results = matchCut(frontier).localCheckpoint(true)
+          def mergeQ(df: DataFrame): DataFrame =
+            df.repartition(navParts, col("qid")).dropDuplicates("qid", "nid")
+          var results = ckptF(matchCut(frontier))
           (1 to hops).foreach { _ =>
             val cand = frontier.select(col("qid"), col("nid"))
               .join(adjacency, Seq("nid"))
               .select(col("qid"), col("next").as("nid"))
-              .distinct()
-            val scored = scoreQ(cand).localCheckpoint(true)
+              .repartition(vParts, col("nid"))
+              .dropDuplicates("qid", "nid")
+            val scored = graft.CheckpointBlocks.claimedCheckpoint(
+              scoreQ(cand), Seq("nid"))
             val prevF = frontier
             val prevR = results
-            frontier = navCap(frontier.unionByName(scored).distinct())
-              .localCheckpoint(true)
-            results = matchCut(results.unionByName(scored).distinct())
-              .localCheckpoint(true)
+            frontier = ckptF(navCap(frontier.unionByName(scored)))
+            results = ckptF(matchCut(mergeQ(results.unionByName(scored))))
             graft.CheckpointBlocks.release(prevF)
             graft.CheckpointBlocks.release(prevR)
             graft.CheckpointBlocks.release(scored)
           }
           val w = Window.partitionBy(col("qid"))
             .orderBy(col("sim").desc, col("nid"))
-          val out = results.withColumn("rank", row_number().over(w))
-            .filter(col("rank") <= k)
-            .select(col("qid"), col("rank"), col("nid"), col("sim"))
-            .localCheckpoint(true)
+          val out = graft.CheckpointBlocks.claimedCheckpoint(
+            results.withColumn("rank", row_number().over(w))
+              .filter(col("rank") <= k)
+              .select(col("qid"), col("rank"), col("nid"), col("sim")),
+            Seq("qid"))
           graft.CheckpointBlocks.release(frontier)
           graft.CheckpointBlocks.release(results)
           (out, true)
@@ -1053,7 +1295,8 @@ object KnnGraph {
     // recall: the appended nodes' edges vs the exhaustive kNN of the
     // batch against the FULL post-append corpus
     val full = graphCorpus(s, d)
-    val exact = Similarity.bruteForceTopK(batch, full, "id", "vec", K)
+    val exact = Similarity.bruteForceTopK(
+      ExtensionQueries.rebalanced(batch), full, "id", "vec", K)
       .select(col("qid").as("id"), col("nid"))
     val truthN = exact.count()
     val hit = exact.join(merged.select(col("id"), col("nid")),

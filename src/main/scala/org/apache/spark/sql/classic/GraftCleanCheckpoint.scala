@@ -29,4 +29,37 @@ object GraftCleanCheckpoint {
           lr.copy()(session, originStats = None, originConstraints = None))
       case _ => df
     }
+
+  /** [[strip]] that additionally RECLAIMS the hash partitioning a
+    * checkpoint loses under AQE. `Dataset.localCheckpoint` records the
+    * physical plan's output partitioning in the LogicalRDD, but with
+    * adaptive execution the physical root is an AdaptiveSparkPlan whose
+    * partitioning reads `UnknownPartitioning` at checkpoint time — so a
+    * frame that was JUST repartitioned by its join key checkpoints as
+    * unpartitioned, and every downstream join re-exchanges it.
+    *
+    * The caller asserts (by contract, having called `repartition(n,
+    * keys)` immediately before the checkpoint) that the materialized
+    * blocks ARE hash(keys)-partitioned; this rewraps the LogicalRDD
+    * with that `HashPartitioning` so EnsureRequirements can elide the
+    * store-side Exchange on every later key-equi join against it. An
+    * over-claim would silently mis-join — only call on the result of a
+    * `repartition(n, keys)` with the SAME keys and n equal to the
+    * RDD's actual partition count.
+    */
+  def stripClaiming(df: org.apache.spark.sql.DataFrame, keys: Seq[String])
+      : org.apache.spark.sql.DataFrame =
+    df.queryExecution.analyzed match {
+      case lr: LogicalRDD =>
+        val session = df.sparkSession.asInstanceOf[SparkSession]
+        val attrs = keys.map(k => lr.output.find(_.name == k).getOrElse(
+          throw new IllegalArgumentException(
+            s"stripClaiming: no output column '$k' in ${lr.output.map(_.name)}")))
+        val part = org.apache.spark.sql.catalyst.plans.physical
+          .HashPartitioning(attrs, lr.rdd.getNumPartitions)
+        Dataset.ofRows(session,
+          lr.copy(outputPartitioning = part)(
+            session, originStats = None, originConstraints = None))
+      case _ => df
+    }
 }
