@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -219,11 +219,38 @@ object GraftExtensions {
       SortedLongIntersectCountAtLeast(args(0), args(1), args(2))
     })
 
+  private val pqNearestDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_pq_nearest"),
+    new ExpressionInfo(classOf[PqNearestCode].getName, "graft_pq_nearest"),
+    (args: Seq[Expression]) => {
+      require(args.length == 3,
+        "graft_pq_nearest(m, sv, codebookLiteral) takes exactly 3 arguments")
+      val nested = args(2) match {
+        case Literal(v, _) if v != null =>
+          v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        case other => throw new IllegalArgumentException(
+          s"codebook must be a nested array literal, got $other")
+      }
+      val cb: Array[Array[Array[Double]]] = nested.array.map { perM =>
+        perM.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .array.map(_.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            .toDoubleArray())
+      }
+      // cn2 by the SAME left-to-right fold Pq.train's toDf uses, so
+      // d2 values are bit-identical to the join formulation's
+      val cn2: Array[Array[Double]] =
+        cb.map(_.map(cv => cv.map(x => x * x).sum))
+      PqNearestCode(args(0), args(1), cb, cn2,
+        "cb" + java.util.Arrays.deepHashCode(
+          cb.asInstanceOf[Array[AnyRef]]).toHexString)
+    })
+
   private[functions] val descriptors =
     Seq(vecDotDescriptor, bloomAggDescriptor, mightContainDescriptor,
       sortedIntersectDescriptor, sortedIntersectArrayDescriptor,
       sortedIntersectAtLeastDescriptor,
-      unicodeNormalizeDescriptor, hilbertDescriptor)
+      unicodeNormalizeDescriptor, hilbertDescriptor, pqNearestDescriptor)
 
   /** Idempotent registration on a live session (for sessions not built
     * with spark.sql.extensions).
@@ -258,4 +285,21 @@ object GraftExtensions {
   def unicodeNormalize(s: Column, form: String): Column =
     call_function("graft_unicode_normalize", s,
       org.apache.spark.sql.functions.lit(form))
+
+  /** Nearest-code argmin against a driver-state codebook map keyed
+    * (m, code), codes 1..Ks per subspace 1..M (Pq.PqCodebook.asMap's
+    * shape). The map rides the plan as one nested literal the builder
+    * unpacks into primitive arrays.
+    */
+  def pqNearestCode(m: Column, sv: Column,
+                    cbMap: Map[(Int, Int), IndexedSeq[Double]]): Column = {
+    val ms = cbMap.keySet.map(_._1)
+    val cs = cbMap.keySet.map(_._2)
+    require(ms == (1 to ms.max).toSet && cs == (1 to cs.max).toSet,
+      "codebook must cover (1..M) x (1..Ks)")
+    val nested: Seq[Seq[Seq[Double]]] =
+      (1 to ms.max).map(mm => (1 to cs.max).map(c => cbMap((mm, c)).toSeq))
+    call_function("graft_pq_nearest", m, sv,
+      org.apache.spark.sql.functions.typedlit(nested))
+  }
 }

@@ -161,14 +161,38 @@ object Pq {
   def encode(corpus: DataFrame, idCol: String, vecCol: String,
              codebook: PqCodebook, m: Int, ds: Int): DataFrame = {
     GraftExtensions.register(corpus.sparkSession)
+    // per-row codegen argmin against the (driver-state) codebook: the
+    // old form materialized |sv|·Ks join rows through an exchange and
+    // a min(struct) aggregate just to pick each row's nearest code.
+    // Codes are bit-identical — d2 uses the same left-to-right dot and
+    // the same (d2, code) lexicographic minimum, and no cross-row
+    // float accumulation is involved (unlike train's member sums,
+    // which keep the join formulation for exactly that reason).
+    // The driver-state map may be absent on RESTORED codebooks (the
+    // streaming rotation reads committed centroid parquet back with an
+    // empty asMap) — collect the centroid relation then: it is M·Ks
+    // rows, parameter-server sized by the module contract. An empty
+    // codebook (a leg trained on an empty batch) encodes nothing — the
+    // old inner join against an empty centroid relation produced zero
+    // rows, preserved here explicitly. A codebook trained on fewer
+    // than Ks vectors covers a contiguous 1..C prefix per subspace,
+    // which the argmin handles natively.
+    val cbMap: Map[(Int, Int), IndexedSeq[Double]] =
+      if (codebook.asMap.nonEmpty) codebook.asMap
+      else codebook.centroids.select(col("m"), col("code"), col("cvec"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1)),
+          r.getSeq[Double](2).toIndexedSeq)).toMap
     val sv = subVectors(corpus, idCol, vecCol, m, ds)
-      .withColumn("sn2", dot(col("sv"), col("sv")))
-    val scored = sv.join(broadcast(codebook.centroids), Seq("m"))
-      .select(col("id"), col("m"), col("code"),
-        sqDist(col("sn2"), col("cn2"), dot(col("sv"), col("cvec"))).as("d2"))
-    scored.groupBy(col("id"), col("m"))
-      .agg(min(struct(col("d2"), col("code"))).as("b"))
-      .select(col("id"), col("m"), col("b.code").as("code"))
+    if (cbMap.isEmpty)
+      sv.select(col("id"), col("m"), lit(0).as("code")).where(lit(false))
+    else {
+      require(cbMap.keySet.map(_._1) == (1 to m).toSet,
+        s"codebook subspaces ${cbMap.keySet.map(_._1)} do not cover 1..$m")
+      sv.select(col("id"), col("m"),
+        GraftExtensions.pqNearestCode(col("m").cast("int"), col("sv"),
+          cbMap).as("code"))
+    }
   }
 
   /** ADC top-k: per query, squared-L2 distance to every encoded vector
