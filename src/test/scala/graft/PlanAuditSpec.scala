@@ -394,6 +394,62 @@ class PlanAuditSpec extends SparkSpecBase {
       s"the edge side must not exchange to meet the batch ids:\n$plan")
   }
 
+  test("a claimed sized checkpoint joins on its key without a store-side exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.functions.col
+    // the kNN-family contract: the corpus/adjacency checkpoints carry a
+    // CLAIMED hash layout (AQE drops the partitioning a localCheckpoint
+    // would otherwise record), so every per-hop key-equi join exchanges
+    // only the moving side. Auto-broadcast off: the shape must come
+    // from the claim, not planner stats.
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val store = graft.CheckpointBlocks.sizedCheckpoint(e, Seq("id"), 2000L)
+    try {
+      val probe = spark.range(50).select((col("id") * 3).as("id"))
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan =
+        try probe.join(store, Seq("id")).queryExecution.sparkPlan
+        finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      assert(plan.collect { case j: SortMergeJoinExec => j }.nonEmpty,
+        s"expected a sort-merge join under auto-broadcast off:\n$plan")
+      // at most the PROBE side exchanges (zero when the claimed layout
+      // is single-partition and the probe collapses into it); the
+      // store-side Scan ExistingRDD must feed the join directly
+      val exchanges = plan.collect { case x: ShuffleExchangeExec => x }
+      assert(exchanges.size <= 1,
+        s"only the probe side may exchange against a claimed store:\n$plan")
+      val smj = plan.collect { case j: SortMergeJoinExec => j }.head
+      assert(smj.right.collect {
+        case x: ShuffleExchangeExec => x }.isEmpty,
+        s"the claimed store side must not exchange:\n$plan")
+    } finally graft.CheckpointBlocks.release(store)
+  }
+
+  test("PQ encode is a pure projection: no join, no aggregate, no exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.functions.col
+    // the per-row argmin replaced the |sv|·Ks broadcast join and its
+    // min(struct) aggregate — a regression back to the join would
+    // re-shuffle every encode pass (train keeps its join on purpose:
+    // the member sums' fold order is part of the committed surface)
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val cb = graft.operators.Pq.train(e, "id", "embedding", 4, 8, 0)
+    val plan = graft.operators.Pq.encode(e, "id", "embedding", cb, 4, 16)
+      .queryExecution.sparkPlan
+    assert(plan.collect { case j: BaseJoinExec => j }.isEmpty,
+      s"encode must not join:\n$plan")
+    assert(plan.collect { case a: BaseAggregateExec => a }.isEmpty,
+      s"encode must not aggregate:\n$plan")
+    assert(plan.collect { case x: ShuffleExchangeExec => x }.isEmpty,
+      s"encode must not exchange:\n$plan")
+  }
+
   test("filtered ANN search re-shuffles its candidate relation exactly once (the top-k window)") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.functions.col
