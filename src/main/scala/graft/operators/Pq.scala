@@ -475,11 +475,15 @@ object Pq {
       // the 6 cells are INDEPENDENT trainings (separate lineages over
       // the same checkpointed fixture): run them on concurrent driver
       // threads so their per-iteration jobs interleave on the executor
-      // pool instead of serializing driver round-trips. Results
-      // assemble by cell index — determinism is per-cell, untouched.
+      // pool instead of serializing driver round-trips. One thread per
+      // cell (measured: pool 3 -> 6 cut the curve 11.7 -> 7.6 s — the
+      // cells are driver-latency bound, and their tiny stages never
+      // saturate the executor pool). Results assemble by cell index;
+      // per-cell determinism is layout-based (partition counts, plan
+      // shapes), not timing-based, so concurrency cannot move it.
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutor(pool)
       val cells = for (m <- CurveMs; ks <- CurveKss) yield (m, ks)
